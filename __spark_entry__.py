@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+through the rs_graphdb_spark engine; ``oracle_sql()`` holds the DuckDB twin
+over the raw parquet views. Column aliases match pairwise by contract.
 """
 
 from __future__ import annotations
@@ -12,27 +10,619 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
+from rs_graphdb_spark import Query, load_tpch_graph
+from rs_graphdb_spark.functions import text as TX
+
+# Node-id namespace constants — must mirror rs_graphdb_spark.graph.LABEL_INDEX.
+S = 1 << 40
+REGION, NATION, CUSTOMER, SUPPLIER, PART, ORDER, DOC, EMB = (
+    1 * S, 2 * S, 3 * S, 4 * S, 5 * S, 6 * S, 7 * S, 8 * S,
+)
+
+_GRAPH_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = load_tpch_graph(spark, sf_dir)
+    return _GRAPH_CACHE[key]
+
+
+def _q(spark: SparkSession, sf_dir: str) -> Query:
+    return Query(graph=_graph(spark, sf_dir))
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query (driver smoke check at sf0.001)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: label scan → 1-hop out → grouped aggregation.
 
+    The Spark rendition of `Query::from_label(...).out(...).count()`
+    (`/root/reference/src/query.rs:43-57,130-141,487-489`): revenue by
+    customer market segment over the PLACED edge set.
+    """
+    return q13_grouped_agg(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / sources
+# ---------------------------------------------------------------------------
+
+def q01_label_scan(spark, sf_dir):
+    """Label scan (`src/query.rs:43-57`)."""
+    return (
+        _q(spark, sf_dir).from_label("Customer")
+        .select("id", "c_name", "c_acctbal")
+    )
+
+
+def q02_all_nodes_count(spark, sf_dir):
+    """All-nodes scan (`src/graph/db.rs:394-396`), counted per label."""
+    g = _graph(spark, sf_dir)
+    return g.all_nodes().groupBy("label").agg(F.count("*").alias("cnt"))
+
+
+def q03_point_lookup_text(spark, sf_dir):
+    """Text point lookup via (label, prop, value) — the reference's hash
+    index probe (`src/query.rs:60-68`) as a pushed-down parquet filter."""
+    return (
+        _q(spark, sf_dir)
+        .from_label_and_prop_eq("Customer", "c_name", "Customer#000000042")
+        .select("id", "c_name", "c_mktsegment")
+    )
+
+
+def q04_point_lookup_int(spark, sf_dir):
+    """Int point lookup (`src/query.rs:71-79`)."""
+    return (
+        _q(spark, sf_dir)
+        .from_label_and_prop_eq("Nation", "n_nationkey", 5)
+        .select("id", "n_name")
+    )
+
+
+def q05_composite_lookup(spark, sf_dir):
+    """Composite-index multi-property probe (`src/index_composite.rs:112-517`)
+    → conjunctive equality filters."""
+    return (
+        _q(spark, sf_dir).from_label("Part")
+        .where_prop_eq("p_type", "ECONOMY")
+        .where_prop_eq("p_size", 11)
+        .select("id", "p_name", "p_brand")
+    )
+
+
+def q06_range_scan(spark, sf_dir):
+    """Range-index scan (`src/index_advanced.rs:245-500`) — pushdown-native."""
+    return (
+        _q(spark, sf_dir).from_label("Customer")
+        .where_prop_between("c_acctbal", 1000.0, 3000.0)
+        .select("id", "c_acctbal")
+    )
+
+
+def q07_regex_match(spark, sf_dir):
+    """`=~` full-match regex (`src/cypher/executor.rs:1500-1509`)."""
+    return (
+        _q(spark, sf_dir).from_label("Customer")
+        .where_prop_regex("c_name", "Customer#0{6}1[0-9]{2}")
+        .select("id", "c_name")
+    )
+
+
+def q08_in_list(spark, sf_dir):
+    """IN-list membership (`src/cypher/executor.rs:1520-1532`)."""
+    return (
+        _q(spark, sf_dir).from_label("Order")
+        .where_prop_in("o_orderpriority", ["1-URGENT", "2-HIGH"])
+        .where_prop_gt("o_totalprice", 350000.0)
+        .select("id", "o_orderpriority", "o_totalprice")
+    )
+
+
+def q09_substring_search(spark, sf_dir):
+    """Substring containment search (`src/server.rs:803-852`)."""
+    return (
+        _q(spark, sf_dir).from_label("Document")
+        .where(F.lower(F.col("text")).contains("merge batch"))
+        .select("doc_id", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins / traversal hops
+# ---------------------------------------------------------------------------
+
+def q10_one_hop_count(spark, sf_dir):
+    """1-hop out + count (`src/query.rs:130-141,487-489`)."""
+    return (
+        _q(spark, sf_dir).from_label("Customer")
+        .where_prop_eq("c_nationkey", 7)
+        .out("PLACED")
+        .count(alias="cnt")
+    )
+
+
+def q11_in_hop_distinct(spark, sf_dir):
+    """Reverse hop (`src/query.rs:144-155`) + distinct (`:357-362`)."""
+    return (
+        _q(spark, sf_dir).from_label("Order")
+        .where_prop_gt("o_totalprice", 400000.0)
+        .in_("PLACED")
+        .distinct()
+        .select("id", "c_name")
+    )
+
+
+def q12_three_hop_chain(spark, sf_dir):
+    """3-hop chain with reference multiplicity semantics — `out()` keeps
+    duplicates (`src/query.rs:130-141`, SURVEY §3.4 quirk #7)."""
+    return (
+        _q(spark, sf_dir).from_label("Customer")
+        .where_prop_eq("c_nationkey", 3)
+        .out("PLACED")
+        .out("CONTAINS")
+        .out("SUPPLIED_BY")
+        .count(alias="cnt")
+    )
+
+
+def q13_grouped_agg(spark, sf_dir):
+    """Scan → hop (carrying source attrs) → GROUP BY + COUNT/SUM/AVG
+    (`src/cypher/executor.rs:180-282,398-423`)."""
+    return (
+        _q(spark, sf_dir).from_label("Customer")
+        .out("PLACED", edge_cols=("totalprice",), carry=("c_mktsegment",))
+        .group_by_agg(
+            ["c_mktsegment"],
+            {
+                "n_orders": F.count("*"),
+                "total_revenue": F.sum(
+                    F.col("totalprice").cast("decimal(18,2)")
+                ).cast("double"),
+                "avg_price": F.round(F.avg("totalprice"), 4),
+            },
+        )
+    )
+
+
+def q22_optional_match(spark, sf_dir):
+    """OPTIONAL MATCH as left-outer join — correct optionality (the
+    reference parses and ignores it, SURVEY §3.4 quirk #4)."""
+    return (
+        _q(spark, sf_dir).from_label("Customer")
+        .optional_out("KNOWS")
+        .df.groupBy("id")
+        .agg(F.count("__opt_dst").alias("n_neighbors"))
+    )
+
+
+def q23_semi_join(spark, sf_dir):
+    """Semi-join analog (`src/algorithms/shortest_path.rs:314-323`)."""
+    return _q(spark, sf_dir).from_label("Customer").semi_out("KNOWS").count("cnt")
+
+
+def q24_anti_join(spark, sf_dir):
+    """Anti-join analog (MERGE's create branch,
+    `src/cypher/executor.rs:962-1018`)."""
+    return (
+        _q(spark, sf_dir).from_label("Customer").anti_out("KNOWS").select("id")
+    )
+
+
+def q25_var_length(spark, sf_dir):
+    """Variable-length expansion 1..2 hops with BFS-set-distance dedup
+    (`src/query.rs:171-218`; quirk #6 fixed to be order-independent)."""
+    return (
+        _q(spark, sf_dir).from_label("Order")
+        .where_prop_eq("o_orderpriority", "1-URGENT")
+        .out_variable_length("NEXT_ORDER", 1, 2)
+        .select("id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+def q19_global_aggs(spark, sf_dir):
+    """Implicit single-group aggregation (`src/cypher/executor.rs:188-193`)."""
+    return _q(spark, sf_dir).from_label("Customer").group_by_agg(
+        [],
+        {
+            "cnt": F.count("*"),
+            "sum_bal": F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast(
+                "double"
+            ),
+            "avg_bal": F.round(F.avg("c_acctbal"), 4),
+            "min_bal": F.min("c_acctbal"),
+            "max_bal": F.max("c_acctbal"),
+        },
+    )
+
+
+def q20_stats_aggs(spark, sf_dir):
+    """STDEV/VARIANCE/percentiles (`src/cypher/executor.rs:482-579`,
+    `src/query.rs:534-648`) — both σ flavors exposed (quirk #8)."""
+    return _q(spark, sf_dir).from_label("Customer").group_by_agg(
+        [],
+        {
+            "stdev_samp": F.round(F.stddev_samp("c_acctbal"), 4),
+            "stdev_pop": F.round(F.stddev_pop("c_acctbal"), 4),
+            "var_samp": F.round(F.var_samp("c_acctbal"), 4),
+            "p50_cont": F.round(F.percentile(F.col("c_acctbal"), F.lit(0.5)), 4),
+        },
+    )
+
+
+def q21_collect(spark, sf_dir):
+    """COLLECT into list (`src/cypher/executor.rs:478-481`), sorted for
+    deterministic comparison."""
+    return (
+        _q(spark, sf_dir).from_label("Nation")
+        .out("IN_REGION", carry=("n_name",))
+        .df.groupBy("r_name")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sort / limit / pagination  +  §2.5 window (superset)
+# ---------------------------------------------------------------------------
+
+def q14_topk(spark, sf_dir):
+    """ORDER BY … DESC LIMIT k → TakeOrderedAndProject (`CYPHER_GUIDE.md:
+    123-129` composition)."""
+    return (
+        _q(spark, sf_dir).from_label("Order")
+        .order_by(("o_totalprice", False), ("o_orderkey", True))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q15_skip_limit(spark, sf_dir):
+    """SKIP/LIMIT pagination (`src/query.rs:371-438`)."""
+    return (
+        _q(spark, sf_dir).from_label("Order")
+        .order_by("o_orderkey")
+        .paginate(100, 50)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q26_window_rank(spark, sf_dir):
+    """Window ranking — superset of the reference (§2.5: it has none)."""
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        _q(spark, sf_dir).from_label("Customer")
+        .df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+def q16_union(spark, sf_dir):
+    """UNION with node-id dedup (`src/cypher/executor.rs:1669-1682`)."""
+    a = _q(spark, sf_dir).from_label("Customer").where_prop_eq("c_nationkey", 1)
+    b = _q(spark, sf_dir).from_label("Customer").where_prop_gt("c_acctbal", 9000.0)
+    return a.union(b).select("id", "c_name")
+
+
+def q17_union_all(spark, sf_dir):
+    """UNION ALL (`src/cypher/executor.rs:1653-1668`)."""
+    a = _q(spark, sf_dir).from_label("Customer").where_prop_eq("c_nationkey", 1)
+    b = _q(spark, sf_dir).from_label("Customer").where_prop_gt("c_acctbal", 9000.0)
+    return a.union_all(b).select("id")
+
+
+def q18_distinct_hop(spark, sf_dir):
+    """Multi-hop then DISTINCT by node id (`src/query.rs:357-362`)."""
+    return (
+        _q(spark, sf_dir).from_label("Customer")
+        .where_prop_eq("c_nationkey", 9)
+        .out("PLACED")
+        .out("CONTAINS")
+        .distinct()
+        .select("id", "p_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 full-text search  (inverted-index semantics as expressions)
+# ---------------------------------------------------------------------------
+
+def q27_fulltext_or(spark, sf_dir):
+    """OR-mode full-text search (`src/graph/db.rs:518-535`,
+    `src/index_advanced.rs:52-232`)."""
+    return (
+        _q(spark, sf_dir).from_label("Document")
+        .where(TX.fulltext_any("text", ["spark", "join"]))
+        .select("doc_id", "lang")
+    )
+
+
+def q28_fulltext_and(spark, sf_dir):
+    """AND-mode full-text search (`src/graph/db.rs:537-559`)."""
+    return (
+        _q(spark, sf_dir).from_label("Document")
+        .where(TX.fulltext_all("text", ["spark", "join"]))
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar-function surface: JSON + time bucketing (§2.8 superset)
+# ---------------------------------------------------------------------------
+
+def q29_json_extract(spark, sf_dir):
+    """JSON value extraction (HTTP-layer JSON conversion analog,
+    `src/server.rs:207-251`) + grouped aggregation."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("k"), 4).alias("avg_k"))
+    )
+
+
+def q30_time_bucket(spark, sf_dir):
+    """Event-time tumbling-window aggregation (batch twin of the
+    Structured-Streaming path; reference has none — §2.9 superset)."""
+    ev = _read(spark, sf_dir, "events")
+    # events.ts is TIMESTAMP(NANOS) → long under nanosAsLong; arithmetic
+    # hour bucketing keeps the result independent of the session timezone.
+    return (
+        ev.withColumn("hour_epoch", (F.col("ts") / 3_600_000_000_000).cast("long") * 3600)
+        .groupBy("hour_epoch", "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_label_scan": q01_label_scan,
+        "q02_all_nodes_count": q02_all_nodes_count,
+        "q03_point_lookup_text": q03_point_lookup_text,
+        "q04_point_lookup_int": q04_point_lookup_int,
+        "q05_composite_lookup": q05_composite_lookup,
+        "q06_range_scan": q06_range_scan,
+        "q07_regex_match": q07_regex_match,
+        "q08_in_list": q08_in_list,
+        "q09_substring_search": q09_substring_search,
+        "q10_one_hop_count": q10_one_hop_count,
+        "q11_in_hop_distinct": q11_in_hop_distinct,
+        "q12_three_hop_chain": q12_three_hop_chain,
+        "q13_grouped_agg": q13_grouped_agg,
+        "q14_topk": q14_topk,
+        "q15_skip_limit": q15_skip_limit,
+        "q16_union": q16_union,
+        "q17_union_all": q17_union_all,
+        "q18_distinct_hop": q18_distinct_hop,
+        "q19_global_aggs": q19_global_aggs,
+        "q20_stats_aggs": q20_stats_aggs,
+        "q21_collect": q21_collect,
+        "q22_optional_match": q22_optional_match,
+        "q23_semi_join": q23_semi_join,
+        "q24_anti_join": q24_anti_join,
+        "q25_var_length": q25_var_length,
+        "q26_window_rank": q26_window_rank,
+        "q27_fulltext_or": q27_fulltext_or,
+        "q28_fulltext_and": q28_fulltext_and,
+        "q29_json_extract": q29_json_extract,
+        "q30_time_bucket": q30_time_bucket,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    KNOWS = """
+        SELECT a.c_custkey AS src_key, b.c_custkey AS dst_key
+        FROM customer a JOIN customer b
+          ON b.c_custkey IN (a.c_custkey + 1, a.c_custkey + 2)
+         AND b.c_mktsegment = a.c_mktsegment
     """
-    return {}
+    return {
+        "q01_label_scan": f"""
+            SELECT {CUSTOMER} + c_custkey AS id, c_name, c_acctbal FROM customer
+        """,
+        "q02_all_nodes_count": """
+            SELECT 'Customer' AS label, count(*) AS cnt FROM customer
+            UNION ALL SELECT 'Document', count(*) FROM documents
+            UNION ALL SELECT 'Embedding', count(*) FROM embeddings
+            UNION ALL SELECT 'Nation', count(*) FROM nation
+            UNION ALL SELECT 'Order', count(*) FROM orders
+            UNION ALL SELECT 'Part', count(*) FROM part
+            UNION ALL SELECT 'Region', count(*) FROM region
+            UNION ALL SELECT 'Supplier', count(*) FROM supplier
+        """,
+        "q03_point_lookup_text": f"""
+            SELECT {CUSTOMER} + c_custkey AS id, c_name, c_mktsegment
+            FROM customer WHERE c_name = 'Customer#000000042'
+        """,
+        "q04_point_lookup_int": f"""
+            SELECT {NATION} + n_nationkey AS id, n_name
+            FROM nation WHERE n_nationkey = 5
+        """,
+        "q05_composite_lookup": f"""
+            SELECT {PART} + p_partkey AS id, p_name, p_brand
+            FROM part WHERE p_type = 'ECONOMY' AND p_size = 11
+        """,
+        "q06_range_scan": f"""
+            SELECT {CUSTOMER} + c_custkey AS id, c_acctbal
+            FROM customer WHERE c_acctbal BETWEEN 1000.0 AND 3000.0
+        """,
+        "q07_regex_match": f"""
+            SELECT {CUSTOMER} + c_custkey AS id, c_name
+            FROM customer
+            WHERE regexp_matches(c_name, '^(?:Customer#0{{6}}1[0-9]{{2}})$')
+        """,
+        "q08_in_list": f"""
+            SELECT {ORDER} + o_orderkey AS id, o_orderpriority, o_totalprice
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+              AND o_totalprice > 350000.0
+        """,
+        "q09_substring_search": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE position('merge batch' IN lower(text)) > 0
+        """,
+        "q10_one_hop_count": """
+            SELECT count(*) AS cnt
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            WHERE c_nationkey = 7
+        """,
+        "q11_in_hop_distinct": f"""
+            SELECT DISTINCT {CUSTOMER} + c_custkey AS id, c_name
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            WHERE o_totalprice > 400000.0
+        """,
+        "q12_three_hop_chain": """
+            SELECT count(*) AS cnt
+            FROM customer
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN (SELECT DISTINCT l_partkey AS pk, l_suppkey FROM lineitem) sp
+              ON sp.pk = l_partkey
+            WHERE c_nationkey = 3
+        """,
+        "q13_grouped_agg": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_revenue,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q14_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q15_skip_limit": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_orderkey LIMIT 50 OFFSET 100
+        """,
+        "q16_union": f"""
+            SELECT DISTINCT {CUSTOMER} + c_custkey AS id, c_name FROM customer
+            WHERE c_nationkey = 1 OR c_acctbal > 9000.0
+        """,
+        "q17_union_all": f"""
+            SELECT {CUSTOMER} + c_custkey AS id FROM customer WHERE c_nationkey = 1
+            UNION ALL
+            SELECT {CUSTOMER} + c_custkey AS id FROM customer WHERE c_acctbal > 9000.0
+        """,
+        "q18_distinct_hop": f"""
+            SELECT DISTINCT {PART} + l_partkey AS id, p_name
+            FROM customer
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN part     ON p_partkey = l_partkey
+            WHERE c_nationkey = 9
+        """,
+        "q19_global_aggs": """
+            SELECT count(*) AS cnt,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+                   round(avg(c_acctbal), 4) AS avg_bal,
+                   min(c_acctbal) AS min_bal,
+                   max(c_acctbal) AS max_bal
+            FROM customer
+        """,
+        "q20_stats_aggs": """
+            SELECT round(stddev_samp(c_acctbal), 4) AS stdev_samp,
+                   round(stddev_pop(c_acctbal), 4) AS stdev_pop,
+                   round(var_samp(c_acctbal), 4) AS var_samp,
+                   round(quantile_cont(c_acctbal, 0.5), 4) AS p50_cont
+            FROM customer
+        """,
+        "q21_collect": """
+            SELECT r_name, list_sort(list(n_name)) AS nations
+            FROM nation JOIN region ON r_regionkey = n_regionkey
+            GROUP BY r_name
+        """,
+        "q22_optional_match": f"""
+            SELECT {CUSTOMER} + a.c_custkey AS id, count(k.dst_key) AS n_neighbors
+            FROM customer a LEFT JOIN ({KNOWS}) k ON k.src_key = a.c_custkey
+            GROUP BY a.c_custkey
+        """,
+        "q23_semi_join": f"""
+            SELECT count(*) AS cnt FROM customer c
+            WHERE EXISTS (SELECT 1 FROM ({KNOWS}) k WHERE k.src_key = c.c_custkey)
+        """,
+        "q24_anti_join": f"""
+            SELECT {CUSTOMER} + c_custkey AS id FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM ({KNOWS}) k WHERE k.src_key = c.c_custkey)
+        """,
+        "q25_var_length": f"""
+            WITH nxt AS (
+                SELECT o_orderkey AS src,
+                       lead(o_orderkey) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS dst
+                FROM orders
+            ),
+            e AS (SELECT src, dst FROM nxt WHERE dst IS NOT NULL),
+            s AS (SELECT o_orderkey AS k FROM orders
+                  WHERE o_orderpriority = '1-URGENT'),
+            h1 AS (SELECT e.dst AS k FROM e JOIN s ON e.src = s.k),
+            h2 AS (SELECT e2.dst AS k FROM e e2 JOIN h1 ON e2.src = h1.k)
+            SELECT DISTINCT {ORDER} + k AS id
+            FROM (SELECT k FROM h1 UNION SELECT k FROM h2) u
+            WHERE k NOT IN (SELECT k FROM s)
+        """,
+        "q26_window_rank": """
+            SELECT c_nationkey, c_custkey, rn FROM (
+                SELECT c_nationkey, c_custkey,
+                       row_number() OVER (
+                           PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey) AS rn
+                FROM customer) t
+            WHERE rn <= 3
+        """,
+        "q27_fulltext_or": """
+            SELECT doc_id, lang FROM documents
+            WHERE list_has_any(
+                regexp_extract_all(lower(text), '[a-z0-9]+'),
+                ['spark', 'join'])
+        """,
+        "q28_fulltext_and": """
+            SELECT doc_id, lang FROM documents
+            WHERE list_has_all(
+                regexp_extract_all(lower(text), '[a-z0-9]+'),
+                ['spark', 'join'])
+        """,
+        "q29_json_extract": """
+            SELECT event_type, count(*) AS cnt,
+                   round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k
+            FROM events GROUP BY event_type
+        """,
+        "q30_time_bucket": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   event_type, count(*) AS cnt,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+    }

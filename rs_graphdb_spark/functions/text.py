@@ -1,0 +1,107 @@
+"""Text analysis built-ins: tokenization, full-text search, quality
+scoring, language ID, fingerprinting, token counting.
+
+Reference full-text index: lowercase-alnum tokenizer + inverted index with
+OR/AND search (`/root/reference/src/index_advanced.rs:52-232`, tokenizer
+`:72-88`; `db.search_fulltext[_and]` `src/graph/db.rs:518-559`).
+
+Spark-first: there is no index to maintain — tokenization is an expression
+(`regexp_extract_all`), JVM-side and codegen'd, and "search" is a filter
+the optimizer can push around. At 100 TB an actual inverted index is a
+materialized `explode(tokens)` table bucketed by term; the expressions here
+are the build step for it.
+
+Everything in this module is pure `pyspark.sql.functions` — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: token = maximal run of lowercase alphanumerics (reference tokenizer:
+#: lowercase + alnum split, `src/index_advanced.rs:72-88`)
+TOKEN_RE = "[a-z0-9]+"
+
+# Tiny per-language stopword marker sets for the n-gram/stopword language
+# heuristic. Deliberately small + deterministic (mirrored in oracle SQL).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "las", "una", "es"],
+}
+
+
+def tokenize(col: Column | str) -> Column:
+    """Lowercase-alnum tokens of a text column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+
+
+def fulltext_any(col: Column | str, terms: list[str]) -> Column:
+    """OR-mode full-text match (`db.search_fulltext`)."""
+    return F.arrays_overlap(tokenize(col), F.array(*[F.lit(t) for t in terms]))
+
+
+def fulltext_all(col: Column | str, terms: list[str]) -> Column:
+    """AND-mode full-text match (`db.search_fulltext_and`)."""
+    toks = tokenize(col)
+    cond = F.lit(True)
+    for t in terms:
+        cond = cond & F.array_contains(toks, t)
+    return cond
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace/punctuation-robust token count."""
+    return F.size(tokenize(col))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 over the normalized token
+    stream (case/punct/whitespace-insensitive) — the exact-dedup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.array_join(tokenize(c), " "))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring features: length, token count, mean token length,
+    punctuation ratio, stopword ratio (English markers)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokenize(c)
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(t) for t in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,!?;:]", ""))
+    return {
+        "n_chars_m": F.length(c),
+        "n_tokens": n_tok,
+        "mean_tok_len": F.round(
+            F.length(F.array_join(toks, "")) / F.greatest(n_tok, F.lit(1)), 6
+        ),
+        "punct_ratio": F.round(n_punct / F.greatest(F.length(c), F.lit(1)), 6),
+        "stopword_ratio": F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6),
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-marker language heuristic: argmax of per-language marker
+    hit counts, ties broken by fixed language order (en, de, fr, es),
+    'und' (undetermined) when no marker hits at all."""
+    toks = tokenize(col)
+    hits = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    best = (
+        F.when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"])
+            & (hits["en"] >= hits["es"]) & (hits["en"] > 0), F.lit("en"))
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"])
+              & (hits["de"] > 0), F.lit("de"))
+        .when((hits["fr"] >= hits["es"]) & (hits["fr"] > 0), F.lit("fr"))
+        .when(hits["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    return best

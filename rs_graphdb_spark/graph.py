@@ -1,0 +1,139 @@
+"""Property-graph-on-DataFrames data model.
+
+Reference data model (`/root/reference/src/graph/model.rs:5-28`): nodes
+``{id, labels, props}`` and directed typed relationships ``{id, start, end,
+typ, props}`` in row-oriented stores with dual adjacency lists
+(`src/storage/mem_store.rs:24-33`).
+
+Spark-native re-expression (SURVEY.md §1.4):
+
+- **label = table**: each label is its own typed, columnar DataFrame with an
+  ``id`` column plus typed property columns. This keeps Parquet column
+  pruning and predicate pushdown intact (a single wide nodes table with a
+  sparse union of all property columns would defeat both at 100 TB).
+- **rel_type = table**: each relationship type is an ``EdgeSet`` DataFrame
+  ``(id, src, dst, <edge props>)`` with declared endpoint labels.
+  Adjacency lists are not materialized — a hop is an equi-join on
+  ``src``/``dst``, which Catalyst plans as broadcast or sort-merge join
+  depending on frontier size.
+- **global node ids**: per-label disjoint id namespaces,
+  ``id = LABEL_BASE[label] + natural_key``, assigned arithmetically —
+  deterministic, shuffle-free, collision-free, and reproducible in the
+  DuckDB oracle (`BASE + key` in plain SQL).
+
+Scale notes: node/edge tables are plain Parquet datasets; at cluster scale
+partition edge tables by ``src`` bucket (and keep a dst-sorted copy for
+heavy reverse traversals — the Spark analog of the reference's dual
+adjacency lists).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Per-label id-namespace stride. 2^40 ≈ 1.1e12 keeps labels disjoint up to
+#: ~10^12 natural keys per label (TPC-H sf100k customer keys ≈ 1.5e13 would
+#: need a wider stride; sf1000 ≈ 1.5e11 fits).
+ID_STRIDE = 1 << 40
+
+#: Stable label → namespace index. Order is part of the public contract —
+#: oracle SQL hard-codes `idx * ID_STRIDE + key`.
+LABEL_INDEX = {
+    "Region": 1,
+    "Nation": 2,
+    "Customer": 3,
+    "Supplier": 4,
+    "Part": 5,
+    "Order": 6,
+    "Document": 7,
+    "Embedding": 8,
+    "Event": 9,
+}
+
+
+def label_base(label: str) -> int:
+    """Base offset of a label's node-id namespace."""
+    return LABEL_INDEX[label] * ID_STRIDE
+
+
+@dataclass
+class EdgeSet:
+    """A typed directed edge table: ``(id, src, dst, <edge property columns>)``.
+
+    Mirrors the reference Relationship (`src/graph/model.rs:22-28`) with the
+    type factored out into the table identity.
+    """
+
+    df: DataFrame
+    src_label: str
+    dst_label: str
+
+    def reversed(self) -> "EdgeSet":
+        """Swap direction (for in_-hops / undirected traversal)."""
+        df = self.df.withColumnRenamed("src", "__tmp__").withColumnRenamed(
+            "dst", "src"
+        ).withColumnRenamed("__tmp__", "dst")
+        return EdgeSet(df=df, src_label=self.dst_label, dst_label=self.src_label)
+
+
+@dataclass
+class PropertyGraph:
+    """A property graph as a set of typed DataFrames.
+
+    ``nodes``: label → DataFrame with column ``id`` (LONG, globally unique)
+    plus typed property columns.
+    ``edges``: rel_type → EdgeSet.
+    """
+
+    nodes: dict[str, DataFrame] = field(default_factory=dict)
+    edges: dict[str, EdgeSet] = field(default_factory=dict)
+
+    # -- scans ------------------------------------------------------------
+    def label_scan(self, label: str) -> DataFrame:
+        """All nodes with a label (reference `Query::from_label`,
+        `src/query.rs:43-57`). Here: just the label's table."""
+        return self.nodes[label]
+
+    def all_nodes(self, columns: tuple[str, ...] = ("id",)) -> DataFrame:
+        """Union over every label (reference `all_stored_nodes`,
+        `src/graph/db.rs:394-396`). Projects to the shared columns first so
+        the union stays narrow; adds a `label` discriminator."""
+        parts = [
+            df.select(*[F.col(c) for c in columns]).withColumn("label", F.lit(lbl))
+            for lbl, df in sorted(self.nodes.items())
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def degrees(self, rel_type: str | None = None) -> DataFrame:
+        """Per-node (out_degree, in_degree) over one or all edge sets.
+
+        Shared degree table reused by algorithms (SURVEY.md §4.3.4).
+        """
+        sets = (
+            [self.edges[rel_type]] if rel_type else list(self.edges.values())
+        )
+        outs = [es.df.select(F.col("src").alias("id")) for es in sets]
+        ins = [es.df.select(F.col("dst").alias("id")) for es in sets]
+
+        def _union(dfs: list[DataFrame]) -> DataFrame:
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            return out
+
+        out_deg = _union(outs).groupBy("id").agg(F.count("*").alias("out_degree"))
+        in_deg = _union(ins).groupBy("id").agg(F.count("*").alias("in_degree"))
+        return (
+            out_deg.join(in_deg, "id", "outer")
+            .select(
+                "id",
+                F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+                F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            )
+        )

@@ -1,0 +1,267 @@
+"""Fluent query builder — the Spark rendition of the reference's eager
+set-at-a-time `Query` API (`/root/reference/src/query.rs:23-648`).
+
+Where the reference materializes a ``Vec<NodeId>`` frontier after every
+call, this builder composes a **lazy** DataFrame plan: the frontier is a
+DataFrame of the current label's node rows, every step is a transformation,
+and Catalyst gets the whole pipeline to optimize (pushdown, pruning, join
+strategy). Laziness is the point — SURVEY.md §3.2.
+
+Semantics deltas vs the reference (documented, deliberate — SURVEY.md §3.4):
+
+- comparisons work on all orderable types, not just Int pairs (quirk #5);
+- ``out``/``in_`` keep join multiplicity (matching reference ``out()``,
+  quirk #7) with an explicit ``dedup=True`` opt-in;
+- ``order_by`` sorts missing values last in both directions, matching the
+  reference (`src/query.rs:441-468`);
+- var-length expansion dedups per BFS level (matching reference
+  `src/query.rs:171-218`) but is start-node-set based, not iteration-order
+  dependent (quirk #6 fixed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rs_graphdb_spark.graph import PropertyGraph
+
+
+@dataclass(frozen=True)
+class Query:
+    """Immutable fluent builder over a PropertyGraph frontier."""
+
+    graph: PropertyGraph
+    frontier: DataFrame | None = None
+    label: str | None = None
+
+    # -- sources ---------------------------------------------------------
+    def from_label(self, label: str) -> "Query":
+        """Label scan (`src/query.rs:43-57`)."""
+        return replace(self, frontier=self.graph.nodes[label], label=label)
+
+    def from_label_and_prop_eq(self, label: str, key: str, value) -> "Query":
+        """Point lookup (`src/query.rs:60-79`). The hash-index probe of the
+        reference becomes a pushed-down parquet filter."""
+        return self.from_label(label).where_prop_eq(key, value)
+
+    # -- filters ---------------------------------------------------------
+    def where(self, cond: Column) -> "Query":
+        return replace(self, frontier=self.frontier.filter(cond))
+
+    def where_prop_eq(self, key: str, value) -> "Query":
+        """`src/query.rs:82-111` (Text and Int variants, generalized)."""
+        return self.where(F.col(key) == F.lit(value))
+
+    def where_prop_gt(self, key: str, value) -> "Query":
+        """`src/query.rs:114-127`, generalized beyond Int."""
+        return self.where(F.col(key) > F.lit(value))
+
+    def where_prop_between(self, key: str, lo, hi) -> "Query":
+        """Range-index scan (`src/index_advanced.rs:245-500`) — pushdown-native."""
+        return self.where(F.col(key).between(F.lit(lo), F.lit(hi)))
+
+    def where_prop_in(self, key: str, values: list) -> "Query":
+        """IN-list membership (`src/cypher/executor.rs:1520-1532`)."""
+        return self.where(F.col(key).isin(values))
+
+    def where_prop_regex(self, key: str, pattern: str) -> "Query":
+        """`=~` regex (`src/cypher/executor.rs:1500-1509`). The reference
+        does a FULL-match; pin that by anchoring here."""
+        return self.where(F.col(key).rlike(f"^(?:{pattern})$"))
+
+    def where_prop_exists(self, key: str) -> "Query":
+        """EXISTS(n.prop) (`src/cypher/executor.rs:1510-1513`)."""
+        return self.where(F.col(key).isNotNull())
+
+    # -- hops (the reference's only join, §2.3) --------------------------
+    def _hop(self, rel_type: str, reverse: bool, dedup: bool,
+             edge_cols: tuple[str, ...], carry: tuple[str, ...]) -> "Query":
+        es = self.graph.edges[rel_type]
+        if reverse:
+            es = es.reversed()
+        edge = es.df.select(
+            F.col("src"), F.col("dst").alias("__dst"),
+            *[F.col(c) for c in edge_cols],
+        )
+        hopped = (
+            self.frontier.select(F.col("id").alias("src"),
+                                 *[F.col(c) for c in carry])
+            .join(edge, "src")
+            .select(F.col("__dst").alias("id"), *edge_cols, *carry)
+        )
+        if dedup:
+            hopped = hopped.dropDuplicates(["id"])
+        target = self.graph.nodes[es.dst_label]
+        out = hopped.join(target, "id")
+        return replace(self, frontier=out, label=es.dst_label)
+
+    def out(self, rel_type: str, dedup: bool = False,
+            edge_cols: tuple[str, ...] = (),
+            carry: tuple[str, ...] = ()) -> "Query":
+        """One hop along outgoing edges (`src/query.rs:130-141`). Keeps join
+        multiplicity like the reference; ``edge_cols`` carries edge
+        properties onto the frontier, ``carry`` keeps source-node columns
+        (multi-variable bindings — fixes SURVEY.md §3.4 quirk #1)."""
+        return self._hop(rel_type, reverse=False, dedup=dedup,
+                         edge_cols=edge_cols, carry=carry)
+
+    def in_(self, rel_type: str, dedup: bool = False,
+            edge_cols: tuple[str, ...] = (),
+            carry: tuple[str, ...] = ()) -> "Query":
+        """One hop along incoming edges (`src/query.rs:144-155`)."""
+        return self._hop(rel_type, reverse=True, dedup=dedup,
+                         edge_cols=edge_cols, carry=carry)
+
+    def semi_out(self, rel_type: str) -> "Query":
+        """Keep frontier nodes having ≥1 outgoing edge of the type — the
+        semi-join analog of reference `has_path` (`src/algorithms/
+        shortest_path.rs:314-323`) at hop depth 1."""
+        es = self.graph.edges[rel_type]
+        return replace(self, frontier=self.frontier.join(
+            es.df.select(F.col("src").alias("id")), "id", "left_semi"))
+
+    def anti_out(self, rel_type: str) -> "Query":
+        """Keep frontier nodes with NO outgoing edge of the type (the
+        MERGE "no match → create" branch, `src/cypher/executor.rs:962-1018`,
+        as a standalone anti-join)."""
+        es = self.graph.edges[rel_type]
+        return replace(self, frontier=self.frontier.join(
+            es.df.select(F.col("src").alias("id")), "id", "left_anti"))
+
+    def optional_out(self, rel_type: str, edge_cols: tuple[str, ...] = ()
+                     ) -> "Query":
+        """OPTIONAL MATCH one-hop: left-outer join keeping unmatched
+        frontier rows with NULL edge columns. The reference parses OPTIONAL
+        but drops the optionality (`src/cypher/ast.rs:32-36`, SURVEY.md
+        §3.4 quirk #4) — this is the correct semantics."""
+        es = self.graph.edges[rel_type]
+        edge = es.df.select(
+            F.col("src").alias("id"), F.col("dst").alias("__opt_dst"),
+            *[F.col(c) for c in edge_cols],
+        )
+        out = self.frontier.join(edge, "id", "left_outer")
+        return replace(self, frontier=out)
+
+    def out_variable_length(self, rel_type: str, min_hops: int,
+                            max_hops: int | None) -> "Query":
+        """BFS expansion min..max hops with dedup (`src/query.rs:171-218`).
+
+        Returns a frontier of reachable node ids (all of the same label —
+        the TPC-H projection's edge sets are label-homogeneous) joined back
+        to their node table. Delegates to operators.traversal.expand.
+        """
+        from rs_graphdb_spark.operators.traversal import expand
+
+        ids, dst_label = expand(
+            self.graph, self.frontier.select("id"), rel_type,
+            min_hops=min_hops, max_hops=max_hops, direction="out",
+        )
+        if dst_label is None:
+            return replace(self, frontier=ids, label=None)
+        return replace(self, frontier=ids.join(self.graph.nodes[dst_label], "id"),
+                       label=dst_label)
+
+    # -- dedup / sort / pagination (§2.6) --------------------------------
+    def distinct(self) -> "Query":
+        """Frontier dedup by node id (`src/query.rs:357-362`)."""
+        return replace(self, frontier=self.frontier.dropDuplicates(["id"]))
+
+    def order_by(self, *keys, asc: bool = True) -> "Query":
+        """Sort, missing-last in both directions (`src/query.rs:441-468`).
+
+        Keys are column names or ``(name, asc)`` pairs for per-key
+        direction (the reference's multi-key ORDER BY,
+        `src/cypher/executor.rs:146-151`, in one call)."""
+        cols = []
+        for k in keys:
+            name, up = (k, asc) if isinstance(k, str) else k
+            cols.append(
+                F.col(name).asc_nulls_last() if up else F.col(name).desc_nulls_last()
+            )
+        return replace(self, frontier=self.frontier.orderBy(*cols))
+
+    def skip(self, n: int) -> "Query":
+        """`src/query.rs:371-378` → native OFFSET."""
+        return replace(self, frontier=self.frontier.offset(n))
+
+    def limit(self, n: int) -> "Query":
+        return replace(self, frontier=self.frontier.limit(n))
+
+    def paginate(self, offset: int, count: int) -> "Query":
+        """`src/query.rs:419-438`; identity paginate(o, c) == skip(o).limit(c)."""
+        return self.skip(offset).limit(count)
+
+    # -- set ops (§2.7) ---------------------------------------------------
+    def union_all(self, other: "Query") -> "Query":
+        """UNION ALL (`src/cypher/executor.rs:1653-1668`)."""
+        return replace(self, frontier=self.frontier.unionByName(other.frontier))
+
+    def union(self, other: "Query") -> "Query":
+        """UNION dedup-by-node-id (`src/cypher/executor.rs:1669-1682`)."""
+        return self.union_all(other).distinct()
+
+    # -- projection -------------------------------------------------------
+    def select(self, *cols) -> DataFrame:
+        """RETURN projection — terminal, yields the DataFrame."""
+        return self.frontier.select(*cols)
+
+    @property
+    def df(self) -> DataFrame:
+        return self.frontier
+
+    # -- terminal aggregates (§2.4), generalized to all numeric types ----
+    def count(self, alias: str = "cnt") -> DataFrame:
+        return self.frontier.agg(F.count("*").alias(alias))
+
+    def sum_(self, key: str, alias: str = "sum_val") -> DataFrame:
+        return self.frontier.agg(F.sum(key).alias(alias))
+
+    def avg_(self, key: str, alias: str = "avg_val") -> DataFrame:
+        return self.frontier.agg(F.avg(key).alias(alias))
+
+    def min_(self, key: str, alias: str = "min_val") -> DataFrame:
+        return self.frontier.agg(F.min(key).alias(alias))
+
+    def max_(self, key: str, alias: str = "max_val") -> DataFrame:
+        return self.frontier.agg(F.max(key).alias(alias))
+
+    def stdev(self, key: str, alias: str = "stdev_val",
+              population: bool = False) -> DataFrame:
+        """Sample σ for the fluent path (`src/query.rs:586-648`), population
+        σ for the Cypher path (`src/cypher/executor.rs:482-501`) — exposed
+        as a flag instead of two mismatched entry points (quirk #8)."""
+        fn = F.stddev_pop if population else F.stddev_samp
+        return self.frontier.agg(fn(key).alias(alias))
+
+    def variance(self, key: str, alias: str = "var_val") -> DataFrame:
+        return self.frontier.agg(F.var_samp(key).alias(alias))
+
+    def percentile_cont(self, key: str, q: float,
+                        alias: str = "percentile_val") -> DataFrame:
+        """Linear-interpolation percentile (`src/cypher/executor.rs:532-573`)."""
+        return self.frontier.agg(F.percentile(F.col(key), F.lit(q)).alias(alias))
+
+    def percentile_disc(self, key: str, q: float,
+                        alias: str = "percentile_val") -> DataFrame:
+        """Discrete percentile (`src/cypher/executor.rs:574-579`): the
+        reference floor-indexes the sorted values; SQL percentile_disc
+        (inverse-CDF) matches that for q in (0,1]."""
+        return self.frontier.agg(
+            F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {key})")
+            .cast("double").alias(alias)
+        )
+
+    def group_by_agg(self, keys: list[str], aggs: dict[str, Column]) -> DataFrame:
+        """Explicit GROUP BY (`src/cypher/parser.rs:589-613`): nulls group
+        natively (the reference stringifies to a "NULL" bucket)."""
+        return self.frontier.groupBy(*keys).agg(
+            *[c.alias(a) for a, c in aggs.items()]
+        )
+
+    def collect_(self, key: str, alias: str = "collected") -> DataFrame:
+        """COLLECT(prop) (`src/cypher/executor.rs:478-481`). Sorted for
+        deterministic comparison — collect_list order is partition-dependent."""
+        return self.frontier.agg(F.sort_array(F.collect_list(key)).alias(alias))

@@ -1,0 +1,80 @@
+"""Variable-length traversal semantics (reference `src/query.rs:171-354`,
+`src/algorithms/shortest_path.rs`) on the NEXT_ORDER chain forest."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rs_graphdb_spark.graph import label_base
+from rs_graphdb_spark.operators.traversal import (
+    bfs_distances,
+    expand,
+    has_path,
+    shortest_path_length,
+)
+
+
+def _chain(graph, spark, custkey: int) -> list[int]:
+    """Orders of one customer in NEXT_ORDER chain order (by date, key)."""
+    rows = (
+        graph.nodes["Order"]
+        .filter(F.col("o_custkey") == custkey)
+        .orderBy("o_orderdate", "o_orderkey")
+        .select("id")
+        .collect()
+    )
+    return [r["id"] for r in rows]
+
+
+def test_expand_exact_levels(graph, spark):
+    chain = _chain(graph, spark, 7)
+    assert len(chain) >= 4
+    start = spark.createDataFrame([(chain[0],)], "id long")
+    ids, label = expand(graph, start, "NEXT_ORDER", 1, 2, "out")
+    got = sorted(r["id"] for r in ids.collect())
+    assert got == sorted(chain[1:3])
+    assert label == "Order"
+
+
+def test_expand_min0_includes_start(graph, spark):
+    chain = _chain(graph, spark, 7)
+    start = spark.createDataFrame([(chain[0],)], "id long")
+    ids, _ = expand(graph, start, "NEXT_ORDER", 0, 1, "out")
+    assert sorted(r["id"] for r in ids.collect()) == sorted(chain[:2])
+
+
+def test_expand_unbounded_reaches_whole_chain(graph, spark):
+    chain = _chain(graph, spark, 7)
+    start = spark.createDataFrame([(chain[0],)], "id long")
+    ids, _ = expand(graph, start, "NEXT_ORDER", 1, None, "out")
+    assert sorted(r["id"] for r in ids.collect()) == sorted(chain[1:])
+
+
+def test_bfs_distances_and_shortest_path(graph, spark):
+    chain = _chain(graph, spark, 7)
+    start = spark.createDataFrame([(chain[0],)], "id long")
+    dists = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(graph, start, "NEXT_ORDER").collect()
+    }
+    for i, node in enumerate(chain):
+        assert dists[node] == i
+    assert (
+        shortest_path_length(graph, chain[0], chain[-1], "NEXT_ORDER")
+        == len(chain) - 1
+    )
+
+
+def test_has_path_directionality(graph, spark):
+    chain = _chain(graph, spark, 7)
+    assert has_path(graph, chain[0], chain[-1], "NEXT_ORDER")
+    assert not has_path(graph, chain[-1], chain[0], "NEXT_ORDER")
+    assert has_path(graph, chain[-1], chain[0], "NEXT_ORDER", direction="in")
+
+
+def test_undirected_expand(graph, spark):
+    chain = _chain(graph, spark, 7)
+    mid = chain[1]
+    start = spark.createDataFrame([(mid,)], "id long")
+    ids, _ = expand(graph, start, "NEXT_ORDER", 1, 1, "both")
+    assert sorted(r["id"] for r in ids.collect()) == sorted([chain[0], chain[2]])
