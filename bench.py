@@ -1,0 +1,67 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Query set mirrors the reference's Criterion workload shapes (BASELINE.md):
+full label scan; indexed point lookup; 1-hop traversal; 3-hop chain; plus
+grouped aggregation, var-length expansion, full-text search, and the
+training-pipeline ops once they land. Execution sink is the noop writer —
+measures full pipeline execution without driver-collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_label_scan",       # full_scan shape
+    "q03_point_lookup_text",  # indexed_query shape
+    "q10_one_hop_count",    # traversal_one_hop shape
+    "q12_three_hop_chain",  # traversal_three_hops shape
+    "q13_grouped_agg",      # aggregation
+    "q25_var_length",       # iterative BFS expansion
+    "q27_fulltext_or",      # full-text search
+    "q30_time_bucket",      # event-time bucketing
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from rs_graphdb_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+
+    # warm the graph projection (lazy plans, one-time parquet footer reads)
+    entry_mod._graph(spark, sf_dir)
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
