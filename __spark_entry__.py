@@ -400,6 +400,150 @@ def q30_time_bucket(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 graph algorithms (KNOWS = derived customer graph)
+# ---------------------------------------------------------------------------
+
+def q31_degree_centrality(spark, sf_dir):
+    """Degree centrality (in+out)/(n−1) (`src/algorithms/centrality.rs:6-30`)."""
+    from rs_graphdb_spark.algorithms.graph_algos import degree_centrality
+
+    g = _graph(spark, sf_dir)
+    return degree_centrality(g.nodes["Customer"], g.edges["KNOWS"].df).select(
+        "id", F.round("centrality", 6).alias("centrality")
+    )
+
+
+def q32_triangle_count(spark, sf_dir):
+    """Canonical-order triangle count (`src/algorithms/triangle.rs:46-108`)."""
+    from rs_graphdb_spark.algorithms.graph_algos import triangle_count
+
+    g = _graph(spark, sf_dir)
+    return triangle_count(g.edges["KNOWS"].df)
+
+
+def q33_connected_components(spark, sf_dir):
+    """Undirected connected components via min-label propagation
+    (`src/algorithms/community.rs:6-52`)."""
+    from rs_graphdb_spark.algorithms.graph_algos import connected_components
+
+    g = _graph(spark, sf_dir)
+    return connected_components(g.nodes["Customer"], g.edges["KNOWS"].df)
+
+
+def q34_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient 2T/(d(d−1))
+    (`src/algorithms/triangle.rs:204-316`)."""
+    from rs_graphdb_spark.algorithms.graph_algos import clustering_coefficient
+
+    g = _graph(spark, sf_dir)
+    return clustering_coefficient(g.nodes["Customer"], g.edges["KNOWS"].df).select(
+        "id", F.round("coefficient", 6).alias("coefficient")
+    )
+
+
+def q35_pagerank(spark, sf_dir):
+    """PageRank, pull-based with final normalization
+    (`src/algorithms/pagerank.rs:9-65`). Top-20; no SQL oracle
+    (iterative — driver records rows-only)."""
+    from rs_graphdb_spark.algorithms.graph_algos import pagerank
+
+    g = _graph(spark, sf_dir)
+    ranks = pagerank(g.nodes["Customer"], g.edges["KNOWS"].df, 0.85, 10)
+    return (
+        ranks.select("id", F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("id"))
+        .limit(20)
+    )
+
+
+def q36_kcore(spark, sf_dir):
+    """k-core peeling, k=2 (`src/algorithms/kcore.rs:60-156`); rows-only
+    (iterative peeling is not single-pass SQL)."""
+    from rs_graphdb_spark.algorithms.graph_algos import k_core
+
+    g = _graph(spark, sf_dir)
+    return k_core(g.nodes["Customer"], g.edges["KNOWS"].df, k=2).select("id")
+
+
+def q37_label_propagation(spark, sf_dir):
+    """Community detection = synchronous label propagation (the
+    reference's modularity-free "Louvain", `src/algorithms/louvain.rs:6-86`);
+    rows-only. Returns community sizes for stability."""
+    from rs_graphdb_spark.algorithms.graph_algos import label_propagation
+
+    g = _graph(spark, sf_dir)
+    labels = label_propagation(g.nodes["Customer"], g.edges["KNOWS"].df, 5)
+    return labels.groupBy("community").agg(F.count("*").alias("sz"))
+
+
+# ---------------------------------------------------------------------------
+# §2.10 DML as DataFrame rewrites + constraints
+# ---------------------------------------------------------------------------
+
+def q38_delete_cascade(spark, sf_dir):
+    """DELETE with edge cascade (`src/cypher/executor.rs:650-687`,
+    `src/storage/mem_store.rs:123-147`): counts after deleting low-balance
+    customers."""
+    from rs_graphdb_spark.operators.dml import delete_nodes
+
+    g = _graph(spark, sf_dir)
+    g2 = delete_nodes(g, "Customer", F.col("c_acctbal") < 500.0)
+    n_cust = g2.nodes["Customer"].agg(F.count("*").alias("n")).first()["n"]
+    n_edges = g2.edges["PLACED"].df.agg(F.count("*").alias("n")).first()["n"]
+    return spark.createDataFrame(
+        [(n_cust, n_edges)], "n_customers long, n_placed long"
+    )
+
+
+def q39_set_update(spark, sf_dir):
+    """SET under predicate, merge semantics (`src/cypher/executor.rs:
+    689-738`)."""
+    from rs_graphdb_spark.operators.dml import set_props
+
+    g = _graph(spark, sf_dir)
+    updated = set_props(
+        g.nodes["Customer"],
+        F.col("c_acctbal") > 9000.0,
+        {"c_mktsegment": F.lit("PREMIUM")},
+    )
+    return updated.groupBy("c_mktsegment").agg(F.count("*").alias("cnt"))
+
+
+def q40_merge_upsert(spark, sf_dir):
+    """MERGE match-else-create with ON CREATE/ON MATCH SET
+    (`src/cypher/executor.rs:740-1211`)."""
+    from rs_graphdb_spark.operators.dml import merge_nodes
+
+    g = _graph(spark, sf_dir)
+    incoming = spark.createDataFrame(
+        [(5, "UPDATED_NATION", 0), (97, "NEWLAND", 1), (98, "MERGETOPIA", 2)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    g2 = merge_nodes(
+        g, "Nation", "n_nationkey", incoming,
+        on_match={"n_name": F.lit("UPDATED_NATION")},
+    )
+    return g2.nodes["Nation"].select("id", "n_name")
+
+
+def q41_constraint_unique(spark, sf_dir):
+    """UNIQUE validation job (`src/constraints/mod.rs:14-52`)."""
+    from rs_graphdb_spark.operators.dml import unique_violations
+
+    g = _graph(spark, sf_dir)
+    return unique_violations(g.nodes["Customer"], ["c_mktsegment"])
+
+
+def q42_constraint_exists(spark, sf_dir):
+    """EXISTS validation job (`src/constraints/mod.rs:143-213`)."""
+    from rs_graphdb_spark.operators.dml import existence_violations
+
+    g = _graph(spark, sf_dir)
+    n = existence_violations(g.nodes["Customer"], "c_name").count()
+    return spark.createDataFrame([(n,)], "n_missing long")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -435,6 +579,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_fulltext_and": q28_fulltext_and,
         "q29_json_extract": q29_json_extract,
         "q30_time_bucket": q30_time_bucket,
+        "q31_degree_centrality": q31_degree_centrality,
+        "q32_triangle_count": q32_triangle_count,
+        "q33_connected_components": q33_connected_components,
+        "q34_clustering_coefficient": q34_clustering_coefficient,
+        "q35_pagerank": q35_pagerank,
+        "q36_kcore": q36_kcore,
+        "q37_label_propagation": q37_label_propagation,
+        "q38_delete_cascade": q38_delete_cascade,
+        "q39_set_update": q39_set_update,
+        "q40_merge_upsert": q40_merge_upsert,
+        "q41_constraint_unique": q41_constraint_unique,
+        "q42_constraint_exists": q42_constraint_exists,
     }
 
 
@@ -624,5 +780,102 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS cnt,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "q31_degree_centrality": f"""
+            WITH k AS ({KNOWS}),
+            o AS (SELECT src_key, count(*) AS cnt FROM k GROUP BY src_key),
+            i AS (SELECT dst_key, count(*) AS cnt FROM k GROUP BY dst_key),
+            n AS (SELECT count(*) AS n FROM customer)
+            SELECT {CUSTOMER} + c_custkey AS id,
+                   round((coalesce(o.cnt, 0) + coalesce(i.cnt, 0))
+                         / (n.n - 1.0), 6) AS centrality
+            FROM customer CROSS JOIN n
+            LEFT JOIN o ON o.src_key = c_custkey
+            LEFT JOIN i ON i.dst_key = c_custkey
+        """,
+        "q32_triangle_count": f"""
+            WITH k AS ({KNOWS}),
+            e AS (SELECT {CUSTOMER} + src_key AS s, {CUSTOMER} + dst_key AS d
+                  FROM k)
+            SELECT count(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.s = e1.d
+            JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
+        """,
+        "q33_connected_components": f"""
+            WITH RECURSIVE und AS (
+                SELECT src_key AS s, dst_key AS d FROM ({KNOWS}) k1
+                UNION ALL
+                SELECT dst_key, src_key FROM ({KNOWS}) k2
+            ),
+            r AS (
+                SELECT c_custkey AS node, c_custkey AS comp FROM customer
+                UNION
+                SELECT und.d, r.comp FROM r JOIN und ON und.s = r.node
+            )
+            SELECT {CUSTOMER} + node AS id,
+                   {CUSTOMER} + min(comp) AS component
+            FROM r GROUP BY node
+        """,
+        "q34_clustering_coefficient": f"""
+            WITH k AS ({KNOWS}),
+            e AS (SELECT src_key AS s, dst_key AS d FROM k),
+            deg AS (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT s AS node FROM e UNION ALL SELECT d FROM e) u
+                GROUP BY node
+            ),
+            t AS (
+                SELECT e1.s AS a, e1.d AS b, e2.d AS c
+                FROM e e1 JOIN e e2 ON e2.s = e1.d
+                JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
+            ),
+            tri AS (
+                SELECT node, count(*) AS n_tri FROM (
+                    SELECT a AS node FROM t UNION ALL
+                    SELECT b FROM t UNION ALL SELECT c FROM t) u
+                GROUP BY node
+            )
+            SELECT {CUSTOMER} + c_custkey AS id,
+                   round(CASE WHEN coalesce(deg.deg, 0) >= 2
+                         THEN 2.0 * coalesce(tri.n_tri, 0)
+                              / (deg.deg * (deg.deg - 1))
+                         ELSE 0.0 END, 6) AS coefficient
+            FROM customer
+            LEFT JOIN deg ON deg.node = c_custkey
+            LEFT JOIN tri ON tri.node = c_custkey
+        """,
+        "q38_delete_cascade": """
+            SELECT (SELECT count(*) FROM customer WHERE c_acctbal >= 500.0)
+                       AS n_customers,
+                   (SELECT count(*) FROM orders
+                    JOIN customer ON c_custkey = o_custkey
+                    WHERE c_acctbal >= 500.0) AS n_placed
+        """,
+        "q39_set_update": """
+            SELECT CASE WHEN c_acctbal > 9000.0 THEN 'PREMIUM'
+                        ELSE c_mktsegment END AS c_mktsegment,
+                   count(*) AS cnt
+            FROM customer GROUP BY 1
+        """,
+        "q40_merge_upsert": f"""
+            WITH inc(n_nationkey, n_name, n_regionkey) AS (
+                VALUES (5, 'UPDATED_NATION', 0), (97, 'NEWLAND', 1),
+                       (98, 'MERGETOPIA', 2))
+            SELECT {NATION} + n.n_nationkey AS id,
+                   CASE WHEN n.n_nationkey IN (SELECT n_nationkey FROM inc)
+                        THEN 'UPDATED_NATION' ELSE n.n_name END AS n_name
+            FROM nation n
+            UNION ALL
+            SELECT {NATION} + i.n_nationkey, i.n_name
+            FROM inc i
+            WHERE i.n_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        """,
+        "q41_constraint_unique": """
+            SELECT c_mktsegment, count(*) AS n_dup FROM customer
+            GROUP BY c_mktsegment HAVING count(*) > 1
+        """,
+        "q42_constraint_exists": """
+            SELECT count(*) AS n_missing FROM customer WHERE c_name IS NULL
         """,
     }
