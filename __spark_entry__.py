@@ -544,6 +544,153 @@ def q42_constraint_exists(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline: dedup family (beyond-reference; SURVEY §7 phase 5)
+# ---------------------------------------------------------------------------
+
+def q43_exact_dedup(spark, sf_dir):
+    """Exact dedup: md5 fingerprint of normalized token stream →
+    hash-groupBy (generalizes the reference's exact token index,
+    `src/index_advanced.rs:72-88`)."""
+    from rs_graphdb_spark.functions.dedup import exact_dedup_groups
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+def q44_minhash_lsh_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→exact
+    verify). Oracle is the brute-force exact-Jaccard join — LSH recall at
+    J≥0.8 with 32×4 banding is 1-5e-8."""
+    from rs_graphdb_spark.functions.dedup import minhash_dedup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q45_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs: 32-bit bit-vote signature, 4-chunk banding
+    (pigeonhole-complete for hamming≤3), exact hamming verify."""
+    from rs_graphdb_spark.functions.dedup import simhash_near_dup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q46_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard similarity join via sparse shingle explode-join
+    (shuffle key = shingle, never all-pairs)."""
+    from rs_graphdb_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q47_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs form; LSH-bucketed
+    scale path in functions/similarity.py)."""
+    from rs_graphdb_spark.functions.dedup import embedding_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.45).select(
+        "a", "b", F.round("cos", 6).alias("cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def q48_knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-k: 5 query vectors × 10 neighbors, broadcast query
+    side, window-rank winners."""
+    from rs_graphdb_spark.functions.similarity import knn_bruteforce
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return knn_bruteforce(emb, queries_df, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    )
+
+
+def q49_ann_lsh(spark, sf_dir):
+    """Approximate top-k via random-hyperplane LSH buckets + exact rerank.
+    Approximate by construction → rows-only check (no SQL oracle)."""
+    from rs_graphdb_spark.functions.similarity import knn_lsh
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return knn_lsh(emb, queries_df, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents
+# ---------------------------------------------------------------------------
+
+def q50_lang_id(spark, sf_dir):
+    """Language-ID heuristic (stopword-marker argmax) → per-language doc
+    counts."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(TX.lang_id("text").alias("lang_guess")).groupBy(
+        "lang_guess"
+    ).agg(F.count("*").alias("cnt"))
+
+
+def q51_quality_scores(spark, sf_dir):
+    """Per-document quality features: length, token count, mean token
+    length, punctuation ratio, stopword ratio."""
+    docs = _read(spark, sf_dir, "documents")
+    feats = TX.quality_features("text")
+    return docs.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+
+
+def q52_token_stats(spark, sf_dir):
+    """Token counting: lowercase-alnum tokens + BPE-ish regex pieces."""
+    docs = _read(spark, sf_dir, "documents")
+    bpe_re = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(bpe_re), 0)).alias("n_bpe"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed — no media libs in this environment)
+# ---------------------------------------------------------------------------
+
+def q53_multimodal_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (documents projected to a media table; decode is a deterministic
+    stub)."""
+    from rs_graphdb_spark.functions.multimodal import documents_as_media, extract_features
+
+    media = documents_as_media(_read(spark, sf_dir, "documents"))
+    return extract_features(media).select(
+        "media_id", "n_bytes", "width", "height", "checksum"
+    )
+
+
+def q54_frame_sample(spark, sf_dir):
+    """Frame-sampling fan-out (1→N rows per payload) through mapInPandas."""
+    from rs_graphdb_spark.functions.multimodal import documents_as_media, frame_sample
+
+    media = documents_as_media(_read(spark, sf_dir, "documents"))
+    return frame_sample(media, every_n_bytes=256)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -591,6 +738,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_merge_upsert": q40_merge_upsert,
         "q41_constraint_unique": q41_constraint_unique,
         "q42_constraint_exists": q42_constraint_exists,
+        "q43_exact_dedup": q43_exact_dedup,
+        "q44_minhash_lsh_dedup": q44_minhash_lsh_dedup,
+        "q45_simhash_neardup": q45_simhash_neardup,
+        "q46_ngram_jaccard": q46_ngram_jaccard,
+        "q47_embedding_neardup": q47_embedding_neardup,
+        "q48_knn_bruteforce": q48_knn_bruteforce,
+        "q49_ann_lsh": q49_ann_lsh,
+        "q50_lang_id": q50_lang_id,
+        "q51_quality_scores": q51_quality_scores,
+        "q52_token_stats": q52_token_stats,
+        "q53_multimodal_features": q53_multimodal_features,
+        "q54_frame_sample": q54_frame_sample,
     }
 
 
@@ -601,6 +760,39 @@ def oracle_sql() -> dict[str, str]:
           ON b.c_custkey IN (a.c_custkey + 1, a.c_custkey + 2)
          AND b.c_mktsegment = a.c_mktsegment
     """
+    # Lowercase-alnum tokenizer — must mirror rs_graphdb_spark.functions.
+    # text.TOKEN_RE exactly (same regex engine semantics for this class).
+    TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    # Brute-force exact word-3-gram Jaccard join (oracle for both the LSH
+    # and the sparse-join implementations).
+    JACCARD_PAIRS = f"""
+        WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(len(t) - 2),
+                       i -> array_to_string(t[i + 1:i + 3], ' ')))) AS s
+            FROM toks WHERE len(t) >= 3
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT da AS a, db AS b,
+               round(i / (x.n + y.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+        WHERE i / (x.n + y.n - i) >= {{threshold}}
+    """
+    # 32-bit SimHash packed signature: per-bit ±1 vote over the token-hash
+    # multiset — mirrors rs_graphdb_spark.functions.dedup.simhash.
+    SIMHASH_PACKED = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {j}) & 1) = 1))"
+        f" - len(hs) > 0 THEN CAST({1 << j} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for j in range(32)
+    )
     return {
         "q01_label_scan": f"""
             SELECT {CUSTOMER} + c_custkey AS id, c_name, c_acctbal FROM customer
@@ -877,5 +1069,111 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q42_constraint_exists": """
             SELECT count(*) AS n_missing FROM customer WHERE c_name IS NULL
+        """,
+        "q43_exact_dedup": f"""
+            SELECT md5(array_to_string({TOKS}, ' ')) AS fp,
+                   count(*) AS n_docs, min(doc_id) AS keeper
+            FROM documents GROUP BY 1
+        """,
+        # Oracle for the LSH path is the brute-force exact-Jaccard join:
+        # LSH candidates are verified with exact Jaccard, so results match
+        # unless banding misses a true pair (P ≈ 5e-8 at J=0.8).
+        "q44_minhash_lsh_dedup": JACCARD_PAIRS.format(threshold=0.8),
+        "q45_simhash_neardup": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       list_transform({TOKS},
+                           t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+                FROM documents
+            ),
+            s AS (SELECT doc_id, {SIMHASH_PACKED} AS sig FROM h)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        """,
+        "q46_ngram_jaccard": JACCARD_PAIRS.format(threshold=0.5),
+        "q47_embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        """,
+        "q48_knn_bruteforce": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id, v FROM e WHERE vec_id < 5)
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.v, c.v), 6) AS cos,
+                   CAST(row_number() OVER (
+                        PARTITION BY q.vec_id
+                        ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                 c.vec_id) AS INTEGER) AS rank
+            FROM q JOIN e c ON c.vec_id <> q.vec_id
+            QUALIFY rank <= 10
+        """,
+        "q50_lang_id": f"""
+            WITH h AS (
+                SELECT
+                  len(list_filter({TOKS},
+                      x -> list_contains(['the','and','of','to','a'], x))) AS he,
+                  len(list_filter({TOKS},
+                      x -> list_contains(['der','und','die','das','ist'], x))) AS hd,
+                  len(list_filter({TOKS},
+                      x -> list_contains(['le','la','et','les','des'], x))) AS hf,
+                  len(list_filter({TOKS},
+                      x -> list_contains(['el','los','las','una','es'], x))) AS hs
+                FROM documents
+            )
+            SELECT CASE
+                     WHEN he >= hd AND he >= hf AND he >= hs AND he > 0 THEN 'en'
+                     WHEN hd >= hf AND hd >= hs AND hd > 0 THEN 'de'
+                     WHEN hf >= hs AND hf > 0 THEN 'fr'
+                     WHEN hs > 0 THEN 'es'
+                     ELSE 'und' END AS lang_guess,
+                   count(*) AS cnt
+            FROM h GROUP BY 1
+        """,
+        "q51_quality_scores": f"""
+            WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+            SELECT doc_id,
+                   CAST(len(text) AS INTEGER) AS n_chars_m,
+                   CAST(len(toks) AS INTEGER) AS n_tokens,
+                   round(len(array_to_string(toks, ''))
+                         / greatest(len(toks), 1), 6) AS mean_tok_len,
+                   round((len(text)
+                          - len(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                         / greatest(len(text), 1), 6) AS punct_ratio,
+                   round(len(list_filter(toks,
+                          x -> list_contains(['the','and','of','to','a'], x)))
+                         / greatest(len(toks), 1), 6) AS stopword_ratio
+            FROM t
+        """,
+        "q52_token_stats": f"""
+            SELECT doc_id,
+                   CAST(len({TOKS}) AS INTEGER) AS n_tokens,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe
+            FROM documents
+        """,
+        "q53_multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+                   CAST((octet_length(encode(text)) // 64) % 64 + 16
+                        AS INTEGER) AS height,
+                   CAST(list_sum(list_transform(range(1, len(text) + 1),
+                        i -> unicode(text[i]))) AS BIGINT) AS checksum
+            FROM documents
+        """,
+        "q54_frame_sample": """
+            WITH f AS (SELECT doc_id, text,
+                              octet_length(encode(text)) AS n FROM documents)
+            SELECT doc_id AS media_id,
+                   CAST(u.i AS INTEGER) AS frame_idx,
+                   CAST(u.i * 256 AS INTEGER) AS frame_off,
+                   CAST(unicode(text[u.i * 256 + 1]) AS INTEGER) AS frame_byte
+            FROM f, (SELECT unnest(range(0, 4096)) AS i) u
+            WHERE u.i * 256 < f.n
         """,
     }

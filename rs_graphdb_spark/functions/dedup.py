@@ -1,0 +1,307 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference surface (the reference's closest relative is the exact
+full-text token index, `/root/reference/src/index_advanced.rs:52-88`);
+these are the standard document-dedup family re-expressed Spark-first:
+
+- **exact**: md5 fingerprint of the normalized token stream → hash-groupBy.
+- **MinHash + LSH**: shingle → minhash signature → banded bucket join →
+  exact-Jaccard verification of candidates. The only pairwise work is
+  within LSH buckets, so cost is ~linear in corpus size at 100 TB instead
+  of O(n²).
+- **SimHash**: per-token hash bit-vote → packed signature; near-dup pairs
+  via chunk banding (pigeonhole: hamming ≤ k is guaranteed caught by
+  k+1 chunks) + exact hamming verify.
+- **n-gram Jaccard**: exact sparse similarity join (explode distinct
+  shingles, equi-join on shingle, group to intersection counts) — the
+  exact fallback when recall must be 1.0.
+- **embedding cosine**: near-dup by cosine over a normalized embedding
+  column (see also `functions/similarity.py` for top-k search).
+
+Determinism contract: every hash is derived from md5 so the DuckDB oracle
+can reproduce values bit-for-bit; no JVM-private hash (xxhash64/crc32) in
+any result-visible value. All expressions are JVM-side built-ins — no
+Python UDFs in this module.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rs_graphdb_spark.functions.text import tokenize
+
+#: Mersenne prime 2^31-1: universal-hash modulus. Token hashes are reduced
+#: mod P before a*h+b so products stay < 2^62 (no 64-bit overflow, and the
+#: same arithmetic is exact in DuckDB's signed BIGINT).
+MERSENNE_P = (1 << 31) - 1
+
+#: MinHash permutation count and LSH banding (32 bands × 4 rows). For the
+#: dedup threshold J=0.8 the miss probability per true pair is
+#: (1 - 0.8^4)^32 ≈ 5e-8.
+NUM_HASHES = 128
+LSH_BANDS = 32
+LSH_ROWS = 4
+
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # catches hamming ≤ 3 exactly (pigeonhole)
+
+
+def _hash_params(n: int = NUM_HASHES, seed: int = 0xC0FFEE) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    ``(a*h + b) mod P``; identical constants are embedded in the oracle."""
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P)) for _ in range(n)]
+
+
+HASH_PARAMS = _hash_params()
+
+
+def md5_long(col: Column) -> Column:
+    """First 8 hex chars of md5 as a long (32-bit domain): the
+    oracle-reproducible base hash (DuckDB: ``('0x'||substr(md5(x),1,8))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word-level k-gram shingles of a text column."""
+    toks = tokenize(col)
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1))),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        )
+    )
+
+
+def shingle_hashes(col: Column | str, k: int = 3) -> Column:
+    """Shingle set → array of 31-bit hashes (mod P), the minhash input."""
+    return F.transform(shingles(col, k), lambda s: md5_long(s) % MERSENNE_P)
+
+
+def minhash_signature(hashes: Column) -> Column:
+    """MinHash signature: for each permutation i, min over the shingle-hash
+    set of ``(a_i*h + b_i) mod P``. Empty set → P (sentinel, never a real
+    hash value)."""
+    sig = []
+    for a, b in HASH_PARAMS:
+        sig.append(
+            F.coalesce(
+                F.array_min(
+                    F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P)
+                ),
+                F.lit(MERSENNE_P),
+            )
+        )
+    return F.array(*sig)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become candidate
+    pairs ``(a, b)`` with a < b. The self-join is on (band index, band
+    hash) — bucket-local, so shuffle is by bucket key, never all-pairs."""
+    banded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.md5(F.array_join(F.slice(F.col(sig_col), i * rows + 1, rows), ","))
+                    .alias("bh"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("e"),
+    ).select("doc", "e.band", "e.bh")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def exact_jaccard(pairs: DataFrame, sets_df: DataFrame, id_col: str, set_col: str) -> DataFrame:
+    """Verify candidate pairs with exact Jaccard over the shingle arrays.
+
+    ``pairs``: (a, b); ``sets_df``: (id_col, set_col array). Returns
+    (a, b, jaccard). Set arithmetic is JVM-side ``array_intersect``."""
+    sa = sets_df.select(F.col(id_col).alias("a"), F.col(set_col).alias("sa"))
+    sb = sets_df.select(F.col(id_col).alias("b"), F.col(set_col).alias("sb"))
+    return (
+        pairs.join(sa, "a").join(sb, "b")
+        .select(
+            "a", "b",
+            (
+                F.size(F.array_intersect("sa", "sb"))
+                / (F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb")))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash/LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Pipeline: shingle → minhash → band-bucket join → candidates →
+    exact Jaccard ≥ threshold. False positives: impossible (exact verify).
+    False negatives: banding miss probability only (≈5e-8 at J=0.8)."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"), shingle_hashes(text_col, k).alias("sh"),
+        shingles(text_col, k).alias("sets"),
+    ).persist()
+    sigs = base.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+    cands = lsh_candidate_pairs(sigs, "doc_id", "sig")
+    verified = exact_jaccard(cands, base.select("doc_id", "sets"), "doc_id", "sets")
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via the sparse explode-join.
+
+    Scale path: pairs only materialize for docs sharing ≥1 shingle, and the
+    shuffle key is the shingle itself — at 100 TB, hot shingles should be
+    pre-filtered by document frequency (stop-shingle removal) before the
+    join; here corpus shingles are synthetic and near-unique."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("s")
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.doc") < F.col("y.doc")))
+        .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.select(F.col("doc").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a").join(nb, "b")
+        .select("a", "b", (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash: per-token 32-bit hash, per-bit ±1 vote weighted by token
+    multiplicity, packed into a long. Pure expression (no shuffle)."""
+    toks = tokenize(col)
+    hs = F.transform(toks, md5_long)
+    packed = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(
+            hs,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        packed = packed + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return packed
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    chunks: int = SIMHASH_CHUNKS,
+) -> DataFrame:
+    """SimHash near-dup pairs: chunk banding (pigeonhole-complete for
+    hamming ≤ chunks-1) then exact hamming verify via bit_count(xor)."""
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    sigs = df.select(F.col(id_col).alias("doc"), simhash(text_col, bits).alias("sig"))
+    banded = sigs.select(
+        "doc", "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.shiftright("sig", i * chunk_bits).bitwiseAND(F.lit(mask)).alias("ch"),
+                )
+                for i in range(chunks)
+            ])
+        ).alias("e"),
+    ).select("doc", "sig", "e.chunk", "e.ch")
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.ch") == F.col("r.ch"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("a"), F.col("r.doc").alias("b"),
+            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return cands.filter(F.col("hamming") <= max_hamming)
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by normalized-token fingerprint: one row per distinct
+    content, with group size and the surviving (minimum) id."""
+    from rs_graphdb_spark.functions.text import fingerprint
+
+    return (
+        df.select(F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, JVM-side
+    (``zip_with`` dot product + ``aggregate`` norms)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding near-dup pairs by cosine ≥ threshold.
+
+    This is the exact all-pairs form (self-join) — correct at any scale but
+    O(n²); the 100 TB path is the LSH-bucketed variant in
+    `functions/similarity.py` (`hyperplane_lsh_buckets`), which makes the
+    join bucket-local."""
+    x = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    y = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        x.join(y, F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
