@@ -691,6 +691,80 @@ def q54_frame_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.12 shortest-path family (driver loops; DuckDB recursive-CTE oracles)
+# ---------------------------------------------------------------------------
+
+def _knows_start(spark, sf_dir) -> int:
+    """Deterministic non-isolated start node: min KNOWS source id.
+
+    Segment assignment is random per scale factor, so a fixed custkey can
+    be isolated at one sf and connected at another; the min-src anchor is
+    reproducible in the oracle as a scalar subquery."""
+    g = _graph(spark, sf_dir)
+    return g.edges["KNOWS"].df.agg(F.min("src")).first()[0]
+
+
+def q55_bfs_layers(spark, sf_dir):
+    """Multi-source BFS layering: (id, dist = hops from the start SET) for
+    every node within 4 hops of customers 0-9
+    (`src/algorithms/shortest_path.rs:326-403` generalized to
+    all-targets / set-distance)."""
+    from rs_graphdb_spark.operators.traversal import bfs_distances
+
+    g = _graph(spark, sf_dir)
+    start = g.nodes["Customer"].filter(
+        F.col("id") < CUSTOMER + 10
+    ).select("id")
+    return bfs_distances(g, start, "KNOWS", "out", max_depth=4)
+
+
+def q56_has_path(spark, sf_dir):
+    """Point-to-point reachability + unweighted shortest-path length
+    (`src/algorithms/shortest_path.rs:314-323,404-451` — the reference's
+    Dijkstra is weight-1, so BFS depth IS its distance)."""
+    from rs_graphdb_spark.operators.traversal import shortest_path_length
+
+    start = _knows_start(spark, sf_dir)
+    g = _graph(spark, sf_dir)
+    d = shortest_path_length(g, start, start + 5, "KNOWS", max_depth=6)
+    return spark.createDataFrame(
+        [(d is not None, d)], "reachable boolean, dist int"
+    )
+
+
+def q57_path_counts(spark, sf_dir):
+    """All-shortest-paths counting per target
+    (`src/algorithms/shortest_path.rs:282-312`)."""
+    from rs_graphdb_spark.operators.traversal import shortest_path_counts
+
+    g = _graph(spark, sf_dir)
+    return shortest_path_counts(g, _knows_start(spark, sf_dir), "KNOWS", max_depth=5)
+
+
+def q58_simple_paths(spark, sf_dir):
+    """Cycle-free path enumeration, counts per depth
+    (`src/algorithms/traversal.rs:239-302`)."""
+    from rs_graphdb_spark.operators.traversal import all_simple_paths_counts
+
+    g = _graph(spark, sf_dir)
+    return all_simple_paths_counts(g, _knows_start(spark, sf_dir), "KNOWS", max_depth=5)
+
+
+def q59_weighted_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths by distributed Bellman-Ford —
+    the upgrade over the reference's weight-1 Dijkstra
+    (`src/algorithms/shortest_path.rs:404-451`). Edge weight = 3 − offset
+    (the +2 skip edge is cheaper), so costs diverge from BFS depth."""
+    from rs_graphdb_spark.operators.traversal import weighted_shortest_paths
+
+    g = _graph(spark, sf_dir)
+    w = F.lit(3) - (F.col("dst") - F.col("src"))
+    return weighted_shortest_paths(
+        g, _knows_start(spark, sf_dir), "KNOWS", w, max_iters=8
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -750,6 +824,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_token_stats": q52_token_stats,
         "q53_multimodal_features": q53_multimodal_features,
         "q54_frame_sample": q54_frame_sample,
+        "q55_bfs_layers": q55_bfs_layers,
+        "q56_has_path": q56_has_path,
+        "q57_path_counts": q57_path_counts,
+        "q58_simple_paths": q58_simple_paths,
+        "q59_weighted_sssp": q59_weighted_sssp,
     }
 
 
@@ -1175,5 +1254,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(unicode(text[u.i * 256 + 1]) AS INTEGER) AS frame_byte
             FROM f, (SELECT unnest(range(0, 4096)) AS i) u
             WHERE u.i * 256 < f.n
+        """,
+        "q55_bfs_layers": f"""
+            WITH RECURSIVE k AS ({KNOWS}),
+            walk AS (
+                SELECT c_custkey AS node, 0 AS dist
+                FROM customer WHERE c_custkey < 10
+                UNION ALL
+                SELECT k.dst_key, walk.dist + 1
+                FROM walk JOIN k ON k.src_key = walk.node
+                WHERE walk.dist < 4
+            )
+            SELECT {CUSTOMER} + node AS id, CAST(min(dist) AS INTEGER) AS dist
+            FROM walk GROUP BY node
+        """,
+        "q56_has_path": f"""
+            WITH RECURSIVE k AS ({KNOWS}),
+            s AS (SELECT min(src_key) AS sk FROM k),
+            walk AS (
+                SELECT sk AS node, 0 AS dist FROM s
+                UNION ALL
+                SELECT k.dst_key, walk.dist + 1
+                FROM walk JOIN k ON k.src_key = walk.node
+                WHERE walk.dist < 6
+            ),
+            m AS (SELECT min(dist) AS d FROM walk, s
+                  WHERE walk.node = s.sk + 5)
+            SELECT d IS NOT NULL AS reachable, CAST(d AS INTEGER) AS dist FROM m
+        """,
+        "q57_path_counts": f"""
+            WITH RECURSIVE k AS ({KNOWS}),
+            s AS (SELECT min(src_key) AS sk FROM k),
+            walk AS (
+                SELECT sk AS node, 0 AS dist FROM s
+                UNION ALL
+                SELECT k.dst_key, walk.dist + 1
+                FROM walk JOIN k ON k.src_key = walk.node
+                WHERE walk.dist < 5
+            ),
+            m AS (SELECT node, min(dist) AS d FROM walk GROUP BY node)
+            SELECT {CUSTOMER} + w.node AS id,
+                   CAST(m.d AS INTEGER) AS dist,
+                   count(*) AS n_paths
+            FROM walk w JOIN m ON w.node = m.node AND w.dist = m.d
+            GROUP BY w.node, m.d
+        """,
+        "q58_simple_paths": f"""
+            WITH RECURSIVE k AS ({KNOWS}),
+            s AS (SELECT min(src_key) AS sk FROM k),
+            p AS (
+                SELECT sk AS node, [sk] AS path, 0 AS depth FROM s
+                UNION ALL
+                SELECT k.dst_key, list_append(p.path, k.dst_key), p.depth + 1
+                FROM p JOIN k ON k.src_key = p.node
+                WHERE p.depth < 5 AND NOT list_contains(p.path, k.dst_key)
+            )
+            SELECT CAST(depth AS INTEGER) AS depth, count(*) AS n_paths
+            FROM p WHERE depth > 0 GROUP BY depth
+        """,
+        "q59_weighted_sssp": f"""
+            WITH RECURSIVE kw AS (
+                SELECT src_key, dst_key, 3 - (dst_key - src_key) AS w
+                FROM ({KNOWS}) kk
+            ),
+            s AS (SELECT min(src_key) AS sk FROM kw),
+            wlk AS (
+                SELECT sk AS node, CAST(0 AS BIGINT) AS cost, 0 AS hops FROM s
+                UNION ALL
+                SELECT kw.dst_key, wlk.cost + kw.w, wlk.hops + 1
+                FROM wlk JOIN kw ON kw.src_key = wlk.node
+                WHERE wlk.hops < 8
+            )
+            SELECT {CUSTOMER} + node AS id, CAST(min(cost) AS BIGINT) AS cost
+            FROM wlk GROUP BY node
         """,
     }

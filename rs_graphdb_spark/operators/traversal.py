@@ -178,3 +178,136 @@ def shortest_path_length(
     dists = bfs_distances(graph, start, rel_type, direction, max_depth, target)
     row = dists.join(target, "id").select("dist").first()
     return None if row is None else row["dist"]
+
+
+def shortest_path_counts(
+    graph: PropertyGraph,
+    start_id: int,
+    rel_type: str,
+    direction: str = "out",
+    max_depth: int | None = 8,
+) -> DataFrame:
+    """All-shortest-paths counting: (id, dist, n_paths) per reachable node.
+
+    Reference `count_all_shortest_paths`
+    (`/root/reference/src/algorithms/shortest_path.rs:282-312`), generalized
+    from one target to all targets. Level-synchronous BFS where each level
+    carries the number of shortest paths: n_paths(v) = Σ n_paths(u) over
+    frontier predecessors u→v. Any shortest walk passes through each
+    predecessor at that predecessor's own BFS depth, so per-level summation
+    is exact.
+    """
+    edges, _ = _edges_for(graph, rel_type, direction)
+    edges = edges.localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    current = spark.createDataFrame([(start_id, 1)], "id long, n_paths long")
+    visited = current.withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
+    depth = 0
+    while max_depth is None or depth < max_depth:
+        depth += 1
+        nxt = (
+            current.join(edges, current["id"] == edges["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("n_paths").alias("n_paths"))
+            .join(visited.select("id"), "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("dist", F.lit(depth))
+        ).localCheckpoint(eager=True)
+        current = nxt
+    return visited.select("id", "dist", "n_paths")
+
+
+def all_simple_paths_counts(
+    graph: PropertyGraph,
+    start_id: int,
+    rel_type: str,
+    max_depth: int = 5,
+    direction: str = "out",
+) -> DataFrame:
+    """Count cycle-free paths from a start node, grouped by length.
+
+    Reference `all_simple_paths` (`/root/reference/src/algorithms/
+    traversal.rs:239-302`): path extension with an ARRAY<LONG> path column
+    and `!array_contains(path, next)` as the cycle guard. Path count can be
+    exponential — max_depth is the same safety cap as the reference's
+    max_depth argument (SURVEY.md §7 "what's hard" #2).
+    """
+    edges, _ = _edges_for(graph, rel_type, direction)
+    edges = edges.localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    paths = spark.createDataFrame([(start_id, [start_id])], "id long, path array<long>")
+    counts: list[tuple[int, int]] = []
+    for depth in range(1, max_depth + 1):
+        paths = (
+            paths.join(edges, paths["id"] == edges["src"])
+            .filter(~F.array_contains("path", F.col("dst")))
+            .select(
+                F.col("dst").alias("id"),
+                F.array_append("path", F.col("dst")).alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n = paths.count()
+        if n == 0:
+            break
+        counts.append((depth, n))
+    return spark.createDataFrame(counts, "depth int, n_paths long")
+
+
+def weighted_shortest_paths(
+    graph: PropertyGraph,
+    start_id: int,
+    rel_type: str,
+    weight: "F.Column",
+    direction: str = "out",
+    max_iters: int = 16,
+) -> DataFrame:
+    """Single-source weighted shortest paths (id, cost) by iterative
+    relaxation (distributed Bellman-Ford).
+
+    Upgrade over the reference's Dijkstra, which fixes every edge weight
+    to 1 (`/root/reference/src/algorithms/shortest_path.rs:404-451`,
+    comment at `:404`): a priority queue doesn't distribute, but
+    relax-all-edges-per-round does (SURVEY.md §2.12). Converges in
+    ≤ longest-shortest-path-hops rounds; stops early at fixpoint.
+
+    ``weight``: Column expression over the edge DataFrame (must be
+    non-negative for the fixpoint argument to hold).
+    """
+    es = graph.edges[rel_type]
+    edges = es.df.select("src", "dst", weight.alias("w"))
+    if direction == "in":
+        edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    elif direction == "both":
+        edges = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+    edges = edges.localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    dists = spark.createDataFrame([(start_id, 0)], "id long, cost long").localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iters):
+        relaxed = (
+            dists.join(edges, dists["id"] == edges["src"])
+            .select(F.col("dst").alias("id"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        new_dists = (
+            dists.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint: no node improved and no node added
+        improved = new_dists.join(
+            dists.withColumnRenamed("cost", "old"), "id", "left_outer"
+        ).filter(F.col("old").isNull() | (F.col("cost") < F.col("old")))
+        done = improved.isEmpty()
+        dists = new_dists
+        if done:
+            break
+    return dists
