@@ -764,6 +764,72 @@ def q59_weighted_sssp(spark, sf_dir):
     )
 
 
+def q60_scc(spark, sf_dir):
+    """Strongly connected components via distributed coloring (substitution
+    for Kosaraju DFS, `src/algorithms/scc.rs:58-158`) over the
+    SEGMENT_RING cycle forest."""
+    from rs_graphdb_spark.algorithms.graph_algos import strongly_connected_components
+
+    g = _graph(spark, sf_dir)
+    return strongly_connected_components(
+        g.nodes["Customer"].select("id"), g.edges["SEGMENT_RING"].df
+    )
+
+
+def q61_betweenness(spark, sf_dir):
+    """Sampled-source Brandes betweenness
+    (`src/algorithms/centrality.rs:33-112`, upgraded from the reference's
+    single-tree simplification; documented substitution)."""
+    from rs_graphdb_spark.algorithms.graph_algos import betweenness_sampled
+
+    g = _graph(spark, sf_dir)
+    sources = g.nodes["Customer"].filter(F.col("id") < CUSTOMER + 150).select("id")
+    return betweenness_sampled(g.edges["KNOWS"].df, sources, max_depth=6).select(
+        "id", F.round("bc", 6).alias("bc")
+    )
+
+
+def q62_astar(spark, sf_dir):
+    """A* with Python heuristic/cost callables — the reference's UDF
+    surface (`src/algorithms/astar.rs:82-283`). Driver-side on the
+    collected KNOWS subgraph (size-guarded); synthetic grid coords
+    x=key%32, y=key//32."""
+    from rs_graphdb_spark.algorithms.graph_algos import astar
+
+    g = _graph(spark, sf_dir)
+    edges = [
+        (r["src"] - CUSTOMER, r["dst"] - CUSTOMER)
+        for r in g.edges["KNOWS"].df.select("src", "dst").collect()
+    ]
+    keys = {k for e in edges for k in e}
+    coords = {k: (float(k % 32), float(k // 32)) for k in keys}
+    start = min(r[0] for r in edges)
+    goal = start + 5
+    coords.setdefault(goal, (float(goal % 32), float(goal // 32)))
+    res = astar(edges, coords, start, goal)
+    return spark.createDataFrame(
+        [(res is not None, round(res[0], 6) if res else None)],
+        "found boolean, cost double",
+    )
+
+
+def q63_dfs_preorder(spark, sf_dir):
+    """DFS preorder (driver-side, `src/algorithms/traversal.rs:61-138`);
+    sequential by nature → rows-only check."""
+    from rs_graphdb_spark.algorithms.graph_algos import dfs_preorder
+
+    g = _graph(spark, sf_dir)
+    edges = [
+        (r["src"], r["dst"])
+        for r in g.edges["KNOWS"].df.select("src", "dst").collect()
+    ]
+    start = min(r[0] for r in edges)
+    order = dfs_preorder(edges, start)
+    return spark.createDataFrame(
+        [(nid, i) for i, nid in enumerate(order)], "id long, ord int"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -829,6 +895,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_path_counts": q57_path_counts,
         "q58_simple_paths": q58_simple_paths,
         "q59_weighted_sssp": q59_weighted_sssp,
+        "q60_scc": q60_scc,
+        "q61_betweenness": q61_betweenness,
+        "q62_astar": q62_astar,
+        "q63_dfs_preorder": q63_dfs_preorder,
     }
 
 
@@ -1327,5 +1397,62 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT {CUSTOMER} + node AS id, CAST(min(cost) AS BIGINT) AS cost
             FROM wlk GROUP BY node
+        """,
+        "q60_scc": f"""
+            SELECT {CUSTOMER} + c_custkey AS id,
+                   {CUSTOMER} + max(c_custkey) OVER (
+                       PARTITION BY c_mktsegment, c_custkey // 12) AS scc
+            FROM customer
+        """,
+        "q61_betweenness": f"""
+            WITH RECURSIVE k AS ({KNOWS}),
+            w AS (
+                SELECT c_custkey AS s, c_custkey AS v,
+                       [c_custkey] AS path, 0 AS dist
+                FROM customer WHERE c_custkey < 150
+                UNION ALL
+                SELECT w.s, k.dst_key, list_append(w.path, k.dst_key),
+                       w.dist + 1
+                FROM w JOIN k ON k.src_key = w.v
+                WHERE w.dist < 6
+            ),
+            m AS (SELECT s, v, min(dist) AS d FROM w GROUP BY s, v),
+            sp AS (SELECT w.* FROM w
+                   JOIN m ON w.s = m.s AND w.v = m.v AND w.dist = m.d),
+            sigma AS (SELECT s, v AS t, count(*) AS sig FROM sp GROUP BY s, v),
+            interior AS (
+                SELECT sp.s, sp.v AS t,
+                       unnest(sp.path[2:len(sp.path) - 1]) AS via
+                FROM sp WHERE len(sp.path) >= 3
+            ),
+            contrib AS (
+                SELECT via, s, t, count(*) AS through
+                FROM interior GROUP BY 1, 2, 3
+            )
+            SELECT {CUSTOMER} + c.via AS id,
+                   round(sum(c.through * 1.0 / g.sig), 6) AS bc
+            FROM contrib c JOIN sigma g ON g.s = c.s AND g.t = c.t
+            GROUP BY c.via
+        """,
+        "q62_astar": f"""
+            WITH RECURSIVE k AS ({KNOWS}),
+            kw AS (
+                SELECT src_key, dst_key,
+                       sqrt((CAST(dst_key % 32 AS DOUBLE)
+                             - CAST(src_key % 32 AS DOUBLE)) ^ 2
+                          + (CAST(dst_key // 32 AS DOUBLE)
+                             - CAST(src_key // 32 AS DOUBLE)) ^ 2) AS w
+                FROM k
+            ),
+            s AS (SELECT min(src_key) AS sk FROM kw),
+            wlk AS (
+                SELECT sk AS node, CAST(0 AS DOUBLE) AS cost, 0 AS hops FROM s
+                UNION ALL
+                SELECT kw.dst_key, wlk.cost + kw.w, wlk.hops + 1
+                FROM wlk JOIN kw ON kw.src_key = wlk.node
+                WHERE wlk.hops < 16
+            ),
+            m AS (SELECT min(cost) AS c FROM wlk, s WHERE wlk.node = s.sk + 5)
+            SELECT c IS NOT NULL AS found, round(c, 6) AS cost FROM m
         """,
     }

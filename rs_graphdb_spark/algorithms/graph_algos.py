@@ -257,3 +257,241 @@ def label_propagation(
         if (i + 1) % CHECKPOINT_EVERY == 0 or i == iterations - 1:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def strongly_connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 8,
+    max_prop_iters: int = 64,
+) -> DataFrame:
+    """SCC via the distributed coloring algorithm — the documented
+    substitution for the reference's Kosaraju DFS
+    (`/root/reference/src/algorithms/scc.rs:58-158`): DFS finish order does
+    not distribute, forward/backward reachability does (SURVEY.md §2.12).
+
+    Per round over the unassigned induced subgraph:
+      1. forward max-id propagation to fixpoint → color(v) = max id that
+         reaches v;
+      2. roots r with color(r) == r;
+      3. backward sweep from roots restricted to same-color nodes — those
+         reached form SCC(r).
+    Iteration count is bounded by component diameter; every frontier is
+    localCheckpoint'ed to cut lineage (SURVEY.md §4.3.1).
+
+    Returns (id, scc) with scc = max member id.
+    """
+    e_all = edges.select("src", "dst").dropDuplicates().localCheckpoint(eager=True)
+    remaining = nodes.select("id").localCheckpoint(eager=True)
+    out: DataFrame | None = None
+
+    for _ in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        e = (
+            e_all.join(remaining.withColumnRenamed("id", "src"), "src")
+            .join(remaining.withColumnRenamed("id", "dst"), "dst")
+            .localCheckpoint(eager=True)
+        )
+        colors = remaining.withColumn("color", F.col("id"))
+        for _ in range(max_prop_iters):
+            msgs = (
+                colors.join(e, colors["id"] == e["src"])
+                .select(F.col("dst").alias("id"), "color")
+            )
+            upd = (
+                colors.select("id", "color").unionByName(msgs)
+                .groupBy("id").agg(F.max("color").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                upd.join(colors.withColumnRenamed("color", "old"), "id")
+                .filter(F.col("color") != F.col("old"))
+            )
+            colors = upd
+            if changed.isEmpty():
+                break
+        # backward sweep from roots within same-color territory
+        member = (
+            colors.filter(F.col("color") == F.col("id"))
+            .select("id", F.col("color").alias("scc"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = member
+        while True:
+            prev = (
+                frontier.join(e, frontier["id"] == e["dst"])
+                .select(F.col("src").alias("id"), "scc")
+                .join(colors, "id")
+                .filter(F.col("color") == F.col("scc"))
+                .select("id", "scc")
+                .join(member, "id", "left_anti")
+                .dropDuplicates(["id"])
+                .localCheckpoint(eager=True)
+            )
+            if prev.isEmpty():
+                break
+            member = member.unionByName(prev).localCheckpoint(eager=True)
+            frontier = prev
+        out = member if out is None else out.unionByName(member)
+        remaining = remaining.join(member, "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+    return out if out is not None else nodes.select("id", F.col("id").alias("scc"))
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 6,
+) -> DataFrame:
+    """Sampled-source Brandes betweenness on DataFrames.
+
+    Reference betweenness is a per-source simplified path count
+    (`/root/reference/src/algorithms/centrality.rs:33-112`); we implement
+    proper Brandes dependency accumulation over a source SAMPLE (the
+    standard scale approach — exact per included source), truncated at
+    ``max_depth``. Forward pass: level-synchronous BFS carrying σ (number
+    of shortest paths), keyed by (source, node) so all sources run in ONE
+    set of jobs rather than |S| sequential BFS runs. Backward pass: Brandes
+    δ(v) = Σ_children σ_v/σ_w (1+δ(w)), one join per level.
+
+    Returns (id, bc) for nodes with bc > 0.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    lvl = (
+        sources.select(F.col("id").alias("s"))
+        .withColumn("v", F.col("s"))
+        .withColumn("sigma", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    levels = [lvl]
+    seen = lvl.select("s", "v").localCheckpoint(eager=True)
+    for _ in range(max_depth):
+        nxt = (
+            levels[-1].join(e, F.col("v") == F.col("src"))
+            .select("s", F.col("dst").alias("v"), "sigma")
+            .join(seen, ["s", "v"], "left_anti")
+            .groupBy("s", "v").agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        seen = seen.unionByName(nxt.select("s", "v")).localCheckpoint(eager=True)
+
+    delta = levels[-1].select(
+        "s", "v", F.lit(0.0).alias("delta")
+    )
+    acc: DataFrame | None = None
+    for d in range(len(levels) - 1, 0, -1):
+        child = (
+            levels[d].join(delta, ["s", "v"], "left_outer")
+            .fillna(0.0, subset=["delta"])
+            .select("s", "v", "sigma", "delta")
+        )
+        parent_delta = (
+            child.join(e, child["v"] == e["dst"])
+            .select("s", F.col("src").alias("pv"), "sigma", "delta")
+            .join(
+                levels[d - 1].select("s", F.col("v").alias("pv"),
+                                     F.col("sigma").alias("psigma")),
+                ["s", "pv"],
+            )
+            .select(
+                "s", F.col("pv").alias("v"),
+                (F.col("psigma") / F.col("sigma") * (1 + F.col("delta"))).alias("c"),
+            )
+            .groupBy("s", "v").agg(F.sum("c").alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        contrib = parent_delta.filter(F.col("v") != F.col("s"))
+        acc = contrib if acc is None else acc.unionByName(contrib)
+        delta = parent_delta
+    if acc is None:
+        return edges.sparkSession.createDataFrame([], "id long, bc double")
+    return (
+        acc.groupBy(F.col("v").alias("id"))
+        .agg(F.sum("delta").alias("bc"))
+        .filter(F.col("bc") > 1e-12)
+    )
+
+
+def dfs_preorder(
+    edges_rows: list[tuple[int, int]], start: int, max_nodes: int = 100_000
+) -> list[int]:
+    """DFS preorder on a COLLECTED subgraph — DFS order is inherently
+    sequential (reference `src/algorithms/traversal.rs:61-138`), so it runs
+    driver-side with a size guard, matching the reference's own small-graph
+    guidance (`ALGORITHMS.md:171-184`). Neighbors visit in ascending id
+    order for determinism."""
+    if len(edges_rows) > max_nodes:
+        raise ValueError(f"subgraph too large for driver-side DFS ({len(edges_rows)} edges)")
+    adj: dict[int, list[int]] = {}
+    for s, d in edges_rows:
+        adj.setdefault(s, []).append(d)
+    for vs in adj.values():
+        vs.sort()
+    order: list[int] = []
+    seen: set[int] = set()
+    stack = [start]
+    while stack:
+        v = stack.pop()
+        if v in seen:
+            continue
+        seen.add(v)
+        order.append(v)
+        stack.extend(reversed(adj.get(v, [])))
+    return order
+
+
+def astar(
+    edges_rows: list[tuple[int, int]],
+    coords: dict[int, tuple[float, float]],
+    start: int,
+    goal: int,
+    heuristic=None,
+    cost_fn=None,
+    max_nodes: int = 100_000,
+):
+    """A* on a COLLECTED subgraph with user-supplied Python heuristic /
+    cost callables — the reference's only UDF surface
+    (`/root/reference/src/algorithms/astar.rs:82-217`; euclidean /
+    manhattan variants `:219-283`). Priority-queue search is inherently
+    sequential, so this runs driver-side under a size guard; the
+    distributed analog for big graphs is `weighted_shortest_paths`.
+
+    Returns (cost, path) or None if unreachable.
+    """
+    import heapq
+    import math
+
+    if len(edges_rows) > max_nodes:
+        raise ValueError("subgraph too large for driver-side A*")
+
+    def _euclid(a: int, b: int) -> float:
+        (x1, y1), (x2, y2) = coords[a], coords[b]
+        return math.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2)
+
+    h = heuristic or (lambda v: _euclid(v, goal))
+    c = cost_fn or _euclid
+    adj: dict[int, list[int]] = {}
+    for s, d in edges_rows:
+        adj.setdefault(s, []).append(d)
+    best: dict[int, float] = {start: 0.0}
+    parent: dict[int, int] = {}
+    pq = [(h(start), start)]
+    while pq:
+        _, v = heapq.heappop(pq)
+        if v == goal:
+            path = [v]
+            while path[-1] != start:
+                path.append(parent[path[-1]])
+            return best[v], path[::-1]
+        for w in adj.get(v, ()):
+            g2 = best[v] + c(v, w)
+            if g2 < best.get(w, float("inf")):
+                best[w] = g2
+                parent[w] = v
+                heapq.heappush(pq, (g2 + h(w), w))
+    return None

@@ -176,6 +176,39 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
         )
         .filter(F.col("next_orderkey").isNotNull())
     )
+    from pyspark.sql import Window
+
+    # SEGMENT_RING: customers in the same (mktsegment, custkey//12 bucket)
+    # chained in custkey order with a wrap-around edge — a forest of small
+    # directed CYCLES. KNOWS and NEXT_ORDER are acyclic (keys strictly
+    # increase), so this is the fixture that gives SCC something to find.
+    # Oracle: lead() + first_value() window functions over the same keys.
+    ring_w = Window.partitionBy("c_mktsegment", "bucket").orderBy("c_custkey")
+    ring = (
+        t["customer"]
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("c_custkey") / 12).cast("long").alias("bucket"),
+        )
+        .withColumn(
+            "next_key",
+            F.coalesce(
+                F.lead("c_custkey").over(ring_w),
+                F.first("c_custkey").over(ring_w),
+            ),
+        )
+    )
+    g.edges["SEGMENT_RING"] = EdgeSet(
+        df=ring.select(
+            F.col("c_custkey").alias("edge_id"),
+            (F.lit(label_base("Customer")) + F.col("c_custkey")).alias("src"),
+            (F.lit(label_base("Customer")) + F.col("next_key")).alias("dst"),
+        ),
+        src_label="Customer",
+        dst_label="Customer",
+    )
+
     g.edges["NEXT_ORDER"] = EdgeSet(
         df=nxt.select(
             F.col("o_orderkey").alias("edge_id"),

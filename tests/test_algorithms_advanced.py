@@ -1,0 +1,59 @@
+"""SCC / betweenness / A* / DFS on hand-built micro-graphs with exact
+expected outputs (reference test style, SURVEY.md §5)."""
+
+from pyspark.sql import functions as F
+
+from rs_graphdb_spark.algorithms.graph_algos import (
+    astar,
+    betweenness_sampled,
+    dfs_preorder,
+    strongly_connected_components,
+)
+
+
+def test_scc_two_cycles_and_dag_tail(spark):
+    # cycle {1,2,3}, cycle {4,5}, dag node 6 hanging off
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (3, 6), (6, 4)]
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["scc"] for r in strongly_connected_components(nodes, e).collect()}
+    assert got[1] == got[2] == got[3] == 3
+    assert got[4] == got[5] == 5
+    assert got[6] == 6
+
+
+def test_betweenness_path_graph(spark):
+    # path 1→2→3→4: with all 4 sources, bc(2)=σ-paths through 2 = pairs
+    # (1,3),(1,4) → 2; bc(3)= (1,4),(2,4) → 2
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    sources = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    got = {r["id"]: r["bc"] for r in betweenness_sampled(e, sources).collect()}
+    assert got == {2: 2.0, 3: 2.0}
+
+
+def test_betweenness_diamond_split(spark):
+    # 1→2→4, 1→3→4: two shortest paths; 2 and 3 each carry 1/2
+    e = spark.createDataFrame([(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long")
+    sources = spark.createDataFrame([(1,)], "id long")
+    got = {r["id"]: r["bc"] for r in betweenness_sampled(e, sources).collect()}
+    assert got == {2: 0.5, 3: 0.5}
+
+
+def test_astar_euclidean_grid():
+    # straight line beats detour
+    coords = {1: (0.0, 0.0), 2: (1.0, 0.0), 3: (2.0, 0.0), 4: (1.0, 5.0)}
+    edges = [(1, 2), (2, 3), (1, 4), (4, 3)]
+    cost, path = astar(edges, coords, 1, 3)
+    assert path == [1, 2, 3]
+    assert abs(cost - 2.0) < 1e-9
+
+
+def test_astar_unreachable():
+    coords = {1: (0.0, 0.0), 2: (1.0, 0.0)}
+    assert astar([(2, 1)], coords, 1, 2) is None
+
+
+def test_dfs_preorder_order():
+    # 1 → {2, 5}; 2 → {3, 4}: preorder visits 2's subtree before 5
+    edges = [(1, 5), (1, 2), (2, 4), (2, 3)]
+    assert dfs_preorder(edges, 1) == [1, 2, 3, 4, 5]
