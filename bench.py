@@ -27,6 +27,13 @@ HEADLINE = [
     "q25_var_length",       # iterative BFS expansion
     "q27_fulltext_or",      # full-text search
     "q30_time_bucket",      # event-time bucketing
+    # training-pipeline ops (first-class at-scale surface)
+    "q43_exact_dedup",      # fingerprint hash-groupBy
+    "q44_minhash_lsh_dedup",  # shingle→minhash→band→verify
+    "q46_ngram_jaccard",    # sparse similarity join
+    "q48_knn_bruteforce",   # cosine top-k
+    "q51_quality_scores",   # text quality features
+    "q53_multimodal_features",  # Arrow-batched mapInPandas
 ]
 
 

