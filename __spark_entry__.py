@@ -831,6 +831,66 @@ def q63_dfs_preorder(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Cypher front-end (SURVEY §7 phase 3) — text → AST → DataFrame plan
+# ---------------------------------------------------------------------------
+
+def _cypher(spark, sf_dir, text):
+    from rs_graphdb_spark.cypher import execute_cypher
+
+    return execute_cypher(_graph(spark, sf_dir), text)
+
+
+def q64_cypher_filter_sort(spark, sf_dir):
+    """Cypher read path: MATCH/WHERE/RETURN/ORDER/LIMIT
+    (`src/cypher/parser.rs:945-960` → `src/cypher/executor.rs:93-160`,
+    with multi-column projection — quirk #1 fixed)."""
+    return _cypher(spark, sf_dir, """
+        MATCH (c:Customer) WHERE c.c_acctbal > 9000.0
+        RETURN c.c_name AS name, c.c_acctbal AS bal
+        ORDER BY bal DESC, name LIMIT 20
+    """)
+
+
+def q65_cypher_hop_agg(spark, sf_dir):
+    """Cypher hop + implicit-grouping aggregation
+    (`src/cypher/executor.rs:162-324`)."""
+    return _cypher(spark, sf_dir, """
+        MATCH (c:Customer)-[:PLACED]->(o:Order)
+        RETURN c.c_mktsegment AS seg, count(*) AS cnt,
+               min(o.o_totalprice) AS lo, max(o.o_totalprice) AS hi
+    """)
+
+
+def q66_cypher_varlength(spark, sf_dir):
+    """Cypher var-length pattern `[:KNOWS*1..2]`
+    (`src/cypher/parser.rs:151-175`, `src/query.rs:171-218`)."""
+    return _cypher(spark, sf_dir, """
+        MATCH (a:Customer)-[:KNOWS*1..2]->(b:Customer)
+        WHERE a.c_custkey < 100
+        RETURN DISTINCT b.c_custkey AS k
+    """)
+
+
+def q67_cypher_optional(spark, sf_dir):
+    """Cypher OPTIONAL MATCH with real left-join semantics (the reference
+    parses but ignores optionality — quirk #4)."""
+    return _cypher(spark, sf_dir, """
+        MATCH (c:Customer)
+        OPTIONAL MATCH (c:Customer)-[:KNOWS]->(d:Customer)
+        RETURN c.c_custkey AS k, count(d.c_custkey) AS n_neighbors
+    """)
+
+
+def q68_cypher_union(spark, sf_dir):
+    """Cypher UNION ALL (`src/cypher/executor.rs:1653-1668`)."""
+    return _cypher(spark, sf_dir, """
+        MATCH (n:Nation) WHERE n.n_regionkey = 0 RETURN n.n_name AS name
+        UNION ALL
+        MATCH (n:Nation) WHERE n.n_regionkey = 1 RETURN n.n_name AS name
+    """)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -899,6 +959,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_betweenness": q61_betweenness,
         "q62_astar": q62_astar,
         "q63_dfs_preorder": q63_dfs_preorder,
+        "q64_cypher_filter_sort": q64_cypher_filter_sort,
+        "q65_cypher_hop_agg": q65_cypher_hop_agg,
+        "q66_cypher_varlength": q66_cypher_varlength,
+        "q67_cypher_optional": q67_cypher_optional,
+        "q68_cypher_union": q68_cypher_union,
     }
 
 
@@ -1454,5 +1519,36 @@ def oracle_sql() -> dict[str, str]:
             ),
             m AS (SELECT min(cost) AS c FROM wlk, s WHERE wlk.node = s.sk + 5)
             SELECT c IS NOT NULL AS found, round(c, 6) AS cost FROM m
+        """,
+        "q64_cypher_filter_sort": """
+            SELECT c_name AS name, c_acctbal AS bal FROM customer
+            WHERE c_acctbal > 9000.0
+            ORDER BY bal DESC, name LIMIT 20
+        """,
+        "q65_cypher_hop_agg": """
+            SELECT c_mktsegment AS seg, count(*) AS cnt,
+                   min(o_totalprice) AS lo, max(o_totalprice) AS hi
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q66_cypher_varlength": f"""
+            WITH k AS ({KNOWS})
+            SELECT DISTINCT k AS k FROM (
+                SELECT k1.dst_key AS k FROM k k1 WHERE k1.src_key < 100
+                UNION ALL
+                SELECT k2.dst_key FROM k k1 JOIN k k2 ON k2.src_key = k1.dst_key
+                WHERE k1.src_key < 100
+            ) u
+        """,
+        "q67_cypher_optional": f"""
+            WITH k AS ({KNOWS})
+            SELECT c_custkey AS k, count(k.dst_key) AS n_neighbors
+            FROM customer LEFT JOIN k ON k.src_key = c_custkey
+            GROUP BY c_custkey
+        """,
+        "q68_cypher_union": """
+            SELECT n_name AS name FROM nation WHERE n_regionkey = 0
+            UNION ALL
+            SELECT n_name FROM nation WHERE n_regionkey = 1
         """,
     }

@@ -14,6 +14,7 @@ Design (see SURVEY.md §1.4/§7):
   similarity search, text analysis, multimodal plumbing).
 """
 
+from rs_graphdb_spark.cypher import execute_cypher
 from rs_graphdb_spark.graph import EdgeSet, PropertyGraph
 from rs_graphdb_spark.loaders import load_tpch_graph
 from rs_graphdb_spark.query import Query
@@ -23,6 +24,7 @@ __all__ = [
     "EdgeSet",
     "PropertyGraph",
     "Query",
+    "execute_cypher",
     "get_spark",
     "load_tpch_graph",
 ]

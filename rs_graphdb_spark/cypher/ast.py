@@ -1,0 +1,159 @@
+"""Cypher AST — the shape of the reference AST
+(`/root/reference/src/cypher/ast.rs:4-219`) minus the fake-node
+aggregation result and with optionality modeled for real execution.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# -- expressions -------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Prop:
+    """`var.key` (`src/cypher/ast.rs:93-98`)."""
+    var: str
+    key: str
+
+
+@dataclass(frozen=True)
+class Lit:
+    value: object  # str | int | float | bool | None | list
+
+
+@dataclass(frozen=True)
+class Cmp:
+    """Binary comparison (`src/cypher/ast.rs:77-91`); unlike the reference
+    we compare all orderable types, not just Int pairs (quirk #5)."""
+    op: str  # = <> > < >= <= =~ in
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class IsNull:
+    expr: Prop
+    negate: bool
+
+
+@dataclass(frozen=True)
+class Exists:
+    expr: Prop
+
+
+@dataclass(frozen=True)
+class BoolOp:
+    op: str  # and | or
+    items: tuple
+
+
+@dataclass(frozen=True)
+class Not:
+    item: object
+
+
+# -- patterns ----------------------------------------------------------------
+
+@dataclass(frozen=True)
+class NodePattern:
+    """`(var:Label {k: v})` (`src/cypher/ast.rs:39-43`)."""
+    var: str
+    label: str | None
+    props: tuple  # ((key, literal), ...)
+
+
+@dataclass(frozen=True)
+class RelPattern:
+    """`-[:TYPE*min..max]->` (`src/cypher/ast.rs:45-75`; var-length forms
+    `src/cypher/parser.rs:151-175`)."""
+    rel_type: str
+    direction: str  # out | in | both
+    min_hops: int = 1
+    max_hops: int | None = 1  # None = unbounded
+
+
+@dataclass(frozen=True)
+class PatternPath:
+    start: NodePattern
+    hops: tuple  # ((RelPattern, NodePattern), ...)
+
+
+@dataclass(frozen=True)
+class MatchClause:
+    """`src/cypher/ast.rs:32-36`; ``optional`` is honored here (quirk #4)."""
+    paths: tuple
+    optional: bool = False
+
+
+# -- projection --------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ReturnItem:
+    """`src/cypher/ast.rs:117-127`; agg functions
+    `src/cypher/parser.rs:362-412`."""
+    expr: object  # Prop | str (bare variable) | Lit
+    alias: str | None = None
+    agg: str | None = None  # count|sum|avg|min|max|collect|stdev|stdevp|percentilecont|percentiledisc
+    agg_param: float | None = None  # percentile q
+    distinct: bool = False
+
+
+@dataclass(frozen=True)
+class OrderItem:
+    key: str  # output-column name (alias) or var.key text
+    asc: bool = True
+
+
+# -- statements --------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ReadQuery:
+    matches: tuple = ()
+    where: object = None
+    items: tuple = ()
+    ret_distinct: bool = False
+    group_by: tuple = ()  # explicit GROUP BY props (reference extension)
+    order_by: tuple = ()
+    skip: int | None = None
+    limit: int | None = None
+
+
+@dataclass(frozen=True)
+class UnionQuery:
+    """`src/cypher/ast.rs:212-219`."""
+    parts: tuple  # ReadQuery, ...
+    all: bool = False
+
+
+@dataclass(frozen=True)
+class CreateStmt:
+    """CREATE node chain (`src/cypher/ast.rs:130-140`)."""
+    nodes: tuple  # NodePattern, ...
+
+
+@dataclass(frozen=True)
+class DeleteStmt:
+    """MATCH ... DELETE var — cascades incident edges
+    (`src/cypher/executor.rs:650-687`)."""
+    match: MatchClause
+    where: object
+    var: str
+
+
+@dataclass(frozen=True)
+class SetStmt:
+    """MATCH ... SET var.key = literal (`src/cypher/executor.rs:689-738`)."""
+    match: MatchClause
+    where: object
+    var: str
+    updates: tuple  # ((key, literal), ...)
+
+
+@dataclass(frozen=True)
+class MergeStmt:
+    """MERGE (n:Label {k: v}) [ON CREATE SET ...] [ON MATCH SET ...]
+    (`src/cypher/ast.rs:154-197`)."""
+    node: NodePattern
+    on_create: tuple = ()
+    on_match: tuple = ()

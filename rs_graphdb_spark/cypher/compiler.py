@@ -1,0 +1,424 @@
+"""Cypher AST → DataFrame compiler.
+
+The reference executes eagerly over a single ``Vec<NodeId>`` frontier
+(`/root/reference/src/cypher/executor.rs:93-160`), which collapses
+multi-variable queries (quirks #1-#3). Here every pattern variable is a
+column namespace ``var__<prop>`` in one binding DataFrame, so
+
+- `RETURN a, b` returns both bindings (fixes quirk #1),
+- WHERE references resolve to the named variable's columns (fixes #2),
+- intermediate node labels/props are enforced via the hop join (fixes #3),
+- OPTIONAL MATCH compiles to a left outer join (fixes #4),
+- comparisons use native Spark semantics on all types (fixes #5).
+
+Catalyst sees one declarative plan per statement — filter pushdown, join
+reordering and broadcast selection all apply; only var-length expansion
+loops driver-side (same machinery as operators/traversal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rs_graphdb_spark.cypher import ast
+from rs_graphdb_spark.cypher.parser import parse_cypher
+from rs_graphdb_spark.graph import PropertyGraph
+
+
+class CypherCompileError(ValueError):
+    pass
+
+
+def _pref(var: str, col: str) -> str:
+    return f"{var}__{col}"
+
+
+class Compiler:
+    def __init__(self, graph: PropertyGraph):
+        self.g = graph
+
+    # -- pattern compilation --------------------------------------------
+    def _node_df(self, np: ast.NodePattern, label_hint: str | None) -> tuple[DataFrame, str]:
+        label = np.label or label_hint
+        if label is None:
+            raise CypherCompileError(
+                f"cannot infer label for node variable {np.var!r}"
+            )
+        df = self.g.nodes[label]
+        for k, v in np.props:
+            df = df.filter(F.col(k) == F.lit(v))
+        df = df.select([F.col(c).alias(_pref(np.var, c)) for c in df.columns])
+        return df, label
+
+    def _edge(self, rel: ast.RelPattern):
+        if rel.rel_type not in self.g.edges:
+            raise CypherCompileError(f"unknown relationship type {rel.rel_type!r}")
+        es = self.g.edges[rel.rel_type]
+        if rel.direction == "out":
+            return es.df.select("src", "dst"), es.dst_label
+        if rel.direction == "in":
+            return es.df.select(F.col("dst").alias("src"), F.col("src").alias("dst")), es.src_label
+        if es.src_label != es.dst_label:
+            raise CypherCompileError("undirected hop needs homogeneous edge type")
+        both = es.df.select("src", "dst").unionByName(
+            es.df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        return both, es.dst_label
+
+    def _var_length_pairs(
+        self, edges: DataFrame, origins: DataFrame, min_h: int, max_h: int | None
+    ) -> DataFrame:
+        """(o, c) pairs with BFS-set distance per origin in [min_h, max_h] —
+        the multi-variable generalization of `expand`
+        (operators/traversal.py; reference `src/query.rs:171-218`)."""
+        edges = edges.localCheckpoint(eager=True)
+        start = origins.select(F.col("o")).dropDuplicates().withColumn("c", F.col("o"))
+        visited = start.localCheckpoint(eager=True)
+        current = visited
+        result = visited if min_h == 0 else None
+        depth = 0
+        while max_h is None or depth < max_h:
+            depth += 1
+            nxt = (
+                current.join(edges, current["c"] == edges["src"])
+                .select("o", F.col("dst").alias("c"))
+                .dropDuplicates()
+                .join(visited, ["o", "c"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            if depth >= min_h:
+                result = nxt if result is None else result.unionByName(nxt)
+            current = nxt
+        if result is None:
+            return start.limit(0)
+        return result
+
+    def _compile_path(self, path: ast.PatternPath) -> tuple[DataFrame, set[str]]:
+        df, label = self._node_df(path.start, None)
+        bound = {path.start.var}
+        prev = path.start
+        for rel, node in path.hops:
+            edges, dst_label = self._edge(rel)
+            ndf, label = self._node_df(node, dst_label)
+            if node.label and node.label != dst_label:
+                raise CypherCompileError(
+                    f"pattern label {node.label!r} does not match edge "
+                    f"endpoint {dst_label!r}"
+                )
+            src_col = F.col(_pref(prev.var, "id"))
+            if (rel.min_hops, rel.max_hops) == (1, 1):
+                hop = edges.select(
+                    F.col("src").alias("__hop_src"), F.col("dst").alias("__hop_dst")
+                )
+                df = (
+                    df.join(hop, src_col == F.col("__hop_src"))
+                    .join(ndf, F.col("__hop_dst") == F.col(_pref(node.var, "id")))
+                    .drop("__hop_src", "__hop_dst")
+                )
+            else:
+                origins = df.select(src_col.alias("o"))
+                pairs = self._var_length_pairs(
+                    edges, origins, rel.min_hops, rel.max_hops
+                )
+                df = (
+                    df.join(pairs, src_col == pairs["o"])
+                    .join(ndf, F.col("c") == F.col(_pref(node.var, "id")))
+                    .drop("o", "c")
+                )
+            bound.add(node.var)
+            prev = node
+        return df, bound
+
+    def _compile_matches(self, matches) -> DataFrame:
+        df: DataFrame | None = None
+        bound: set[str] = set()
+        for m in matches:
+            for path in m.paths:
+                pdf, pvars = self._compile_path(path)
+                if df is None:
+                    df, bound = pdf, pvars
+                    continue
+                shared = bound & pvars
+                join_cols = [
+                    c for c in pdf.columns
+                    if c.split("__")[0] in shared and c in df.columns
+                ]
+                how = "left_outer" if m.optional else "inner"
+                if join_cols:
+                    df = df.join(pdf, join_cols, how)
+                else:
+                    df = df.crossJoin(pdf) if not m.optional else df.join(
+                        pdf, F.lit(True), "left_outer"
+                    )
+                bound |= pvars
+        if df is None:
+            raise CypherCompileError("query has no MATCH clause")
+        return df
+
+    # -- expression compilation -----------------------------------------
+    def _col(self, expr, df: DataFrame) -> Column:
+        if isinstance(expr, ast.Prop):
+            name = _pref(expr.var, expr.key)
+            if name not in df.columns:
+                raise CypherCompileError(f"unknown property {expr.var}.{expr.key}")
+            return F.col(name)
+        if isinstance(expr, ast.Lit):
+            return F.lit(expr.value)
+        raise CypherCompileError(f"cannot compile operand {expr!r}")
+
+    def _predicate(self, cond, df: DataFrame) -> Column:
+        if isinstance(cond, ast.BoolOp):
+            cols = [self._predicate(c, df) for c in cond.items]
+            out = cols[0]
+            for c in cols[1:]:
+                out = (out & c) if cond.op == "and" else (out | c)
+            return out
+        if isinstance(cond, ast.Not):
+            return ~self._predicate(cond.item, df)
+        if isinstance(cond, ast.IsNull):
+            c = self._col(cond.expr, df)
+            return c.isNotNull() if cond.negate else c.isNull()
+        if isinstance(cond, ast.Exists):
+            return self._col(cond.expr, df).isNotNull()
+        if isinstance(cond, ast.Cmp):
+            left = self._col(cond.left, df)
+            if cond.op == "=~":
+                return left.rlike(cond.right.value if isinstance(cond.right, ast.Lit) else "")
+            if cond.op == "in":
+                return left.isin(cond.right.value)
+            right = self._col(cond.right, df)
+            return {
+                "=": left == right, "<>": left != right,
+                ">": left > right, "<": left < right,
+                ">=": left >= right, "<=": left <= right,
+            }[cond.op]
+        raise CypherCompileError(f"cannot compile predicate {cond!r}")
+
+    # -- projection ------------------------------------------------------
+    def _item_name(self, item: ast.ReturnItem) -> str:
+        if item.alias:
+            return item.alias
+        if item.agg:
+            base = item.agg if item.expr is None else f"{item.agg}_{item.expr.key}"
+            return base
+        if isinstance(item.expr, ast.Prop):
+            return item.expr.key
+        return str(item.expr)
+
+    def _agg_col(self, item: ast.ReturnItem, df: DataFrame) -> Column:
+        name = self._item_name(item)
+        if item.agg == "count":
+            if item.expr is None:
+                return F.count("*").alias(name)
+            c = self._col(item.expr, df)
+            return (F.count_distinct(c) if item.distinct else F.count(c)).alias(name)
+        c = self._col(item.expr, df)
+        if item.distinct:
+            raise CypherCompileError("DISTINCT inside non-count aggregates unsupported")
+        fn = {
+            "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+            "collect": F.collect_list,
+            # Cypher-path STDEV is population σ (`src/cypher/executor.rs:
+            # 482-501`); STDEVP maps to the same there — we expose both
+            # correctly instead.
+            "stdev": F.stddev_samp, "stdevp": F.stddev_pop,
+        }.get(item.agg)
+        if fn is not None:
+            return fn(c).alias(name)
+        if item.agg == "percentilecont":
+            return F.percentile(c, F.lit(item.agg_param)).alias(name)
+        if item.agg == "percentiledisc":
+            return F.expr(
+                f"percentile_disc({item.agg_param}) WITHIN GROUP (ORDER BY "
+                f"{_pref(item.expr.var, item.expr.key)})"
+            ).alias(name)
+        raise CypherCompileError(f"unknown aggregate {item.agg!r}")
+
+    def _project(self, q: ast.ReadQuery, df: DataFrame) -> DataFrame:
+        has_agg = any(i.agg for i in q.items)
+        if has_agg:
+            if q.group_by:
+                keys = [self._col(p, df).alias(p.key) for p in q.group_by]
+            else:
+                # standard Cypher implicit grouping: non-aggregate items
+                keys = [
+                    self._col(i.expr, df).alias(self._item_name(i))
+                    for i in q.items if not i.agg
+                ]
+            aggs = [self._agg_col(i, df) for i in q.items if i.agg]
+            out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+        else:
+            cols = []
+            for i in q.items:
+                if isinstance(i.expr, str):  # bare variable → its id column
+                    cols.append(F.col(_pref(i.expr, "id")).alias(i.alias or i.expr))
+                else:
+                    cols.append(self._col(i.expr, df).alias(self._item_name(i)))
+            out = df.select(*cols)
+        if q.ret_distinct:
+            out = out.dropDuplicates()
+        if q.order_by:
+            keys = []
+            for o in q.order_by:
+                name = o.key.split(".")[-1] if "." in o.key else o.key
+                col = F.col(name)
+                # missing values sort last in both directions, matching the
+                # reference (`src/query.rs:441-468`)
+                keys.append(col.asc_nulls_last() if o.asc else col.desc_nulls_last())
+            out = out.orderBy(*keys)
+        if q.skip:
+            out = out.offset(q.skip)
+        if q.limit is not None:
+            out = out.limit(q.limit)
+        return out
+
+    # -- statements ------------------------------------------------------
+    def run_read(self, q: ast.ReadQuery) -> DataFrame:
+        df = self._compile_matches(q.matches)
+        if q.where is not None:
+            df = df.filter(self._predicate(q.where, df))
+        return self._project(q, df)
+
+    def run(self, stmt):
+        if isinstance(stmt, ast.ReadQuery):
+            return self.run_read(stmt)
+        if isinstance(stmt, ast.UnionQuery):
+            parts = [self.run_read(p) for p in stmt.parts]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            # UNION dedups whole rows (standard SQL; reference dedups by
+            # node id, `src/cypher/executor.rs:1669-1682`)
+            return out if stmt.all else out.dropDuplicates()
+        if isinstance(stmt, ast.CreateStmt):
+            return self._run_create(stmt)
+        if isinstance(stmt, ast.DeleteStmt):
+            return self._run_delete(stmt)
+        if isinstance(stmt, ast.SetStmt):
+            return self._run_set(stmt)
+        if isinstance(stmt, ast.MergeStmt):
+            return self._run_merge(stmt)
+        raise CypherCompileError(f"unsupported statement {stmt!r}")
+
+    # -- DML (graph-rewrite semantics; returns the NEW node DataFrame) ---
+    def _run_create(self, stmt: ast.CreateStmt) -> PropertyGraph:
+        """CREATE appends rows (`src/cypher/executor.rs:610-648`); id =
+        max(id)+row_number — dense-enough without a single writer
+        (SURVEY.md §7 hard-point #4)."""
+        from pyspark.sql import Window
+
+        g = PropertyGraph(nodes=dict(self.g.nodes), edges=dict(self.g.edges))
+        for np in stmt.nodes:
+            if np.label is None:
+                raise CypherCompileError("CREATE needs a label")
+            nodes = g.nodes[np.label]
+            spark = nodes.sparkSession
+            max_id = nodes.agg(F.max("id")).first()[0] or 0
+            row = {k: v for k, v in np.props}
+            new = spark.createDataFrame([row]) if row else spark.range(1)
+            w = Window.orderBy(F.lit(1))
+            new = new.withColumn("id", F.lit(max_id) + F.row_number().over(w))
+            for c in new.columns:  # new property keys extend the table
+                if c not in nodes.columns:
+                    nodes = nodes.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+            for c in nodes.columns:
+                if c not in new.columns:
+                    new = new.withColumn(c, F.lit(None).cast(nodes.schema[c].dataType))
+            g.nodes[np.label] = nodes.unionByName(new.select(nodes.columns))
+        return g
+
+    def _match_victims(self, match: ast.MatchClause, where, var: str) -> tuple[DataFrame, str]:
+        df = self._compile_matches([match])
+        if where is not None:
+            df = df.filter(self._predicate(where, df))
+        label = None
+        for path in match.paths:
+            if path.start.var == var:
+                label = path.start.label
+            for _, node in path.hops:
+                if node.var == var:
+                    label = node.label
+        if label is None:
+            raise CypherCompileError(f"variable {var!r} not bound by MATCH")
+        return df.select(F.col(_pref(var, "id")).alias("id")).dropDuplicates(), label
+
+    def _run_delete(self, stmt: ast.DeleteStmt) -> PropertyGraph:
+        """DELETE cascades to incident edges (`src/cypher/executor.rs:
+        650-687`; cascade `src/storage/mem_store.rs:123-147`)."""
+        victims, label = self._match_victims(stmt.match, stmt.where, stmt.var)
+        g = PropertyGraph(nodes=dict(self.g.nodes), edges=dict(self.g.edges))
+        g.nodes[label] = g.nodes[label].join(victims, "id", "left_anti")
+        from rs_graphdb_spark.graph import EdgeSet
+
+        for rt, es in list(g.edges.items()):
+            df = es.df
+            if es.src_label == label:
+                df = df.join(victims.withColumnRenamed("id", "src"), "src", "left_anti")
+            if es.dst_label == label:
+                df = df.join(victims.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            g.edges[rt] = EdgeSet(df=df, src_label=es.src_label, dst_label=es.dst_label)
+        return g
+
+    def _run_set(self, stmt: ast.SetStmt) -> PropertyGraph:
+        """SET merges properties under the match predicate
+        (`src/cypher/executor.rs:689-738`)."""
+        victims, label = self._match_victims(stmt.match, stmt.where, stmt.var)
+        g = PropertyGraph(nodes=dict(self.g.nodes), edges=dict(self.g.edges))
+        nodes = g.nodes[label]
+        hit = victims.withColumn("__hit", F.lit(True))
+        df = nodes.join(hit, "id", "left_outer")
+        for k, v in stmt.updates:
+            # SET may introduce a new property key — the reference's bags
+            # are open maps (`src/values/value.rs:14`); here that extends
+            # the table schema with NULLs for unmatched rows
+            old = F.col(k) if k in nodes.columns else F.lit(None)
+            df = df.withColumn(k, F.when(F.col("__hit"), F.lit(v)).otherwise(old))
+        g.nodes[label] = df.drop("__hit")
+        return g
+
+    def _run_merge(self, stmt: ast.MergeStmt) -> PropertyGraph:
+        """MERGE = match full pattern else create, with ON CREATE SET /
+        ON MATCH SET (`src/cypher/executor.rs:740-1211`)."""
+        np = stmt.node
+        if np.label is None:
+            raise CypherCompileError("MERGE needs a label")
+        g = PropertyGraph(nodes=dict(self.g.nodes), edges=dict(self.g.edges))
+        nodes = g.nodes[np.label]
+        spark = nodes.sparkSession
+        cond = F.lit(True)
+        for k, v in np.props:
+            cond = cond & (F.col(k) == F.lit(v))
+        matched = nodes.filter(cond)
+        if matched.isEmpty():
+            props = dict(np.props)
+            for k, v in stmt.on_create:
+                props[k] = v
+            max_id = nodes.agg(F.max("id")).first()[0] or 0
+            new = spark.createDataFrame([props]).withColumn("id", F.lit(max_id + 1))
+            for c in new.columns:  # new property keys extend the table
+                if c not in nodes.columns:
+                    nodes = nodes.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+            for c in nodes.columns:
+                if c not in new.columns:
+                    new = new.withColumn(c, F.lit(None).cast(nodes.schema[c].dataType))
+            g.nodes[np.label] = nodes.unionByName(new.select(nodes.columns))
+        elif stmt.on_match:
+            upd = nodes
+            for k, v in stmt.on_match:
+                old = F.col(k) if k in nodes.columns else F.lit(None)
+                upd = upd.withColumn(k, F.when(cond, F.lit(v)).otherwise(old))
+            g.nodes[np.label] = upd
+        return g
+
+
+def execute_cypher(graph: PropertyGraph, text: str):
+    """Parse + compile + run one Cypher statement.
+
+    Read queries and UNIONs return a DataFrame; DML statements return a
+    NEW PropertyGraph (immutable-graph rewrite — the Spark replacement for
+    the reference's in-place mutation under `&mut`)."""
+    return Compiler(graph).run(parse_cypher(text))

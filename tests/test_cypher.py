@@ -1,0 +1,201 @@
+"""Cypher front-end: parser + compiler against the sf0.001 fixture graph.
+
+Covers the reference's test surface (`tests/cypher_test.rs`,
+`tests/pattern_matching_test.rs`, `tests/union_test.rs`,
+`tests/merge_comprehensive_test.rs` — SURVEY.md §5) with standard
+semantics.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rs_graphdb_spark.cypher import execute_cypher
+from rs_graphdb_spark.cypher.ast import Cmp, Prop, ReadQuery
+from rs_graphdb_spark.cypher.parser import CypherSyntaxError, parse_cypher
+from rs_graphdb_spark.loaders import load_tpch_graph
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    return load_tpch_graph(spark, SF)
+
+
+# -- parser ------------------------------------------------------------------
+
+def test_parse_match_where_return():
+    q = parse_cypher(
+        "MATCH (c:Customer) WHERE c.c_acctbal > 100 "
+        "RETURN c.c_name AS name ORDER BY name DESC SKIP 2 LIMIT 5"
+    )
+    assert isinstance(q, ReadQuery)
+    assert q.where == Cmp(">", Prop("c", "c_acctbal"), __import__(
+        "rs_graphdb_spark.cypher.ast", fromlist=["Lit"]).Lit(100))
+    assert q.items[0].alias == "name"
+    assert q.order_by[0].asc is False
+    assert (q.skip, q.limit) == (2, 5)
+
+
+def test_parse_var_length_forms():
+    for text, lo, hi in [
+        ("[:KNOWS*]", 1, None), ("[:KNOWS*2]", 2, 2),
+        ("[:KNOWS*1..3]", 1, 3), ("[:KNOWS*..4]", 1, 4), ("[:KNOWS*2..]", 2, None),
+    ]:
+        q = parse_cypher(f"MATCH (a:Customer)-{text}->(b) RETURN b")
+        rel = q.matches[0].paths[0].hops[0][0]
+        assert (rel.min_hops, rel.max_hops) == (lo, hi), text
+
+
+def test_parse_rejects_garbage():
+    with pytest.raises(CypherSyntaxError):
+        parse_cypher("MATCH (a:Customer RETURN a")
+    with pytest.raises(CypherSyntaxError):
+        parse_cypher("FROBNICATE everything")
+
+
+def test_no_keyword_sniffing():
+    # reference quirk #9: a literal containing 'delete' must not
+    # mis-dispatch (`src/cypher/parser.rs:855-863`)
+    q = parse_cypher("MATCH (c:Customer {c_name: 'delete set merge'}) RETURN c")
+    assert isinstance(q, ReadQuery)
+
+
+# -- read execution ----------------------------------------------------------
+
+def test_match_filter_project(g):
+    df = execute_cypher(
+        g, "MATCH (n:Nation) WHERE n.n_regionkey = 0 "
+           "RETURN n.n_name AS name ORDER BY name"
+    )
+    expected = [
+        r["n_name"] for r in
+        g.nodes["Nation"].filter(F.col("n_regionkey") == 0)
+        .orderBy("n_name").collect()
+    ]
+    assert [r["name"] for r in df.collect()] == expected
+
+
+def test_hop_join_multi_variable(g):
+    # fixes quirk #1: both endpoint bindings are returned
+    df = execute_cypher(
+        g, "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+           "WHERE o.o_totalprice > 400000.0 "
+           "RETURN c.c_custkey AS ck, o.o_orderkey AS ok"
+    )
+    rows = df.collect()
+    assert len(rows) > 0 and {"ck", "ok"} == set(df.columns)
+
+
+def test_intermediate_pattern_enforced(g):
+    # fixes quirk #3: label/props on non-start nodes filter the result
+    all_hops = execute_cypher(
+        g, "MATCH (c:Customer)-[:CUST_NATION]->(n:Nation) RETURN count(*) AS cnt"
+    ).first()["cnt"]
+    one_nation = execute_cypher(
+        g, "MATCH (c:Customer)-[:CUST_NATION]->(n:Nation {n_nationkey: 3}) "
+           "RETURN count(*) AS cnt"
+    ).first()["cnt"]
+    assert 0 < one_nation < all_hops
+
+
+def test_aggregation_implicit_grouping(g):
+    df = execute_cypher(
+        g, "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+           "RETURN c.c_mktsegment AS seg, count(*) AS cnt, "
+           "min(o.o_totalprice) AS lo ORDER BY seg"
+    )
+    exp = (
+        g.nodes["Customer"].alias("c")
+        .join(g.edges["PLACED"].df.alias("e"), F.col("c.id") == F.col("e.src"))
+        .join(g.nodes["Order"].alias("o"), F.col("e.dst") == F.col("o.id"))
+        .groupBy("c.c_mktsegment")
+        .agg(F.count("*").alias("cnt"), F.min("o.o_totalprice").alias("lo"))
+        .orderBy("c_mktsegment")
+        .collect()
+    )
+    got = df.collect()
+    assert [(r["seg"], r["cnt"], r["lo"]) for r in got] == [
+        (r["c_mktsegment"], r["cnt"], r["lo"]) for r in exp
+    ]
+
+
+def test_var_length_expansion(g):
+    got = execute_cypher(
+        g, "MATCH (a:Customer)-[:KNOWS*1..2]->(b:Customer) "
+           "WHERE a.c_custkey < 50 RETURN DISTINCT b.c_custkey AS k ORDER BY k"
+    ).collect()
+    assert len(got) > 0
+
+
+def test_optional_match_left_join(g):
+    # fixes quirk #4: customers with no KNOWS edge still appear
+    df = execute_cypher(
+        g, "MATCH (c:Customer) OPTIONAL MATCH (c:Customer)-[:KNOWS]->(d:Customer) "
+           "RETURN c.c_custkey AS k, count(d.c_custkey) AS n"
+    )
+    n_cust = g.nodes["Customer"].count()
+    assert df.count() == n_cust
+    assert df.filter(F.col("n") == 0).count() > 0
+
+
+def test_union_all_vs_union(g):
+    base = ("MATCH (n:Nation) WHERE n.n_regionkey = {} "
+            "RETURN n.n_regionkey AS rk")
+    ua = execute_cypher(g, base.format(1) + " UNION ALL " + base.format(1))
+    u = execute_cypher(g, base.format(1) + " UNION " + base.format(1))
+    assert ua.count() == 2 * u.count() * (
+        g.nodes["Nation"].filter(F.col("n_regionkey") == 1).count())  # rows vs dedup
+    assert u.count() == 1
+
+
+def test_regex_and_in(g):
+    df = execute_cypher(
+        g, "MATCH (n:Nation) WHERE n.n_name =~ '.*IA' AND "
+           "n.n_regionkey IN [0, 1] RETURN n.n_name AS name"
+    )
+    for r in df.collect():
+        assert r["name"].endswith("IA")
+
+
+# -- DML ---------------------------------------------------------------------
+
+def test_create_appends(g):
+    g2 = execute_cypher(g, "CREATE (n:Nation {n_name: 'ATLANTIS', n_regionkey: 0})")
+    assert g2.nodes["Nation"].count() == g.nodes["Nation"].count() + 1
+    assert g2.nodes["Nation"].filter(F.col("n_name") == "ATLANTIS").count() == 1
+
+
+def test_delete_cascades(g):
+    g2 = execute_cypher(
+        g, "MATCH (n:Nation) WHERE n.n_nationkey = 3 DELETE n"
+    )
+    assert g2.nodes["Nation"].count() == g.nodes["Nation"].count() - 1
+    # incident CUST_NATION edges are gone
+    nid = g.nodes["Nation"].filter(F.col("n_nationkey") == 3).first()["id"]
+    assert g2.edges["CUST_NATION"].df.filter(F.col("dst") == nid).count() == 0
+
+
+def test_set_updates_props(g):
+    g2 = execute_cypher(
+        g, "MATCH (n:Nation) WHERE n.n_regionkey = 2 SET n.n_name = 'RENAMED'"
+    )
+    n = g.nodes["Nation"].filter(F.col("n_regionkey") == 2).count()
+    assert g2.nodes["Nation"].filter(F.col("n_name") == "RENAMED").count() == n
+
+
+def test_merge_match_vs_create(g):
+    # existing → ON MATCH fires
+    first = g.nodes["Nation"].first()
+    g2 = execute_cypher(
+        g, f"MERGE (n:Nation {{n_name: '{first['n_name']}'}}) "
+           "ON MATCH SET n.n_comment = 'seen' ON CREATE SET n.n_comment = 'new'"
+    )
+    assert g2.nodes["Nation"].count() == g.nodes["Nation"].count()
+    assert g2.nodes["Nation"].filter(
+        F.col("n_comment") == "seen").count() == 1
+    # absent → creates
+    g3 = execute_cypher(
+        g, "MERGE (n:Nation {n_name: 'ELDORADO'}) ON CREATE SET n.n_regionkey = 4"
+    )
+    assert g3.nodes["Nation"].count() == g.nodes["Nation"].count() + 1
