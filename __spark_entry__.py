@@ -891,6 +891,74 @@ def q68_cypher_union(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Structured Streaming (§2.9) — real streaming runs, batch-SQL oracles
+# ---------------------------------------------------------------------------
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """File-source streams need a DIRECTORY; stage the single events
+    parquet file into repo-local .tmp once per sf."""
+    import hashlib
+    import pathlib
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = pathlib.Path(__file__).parent / ".tmp" / f"events_src_{tag}"
+    if not (d / "events.parquet").exists():
+        d.mkdir(parents=True, exist_ok=True)
+        shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def q69_stream_window(spark, sf_dir):
+    """Watermarked tumbling-window aggregation executed as an actual
+    Structured Streaming job (availableNow → memory sink). The reference
+    only streams query RESULTS (`src/query_stream.rs:238-345`) — event-time
+    processing is beyond-reference surface."""
+    import uuid
+
+    from rs_graphdb_spark.streaming.ops import read_event_stream, windowed_event_counts
+
+    stream = read_event_stream(spark, _staged_events_dir(sf_dir))
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).withColumn(
+        "win_start", (F.unix_timestamp("win_start")).cast("long")
+    )
+
+
+def q70_stream_stateful(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState running
+    totals per user) — replaces the reference's stateful stream consumers
+    (`src/query_stream.rs:553-600`)."""
+    import uuid
+
+    from rs_graphdb_spark.streaming.ops import read_event_stream, stateful_running_totals
+
+    stream = read_event_stream(spark, _staged_events_dir(sf_dir))
+    name = f"run_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_running_totals(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    # update-mode emits one row per (user, micro-batch); keep the final
+    # state per user = max event count
+    t = spark.table(name)
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        t.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -964,6 +1032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_cypher_varlength": q66_cypher_varlength,
         "q67_cypher_optional": q67_cypher_optional,
         "q68_cypher_union": q68_cypher_union,
+        "q69_stream_window": q69_stream_window,
+        "q70_stream_stateful": q70_stream_stateful,
     }
 
 
@@ -1550,5 +1620,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name AS name FROM nation WHERE n_regionkey = 0
             UNION ALL
             SELECT n_name FROM nation WHERE n_regionkey = 1
+        """,
+        "q69_stream_window": """
+            SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q70_stream_stateful": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(coalesce(value, 0.0)), 4) AS total_value
+            FROM events GROUP BY user_id
         """,
     }

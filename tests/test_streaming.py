@@ -1,0 +1,91 @@
+"""Structured Streaming ops: streaming results must equal the batch run of
+the same transformation (the oracle pattern for stream semantics)."""
+
+import shutil
+import uuid
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from rs_graphdb_spark.streaming.ops import (
+    append_edge_sink,
+    read_event_stream,
+    stateful_running_totals,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+TMP = Path("/root/repo/.tmp")
+
+
+@pytest.fixture()
+def tmpdir():
+    d = TMP / uuid.uuid4().hex
+    d.mkdir(parents=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _events_dir(spark, tmpdir) -> str:
+    # stage the fixture as a one-file stream source directory
+    src = spark.read.parquet(f"{SF}/events.parquet")
+    out = str(tmpdir / "events_in")
+    src.coalesce(1).write.parquet(out)
+    return out
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmpdir):
+    events_dir = _events_dir(spark, tmpdir)
+    stream = read_event_stream(spark, events_dir)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory").queryName("win_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("win_counts").collect()
+    }
+    batch = windowed_event_counts(
+        spark.read.parquet(events_dir), streaming=False
+    )
+    exp = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_stateful_running_totals(spark, tmpdir):
+    events_dir = _events_dir(spark, tmpdir)
+    stream = read_event_stream(spark, events_dir)
+    q = (
+        stateful_running_totals(stream)
+        .writeStream.format("memory").queryName("running")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in spark.table("running").collect()}
+    exp = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum(F.coalesce("value", F.lit(0.0))), 4).alias("tv"))
+        .collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_append_edge_sink(spark, tmpdir):
+    events_dir = _events_dir(spark, tmpdir)
+    out = str(tmpdir / "sink")
+    ckpt = str(tmpdir / "ckpt")
+    stream = read_event_stream(spark, events_dir)
+    q = append_edge_sink(stream.select("event_id", "user_id"), out, ckpt)
+    q.awaitTermination(120)
+    n_src = spark.read.parquet(events_dir).count()
+    assert spark.read.parquet(out).count() == n_src
