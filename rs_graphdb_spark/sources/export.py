@@ -1,0 +1,97 @@
+"""Graph export / persistence sinks.
+
+Reference: whole-graph JSON / Graphviz DOT export
+(`/root/reference/src/graph/db.rs:679-757`,
+`src/visualization/export.rs`, formats `src/visualization/mod.rs:311-316`)
+and the sled persistence trees (`src/storage/sled_store.rs:24-89`).
+
+Spark-first: persistence IS parquet datasets per label/rel-type (all five
+reference storage engines collapse into this — SURVEY.md §1.4); JSON
+export is distributed ``toJSON``; DOT is a driver-side formatter over a
+size-guarded collect (presentation output, not engine work).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from rs_graphdb_spark.graph import EdgeSet, PropertyGraph
+
+
+def save_graph(graph: PropertyGraph, path: str) -> None:
+    """Persist all node/edge tables as parquet datasets under ``path``
+    (layout: path/nodes/<Label>/, path/edges/<REL_TYPE>/ + _meta.json).
+    At cluster scale add partitioning/bucketing options here per table."""
+    meta = {"nodes": sorted(graph.nodes), "edges": {}}
+    for label, df in graph.nodes.items():
+        df.write.mode("overwrite").parquet(f"{path}/nodes/{label}")
+    for rt, es in graph.edges.items():
+        es.df.write.mode("overwrite").parquet(f"{path}/edges/{rt}")
+        meta["edges"][rt] = {"src_label": es.src_label, "dst_label": es.dst_label}
+    spark = next(iter(graph.nodes.values())).sparkSession
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{path}/_meta")
+
+
+def load_graph(spark: SparkSession, path: str) -> PropertyGraph:
+    """Reopen a saved graph (the analog of sled recovery-on-open,
+    `src/storage/sled_store.rs:36-89` — no index rebuild needed: parquet
+    stats/pushdown replace the indexes)."""
+    meta = json.loads(spark.read.json(f"{path}/_meta").first()["meta"])
+    g = PropertyGraph()
+    for label in meta["nodes"]:
+        g.nodes[label] = spark.read.parquet(f"{path}/nodes/{label}")
+    for rt, info in meta["edges"].items():
+        g.edges[rt] = EdgeSet(
+            df=spark.read.parquet(f"{path}/edges/{rt}"),
+            src_label=info["src_label"],
+            dst_label=info["dst_label"],
+        )
+    return g
+
+
+def export_json(graph: PropertyGraph, labels: list[str] | None = None):
+    """Distributed JSON export: iterator of JSON strings per node row
+    (`db.export_graph("json")`, `src/graph/db.rs:679-700`)."""
+    for label, df in sorted(graph.nodes.items()):
+        if labels and label not in labels:
+            continue
+        yield from (r for r in df.toJSON().toLocalIterator())
+
+
+def export_dot(
+    graph: PropertyGraph,
+    rel_types: list[str],
+    name_cols: dict[str, str] | None = None,
+    max_nodes: int = 10_000,
+) -> str:
+    """Graphviz DOT export of a subgraph (`src/visualization/export.rs`;
+    DOT format `src/graph/db.rs:714-757`). Driver-side with a size guard —
+    DOT is a presentation format, nobody renders 10^9 nodes."""
+    name_cols = name_cols or {}
+    lines = ["digraph G {"]
+    seen_nodes: set[int] = set()
+    for rt in rel_types:
+        es = graph.edges[rt]
+        edges = es.df.select("src", "dst").limit(max_nodes).collect()
+        for r in edges:
+            seen_nodes.add(r["src"])
+            seen_nodes.add(r["dst"])
+            lines.append(f'  n{r["src"]} -> n{r["dst"]} [label="{rt}"];')
+        if len(seen_nodes) > max_nodes:
+            raise ValueError(f"subgraph exceeds {max_nodes} nodes; filter first")
+    for label, df in graph.nodes.items():
+        col = name_cols.get(label)
+        if col is None:
+            continue
+        rows = df.select("id", col).filter(
+            F.col("id").isin(list(seen_nodes)[:max_nodes])
+        ).collect()
+        for r in rows:
+            lines.append(f'  n{r["id"]} [label="{r[col]}"];')
+    lines.append("}")
+    return "\n".join(lines)

@@ -1,0 +1,109 @@
+"""JSON query source, substring search, export sinks, layouts."""
+
+import shutil
+import uuid
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from rs_graphdb_spark.functions.layout import (
+    circle_layout,
+    force_layout,
+    hierarchical_layout,
+)
+from rs_graphdb_spark.graph import PropertyGraph
+from rs_graphdb_spark.loaders import load_tpch_graph
+from rs_graphdb_spark.sources.export import (
+    export_dot,
+    export_json,
+    load_graph,
+    save_graph,
+)
+from rs_graphdb_spark.sources.json_api import json_query, substring_search
+
+SF = "/root/testdata/sf0.001"
+TMP = Path("/root/repo/.tmp")
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    return load_tpch_graph(spark, SF)
+
+
+def test_json_query_point_lookup(g):
+    df = json_query(g, {"label": "Nation", "property": "n_nationkey", "value": 3})
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["n_nationkey"] == 3
+
+
+def test_json_query_hop_and_limit(g):
+    df = json_query(g, {"label": "Customer", "out_rel": "PLACED", "limit": 5})
+    assert df.count() == 5
+
+
+def test_json_query_requires_label(g):
+    with pytest.raises(ValueError):
+        json_query(g, {"property": "x"})
+
+
+def test_substring_search_finds_labels(g):
+    hits = substring_search(g, "machinery", labels=["Customer", "Nation"]).collect()
+    assert all(r["label"] == "Customer" for r in hits) and hits
+
+
+def test_export_json_rows(g):
+    import json as j
+
+    rows = list(export_json(g, labels=["Region"]))
+    assert len(rows) == g.nodes["Region"].count()
+    assert "r_name" in j.loads(rows[0])
+
+
+def test_export_dot_format(g):
+    dot = export_dot(g, ["IN_REGION"], name_cols={"Region": "r_name"})
+    assert dot.startswith("digraph G {") and dot.endswith("}")
+    assert '[label="IN_REGION"]' in dot
+
+
+def test_save_load_roundtrip(spark, g):
+    d = TMP / f"rt_{uuid.uuid4().hex}"
+    sub = PropertyGraph(
+        nodes={"Nation": g.nodes["Nation"], "Region": g.nodes["Region"]},
+        edges={"IN_REGION": g.edges["IN_REGION"]},
+    )
+    try:
+        save_graph(sub, str(d))
+        g2 = load_graph(spark, str(d))
+        assert g2.nodes["Nation"].count() == g.nodes["Nation"].count()
+        assert g2.edges["IN_REGION"].src_label == "Nation"
+        assert (
+            g2.edges["IN_REGION"].df.count() == g.edges["IN_REGION"].df.count()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_circle_layout_deterministic():
+    p = circle_layout([3, 1, 2], radius=10.0)
+    assert set(p) == {1, 2, 3}
+    assert p == circle_layout([1, 2, 3], radius=10.0)
+    assert abs(p[1][0] - 10.0) < 1e-9  # first node at angle 0
+
+
+def test_force_layout_separates_nodes():
+    pos = force_layout([1, 2, 3, 4], [(1, 2), (3, 4)])
+    pts = list(pos.values())
+    for i, a in enumerate(pts):
+        for b in pts[i + 1:]:
+            assert (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2 > 1e-6
+
+
+def test_hierarchical_layout_layers():
+    pos = hierarchical_layout([1, 2, 3], [(1, 2), (2, 3)])
+    assert pos[1][1] < pos[2][1] < pos[3][1]
+
+
+def test_layout_size_guard():
+    with pytest.raises(ValueError):
+        circle_layout(list(range(100_000)))
