@@ -959,6 +959,83 @@ def q70_stream_stateful(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Sources & sinks: JSON query API, substring search, persistence roundtrip
+# ---------------------------------------------------------------------------
+
+def q71_json_query_source(spark, sf_dir):
+    """Parameterized JSON query (the reference's `POST /query` contract,
+    `src/server.rs:167-205`) compiled to a DataFrame plan."""
+    from rs_graphdb_spark.sources.json_api import json_query
+
+    g = _graph(spark, sf_dir)
+    df = json_query(g, {
+        "label": "Customer", "property": "c_mktsegment",
+        "value": "BUILDING", "out_rel": "PLACED",
+    })
+    return df.select("id", F.col("o_totalprice").alias("totalprice"))
+
+
+def q72_substring_search(spark, sf_dir):
+    """Cross-label substring search over all string properties
+    (`src/server.rs:803-852`)."""
+    from rs_graphdb_spark.sources.json_api import substring_search
+
+    g = _graph(spark, sf_dir)
+    return substring_search(g, "machine", labels=["Customer", "Nation"])
+
+
+def q73_persistence_roundtrip(spark, sf_dir):
+    """Persistence sink + reopen (sled save/recover analog,
+    `src/storage/sled_store.rs:24-92`) — parquet datasets per table; the
+    reopened graph answers a join query."""
+    import hashlib
+
+    from rs_graphdb_spark.graph import PropertyGraph
+    from rs_graphdb_spark.sources.export import load_graph, save_graph
+
+    g = _graph(spark, sf_dir)
+    sub = PropertyGraph(
+        nodes={"Nation": g.nodes["Nation"], "Region": g.nodes["Region"]},
+        edges={"IN_REGION": g.edges["IN_REGION"]},
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{__file__.rsplit('/', 1)[0]}/.tmp/graph_{tag}"
+    save_graph(sub, path)
+    g2 = load_graph(spark, path)
+    e = g2.edges["IN_REGION"].df
+    return (
+        g2.nodes["Nation"].alias("n")
+        .join(e.alias("e"), F.col("n.id") == F.col("e.src"))
+        .join(g2.nodes["Region"].alias("r"), F.col("e.dst") == F.col("r.id"))
+        .groupBy(F.col("r.r_name").alias("r_name"))
+        .agg(F.count("*").alias("n_nations"))
+    )
+
+
+def q74_inverted_index(spark, sf_dir):
+    """Materialized inverted index — the scale path for full-text search
+    (`src/index_advanced.rs:52-70` as a TABLE): top postings by tf."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        TX.inverted_index(docs, "doc_id", "text")
+        .orderBy(F.col("tf").desc(), "term", "doc_id")
+        .limit(100)
+    )
+
+
+def q75_tfidf(spark, sf_dir):
+    """TF-IDF scoring over the corpus (generalizes the reference's
+    token index into ranked retrieval)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        TX.tfidf(docs, "doc_id", "text")
+        .orderBy(F.col("tfidf").desc(), "term", "doc_id")  # sort pre-round
+        .limit(100)
+        .select("doc_id", "term", "tf", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1034,6 +1111,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_cypher_union": q68_cypher_union,
         "q69_stream_window": q69_stream_window,
         "q70_stream_stateful": q70_stream_stateful,
+        "q71_json_query_source": q71_json_query_source,
+        "q72_substring_search": q72_substring_search,
+        "q73_persistence_roundtrip": q73_persistence_roundtrip,
+        "q74_inverted_index": q74_inverted_index,
+        "q75_tfidf": q75_tfidf,
     }
 
 
@@ -1631,5 +1713,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events,
                    round(sum(coalesce(value, 0.0)), 4) AS total_value
             FROM events GROUP BY user_id
+        """,
+        "q71_json_query_source": f"""
+            SELECT {ORDER} + o_orderkey AS id, o_totalprice AS totalprice
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+        """,
+        "q72_substring_search": f"""
+            SELECT 'Customer' AS label, {CUSTOMER} + c_custkey AS id
+            FROM customer
+            WHERE position('machine' IN lower(c_name)) > 0
+               OR position('machine' IN lower(c_mktsegment)) > 0
+            UNION ALL
+            SELECT 'Nation', {NATION} + n_nationkey FROM nation
+            WHERE position('machine' IN lower(n_name)) > 0
+        """,
+        "q73_persistence_roundtrip": """
+            SELECT r_name, count(*) AS n_nations
+            FROM nation JOIN region ON r_regionkey = n_regionkey
+            GROUP BY r_name
+        """,
+        "q74_inverted_index": f"""
+            WITH inv AS (
+                SELECT doc_id, unnest({TOKS}) AS term FROM documents
+            )
+            SELECT term, doc_id, count(*) AS tf FROM inv
+            GROUP BY term, doc_id
+            ORDER BY tf DESC, term, doc_id LIMIT 100
+        """,
+        "q75_tfidf": f"""
+            WITH inv AS (
+                SELECT doc_id, unnest({TOKS}) AS term FROM documents
+            ),
+            tf AS (SELECT term, doc_id, count(*) AS tf FROM inv
+                   GROUP BY term, doc_id),
+            dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+                      FROM tf GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6)
+                       AS tfidf
+            FROM tf JOIN dfreq ON dfreq.term = tf.term CROSS JOIN n
+            ORDER BY tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) DESC,
+                     tf.term, tf.doc_id
+            LIMIT 100
         """,
     }

@@ -105,3 +105,46 @@ def lang_id(col: Column | str) -> Column:
         .otherwise(F.lit("und"))
     )
     return best
+
+
+def inverted_index(df, id_col: str, text_col: str):
+    """Materialized inverted index: one (term, doc_id, tf) row per posting.
+
+    This is the 100 TB design for the reference's in-memory inverted index
+    (`/root/reference/src/index_advanced.rs:52-70`): the index is a TABLE,
+    built with one explode + groupBy, written bucketed/partitioned BY TERM
+    so a term lookup is a partition-pruned scan instead of a full-corpus
+    tokenize. Search (§2.1 full-text) becomes a semi-join against it.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(tokenize(text_col)).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tfidf(df, id_col: str, text_col: str):
+    """TF-IDF scores per (doc, term) over the corpus.
+
+    Smoothed idf = ln((N+1)/(df+1)) + 1 (the scikit-learn convention —
+    deterministic and oracle-reproducible); tf is the raw term count.
+    Built entirely from the inverted index: one extra groupBy for document
+    frequency, a broadcastable corpus-size scalar, no Python UDFs.
+    """
+    from pyspark.sql import functions as F
+
+    inv = inverted_index(df, id_col, text_col)
+    n_docs = df.select(F.countDistinct(id_col).alias("n")).first()["n"]
+    doc_freq = inv.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        inv.join(doc_freq, "term")
+        .select(
+            "doc_id", "term", "tf",
+            (F.col("tf")
+             * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+             ).alias("tfidf"),
+        )
+    )
