@@ -1035,6 +1035,29 @@ def q75_tfidf(spark, sf_dir):
     )
 
 
+def q76_cypher_with(spark, sf_dir):
+    """Cypher WITH chaining: filter + projection mid-pipeline, second MATCH
+    joins on the carried binding (`src/cypher/executor.rs:100-116`)."""
+    return _cypher(spark, sf_dir, """
+        MATCH (c:Customer)-[:CUST_NATION]->(n:Nation)
+        WITH c WHERE c.c_acctbal > 9000.0
+        MATCH (c:Customer)-[:PLACED]->(o:Order)
+        RETURN count(*) AS cnt
+    """)
+
+
+def q77_cypher_foreach(spark, sf_dir):
+    """Cypher FOREACH over literal node ids + SET
+    (`src/cypher/executor.rs:1561-1623`)."""
+    from rs_graphdb_spark.cypher import execute_cypher
+
+    g = _graph(spark, sf_dir)
+    g2 = execute_cypher(
+        g, f"FOREACH (n IN [{NATION + 0}, {NATION + 2}] | SET n.n_name = 'LOOPED')"
+    )
+    return g2.nodes["Nation"].select("id", "n_name")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1116,6 +1139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_persistence_roundtrip": q73_persistence_roundtrip,
         "q74_inverted_index": q74_inverted_index,
         "q75_tfidf": q75_tfidf,
+        "q76_cypher_with": q76_cypher_with,
+        "q77_cypher_foreach": q77_cypher_foreach,
     }
 
 
@@ -1757,5 +1782,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) DESC,
                      tf.term, tf.doc_id
             LIMIT 100
+        """,
+        "q76_cypher_with": """
+            SELECT count(*) AS cnt
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            WHERE c_acctbal > 9000.0
+        """,
+        "q77_cypher_foreach": f"""
+            SELECT {NATION} + n_nationkey AS id,
+                   CASE WHEN n_nationkey IN (0, 2) THEN 'LOOPED'
+                        ELSE n_name END AS n_name
+            FROM nation
         """,
     }

@@ -89,6 +89,15 @@ class MatchClause:
 # -- projection --------------------------------------------------------------
 
 @dataclass(frozen=True)
+class WithClause:
+    """`WITH a, b [WHERE ...]` — projects bindings and chains
+    (`src/cypher/executor.rs:100-116`; the reference re-filters its single
+    frontier, we keep the listed variables' columns)."""
+    vars: tuple
+    where: object = None
+
+
+@dataclass(frozen=True)
 class ReturnItem:
     """`src/cypher/ast.rs:117-127`; agg functions
     `src/cypher/parser.rs:362-412`."""
@@ -148,6 +157,27 @@ class SetStmt:
     where: object
     var: str
     updates: tuple  # ((key, literal), ...)
+
+
+@dataclass(frozen=True)
+class ForeachStmt:
+    """FOREACH (v IN [id, ...] | SET v.k = lit)
+    (`src/cypher/executor.rs:1561-1623`): literal node-id list, SET each."""
+    var: str
+    ids: tuple
+    updates: tuple  # ((key, literal), ...)
+
+
+@dataclass(frozen=True)
+class CallStmt:
+    """CALL { subquery } RETURN ... (`src/cypher/ast.rs:199-210`,
+    `src/cypher/executor.rs:1625-1650`): outer items select the inner
+    result's output columns by name."""
+    inner: object  # ReadQuery
+    items: tuple = ()  # ReturnItem with expr = bare column-name strings
+    order_by: tuple = ()
+    skip: int | None = None
+    limit: int | None = None
 
 
 @dataclass(frozen=True)

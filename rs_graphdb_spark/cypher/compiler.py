@@ -137,6 +137,19 @@ class Compiler:
         df: DataFrame | None = None
         bound: set[str] = set()
         for m in matches:
+            if isinstance(m, ast.WithClause):
+                if df is None:
+                    raise CypherCompileError("WITH/WHERE before any MATCH")
+                if m.where is not None:
+                    df = df.filter(self._predicate(m.where, df))
+                if m.vars:  # project to the listed variables' columns
+                    missing = set(m.vars) - bound
+                    if missing:
+                        raise CypherCompileError(f"WITH references unbound {missing}")
+                    keep = [c for c in df.columns if c.split("__")[0] in set(m.vars)]
+                    df = df.select(*keep)
+                    bound = set(m.vars)
+                continue
             for path in m.paths:
                 pdf, pvars = self._compile_path(path)
                 if df is None:
@@ -302,7 +315,72 @@ class Compiler:
             return self._run_set(stmt)
         if isinstance(stmt, ast.MergeStmt):
             return self._run_merge(stmt)
+        if isinstance(stmt, ast.ForeachStmt):
+            return self._run_foreach(stmt)
+        if isinstance(stmt, ast.CallStmt):
+            return self._run_call(stmt)
         raise CypherCompileError(f"unsupported statement {stmt!r}")
+
+    def _run_foreach(self, stmt: ast.ForeachStmt) -> PropertyGraph:
+        """FOREACH over a literal node-id list + SET
+        (`src/cypher/executor.rs:1561-1623`): isin filter + merge update.
+        The target label is recovered from the id namespace
+        (id // ID_STRIDE — graph.LABEL_INDEX)."""
+        from rs_graphdb_spark.graph import ID_STRIDE, LABEL_INDEX
+
+        idxs = {i // ID_STRIDE for i in stmt.ids}
+        if len(idxs) != 1:
+            raise CypherCompileError("FOREACH ids must share one label namespace")
+        rev = {v: k for k, v in LABEL_INDEX.items()}
+        label = rev.get(idxs.pop())
+        if label is None or label not in self.g.nodes:
+            raise CypherCompileError("FOREACH ids resolve to no known label")
+        g = PropertyGraph(nodes=dict(self.g.nodes), edges=dict(self.g.edges))
+        nodes = g.nodes[label]
+        hit = F.col("id").isin(list(stmt.ids))
+        for k, v in stmt.updates:
+            old = F.col(k) if k in nodes.columns else F.lit(None)
+            nodes = nodes.withColumn(k, F.when(hit, F.lit(v)).otherwise(old))
+        g.nodes[label] = nodes
+        return g
+
+    def _run_call(self, stmt: ast.CallStmt) -> DataFrame:
+        """CALL { subquery } RETURN ... (`src/cypher/executor.rs:1625-1650`):
+        outer projection over the inner result's columns (count(*) is the
+        supported outer aggregate)."""
+        df = self.run_read(stmt.inner)
+        has_agg = any(i.agg for i in stmt.items)
+        if has_agg:
+            keys = [
+                F.col(i.expr).alias(i.alias or i.expr)
+                for i in stmt.items if not i.agg
+            ]
+            aggs = []
+            for i in stmt.items:
+                if not i.agg:
+                    continue
+                if i.agg != "count" or i.expr is not None:
+                    raise CypherCompileError(
+                        "CALL outer aggregates support count(*) only"
+                    )
+                aggs.append(F.count("*").alias(i.alias or "count"))
+            out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+        else:
+            out = df.select(
+                *[F.col(i.expr).alias(i.alias or i.expr) for i in stmt.items]
+            )
+        if stmt.order_by:
+            keys = [
+                F.col(o.key).asc_nulls_last() if o.asc
+                else F.col(o.key).desc_nulls_last()
+                for o in stmt.order_by
+            ]
+            out = out.orderBy(*keys)
+        if stmt.skip:
+            out = out.offset(stmt.skip)
+        if stmt.limit is not None:
+            out = out.limit(stmt.limit)
+        return out
 
     # -- DML (graph-rewrite semantics; returns the NEW node DataFrame) ---
     def _run_create(self, stmt: ast.CreateStmt) -> PropertyGraph:

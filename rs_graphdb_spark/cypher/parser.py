@@ -287,15 +287,24 @@ class _P:
         return ast.ReturnItem(expr=var, alias=alias)
 
     def read_tail(self, matches, anon) -> ast.ReadQuery:
+        # clause pipeline: WHERE / WITH / further MATCHes in source order
+        # (a bare WHERE is a WithClause that keeps every variable)
         where = None
-        if self.try_kw("where"):
-            where = self.or_expr()
-        while self.kw("match") or self.kw("optional"):
-            optional = self.try_kw("optional")
-            matches.append(self.match_clause(anon, optional))
+        while True:
             if self.try_kw("where"):
-                inner = self.or_expr()
-                where = inner if where is None else ast.BoolOp("and", (where, inner))
+                matches.append(ast.WithClause(vars=(), where=self.or_expr()))
+            elif self.kw("with"):
+                self.i += 1
+                wvars = [self.name()]
+                while self.try_op(","):
+                    wvars.append(self.name())
+                wwhere = self.or_expr() if self.try_kw("where") else None
+                matches.append(ast.WithClause(vars=tuple(wvars), where=wwhere))
+            elif self.kw("match") or self.kw("optional"):
+                optional = self.try_kw("optional")
+                matches.append(self.match_clause(anon, optional))
+            else:
+                break
         self.eat_kw("return")
         distinct = self.try_kw("distinct")
         items = [self.return_item()]
@@ -383,6 +392,58 @@ class _P:
                     self.eat_kw("set")
                     _, on_match = self.set_updates()
             return ast.MergeStmt(node=node, on_create=on_create, on_match=on_match)
+        if self.kw("foreach"):
+            # FOREACH (v IN [ids] | SET v.k = lit, ...)
+            # (`src/cypher/parser.rs:724-759`)
+            self.i += 1
+            self.eat_op("(")
+            var = self.name()
+            self.eat_kw("in")
+            ids = self.literal()
+            if not isinstance(ids, list):
+                raise CypherSyntaxError("FOREACH needs a literal list")
+            self.eat_op("|")
+            self.eat_kw("set")
+            uvar, updates = self.set_updates()
+            if uvar != var:
+                raise CypherSyntaxError("FOREACH SET must target the loop variable")
+            self.eat_op(")")
+            return ast.ForeachStmt(var=var, ids=tuple(ids), updates=updates)
+        if self.kw("call"):
+            # CALL { subquery } RETURN cols (`src/cypher/parser.rs:761-815`)
+            self.i += 1
+            self.eat_op("{")
+            inner = self.statement()
+            if not isinstance(inner, ast.ReadQuery):
+                raise CypherSyntaxError("CALL subquery must be a read query")
+            self.eat_op("}")
+            self.eat_kw("return")
+            items = []
+            while True:
+                t, v = self.peek()
+                if t == "name" and v.lower() in _AGGS and self.peek(1) == ("op", "("):
+                    items.append(self.return_item())
+                else:
+                    nm = self.name()
+                    alias = self.name() if self.try_kw("as") else None
+                    items.append(ast.ReturnItem(expr=nm, alias=alias))
+                if not self.try_op(","):
+                    break
+            order_by = []
+            if self.try_kw("order"):
+                self.eat_kw("by")
+                while True:
+                    key = self.name()
+                    asc = not self.try_kw("desc")
+                    if asc:
+                        self.try_kw("asc")
+                    order_by.append(ast.OrderItem(key=key, asc=asc))
+                    if not self.try_op(","):
+                        break
+            skip = int(self.literal()) if self.try_kw("skip") else None
+            limit = int(self.literal()) if self.try_kw("limit") else None
+            return ast.CallStmt(inner=inner, items=tuple(items),
+                                order_by=tuple(order_by), skip=skip, limit=limit)
         if self.kw("match") or self.kw("optional"):
             # look ahead for DELETE / SET terminal
             anon = []
@@ -398,16 +459,7 @@ class _P:
                                    updates=updates)
             # plain read query continuing from here
             if where is not None:
-                # rewind is complex; re-parse via read_tail with where folded
-                q = self.read_tail(matches, anon)
-                return ast.ReadQuery(
-                    matches=q.matches,
-                    where=where if q.where is None
-                    else ast.BoolOp("and", (where, q.where)),
-                    items=q.items, ret_distinct=q.ret_distinct,
-                    group_by=q.group_by, order_by=q.order_by,
-                    skip=q.skip, limit=q.limit,
-                )
+                matches.append(ast.WithClause(vars=(), where=where))
             return self.read_tail(matches, anon)
         raise CypherSyntaxError(f"unsupported statement start: {self.peek()[1]!r}")
 

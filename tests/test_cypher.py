@@ -29,9 +29,13 @@ def test_parse_match_where_return():
         "MATCH (c:Customer) WHERE c.c_acctbal > 100 "
         "RETURN c.c_name AS name ORDER BY name DESC SKIP 2 LIMIT 5"
     )
+    from rs_graphdb_spark.cypher.ast import Lit, WithClause
+
     assert isinstance(q, ReadQuery)
-    assert q.where == Cmp(">", Prop("c", "c_acctbal"), __import__(
-        "rs_graphdb_spark.cypher.ast", fromlist=["Lit"]).Lit(100))
+    # WHERE is carried as a keep-everything WithClause in the clause chain
+    assert q.matches[1] == WithClause(
+        vars=(), where=Cmp(">", Prop("c", "c_acctbal"), Lit(100))
+    )
     assert q.items[0].alias == "name"
     assert q.order_by[0].asc is False
     assert (q.skip, q.limit) == (2, 5)
@@ -199,3 +203,62 @@ def test_merge_match_vs_create(g):
         g, "MERGE (n:Nation {n_name: 'ELDORADO'}) ON CREATE SET n.n_regionkey = 4"
     )
     assert g3.nodes["Nation"].count() == g.nodes["Nation"].count() + 1
+
+
+# -- WITH / FOREACH / CALL ---------------------------------------------------
+
+def test_with_projects_and_filters(g):
+    df = execute_cypher(
+        g, "MATCH (c:Customer)-[:CUST_NATION]->(n:Nation) "
+           "WITH c WHERE c.c_acctbal > 9000.0 "
+           "RETURN c.c_custkey AS k"
+    )
+    assert set(df.columns) == {"k"}
+    exp = g.nodes["Customer"].filter(F.col("c_acctbal") > 9000.0).count()
+    assert df.count() == exp  # every customer has exactly one nation
+
+
+def test_with_drops_unlisted_vars(g):
+    import pytest as _pt
+
+    from rs_graphdb_spark.cypher.compiler import CypherCompileError
+
+    with _pt.raises(CypherCompileError):
+        execute_cypher(
+            g, "MATCH (c:Customer)-[:CUST_NATION]->(n:Nation) "
+               "WITH c RETURN n.n_name AS x"
+        )
+
+
+def test_foreach_set(g):
+    from rs_graphdb_spark.graph import label_base
+
+    ids = [label_base("Nation") + k for k in (0, 2)]
+    g2 = execute_cypher(
+        g, f"FOREACH (n IN {ids} | SET n.n_name = 'LOOPED')"
+    )
+    assert g2.nodes["Nation"].filter(F.col("n_name") == "LOOPED").count() == 2
+
+
+def test_call_subquery_passthrough(g):
+    df = execute_cypher(
+        g, "CALL { MATCH (n:Nation) WHERE n.n_regionkey = 1 "
+           "RETURN n.n_name AS name } RETURN name ORDER BY name LIMIT 3"
+    )
+    exp = [
+        r["n_name"] for r in g.nodes["Nation"]
+        .filter(F.col("n_regionkey") == 1)
+        .orderBy("n_name").limit(3).collect()
+    ]
+    assert [r["name"] for r in df.collect()] == exp
+
+
+def test_call_subquery_count(g):
+    df = execute_cypher(
+        g, "CALL { MATCH (n:Nation) RETURN n.n_regionkey AS rk } "
+           "RETURN rk, count(*) AS cnt ORDER BY rk"
+    )
+    exp = g.nodes["Nation"].groupBy("n_regionkey").count().orderBy("n_regionkey").collect()
+    assert [(r["rk"], r["cnt"]) for r in df.collect()] == [
+        (r["n_regionkey"], r["count"]) for r in exp
+    ]
