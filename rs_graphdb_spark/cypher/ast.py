@@ -181,6 +181,15 @@ class CallStmt:
 
 
 @dataclass(frozen=True)
+class MergeRelStmt:
+    """MERGE (a:L {..})-[:T]->(b:L {..}) — ensure the edge exists between
+    every matching endpoint pair (`src/cypher/executor.rs:861-1023`
+    single-rel path). Endpoints must already exist; `Both` direction is
+    rejected like reference CREATE (`src/cypher/executor.rs:610-648`)."""
+    path: PatternPath
+
+
+@dataclass(frozen=True)
 class MergeStmt:
     """MERGE (n:Label {k: v}) [ON CREATE SET ...] [ON MATCH SET ...]
     (`src/cypher/ast.rs:154-197`)."""

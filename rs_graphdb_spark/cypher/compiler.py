@@ -315,11 +315,61 @@ class Compiler:
             return self._run_set(stmt)
         if isinstance(stmt, ast.MergeStmt):
             return self._run_merge(stmt)
+        if isinstance(stmt, ast.MergeRelStmt):
+            return self._run_merge_rel(stmt)
         if isinstance(stmt, ast.ForeachStmt):
             return self._run_foreach(stmt)
         if isinstance(stmt, ast.CallStmt):
             return self._run_call(stmt)
         raise CypherCompileError(f"unsupported statement {stmt!r}")
+
+    def _run_merge_rel(self, stmt: ast.MergeRelStmt) -> PropertyGraph:
+        """Relationship MERGE: for every (a, b) endpoint pair matching the
+        patterns, create the edge iff absent (left-anti against the edge
+        table — `src/cypher/executor.rs:962-1018`). Endpoint node patterns
+        ARE enforced, matching reference MERGE (`:914`). Idempotent."""
+        from pyspark.sql import Window
+
+        from rs_graphdb_spark.graph import EdgeSet
+
+        (rel, dst_node) = stmt.path.hops[0]
+        if rel.rel_type not in self.g.edges:
+            raise CypherCompileError(f"unknown relationship type {rel.rel_type!r}")
+        es = self.g.edges[rel.rel_type]
+        src_pat, dst_pat = stmt.path.start, dst_node
+        if rel.direction == "in":
+            src_pat, dst_pat = dst_pat, src_pat
+
+        def _ids(np: ast.NodePattern, label: str) -> DataFrame:
+            if np.label and np.label != label:
+                raise CypherCompileError(
+                    f"pattern label {np.label!r} does not match edge endpoint {label!r}"
+                )
+            df = self.g.nodes[label]
+            for k, v in np.props:
+                df = df.filter(F.col(k) == F.lit(v))
+            return df.select("id")
+
+        a = _ids(src_pat, es.src_label).withColumnRenamed("id", "src")
+        b = _ids(dst_pat, es.dst_label).withColumnRenamed("id", "dst")
+        missing = a.crossJoin(b).join(
+            es.df.select("src", "dst"), ["src", "dst"], "left_anti"
+        )
+        g = PropertyGraph(nodes=dict(self.g.nodes), edges=dict(self.g.edges))
+        if missing.isEmpty():
+            return g
+        max_eid = es.df.agg(F.max("edge_id")).first()[0] or 0
+        w = Window.orderBy("src", "dst")
+        new = missing.withColumn("edge_id", F.lit(max_eid) + F.row_number().over(w))
+        for c in es.df.columns:
+            if c not in new.columns:
+                new = new.withColumn(c, F.lit(None).cast(es.df.schema[c].dataType))
+        g.edges[rel.rel_type] = EdgeSet(
+            df=es.df.unionByName(new.select(es.df.columns)),
+            src_label=es.src_label,
+            dst_label=es.dst_label,
+        )
+        return g
 
     def _run_foreach(self, stmt: ast.ForeachStmt) -> PropertyGraph:
         """FOREACH over a literal node-id list + SET

@@ -380,6 +380,15 @@ class _P:
             self.i += 1
             anon = []
             node = self.node_pattern(anon)
+            t, v = self.peek()
+            if t == "op" and v in ("-", "<-"):  # relationship MERGE
+                rel = self.rel_pattern()
+                if rel.direction == "both":
+                    raise CypherSyntaxError("MERGE rejects undirected relationships")
+                dst = self.node_pattern(anon)
+                return ast.MergeRelStmt(
+                    path=ast.PatternPath(start=node, hops=((rel, dst),))
+                )
             on_create: tuple = ()
             on_match: tuple = ()
             while self.kw("on"):

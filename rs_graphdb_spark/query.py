@@ -164,6 +164,29 @@ class Query:
         return replace(self, frontier=ids.join(self.graph.nodes[dst_label], "id"),
                        label=dst_label)
 
+    def _variable_length(self, rel_type: str, min_hops: int,
+                         max_hops: int | None, direction: str) -> "Query":
+        from rs_graphdb_spark.operators.traversal import expand
+
+        ids, dst_label = expand(
+            self.graph, self.frontier.select("id"), rel_type,
+            min_hops=min_hops, max_hops=max_hops, direction=direction,
+        )
+        if dst_label is None:
+            return replace(self, frontier=ids, label=None)
+        return replace(self, frontier=ids.join(self.graph.nodes[dst_label], "id"),
+                       label=dst_label)
+
+    def in_variable_length(self, rel_type: str, min_hops: int,
+                           max_hops: int | None) -> "Query":
+        """Reverse-direction BFS expansion (`src/query.rs:228-275`)."""
+        return self._variable_length(rel_type, min_hops, max_hops, "in")
+
+    def undirected_variable_length(self, rel_type: str, min_hops: int,
+                                   max_hops: int | None) -> "Query":
+        """Both-direction BFS expansion (`src/query.rs:285-354`)."""
+        return self._variable_length(rel_type, min_hops, max_hops, "both")
+
     # -- dedup / sort / pagination (§2.6) --------------------------------
     def distinct(self) -> "Query":
         """Frontier dedup by node id (`src/query.rs:357-362`)."""
@@ -265,3 +288,50 @@ class Query:
         """COLLECT(prop) (`src/cypher/executor.rs:478-481`). Sorted for
         deterministic comparison — collect_list order is partition-dependent."""
         return self.frontier.agg(F.sort_array(F.collect_list(key)).alias(alias))
+
+
+@dataclass
+class PageResult:
+    """One page of results (`QueryCursor` page shape,
+    `/root/reference/src/cypher/streaming.rs:28-60`)."""
+
+    data: list
+    page: int
+    page_size: int
+    total: int
+    has_more: bool
+
+
+class QueryCursor:
+    """Stable pagination cursor over a sorted DataFrame
+    (`/root/reference/src/cypher/streaming.rs:103-191`;
+    `query_paginated` `:226-293`).
+
+    Caches the sorted frame once (`persist`) so every page reuses the same
+    snapshot — stable pagination REQUIRES an explicit sort (SURVEY.md
+    §2.6); the total is computed once, `next_page` is offset/limit over
+    the cached plan.
+    """
+
+    def __init__(self, df: DataFrame, order_cols: list[str], page_size: int = 100):
+        if not order_cols:
+            raise ValueError("stable pagination requires explicit order columns")
+        self._df = df.orderBy(*order_cols).persist()
+        self.page_size = page_size
+        self.total = self._df.count()
+        self.page = 0
+
+    def next_page(self) -> PageResult:
+        offset = self.page * self.page_size
+        rows = self._df.offset(offset).limit(self.page_size).collect()
+        self.page += 1
+        return PageResult(
+            data=rows,
+            page=self.page,
+            page_size=self.page_size,
+            total=self.total,
+            has_more=offset + len(rows) < self.total,
+        )
+
+    def close(self) -> None:
+        self._df.unpersist()

@@ -262,3 +262,57 @@ def test_call_subquery_count(g):
     assert [(r["rk"], r["cnt"]) for r in df.collect()] == [
         (r["n_regionkey"], r["count"]) for r in exp
     ]
+
+
+def test_merge_rel_creates_and_is_idempotent(g):
+    # customers 1 and 5 exist; ensure a KNOWS edge between them
+    q = ("MERGE (a:Customer {c_custkey: 1})-[:KNOWS]->"
+         "(b:Customer {c_custkey: 5})")
+    before = g.edges["KNOWS"].df.count()
+    g2 = execute_cypher(g, q)
+    assert g2.edges["KNOWS"].df.count() == before + 1
+    g3 = execute_cypher(g2, q)  # idempotent
+    assert g3.edges["KNOWS"].df.count() == before + 1
+
+
+def test_merge_rel_rejects_undirected(g):
+    with pytest.raises(CypherSyntaxError):
+        parse_cypher("MERGE (a:Customer {c_custkey: 1})-[:KNOWS]-(b:Customer)")
+
+
+def test_cursor_pagination(g):
+    from rs_graphdb_spark.query import QueryCursor
+
+    cur = QueryCursor(g.nodes["Nation"], ["n_nationkey"], page_size=10)
+    try:
+        pages = []
+        while True:
+            p = cur.next_page()
+            pages.append(p)
+            if not p.has_more:
+                break
+        assert sum(len(p.data) for p in pages) == cur.total
+        keys = [r["n_nationkey"] for p in pages for r in p.data]
+        assert keys == sorted(keys)
+        assert pages[0].page == 1 and pages[0].page_size == 10
+    finally:
+        cur.close()
+
+
+def test_var_length_direction_variants(g):
+    # set-distance semantics: the start frontier is all at distance 0, so
+    # expansion needs a PROPER SUBSET as the start set to be non-trivial
+    from rs_graphdb_spark import Query
+
+    def q():
+        # even custkeys only: the +1 KNOWS neighbors are odd, i.e. OUTSIDE
+        # the start set, so set-distance 1 is non-empty
+        return Query(graph=g).from_label("Customer").where(
+            F.col("c_custkey") % 2 == 0
+        )
+
+    out = q().out_variable_length("KNOWS", 1, 2).df.count()
+    rev = q().in_variable_length("KNOWS", 1, 2).df.count()
+    both = q().undirected_variable_length("KNOWS", 1, 2).df.count()
+    assert out > 0 and rev > 0
+    assert both >= max(out, rev)
