@@ -1058,6 +1058,22 @@ def q77_cypher_foreach(spark, sf_dir):
     return g2.nodes["Nation"].select("id", "n_name")
 
 
+def q78_knn_ivf(spark, sf_dir):
+    """IVF ANN (deterministic Lloyd codebook, Voronoi-cell probe + exact
+    rerank). Run in full-probe configuration (n_probe = n_clusters), which
+    is provably identical to brute force — so the exact oracle applies;
+    production uses n_probe << n_clusters with cell-partitioned storage."""
+    from rs_graphdb_spark.functions.similarity import knn_ivf
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return knn_ivf(
+        emb, queries_df, "vec_id", "embedding", k=10, n_clusters=8, n_probe=8
+    ).select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1141,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_tfidf": q75_tfidf,
         "q76_cypher_with": q76_cypher_with,
         "q77_cypher_foreach": q77_cypher_foreach,
+        "q78_knn_ivf": q78_knn_ivf,
     }
 
 
@@ -1782,6 +1799,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) DESC,
                      tf.term, tf.doc_id
             LIMIT 100
+        """,
+        "q78_knn_ivf": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id, v FROM e WHERE vec_id < 5)
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.v, c.v), 6) AS cos,
+                   CAST(row_number() OVER (
+                        PARTITION BY q.vec_id
+                        ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                 c.vec_id) AS INTEGER) AS rank
+            FROM q JOIN e c ON c.vec_id <> q.vec_id
+            QUALIFY rank <= 10
         """,
         "q76_cypher_with": """
             SELECT count(*) AS cnt

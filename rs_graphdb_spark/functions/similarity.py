@@ -115,3 +115,105 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Deterministic IVF codebook: seeds = vectors of the k smallest ids,
+    then a fixed number of Lloyd iterations (assignment distributed,
+    centroid update is a k-row aggregate). No randomness → reproducible
+    builds; at real scale persist the codebook with the table."""
+    seeds = [
+        list(r["v"]) for r in corpus.select(
+            F.col(id_col).alias("i"), F.col(vec_col).alias("v")
+        ).orderBy("i").limit(k).collect()
+    ]
+    cents = seeds
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    corpus = corpus.repartition(par, id_col)  # fan out single-split inputs
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.col(vec_col).alias("v"),
+            _nearest_centroid(F.col(vec_col), cents).alias("c"),
+        )
+        dim = len(cents[0])
+        agg = assigned.groupBy("c").agg(
+            *[F.avg(F.element_at("v", i + 1)).alias(f"d{i}") for i in range(dim)],
+        ).collect()
+        new = {r["c"]: [r[f"d{i}"] for i in range(dim)] for r in agg}
+        cents = [new.get(ci, cents[ci]) for ci in range(k)]  # keep empty clusters
+    return cents
+
+
+def _nearest_centroid(vec: Column, cents: list[list[float]]) -> Column:
+    """Index of the nearest centroid by squared euclidean — one expression,
+    JVM-side."""
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(w) for w in c]), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda s, v: s + v,
+        )
+        for c in cents
+    ])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into Voronoi
+    cells, probe only the query's ``n_probe`` nearest cells, exact cosine
+    rerank inside them. ``n_probe == n_clusters`` degenerates to EXACT
+    brute force (the oracle-checkable configuration). At 100 TB, write the
+    corpus partitioned by cell so a probe is a partition-pruned scan."""
+    cents = ivf_centroids(corpus, id_col, vec_col, n_clusters, iters)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    corpus = corpus.repartition(par, id_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _nearest_centroid(F.col(vec_col), cents).alias("cell"),
+    )
+    # per-query probe list: n_probe nearest centroids
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(F.col(vec_col), F.array(*[F.lit(w) for w in cc]),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda s, v: s + v,
+        )
+        for cc in cents
+    ])
+    order = F.array_sort(
+        F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.transform(F.slice(order, 1, n_probe), lambda s: s["i"].cast("int"))
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -19,7 +19,7 @@ from rs_graphdb_spark.functions.multimodal import (
     extract_features,
     frame_sample,
 )
-from rs_graphdb_spark.functions.similarity import knn_bruteforce, knn_lsh
+from rs_graphdb_spark.functions.similarity import knn_bruteforce, knn_ivf, knn_lsh
 
 
 @pytest.fixture(scope="module")
@@ -123,3 +123,33 @@ def test_frame_sample_fanout(docs):
         assert r["frame_byte"] == raw[r["media_id"]][r["frame_off"]]
     for mid, lst in by_doc.items():
         assert len(lst) == (len(raw[mid]) + 99) // 100
+
+
+def test_knn_ivf_full_probe_equals_bruteforce(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {(r["query_id"], r["neighbor_id"], r["rank"])
+             for r in knn_bruteforce(emb, q, "vec_id", "embedding", k=5).collect()}
+    full = {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in knn_ivf(emb, q, "vec_id", "embedding", k=5,
+                             n_clusters=4, n_probe=4).collect()}
+    assert full == exact
+
+
+def test_knn_ivf_partial_probe_subset(spark):
+    import random
+
+    rng = random.Random(12)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact_pairs = {(r["query_id"], r["neighbor_id"])
+                   for r in knn_bruteforce(emb, q, "vec_id", "embedding", k=60).collect()}
+    approx = knn_ivf(emb, q, "vec_id", "embedding", k=5,
+                     n_clusters=6, n_probe=2).collect()
+    assert len(approx) > 0
+    assert {(r["query_id"], r["neighbor_id"]) for r in approx} <= exact_pairs
