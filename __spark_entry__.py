@@ -1074,6 +1074,23 @@ def q78_knn_ivf(spark, sf_dir):
     ).select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
 
 
+def q79_window_analytics(spark, sf_dir):
+    """Window analytics beyond rank (superset — reference has NO window
+    functions, SURVEY §2.5): lag/lead + running sum + moving average with
+    explicit frames over per-customer order sequences."""
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 4
+        ).alias("running"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("mov_avg"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1158,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_cypher_with": q76_cypher_with,
         "q77_cypher_foreach": q77_cypher_foreach,
         "q78_knn_ivf": q78_knn_ivf,
+        "q79_window_analytics": q79_window_analytics,
     }
 
 
@@ -1811,6 +1829,20 @@ def oracle_sql() -> dict[str, str]:
                                  c.vec_id) AS INTEGER) AS rank
             FROM q JOIN e c ON c.vec_id <> q.vec_id
             QUALIFY rank <= 10
+        """,
+        "q79_window_analytics": """
+            SELECT o_orderkey, o_custkey,
+                   lag(o_totalprice) OVER w AS prev_price,
+                   lead(o_totalprice) OVER w AS next_price,
+                   round(sum(o_totalprice) OVER (
+                       w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       4) AS running,
+                   round(avg(o_totalprice) OVER (
+                       w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                       4) AS mov_avg
+            FROM orders WHERE o_custkey < 100
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
         """,
         "q76_cypher_with": """
             SELECT count(*) AS cnt
