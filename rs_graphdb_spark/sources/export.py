@@ -95,3 +95,37 @@ def export_dot(
             lines.append(f'  n{r["id"]} [label="{r[col]}"];')
     lines.append("}")
     return "\n".join(lines)
+
+
+def graph_view(
+    graph: PropertyGraph,
+    rel_types: list[str],
+    name_cols: dict[str, str] | None = None,
+    max_nodes: int = 10_000,
+) -> dict:
+    """Assemble a GraphView dict {nodes: [...], edges: [...]} for UI
+    consumption (reference `GraphView`/`VisNode`/`VisEdge`,
+    `/root/reference/src/visualization/mod.rs:27-180`). Driver-side,
+    size-guarded presentation output."""
+    name_cols = name_cols or {}
+    edges_out = []
+    node_ids: set[int] = set()
+    for rt in rel_types:
+        es = graph.edges[rt]
+        for r in es.df.select("src", "dst").limit(max_nodes).collect():
+            edges_out.append({"source": r["src"], "target": r["dst"], "type": rt})
+            node_ids.add(r["src"])
+            node_ids.add(r["dst"])
+    if len(node_ids) > max_nodes:
+        raise ValueError(f"subgraph exceeds {max_nodes} nodes; filter first")
+    nodes_out = []
+    for label, df in sorted(graph.nodes.items()):
+        col = name_cols.get(label)
+        rows = df.filter(F.col("id").isin(list(node_ids)))
+        sel = ["id"] + ([col] if col else [])
+        for r in rows.select(*sel).collect():
+            nodes_out.append({
+                "id": r["id"], "label": label,
+                "name": r[col] if col else str(r["id"]),
+            })
+    return {"nodes": nodes_out, "edges": edges_out}

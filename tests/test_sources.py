@@ -107,3 +107,50 @@ def test_hierarchical_layout_layers():
 def test_layout_size_guard():
     with pytest.raises(ValueError):
         circle_layout(list(range(100_000)))
+
+
+def test_graph_view_shape(g):
+    from rs_graphdb_spark.sources.export import graph_view
+
+    view = graph_view(g, ["IN_REGION"], name_cols={"Region": "r_name",
+                                                   "Nation": "n_name"})
+    assert len(view["edges"]) == g.edges["IN_REGION"].df.count()
+    ids = {n["id"] for n in view["nodes"]}
+    for e in view["edges"]:
+        assert e["source"] in ids and e["target"] in ids
+    assert all(n["name"] for n in view["nodes"])
+
+
+def test_query_cache_hit_ttl_invalidate(g):
+    from rs_graphdb_spark.plans.cache import QueryCache
+
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return g.nodes["Nation"]
+
+    cache = QueryCache(max_entries=4, ttl_seconds=60)
+    a = cache.get_or_compute("fp1", compute, tables=("nation",))
+    b = cache.get_or_compute("fp1", compute, tables=("nation",))
+    assert len(calls) == 1 and a is b
+    assert cache.stats()["hits"] == 1
+
+    # table invalidation evicts
+    assert cache.invalidate_table("nation") == 1
+    cache.get_or_compute("fp1", compute, tables=("nation",))
+    assert len(calls) == 2
+
+    # TTL expiry recomputes
+    cache2 = QueryCache(ttl_seconds=0.0)
+    cache2.get_or_compute("fp2", compute)
+    import time as _t
+    _t.sleep(0.01)
+    cache2.get_or_compute("fp2", compute)
+    assert cache2.stats()["misses"] == 2
+
+    # LRU size cap
+    cache3 = QueryCache(max_entries=2, ttl_seconds=60)
+    for i in range(4):
+        cache3.get_or_compute(f"k{i}", compute)
+    assert cache3.stats()["entries"] == 2
