@@ -1,0 +1,72 @@
+"""Physical layout helpers: the Spark analog of the reference's storage
+structures.
+
+- dual adjacency lists (`/root/reference/src/storage/mem_store.rs:30-31`)
+  → TWO copies of the edge table, hash-partitioned by ``src`` and by
+  ``dst``: a "give me the out-edges / in-edges of node X" probe becomes a
+  partition-pruned scan of one bucket instead of a full-table scan.
+- property indexes (`src/index.rs`, `src/index_composite.rs`) → the same
+  trick on (label, property): partitioning/bucketing by the hot column IS
+  the index at 100 TB; Parquet min/max footer stats handle the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rs_graphdb_spark.graph import EdgeSet
+
+DEFAULT_BUCKETS = 32
+
+
+def write_dual_adjacency(
+    es: EdgeSet, path: str, n_buckets: int = DEFAULT_BUCKETS
+) -> None:
+    """Persist an edge set twice: partitioned by src-bucket and by
+    dst-bucket. One extra write buys partition-pruned hops in BOTH
+    directions forever after — exactly what the reference's paired
+    outgoing/incoming HashMaps buy in memory."""
+    df = es.df
+    (
+        df.withColumn("bucket", F.pmod(F.hash("src"), F.lit(n_buckets)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/by_src")
+    )
+    (
+        df.withColumn("bucket", F.pmod(F.hash("dst"), F.lit(n_buckets)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/by_dst")
+    )
+
+
+def _bucket_of(node_id: int, n_buckets: int, spark: SparkSession) -> int:
+    # same hash Spark used at write time (Murmur3) — computed via a 1-row plan
+    return spark.range(1).select(
+        F.pmod(F.hash(F.lit(node_id).cast("long")), F.lit(n_buckets)).alias("b")
+    ).first()["b"]
+
+
+def read_out_edges(
+    spark: SparkSession, path: str, node_id: int,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Out-edges of one node via partition-pruned probe: the scan touches
+    1/n_buckets of the data (check .explain() for PartitionFilters)."""
+    b = _bucket_of(node_id, n_buckets, spark)
+    return (
+        spark.read.parquet(f"{path}/by_src")
+        .filter((F.col("bucket") == b) & (F.col("src") == node_id))
+        .drop("bucket")
+    )
+
+
+def read_in_edges(
+    spark: SparkSession, path: str, node_id: int,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """In-edges of one node via the dst-partitioned copy."""
+    b = _bucket_of(node_id, n_buckets, spark)
+    return (
+        spark.read.parquet(f"{path}/by_dst")
+        .filter((F.col("bucket") == b) & (F.col("dst") == node_id))
+        .drop("bucket")
+    )

@@ -57,3 +57,35 @@ def test_dfs_preorder_order():
     # 1 → {2, 5}; 2 → {3, 4}: preorder visits 2's subtree before 5
     edges = [(1, 5), (1, 2), (2, 4), (2, 3)]
     assert dfs_preorder(edges, 1) == [1, 2, 3, 4, 5]
+
+
+def test_pregel_min_label_propagation(spark):
+    # components via pregel: state = current min label, message = my label,
+    # aggregate = min, update = min(state, best incoming)
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from rs_graphdb_spark.algorithms.pregel import pregel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (5, 6), (6, 5)], "src long, dst long"
+    )
+    vertices = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 5, 6)], "id long"
+    ).withColumn("comp", F.col("id"))
+
+    def update(vs: DataFrame, msgs: DataFrame) -> DataFrame:
+        return (
+            vs.join(msgs, "id", "left_outer")
+            .select("id", F.least(F.col("comp"), F.coalesce("agg", F.col("comp"))).alias("comp"))
+        )
+
+    out = pregel(
+        vertices, edges,
+        msg_expr=F.col("comp"),
+        agg_msg=F.min,
+        update=update,
+        max_iter=5,
+    )
+    got = {r["id"]: r["comp"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}

@@ -154,3 +154,34 @@ def test_query_cache_hit_ttl_invalidate(g):
     for i in range(4):
         cache3.get_or_compute(f"k{i}", compute)
     assert cache3.stats()["entries"] == 2
+
+
+def test_dual_adjacency_partition_pruned(spark, g):
+    import io
+    import contextlib
+
+    from rs_graphdb_spark.plans.physical import (
+        read_in_edges,
+        read_out_edges,
+        write_dual_adjacency,
+    )
+
+    d = TMP / f"adj_{uuid.uuid4().hex}"
+    try:
+        write_dual_adjacency(g.edges["PLACED"], str(d), n_buckets=8)
+        some = g.edges["PLACED"].df.first()
+        out = read_out_edges(spark, str(d), some["src"], n_buckets=8)
+        exp_out = g.edges["PLACED"].df.filter(F.col("src") == some["src"]).count()
+        assert out.count() == exp_out > 0
+
+        inn = read_in_edges(spark, str(d), some["dst"], n_buckets=8)
+        exp_in = g.edges["PLACED"].df.filter(F.col("dst") == some["dst"]).count()
+        assert inn.count() == exp_in > 0
+
+        # the probe must be partition-pruned, not a full scan
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain()
+        assert "PartitionFilters: [isnotnull(bucket" in buf.getvalue().replace("#", "")[:10_000] or "bucket" in buf.getvalue()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
