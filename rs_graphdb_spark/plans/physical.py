@@ -70,3 +70,28 @@ def read_in_edges(
         .filter((F.col("bucket") == b) & (F.col("dst") == node_id))
         .drop("bucket")
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side's key, replicate the
+    small side across all salt values, join on (key, salt).
+
+    The standard remedy when one hot key (a viral node, a stop-word term)
+    would pin an entire shuffle partition on one executor — SURVEY.md
+    "optimize for scale" checklist. AQE's skew-join splitting handles most
+    cases adaptively; explicit salting is for joins AQE can't split
+    (e.g. when the skewed side feeds an aggregation on the same key).
+
+    ``small`` is replicated n_salts× — keep it the dimension side.
+    """
+    salted_big = big.withColumn("__salt", F.pmod(F.hash(F.rand(seed=7) * 1e6), F.lit(n_salts)))
+    salts = big.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+    salted_small = small.crossJoin(F.broadcast(salts))
+    out = salted_big.join(salted_small, [key, "__salt"], how)
+    return out.drop("__salt")

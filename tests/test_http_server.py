@@ -1,0 +1,86 @@
+"""HTTP serving layer: in-process round-trips against the reference's
+route contract (`tests/server_api_test.rs` analog)."""
+
+import json
+import urllib.request
+
+import pytest
+
+from rs_graphdb_spark.loaders import load_tpch_graph
+from rs_graphdb_spark.sources.http_server import GraphHTTPServer
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    g = load_tpch_graph(spark, SF)
+    s = GraphHTTPServer(g).start()
+    yield s
+    s.stop()
+
+
+def _post(server, path, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_query_route(server):
+    status, out = _post(server, "/query", {
+        "label": "Nation", "property": "n_nationkey", "value": 3,
+    })
+    assert status == 200
+    assert len(out["rows"]) == 1 and out["rows"][0]["n_nationkey"] == 3
+
+
+def test_cypher_route_read(server):
+    status, out = _post(server, "/cypher", {
+        "query": "MATCH (n:Nation) WHERE n.n_regionkey = 1 "
+                 "RETURN n.n_name AS name ORDER BY name",
+    })
+    assert status == 200 and len(out["rows"]) > 0
+    names = [r["name"] for r in out["rows"]]
+    assert names == sorted(names)
+
+
+def test_cypher_route_dml_mutates_served_graph(server):
+    status, out = _post(server, "/cypher", {
+        "query": "CREATE (n:Nation {n_name: 'SERVERLAND', n_regionkey: 0})",
+    })
+    assert status == 200 and out == {"ok": True}
+    _, out2 = _post(server, "/query", {
+        "label": "Nation", "property": "n_name", "value": "SERVERLAND",
+    })
+    assert len(out2["rows"]) == 1
+
+
+def test_search_route(server):
+    status, out = _post(server, "/search", {
+        "q": "machinery", "labels": ["Customer"],
+    })
+    assert status == 200 and len(out["rows"]) > 0
+    assert all(r["label"] == "Customer" for r in out["rows"])
+
+
+def test_bad_request_is_400_not_crash(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/query", {"property": "x"})  # missing label
+    assert e.value.code == 400
+    # server still alive
+    status, _ = _post(server, "/query", {"label": "Region"})
+    assert status == 200
+
+
+def test_unknown_route_404(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/nope", {})
+    assert e.value.code == 404

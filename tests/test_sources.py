@@ -185,3 +185,18 @@ def test_dual_adjacency_partition_pruned(spark, g):
         assert "PartitionFilters: [isnotnull(bucket" in buf.getvalue().replace("#", "")[:10_000] or "bucket" in buf.getvalue()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from rs_graphdb_spark.plans.physical import salted_join
+
+    # skewed big side: 90% of rows share key 1
+    big = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(1000)], "k int, v long"
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "none")],
+                                  "k int, name string")
+    plain = big.join(small, "k").groupBy("name").count().collect()
+    salted = salted_join(big, small, "k").groupBy("name").count().collect()
+    assert {(r["name"], r["count"]) for r in salted} == \
+           {(r["name"], r["count"]) for r in plain}
