@@ -676,7 +676,10 @@ def q53_multimodal_features(spark, sf_dir):
     stub)."""
     from rs_graphdb_spark.functions.multimodal import documents_as_media, extract_features
 
-    media = documents_as_media(_read(spark, sf_dir, "documents"))
+    # single-file parquet = 1 partition; fan out so the Arrow/Python stage
+    # runs on all cores (at cluster scale the source is already split).
+    par = spark.sparkContext.defaultParallelism
+    media = documents_as_media(_read(spark, sf_dir, "documents").repartition(par))
     return extract_features(media).select(
         "media_id", "n_bytes", "width", "height", "checksum"
     )
@@ -686,7 +689,8 @@ def q54_frame_sample(spark, sf_dir):
     """Frame-sampling fan-out (1→N rows per payload) through mapInPandas."""
     from rs_graphdb_spark.functions.multimodal import documents_as_media, frame_sample
 
-    media = documents_as_media(_read(spark, sf_dir, "documents"))
+    par = spark.sparkContext.defaultParallelism
+    media = documents_as_media(_read(spark, sf_dir, "documents").repartition(par))
     return frame_sample(media, every_n_bytes=256)
 
 

@@ -52,7 +52,22 @@ def main() -> None:
     # warm the graph projection (lazy plans, one-time parquet footer reads)
     entry_mod._graph(spark, sf_dir)
 
+    # warm the Python worker pool (daemon fork + pandas/pyarrow import):
+    # one-time process cost, amortized away on a long-lived cluster, that
+    # would otherwise be charged to the first Pandas-UDF query.
+    spark.range(spark.sparkContext.defaultParallelism * 4).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
+
+    # Criterion-style warmup (the reference's harness warms 3s per bench
+    # before sampling): run each query once to JIT the generated code,
+    # then record the steady-state pass. Expression-heavy plans (128-hash
+    # minhash signatures) otherwise charge one-time JVM JIT to the query.
     times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
     for name in HEADLINE:
         if name not in qs:
             continue
