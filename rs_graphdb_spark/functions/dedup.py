@@ -219,9 +219,12 @@ def ngram_jaccard_pairs(
     pre-filtered by document frequency (stop-shingle removal) before the
     join; here corpus shingles are synthetic and near-unique."""
     par = df.sparkSession.sparkContext.defaultParallelism
+    # materialize the exploded shingles ONCE — both sides of the self-join
+    # (and the size agg) reuse them; inlining would run the tokenize/
+    # sequence/slice expression three times over the corpus.
     sh = df.repartition(par, id_col).select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("s")
-    )
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("x")
