@@ -443,8 +443,8 @@ def q34_clustering_coefficient(spark, sf_dir):
 
 def q35_pagerank(spark, sf_dir):
     """PageRank, pull-based with final normalization
-    (`src/algorithms/pagerank.rs:9-65`). Top-20; no SQL oracle
-    (iterative — driver records rows-only)."""
+    (`src/algorithms/pagerank.rs:9-65`). Top-20; oracle = the 10
+    supersteps unrolled as chained CTEs (`_pagerank_sql`)."""
     from rs_graphdb_spark.algorithms.graph_algos import pagerank
 
     g = _graph(spark, sf_dir)
@@ -1183,6 +1183,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _pagerank_sql(knows: str, damping: float, iterations: int) -> str:
+    """Unrolled fixed-iteration PageRank oracle: r0 = 1/n, r{{i+1}} =
+    (1-d)/n + d * Σ_in(rank/out_deg), final sum-normalization — one CTE
+    per superstep, exactly mirroring `algorithms/graph_algos.pagerank`."""
+    d = damping
+    ctes = [
+        f"k AS ({knows})",
+        "n AS (SELECT 3298534883328 + c_custkey AS id FROM customer)",
+        "e AS (SELECT 3298534883328 + src_key AS src,"
+        " 3298534883328 + dst_key AS dst FROM k)",
+        "c AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM n)",
+        "od AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+        "r0 AS (SELECT id, 1.0 / (SELECT cnt FROM c) AS rank FROM n)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"r{i} AS (SELECT n.id,"
+            f" (1 - {d}) / (SELECT cnt FROM c)"
+            f" + {d} * coalesce(m.s, 0) AS rank"
+            f" FROM n LEFT JOIN ("
+            f"SELECT e.dst AS id, sum(r.rank / od.d) AS s"
+            f" FROM r{i - 1} r JOIN e ON e.src = r.id"
+            f" JOIN od ON od.src = r.id GROUP BY e.dst) m USING (id))"
+        )
+    last = f"r{iterations}"
+    ctes.append(f"t AS (SELECT sum(rank) AS tot FROM {last})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT id, round(rank / (SELECT tot FROM t), 8) AS rank"
+        f" FROM {last}"
+        f" ORDER BY round(rank / (SELECT tot FROM t), 8) DESC, id LIMIT 20"
+    )
+
+
+def _lpa_sql(knows: str, iterations: int) -> str:
+    """Unrolled synchronous label propagation oracle (deterministic
+    tie-break: count desc, label asc), mirroring
+    `algorithms/graph_algos.label_propagation` superstep for superstep."""
+    ctes = [
+        f"k AS ({knows})",
+        "n AS (SELECT 3298534883328 + c_custkey AS id FROM customer)",
+        "e0 AS (SELECT 3298534883328 + src_key AS src,"
+        " 3298534883328 + dst_key AS dst FROM k)",
+        "und AS (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"
+        " WHERE src <> dst)",
+        "l0 AS (SELECT id, id AS community FROM n)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"v{i} AS (SELECT u.dst AS id, l.community, count(*) AS cnt"
+            f" FROM l{i - 1} l JOIN und u ON u.src = l.id"
+            f" GROUP BY u.dst, l.community)"
+        )
+        ctes.append(
+            f"b{i} AS (SELECT id, community AS new_community FROM ("
+            f"SELECT id, community, row_number() OVER ("
+            f"PARTITION BY id ORDER BY cnt DESC, community ASC) AS rn"
+            f" FROM v{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT l.id,"
+            f" coalesce(b.new_community, l.community) AS community"
+            f" FROM l{i - 1} l LEFT JOIN b{i} b USING (id))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT community, count(*) AS sz FROM l{iterations}"
+        " GROUP BY community"
+    )
+
+
+def _kcore_sql(knows: str, k: int, rounds: int) -> str:
+    """Unrolled k-core peeling oracle. Peeling is idempotent once at
+    fixpoint, so unrolling MORE rounds than needed is safe; the derived
+    KNOWS graph (chains with +1/+2 skip edges) reaches its 2-core fixpoint
+    in <=3 rounds — 10 is generous margin at any tested sf."""
+    ctes = [
+        f"kn AS ({knows})",
+        "n AS (SELECT 3298534883328 + c_custkey AS id FROM customer)",
+        "e0 AS (SELECT 3298534883328 + src_key AS src,"
+        " 3298534883328 + dst_key AS dst FROM kn)",
+        "und AS (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"
+        " WHERE src <> dst)",
+        "a0 AS (SELECT id FROM n)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"a{i} AS (SELECT u.src AS id FROM und u"
+            f" JOIN a{i - 1} x ON x.id = u.src"
+            f" JOIN a{i - 1} y ON y.id = u.dst"
+            f" GROUP BY u.src HAVING count(*) >= {k})"
+        )
+    return "WITH " + ",\n".join(ctes) + f" SELECT id FROM a{rounds}"
+
+
 def oracle_sql() -> dict[str, str]:
     KNOWS = """
         SELECT a.c_custkey AS src_key, b.c_custkey AS dst_key
@@ -1403,6 +1500,9 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "q35_pagerank": _pagerank_sql(KNOWS, damping=0.85, iterations=10),
+        "q37_label_propagation": _lpa_sql(KNOWS, iterations=5),
+        "q36_kcore": _kcore_sql(KNOWS, k=2, rounds=10),
         "q31_degree_centrality": f"""
             WITH k AS ({KNOWS}),
             o AS (SELECT src_key, count(*) AS cnt FROM k GROUP BY src_key),
