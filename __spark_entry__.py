@@ -1186,20 +1186,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _pagerank_sql(knows: str, damping: float, iterations: int) -> str:
     """Unrolled fixed-iteration PageRank oracle: r0 = 1/n, r{{i+1}} =
     (1-d)/n + d * Σ_in(rank/out_deg), final sum-normalization — one CTE
-    per superstep, exactly mirroring `algorithms/graph_algos.pagerank`."""
+    per superstep, exactly mirroring `algorithms/graph_algos.pagerank`.
+    Iteration CTEs are MATERIALIZED: DuckDB inlines CTEs by default, and
+    a chain where step i references step i-1 more than once re-expands
+    exponentially (2^iterations) without it."""
     d = damping
     ctes = [
-        f"k AS ({knows})",
-        "n AS (SELECT 3298534883328 + c_custkey AS id FROM customer)",
-        "e AS (SELECT 3298534883328 + src_key AS src,"
+        f"k AS MATERIALIZED ({knows})",
+        "n AS MATERIALIZED (SELECT 3298534883328 + c_custkey AS id FROM customer)",
+        "e AS MATERIALIZED (SELECT 3298534883328 + src_key AS src,"
         " 3298534883328 + dst_key AS dst FROM k)",
-        "c AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM n)",
-        "od AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src)",
-        "r0 AS (SELECT id, 1.0 / (SELECT cnt FROM c) AS rank FROM n)",
+        "c AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM n)",
+        "od AS MATERIALIZED"
+        " (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT cnt FROM c) AS rank FROM n)",
     ]
     for i in range(1, iterations + 1):
         ctes.append(
-            f"r{i} AS (SELECT n.id,"
+            f"r{i} AS MATERIALIZED (SELECT n.id,"
             f" (1 - {d}) / (SELECT cnt FROM c)"
             f" + {d} * coalesce(m.s, 0) AS rank"
             f" FROM n LEFT JOIN ("
@@ -1220,31 +1224,34 @@ def _pagerank_sql(knows: str, damping: float, iterations: int) -> str:
 def _lpa_sql(knows: str, iterations: int) -> str:
     """Unrolled synchronous label propagation oracle (deterministic
     tie-break: count desc, label asc), mirroring
-    `algorithms/graph_algos.label_propagation` superstep for superstep."""
+    `algorithms/graph_algos.label_propagation` superstep for superstep.
+    MATERIALIZED prevents DuckDB's default CTE inlining from re-expanding
+    the l{{i-1}} chain exponentially (it is referenced twice per round)."""
     ctes = [
-        f"k AS ({knows})",
-        "n AS (SELECT 3298534883328 + c_custkey AS id FROM customer)",
-        "e0 AS (SELECT 3298534883328 + src_key AS src,"
+        f"k AS MATERIALIZED ({knows})",
+        "n AS MATERIALIZED (SELECT 3298534883328 + c_custkey AS id FROM customer)",
+        "e0 AS MATERIALIZED (SELECT 3298534883328 + src_key AS src,"
         " 3298534883328 + dst_key AS dst FROM k)",
-        "und AS (SELECT DISTINCT src, dst FROM"
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
         " (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"
         " WHERE src <> dst)",
-        "l0 AS (SELECT id, id AS community FROM n)",
+        "l0 AS MATERIALIZED (SELECT id, id AS community FROM n)",
     ]
     for i in range(1, iterations + 1):
         ctes.append(
-            f"v{i} AS (SELECT u.dst AS id, l.community, count(*) AS cnt"
+            f"v{i} AS MATERIALIZED"
+            f" (SELECT u.dst AS id, l.community, count(*) AS cnt"
             f" FROM l{i - 1} l JOIN und u ON u.src = l.id"
             f" GROUP BY u.dst, l.community)"
         )
         ctes.append(
-            f"b{i} AS (SELECT id, community AS new_community FROM ("
+            f"b{i} AS MATERIALIZED (SELECT id, community AS new_community FROM ("
             f"SELECT id, community, row_number() OVER ("
             f"PARTITION BY id ORDER BY cnt DESC, community ASC) AS rn"
             f" FROM v{i}) WHERE rn = 1)"
         )
         ctes.append(
-            f"l{i} AS (SELECT l.id,"
+            f"l{i} AS MATERIALIZED (SELECT l.id,"
             f" coalesce(b.new_community, l.community) AS community"
             f" FROM l{i - 1} l LEFT JOIN b{i} b USING (id))"
         )
@@ -1259,20 +1266,23 @@ def _kcore_sql(knows: str, k: int, rounds: int) -> str:
     """Unrolled k-core peeling oracle. Peeling is idempotent once at
     fixpoint, so unrolling MORE rounds than needed is safe; the derived
     KNOWS graph (chains with +1/+2 skip edges) reaches its 2-core fixpoint
-    in <=3 rounds — 10 is generous margin at any tested sf."""
+    in <=3 rounds — 10 is generous margin at any tested sf.
+    MATERIALIZED is load-bearing: a{{i}} references a{{i-1}} twice, so
+    DuckDB's default CTE inlining re-expands the chain 2^rounds times
+    (measured 169s -> sub-second at sf0.01)."""
     ctes = [
-        f"kn AS ({knows})",
-        "n AS (SELECT 3298534883328 + c_custkey AS id FROM customer)",
-        "e0 AS (SELECT 3298534883328 + src_key AS src,"
+        f"kn AS MATERIALIZED ({knows})",
+        "n AS MATERIALIZED (SELECT 3298534883328 + c_custkey AS id FROM customer)",
+        "e0 AS MATERIALIZED (SELECT 3298534883328 + src_key AS src,"
         " 3298534883328 + dst_key AS dst FROM kn)",
-        "und AS (SELECT DISTINCT src, dst FROM"
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
         " (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"
         " WHERE src <> dst)",
-        "a0 AS (SELECT id FROM n)",
+        "a0 AS MATERIALIZED (SELECT id FROM n)",
     ]
     for i in range(1, rounds + 1):
         ctes.append(
-            f"a{i} AS (SELECT u.src AS id FROM und u"
+            f"a{i} AS MATERIALIZED (SELECT u.src AS id FROM und u"
             f" JOIN a{i - 1} x ON x.id = u.src"
             f" JOIN a{i - 1} y ON y.id = u.dst"
             f" GROUP BY u.src HAVING count(*) >= {k})"
