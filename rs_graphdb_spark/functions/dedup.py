@@ -164,6 +164,21 @@ def exact_jaccard(pairs: DataFrame, sets_df: DataFrame, id_col: str, set_col: st
     )
 
 
+def _materialize_result(result: DataFrame, *release: DataFrame) -> DataFrame:
+    """Eagerly materialize a (small) final pair set, then drop references
+    to the big intermediates so their persist/checkpoint blocks can be
+    reclaimed immediately instead of living as long as the caller keeps
+    the lazy result. In a long-lived session (or a bench loop) the leaked
+    blocks otherwise accumulate per call and turn into GC/eviction churn."""
+    out = result.localCheckpoint(eager=True)
+    for frame in release:
+        try:
+            frame.unpersist()
+        except Exception:
+            pass
+    return out
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -202,7 +217,7 @@ def minhash_dedup_pairs(
     ).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, "doc_id", "sig")
     verified = exact_jaccard(cands, base.select("doc_id", "sets"), "doc_id", "sets")
-    return verified.filter(F.col("jaccard") >= threshold)
+    return _materialize_result(verified.filter(F.col("jaccard") >= threshold), base)
 
 
 def ngram_jaccard_pairs(
@@ -234,7 +249,7 @@ def ngram_jaccard_pairs(
     )
     na = sizes.select(F.col("doc").alias("a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc").alias("b"), F.col("n").alias("nb"))
-    return (
+    return _materialize_result(
         inter.join(na, "a").join(nb, "b")
         .select("a", "b", (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -304,7 +319,7 @@ def simhash_near_dup_pairs(
         )
         .dropDuplicates(["a", "b"])
     )
-    return cands.filter(F.col("hamming") <= max_hamming)
+    return _materialize_result(cands.filter(F.col("hamming") <= max_hamming))
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
