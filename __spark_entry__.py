@@ -1095,6 +1095,51 @@ def q79_window_analytics(spark, sf_dir):
     )
 
 
+def q80_sessionize(spark, sf_dir):
+    """Gap-based sessionization (gaps-and-islands; superset — reference
+    has no temporal operators): 6h-gap sessions per user over the event
+    log, one shuffle on user_id. Timestamps are truncated to microseconds
+    (`ts div 1000`) because DuckDB reads the TIMESTAMP(NANOS) parquet as
+    a us-precision TIMESTAMP — `epoch_us(ts)` is the exact twin."""
+    from rs_graphdb_spark.operators.temporal import sessionize
+
+    GAP_US = 6 * 3600 * 1_000_000
+    ev = _read(spark, sf_dir, "events").withColumn("t_us", F.expr("ts div 1000"))
+    sess = sessionize(ev, "user_id", "t_us", GAP_US, order_cols=["event_id"])
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("t_us").alias("start_us"),
+        F.max("t_us").alias("end_us"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q81_asof_join(spark, sf_dir):
+    """As-of (point-in-time) join, union-merge formulation (superset —
+    reference has no joins beyond traversal): each purchase event is
+    attributed to the user's latest click at-or-before it; one shuffle
+    on user_id, no range-join blowup."""
+    from rs_graphdb_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events").withColumn("t_us", F.expr("ts div 1000"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t_us", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases, clicks,
+        key_cols=["user_id"], left_ts="t_us", right_ts="t_us",
+        value_cols=["event_id"], direction="backward", suffix="_click",
+    )
+    return joined.filter(F.col("event_id_click").isNotNull()).select(
+        "event_id", "user_id",
+        F.col("t_us").alias("purchase_us"),
+        F.col("t_us_click").alias("click_us"),
+        F.col("event_id_click").alias("click_event_id"),
+        F.expr("(t_us - t_us_click) div 1000000").alias("lag_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1180,6 +1225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_cypher_foreach": q77_cypher_foreach,
         "q78_knn_ivf": q78_knn_ivf,
         "q79_window_analytics": q79_window_analytics,
+        "q80_sessionize": q80_sessionize,
+        "q81_asof_join": q81_asof_join,
     }
 
 
@@ -1957,6 +2004,52 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_custkey < 100
             WINDOW w AS (PARTITION BY o_custkey
                          ORDER BY o_orderdate, o_orderkey)
+        """,
+        "q80_sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events
+            ),
+            s AS (
+                SELECT user_id, event_id, t, value,
+                       CASE WHEN lag(t) OVER w IS NULL
+                                 OR t - lag(t) OVER w > 21600000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+            ),
+            x AS (
+                SELECT user_id, t, value,
+                       CAST(sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY t, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS session_id
+                FROM s
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(t) AS start_us, max(t) AS end_us,
+                   round(sum(value), 4) AS sum_value
+            FROM x GROUP BY 1, 2
+        """,
+        "q81_asof_join": """
+            WITH u AS (
+                SELECT user_id, epoch_us(ts) AS t, 1 AS side, event_id,
+                       CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS BIGINT) AS c_t
+                FROM events WHERE event_type = 'purchase'
+                UNION ALL
+                SELECT user_id, epoch_us(ts), 0, NULL, event_id, epoch_us(ts)
+                FROM events WHERE event_type = 'click'
+            ),
+            f AS (
+                SELECT user_id, t, side, event_id,
+                       last_value(c_id IGNORE NULLS) OVER w AS click_event_id,
+                       last_value(c_t IGNORE NULLS) OVER w AS click_us
+                FROM u
+                WINDOW w AS (PARTITION BY user_id ORDER BY t, side
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, user_id, t AS purchase_us, click_us,
+                   click_event_id, (t - click_us) // 1000000 AS lag_s
+            FROM f WHERE side = 1 AND click_event_id IS NOT NULL
         """,
         "q76_cypher_with": """
             SELECT count(*) AS cnt

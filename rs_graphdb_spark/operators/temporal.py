@@ -1,0 +1,139 @@
+"""Temporal operators: sessionization and as-of (point-in-time) join.
+
+The reference has no temporal operators at all (its `events`-style
+workloads would run through plain queries); these are first-class
+training-pipeline/event-analytics additions (driver queries q80, q81).
+
+Scale design
+------------
+Both operators cost exactly ONE hash shuffle on the entity key and then
+work partition-locally inside a window sort — no driver loop, no
+range-join blowup:
+
+* ``sessionize`` is the classic gaps-and-islands rewrite: lag() to mark
+  session starts, running sum to number them. All per-key, so a 100 TB
+  event log distributes by ``key_col`` and each task streams its users'
+  sorted events once.
+* ``asof_join`` uses the union-merge formulation instead of the naive
+  ``left.ts >= right.ts`` range join (which is O(|L|·|R|) per key and
+  explodes on hot keys): tag both inputs, union them, and carry the most
+  recent right-side values forward with ``last(..., ignorenulls=True)``
+  over an ordered window. One shuffle, one sort, linear in |L|+|R|.
+
+Hot keys (bot users) skew the window sort; at real scale pre-filter the
+top-k pathological keys or split sessions by a coarse time bucket first
+(bucket boundaries only ever split a session, never merge, so a second
+pass over bucket-edge sessions repairs exactness if needed).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["sessionize", "asof_join"]
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: int,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Assign gap-based session ids per key (gaps-and-islands).
+
+    ``ts_col`` must be a numeric (epoch-like) column; ``gap`` is in the
+    same unit. A new session starts at the first event of a key and at
+    every event strictly more than ``gap`` after its predecessor.
+
+    Returns the input plus ``session_id`` (1-based, dense per key).
+    """
+    order = [F.col(ts_col).asc(), *(F.col(c).asc() for c in order_cols)]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col(ts_col) - prev) > F.lit(gap)), 1
+    ).otherwise(0)
+    run = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("session_id", F.sum(is_new).over(run))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    direction: str = "backward",
+    strict: bool = False,
+    tolerance: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Point-in-time join: for each left row, attach ``value_cols`` from
+    the single right row with the greatest ``right_ts`` <= ``left_ts``
+    (``backward``) or smallest ``right_ts`` >= ``left_ts`` (``forward``)
+    within the same ``key_cols`` group. Left rows with no match keep
+    NULLs (left-outer semantics; filter afterwards for inner).
+
+    ``strict=True`` excludes equal timestamps. ``tolerance`` (same unit
+    as the ts columns) bounds the allowed gap. Ties on ``right_ts``
+    within a key resolve to the row latest in ``(right_ts, *value_cols)``
+    order — pass a unique id in ``value_cols`` for determinism.
+
+    Right-side columns come back as ``{name}{suffix}`` plus
+    ``{right_ts}{suffix}``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = list(key_cols)
+    rts = f"{right_ts}{suffix}"
+    out_vals = [f"_av{i}" for i in range(len(value_cols))]
+
+    l_tagged = left.withColumn("_t", F.col(left_ts)).withColumn("_side", F.lit(1))
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias(rts),
+        *[F.col(c).alias(o) for c, o in zip(value_cols, out_vals)],
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    # Order so that eligible right rows precede each left row: ascending
+    # ts for backward, descending for forward. At equal ts the right row
+    # is eligible iff not strict — flip the side sort to include/exclude.
+    ts_key = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    side_key = F.col("_side").asc() if not strict else F.col("_side").desc()
+    tie = [F.col(c).asc() if direction == "backward" else F.col(c).desc()
+           for c in out_vals]
+    w = Window.partitionBy(*keys).orderBy(ts_key, side_key, *tie).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    filled = unioned.select(
+        "*",
+        F.last(F.col(rts), ignorenulls=True).over(w).alias("_m_ts"),
+        *[F.last(F.col(o), ignorenulls=True).over(w).alias(f"_m_{o}")
+          for o in out_vals],
+    )
+    result = filled.filter(F.col("_side") == 1)
+
+    matched: Column = F.col("_m_ts").isNotNull()
+    if tolerance is not None:
+        gap = (F.col("_t") - F.col("_m_ts")) if direction == "backward" else (
+            F.col("_m_ts") - F.col("_t"))
+        matched = matched & (gap <= F.lit(tolerance))
+    keep_left = [c for c in left.columns]
+    return result.select(
+        *keep_left,
+        F.when(matched, F.col("_m_ts")).alias(rts),
+        *[
+            F.when(matched, F.col(f"_m_{o}")).alias(f"{c}{suffix}")
+            for c, o in zip(value_cols, out_vals)
+        ],
+    )

@@ -1,0 +1,82 @@
+"""Temporal operators: sessionize + asof_join micro-graph tests
+(reference-style exact asserts; the reference itself has no temporal
+operators — these are the §2.5-style superset surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user long, ts long, eid long")
+
+
+def test_sessionize_islands(spark):
+    from rs_graphdb_spark.operators.temporal import sessionize
+
+    # user 1: events at 0, 50, 200 with gap 100 -> sessions [0,50], [200]
+    # user 2: single event -> one session
+    df = _events(spark, [(1, 0, 1), (1, 50, 2), (1, 200, 3), (2, 10, 4)])
+    out = sessionize(df, "user", "ts", gap=100, order_cols=["eid"])
+    got = {(r.user, r.eid): r.session_id for r in out.collect()}
+    assert got == {(1, 1): 1, (1, 2): 1, (1, 3): 2, (2, 4): 1}
+
+
+def test_sessionize_gap_boundary_inclusive(spark):
+    from rs_graphdb_spark.operators.temporal import sessionize
+
+    # gap is strict ">": an exactly-gap-sized silence does NOT split
+    df = _events(spark, [(1, 0, 1), (1, 100, 2), (1, 201, 3)])
+    out = sessionize(df, "user", "ts", gap=100)
+    got = {r.eid: r.session_id for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2}
+
+
+def _asof(spark, **kw):
+    from rs_graphdb_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 5, 102)], "k long, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 200), (1, 15, 201), (2, 50, 202)], "k long, ts long, rid long"
+    )
+    return asof_join(
+        left, right, key_cols=["k"], left_ts="ts", right_ts="ts",
+        value_cols=["rid"], **kw,
+    )
+
+
+def test_asof_backward(spark):
+    out = _asof(spark, direction="backward")
+    got = {r.lid: (r.rid_right, r.ts_right) for r in out.collect()}
+    # lid 100 at ts=10 matches rid 200 at ts=10 (<= inclusive);
+    # lid 101 at ts=20 matches rid 201 at ts=15; lid 102 has no prior right
+    assert got == {100: (200, 10), 101: (201, 15), 102: (None, None)}
+
+
+def test_asof_backward_strict(spark):
+    out = _asof(spark, direction="backward", strict=True)
+    got = {r.lid: r.rid_right for r in out.collect()}
+    assert got == {100: None, 101: 201, 102: None}
+
+
+def test_asof_forward(spark):
+    out = _asof(spark, direction="forward")
+    got = {r.lid: r.rid_right for r in out.collect()}
+    # lid 100 at ts=10 -> first right at ts>=10 is rid 200 (equal);
+    # lid 101 at ts=20 -> none after; lid 102 at ts=5 -> rid 202 at ts=50
+    assert got == {100: 200, 101: None, 102: 202}
+
+
+def test_asof_tolerance(spark):
+    out = _asof(spark, direction="backward", tolerance=3)
+    got = {r.lid: r.rid_right for r in out.collect()}
+    # lid 101's match at ts=15 is 5 ticks back -> outside tolerance 3
+    assert got == {100: 200, 101: None, 102: None}
+
+
+def test_asof_keeps_left_multiplicity_and_columns(spark):
+    out = _asof(spark, direction="backward")
+    assert out.count() == 3
+    assert set(out.columns) == {"k", "ts", "lid", "ts_right", "rid_right"}
