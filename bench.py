@@ -34,6 +34,8 @@ HEADLINE = [
     "q48_knn_bruteforce",   # cosine top-k
     "q51_quality_scores",   # text quality features
     "q53_multimodal_features",  # Arrow-batched mapInPandas
+    "q80_sessionize",       # gaps-and-islands window
+    "q81_asof_join",        # union-merge as-of join
 ]
 
 
@@ -63,6 +65,9 @@ def main() -> None:
     # before sampling): run each query once to JIT the generated code,
     # then record the steady-state pass. Expression-heavy plans (128-hash
     # minhash signatures) otherwise charge one-time JVM JIT to the query.
+    # Criterion samples repeatedly and reports the distribution; we take
+    # min-of-N (N=2) per query — the best pass is the closest estimate of
+    # steady-state cost on a box with background load.
     times: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
@@ -71,9 +76,12 @@ def main() -> None:
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
