@@ -110,3 +110,86 @@ def test_astar_cost_is_optimal_vs_dijkstra(edges, data):
 def test_hierarchical_layout_total_and_edge_monotone(edges, ids):
     pos = hierarchical_layout(ids, [(s, d) for s, d in edges if s in ids and d in ids])
     assert set(pos) == set(ids)
+
+
+# --- temporal operators vs brute-force references (Spark-side; few
+# examples, tiny frames — each example is a real window job) ---
+
+_asof_case = st.tuples(
+    st.lists(  # left rows: (key, ts)
+        st.tuples(st.integers(1, 3), st.integers(0, 12)),
+        min_size=1, max_size=8,
+    ),
+    st.lists(  # right rows: (key, ts)
+        st.tuples(st.integers(1, 3), st.integers(0, 12)),
+        min_size=0, max_size=8,
+    ),
+    st.sampled_from(["backward", "forward"]),
+    st.booleans(),                       # strict
+    st.sampled_from([None, 0, 3]),       # tolerance
+)
+
+
+@given(_asof_case)
+@settings(max_examples=12, deadline=None)
+def test_asof_join_matches_bruteforce(spark, case):
+    from rs_graphdb_spark.operators.temporal import asof_join
+
+    lrows, rrows, direction, strict, tol = case
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], "k long, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, 100 + i) for i, (k, t) in enumerate(rrows)],
+        "k long, ts long, rid long",
+    ) if rrows else spark.createDataFrame([], "k long, ts long, rid long")
+    out = asof_join(
+        left, right, key_cols=["k"], left_ts="ts", right_ts="ts",
+        value_cols=["rid"], direction=direction, strict=strict, tolerance=tol,
+    )
+    got = {r.lid: (r.ts_right, r.rid_right) for r in out.collect()}
+
+    def brute(k, t):
+        if direction == "backward":
+            ok = lambda rt: (rt < t) if strict else (rt <= t)
+            intol = lambda rt: tol is None or t - rt <= tol
+            pick = max
+        else:
+            ok = lambda rt: (rt > t) if strict else (rt >= t)
+            intol = lambda rt: tol is None or rt - t <= tol
+            pick = min
+        cands = [(rt, 100 + i) for i, (rk, rt) in enumerate(rrows)
+                 if rk == k and ok(rt) and intol(rt)]
+        return pick(cands) if cands else (None, None)
+
+    want = {i: brute(k, t) for i, (k, t) in enumerate(lrows)}
+    assert got == want
+
+
+@given(
+    st.lists(  # (user, ts); duplicates allowed — eid breaks ties
+        st.tuples(st.integers(1, 2), st.integers(0, 40)),
+        min_size=1, max_size=14,
+    ),
+    st.integers(1, 10),
+)
+@settings(max_examples=12, deadline=None)
+def test_sessionize_matches_bruteforce(spark, rows, gap):
+    from rs_graphdb_spark.operators.temporal import sessionize
+
+    df = spark.createDataFrame(
+        [(u, t, i) for i, (u, t) in enumerate(rows)], "u long, ts long, eid long"
+    )
+    out = sessionize(df, "u", "ts", gap, order_cols=["eid"])
+    got = {r.eid: r.session_id for r in out.collect()}
+
+    want = {}
+    for u in {u for u, _ in rows}:
+        evs = sorted((t, i) for i, (uu, t) in enumerate(rows) if uu == u)
+        sid, prev = 0, None
+        for t, i in evs:
+            if prev is None or t - prev > gap:
+                sid += 1
+            want[i] = sid
+            prev = t
+    assert got == want
