@@ -1114,6 +1114,41 @@ def q80_sessionize(spark, sf_dir):
     )
 
 
+def q82_bucketed_hop(spark, sf_dir):
+    """Bucketed catalog persistence + shuffle-free hop: nodes bucketed by
+    id, edges by src, so the reload-then-traverse join needs no Exchange
+    (cluster-scale co-location layout; sled analog as in q73 but with the
+    physical layout the 100 TB deployment would use)."""
+    import hashlib
+
+    from rs_graphdb_spark.graph import PropertyGraph
+    from rs_graphdb_spark.sources.export import (
+        load_graph_bucketed,
+        save_graph_bucketed,
+    )
+
+    g = _graph(spark, sf_dir)
+    sub = PropertyGraph(
+        nodes={"Customer": g.nodes["Customer"], "Order": g.nodes["Order"]},
+        edges={"PLACED": g.edges["PLACED"]},
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    db = f"bucketed_{tag}"
+    loc = f"{__file__.rsplit('/', 1)[0]}/.tmp/{db}"
+    save_graph_bucketed(sub, db, buckets=16, location=loc)
+    g2 = load_graph_bucketed(spark, db)
+    return (
+        g2.nodes["Customer"].alias("c")
+        .join(g2.edges["PLACED"].df.alias("e"), F.col("c.id") == F.col("e.src"))
+        .join(g2.nodes["Order"].alias("o"), F.col("e.dst") == F.col("o.id"))
+        .groupBy(F.col("c.c_mktsegment").alias("c_mktsegment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o.o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
 def q81_asof_join(spark, sf_dir):
     """As-of (point-in-time) join, union-merge formulation (superset —
     reference has no joins beyond traversal): each purchase event is
@@ -1227,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_window_analytics": q79_window_analytics,
         "q80_sessionize": q80_sessionize,
         "q81_asof_join": q81_asof_join,
+        "q82_bucketed_hop": q82_bucketed_hop,
     }
 
 
@@ -1953,6 +1989,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT r_name, count(*) AS n_nations
             FROM nation JOIN region ON r_regionkey = n_regionkey
             GROUP BY r_name
+        """,
+        "q82_bucketed_hop": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS revenue
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "q74_inverted_index": f"""
             WITH inv AS (

@@ -37,6 +37,73 @@ def save_graph(graph: PropertyGraph, path: str) -> None:
     ).json(f"{path}/_meta")
 
 
+def save_graph_bucketed(
+    graph: PropertyGraph,
+    db: str,
+    buckets: int = 32,
+    location: str | None = None,
+) -> None:
+    """Persist the graph as BUCKETED catalog tables: nodes bucketed+sorted
+    by ``id``, edges by ``src`` — the traversal join key on each side.
+
+    This is the cluster-scale physical layout (SURVEY §4.3 #4 / PLANS.md):
+    a reload-then-traverse (``nodes.id == edges.src``) reads co-located
+    buckets and skips BOTH the Exchange and (via sortBy) the Sort of a
+    sort-merge join, turning every hop into a zipper merge of pre-sorted
+    bucket files. At 100 TB pick ``buckets`` so one bucket of the biggest
+    table ~= 128-512 MB; bucket counts must match across tables that join
+    (Spark also accepts one being a multiple of the other).
+
+    Bucketing metadata lives in the session catalog (``saveAsTable`` —
+    plain ``.parquet()`` writes cannot record it). ``location`` makes the
+    tables external under ``location/<table>``.
+    """
+    spark = next(iter(graph.nodes.values())).sparkSession
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    meta = {"nodes": sorted(graph.nodes), "edges": {}}
+
+    def _write(df, key: str, table: str) -> None:
+        w = (
+            df.repartition(buckets, key)  # one file per bucket, not per task
+            .write.mode("overwrite")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .format("parquet")
+        )
+        if location:
+            w = w.option("path", f"{location}/{table}")
+        w.saveAsTable(f"{db}.{table}")
+
+    for label, df in graph.nodes.items():
+        _write(df, "id", f"nodes_{label.lower()}")
+    for rt, es in graph.edges.items():
+        _write(es.df, "src", f"edges_{rt.lower()}")
+        meta["edges"][rt] = {
+            "src_label": es.src_label, "dst_label": es.dst_label, "name": rt,
+        }
+    meta["labels"] = {label.lower(): label for label in graph.nodes}
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").write.mode(
+        "overwrite"
+    ).saveAsTable(f"{db}.graph_meta")
+
+
+def load_graph_bucketed(spark: SparkSession, db: str) -> PropertyGraph:
+    """Reopen a bucketed graph from the catalog. DataFrames come back
+    with bucket metadata attached, so joins on ``id``/``src`` against a
+    same-bucket-count table plan with no Exchange."""
+    meta = json.loads(spark.table(f"{db}.graph_meta").first()["meta"])
+    g = PropertyGraph()
+    for label in meta["nodes"]:
+        g.nodes[label] = spark.table(f"{db}.nodes_{label.lower()}")
+    for rt, info in meta["edges"].items():
+        g.edges[rt] = EdgeSet(
+            df=spark.table(f"{db}.edges_{rt.lower()}"),
+            src_label=info["src_label"],
+            dst_label=info["dst_label"],
+        )
+    return g
+
+
 def load_graph(spark: SparkSession, path: str) -> PropertyGraph:
     """Reopen a saved graph (the analog of sled recovery-on-open,
     `src/storage/sled_store.rs:36-89` — no index rebuild needed: parquet

@@ -200,3 +200,40 @@ def test_salted_join_matches_plain_join(spark):
     salted = salted_join(big, small, "k").groupBy("name").count().collect()
     assert {(r["name"], r["count"]) for r in salted} == \
            {(r["name"], r["count"]) for r in plain}
+
+
+def test_bucketed_roundtrip_joins_without_exchange(spark, g):
+    from rs_graphdb_spark.sources.export import (
+        load_graph_bucketed,
+        save_graph_bucketed,
+    )
+
+    db = f"bktest_{uuid.uuid4().hex[:8]}"
+    loc = TMP / db
+    sub = PropertyGraph(
+        nodes={"Customer": g.nodes["Customer"], "Order": g.nodes["Order"]},
+        edges={"PLACED": g.edges["PLACED"]},
+    )
+    try:
+        save_graph_bucketed(sub, db, buckets=8, location=str(loc))
+        g2 = load_graph_bucketed(spark, db)
+        assert g2.nodes["Customer"].count() == g.nodes["Customer"].count()
+        assert g2.edges["PLACED"].df.count() == g.edges["PLACED"].df.count()
+
+        # the scale payoff: a hop join over bucketed tables plans with NO
+        # Exchange (force SMJ — a broadcast would hide the shuffle)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            hop = g2.nodes["Customer"].join(
+                g2.edges["PLACED"].df,
+                g2.nodes["Customer"]["id"] == g2.edges["PLACED"].df["src"],
+            )
+            plan = hop._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            assert hop.count() == g.edges["PLACED"].df.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(loc, ignore_errors=True)
