@@ -1149,6 +1149,59 @@ def q82_bucketed_hop(spark, sf_dir):
     )
 
 
+def q83_deterministic_split(spark, sf_dir):
+    """Hash-deterministic 90/5/5 train/val/test split (reproducible
+    across engines/runs; adding data never reassigns a doc). Pure
+    projection — the split never shuffles."""
+    from rs_graphdb_spark.functions.sampling import deterministic_split
+    from rs_graphdb_spark.functions.text import token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        deterministic_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text").cast("long")).alias("sum_tokens"),
+        )
+    )
+
+
+def q84_group_aware_split(spark, sf_dir):
+    """Contamination-safe split: keyed on the exact-dedup fingerprint so
+    every duplicate cluster lands in one split (train/test leakage
+    guard)."""
+    from rs_graphdb_spark.functions.sampling import group_aware_split
+    from rs_graphdb_spark.functions.text import fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        group_aware_split(docs.withColumn("fp", fingerprint("text")), "fp")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_groups"),
+        )
+    )
+
+
+def q85_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing into ~2048-token bins over 16
+    hash shards (each shard packs independently — parallelism without a
+    global order)."""
+    from rs_graphdb_spark.functions.sampling import pack_greedy
+    from rs_graphdb_spark.functions.text import token_count
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "sz", token_count("text").cast("long")
+    )
+    packed = pack_greedy(docs, "doc_id", "sz", budget=2048, shards=16)
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("sz").alias("sum_tokens"),
+    )
+
+
 def q81_asof_join(spark, sf_dir):
     """As-of (point-in-time) join, union-merge formulation (superset —
     reference has no joins beyond traversal): each purchase event is
@@ -1263,6 +1316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_sessionize": q80_sessionize,
         "q81_asof_join": q81_asof_join,
         "q82_bucketed_hop": q82_bucketed_hop,
+        "q83_deterministic_split": q83_deterministic_split,
+        "q84_group_aware_split": q84_group_aware_split,
+        "q85_pack_sequences": q85_pack_sequences,
     }
 
 
@@ -1995,6 +2051,54 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 4) AS revenue
             FROM customer JOIN orders ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "q83_deterministic_split": f"""
+            WITH b AS (
+                SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 AS bucket,
+                       CAST(len({TOKS}) AS BIGINT) AS sz
+                FROM documents
+            )
+            SELECT CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(sz) AS BIGINT) AS sum_tokens
+            FROM b GROUP BY 1
+        """,
+        "q84_group_aware_split": f"""
+            WITH f AS (
+                SELECT md5(array_to_string({TOKS}, ' ')) AS fp FROM documents
+            ),
+            b AS (
+                SELECT fp, ('0x' || substr(md5(fp), 1, 8))::BIGINT % 100 AS bucket
+                FROM f
+            )
+            SELECT CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   count(DISTINCT fp) AS n_groups
+            FROM b GROUP BY 1
+        """,
+        "q85_pack_sequences": f"""
+            WITH d AS (
+                SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS sz,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 16 AS shard
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id, sz, shard,
+                       coalesce(sum(sz) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS pre
+                FROM d
+            )
+            SELECT shard, CAST(floor(pre / 2048) AS BIGINT) AS bin,
+                   count(*) AS n_docs, CAST(sum(sz) AS BIGINT) AS sum_tokens
+            FROM p GROUP BY 1, 2
         """,
         "q74_inverted_index": f"""
             WITH inv AS (

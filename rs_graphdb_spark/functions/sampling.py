@@ -1,0 +1,103 @@
+"""Deterministic splits and sequence packing for training-data pipelines.
+
+Beyond-reference surface (the reference has no sampling/packing at all):
+the operations a 100 TB corpus needs between dedup and tokenizer-feed.
+
+Everything here is hash-deterministic — no RNG, no ordering dependence —
+so splits are reproducible across runs, clusters, and engines (the
+DuckDB oracles reproduce them bit-for-bit), and adding data never moves
+an existing document to a different split (the property rand()-based
+splits lack).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket", "deterministic_split", "group_aware_split", "pack_greedy"]
+
+
+def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
+    """Stable bucket in [0, buckets): md5 of the stringified key, first
+    8 hex chars as an integer, mod buckets. md5 (not xxhash/crc) so any
+    engine can reproduce it (DuckDB:
+    ``('0x'||substr(md5(CAST(k AS VARCHAR)),1,8))::BIGINT % buckets``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return h % buckets
+
+
+def _split_expr(bucket: Column, weights: Mapping[str, int]) -> Column:
+    """Piecewise split label from integer percentage weights (sum 100)."""
+    total = sum(weights.values())
+    if total != 100:
+        raise ValueError(f"weights must sum to 100, got {total}")
+    expr = None
+    edge = 0
+    for name, w in weights.items():
+        edge += w
+        expr = F.when(bucket < edge, name) if expr is None else expr.when(
+            bucket < edge, name
+        )
+    return expr
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, int] | None = None,
+) -> DataFrame:
+    """Add a ``split`` column ('train'/'val'/'test' by default, 90/5/5)
+    keyed on the row id. Pure projection — no shuffle, fully pushed into
+    the scan stage at any scale."""
+    weights = weights or {"train": 90, "val": 5, "test": 5}
+    return df.withColumn("split", _split_expr(hash_bucket(id_col), weights))
+
+
+def group_aware_split(
+    df: DataFrame,
+    group_col: Column | str,
+    weights: Mapping[str, int] | None = None,
+) -> DataFrame:
+    """Split keyed on a GROUP fingerprint instead of the row id, so every
+    member of a duplicate cluster lands in the same split — the guard
+    against train/test contamination via near-duplicates. Pass e.g.
+    ``fingerprint(text_col)`` (exact-dup clusters) or a precomputed
+    connected-component id from the MinHash pair graph (near-dup
+    clusters). Still a pure projection."""
+    weights = weights or {"train": 90, "val": 5, "test": 5}
+    return df.withColumn("split", _split_expr(hash_bucket(group_col), weights))
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    size_col: Column | str,
+    budget: int,
+    shards: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in a
+    deterministic order (hash shard, then id) and cut into contiguous
+    bins of ~``budget`` tokens (a bin may overrun by at most one
+    document — the standard streaming-concat packing used for LLM
+    pretraining; exact first-fit bin packing is inherently sequential).
+
+    Scale shape: one shuffle on the shard key, then a per-shard window
+    cumsum — each shard packs independently, so parallelism = ``shards``
+    and adding shards never changes bins within a shard."""
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    shard = hash_bucket(id_col, shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_shard = df.withColumn("shard", shard).withColumn("_sz", size)
+    prefix = F.coalesce(F.sum("_sz").over(w), F.lit(0))
+    return (
+        with_shard.withColumn("bin", F.floor(prefix / budget))
+        .drop("_sz")
+    )

@@ -153,3 +153,50 @@ def test_knn_ivf_partial_probe_subset(spark):
                      n_clusters=6, n_probe=2).collect()
     assert len(approx) > 0
     assert {(r["query_id"], r["neighbor_id"]) for r in approx} <= exact_pairs
+
+
+def test_deterministic_split_stable_and_partitioned(spark):
+    from rs_graphdb_spark.functions.sampling import deterministic_split
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = deterministic_split(df, "doc_id")
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert set(rows.values()) == {"train", "val", "test"}
+    n = len(rows)
+    n_train = sum(1 for s in rows.values() if s == "train")
+    assert 0.8 * n < n_train < 0.97 * n
+    # stability: re-running and subsetting never reassigns
+    again = {r.doc_id: r.split
+             for r in deterministic_split(df.filter("doc_id < 100"), "doc_id").collect()}
+    assert all(rows[k] == v for k, v in again.items())
+
+
+def test_group_aware_split_keeps_groups_together(spark):
+    from rs_graphdb_spark.functions.sampling import group_aware_split
+    from rs_graphdb_spark.functions.text import fingerprint
+
+    rows = [(i, f"some text number {i % 7}") for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = group_aware_split(df.withColumn("fp", fingerprint("text")), "fp")
+    per_group = out.groupBy("fp").agg(F.countDistinct("split").alias("k")).collect()
+    assert all(r.k == 1 for r in per_group)
+
+
+def test_pack_greedy_bins_are_contiguous_and_bounded(spark):
+    from rs_graphdb_spark.functions.sampling import pack_greedy
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 37) % 90) for i in range(200)], "doc_id long, sz long"
+    )
+    out = pack_greedy(df, "doc_id", "sz", budget=300, shards=4).collect()
+    max_sz = max(r.sz for r in out)
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault((r.shard, r.bin), []).append(r)
+    for (shard, b), docs in by_bin.items():
+        assert sum(r.sz for r in docs) <= 300 + max_sz  # one-doc overrun max
+    # bins within a shard are contiguous in doc_id order
+    for shard in {r.shard for r in out}:
+        seq = sorted((r.doc_id for r in out if r.shard == shard))
+        bins = [next(r.bin for r in out if r.doc_id == d) for d in seq]
+        assert bins == sorted(bins)
