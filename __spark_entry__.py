@@ -1202,6 +1202,34 @@ def q85_pack_sequences(spark, sf_dir):
     )
 
 
+def q86_interval_join(spark, sf_dir):
+    """Interval (range) join via bucket banding: clicks within +-1h of a
+    purchase by the same user. The equi-join key is (user, time-bucket)
+    so a hot key never becomes a per-key cross product (see
+    operators/temporal.interval_join)."""
+    from rs_graphdb_spark.operators.temporal import interval_join
+
+    HOUR_US = 3600 * 1_000_000
+    ev = _read(spark, sf_dir, "events").withColumn("t_us", F.expr("ts div 1000"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    pairs = interval_join(
+        purchases, clicks,
+        key_cols=["user_id"], left_ts="t_us", right_ts="t_us",
+        lower=HOUR_US, upper=HOUR_US,
+        value_cols=["event_id"], suffix="_click",
+    )
+    return pairs.select(
+        "event_id", "user_id",
+        F.col("event_id_click").alias("click_event_id"),
+        # delta kept in us: integer division of negative deltas rounds
+        # differently in Spark (div truncates) vs DuckDB (// floors)
+        (F.col("t_us_click") - F.col("t_us")).alias("delta_us"),
+    )
+
+
 def q81_asof_join(spark, sf_dir):
     """As-of (point-in-time) join, union-merge formulation (superset —
     reference has no joins beyond traversal): each purchase event is
@@ -1319,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_deterministic_split": q83_deterministic_split,
         "q84_group_aware_split": q84_group_aware_split,
         "q85_pack_sequences": q85_pack_sequences,
+        "q86_interval_join": q86_interval_join,
     }
 
 
@@ -2099,6 +2128,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, CAST(floor(pre / 2048) AS BIGINT) AS bin,
                    count(*) AS n_docs, CAST(sum(sz) AS BIGINT) AS sum_tokens
             FROM p GROUP BY 1, 2
+        """,
+        "q86_interval_join": """
+            SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
+                   epoch_us(c.ts) - epoch_us(p.ts) AS delta_us
+            FROM events p JOIN events c
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click'
+             AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
+                                    AND epoch_us(p.ts) + 3600000000
+            WHERE p.event_type = 'purchase'
         """,
         "q74_inverted_index": f"""
             WITH inv AS (

@@ -33,7 +33,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "asof_join"]
+__all__ = ["sessionize", "asof_join", "interval_join"]
 
 
 def sessionize(
@@ -91,6 +91,78 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    return _asof_join_impl(
+        left, right, key_cols, left_ts, right_ts, value_cols,
+        direction, strict, tolerance, suffix,
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower: int,
+    upper: int,
+    value_cols: Sequence[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """Interval join: every (left, right) pair sharing ``key_cols`` with
+    ``right_ts`` in ``[left_ts - lower, left_ts + upper]`` (inclusive).
+    Inner-join semantics, one output row per matching pair.
+
+    Scale shape: a naive ``ON key AND rt BETWEEN ...`` plans as a
+    key-equi-join with a residual range predicate — fine per key until a
+    hot key turns it into a per-key cross product. Here both sides land
+    in coarse time buckets of width ``lower + upper`` (left rows into
+    the <=2 buckets their window spans, right rows into exactly one), so
+    the join key is ``(key, bucket)``: shuffle fan-out is bounded at 2x
+    the left side, candidate pairs are bounded by bucket co-residency,
+    and the exact window filter runs post-join. At 100 TB pick the unit
+    so buckets hold O(minutes) of data per key.
+    """
+    keys = list(key_cols)
+    width = max(lower + upper, 1)
+    out_vals = [f"_iv{i}" for i in range(len(value_cols))]
+    rts = f"{right_ts}{suffix}"
+
+    l_b = left.withColumn(
+        "_lo_b", F.floor((F.col(left_ts) - F.lit(lower)) / F.lit(width))
+    ).withColumn(
+        "_hi_b", F.floor((F.col(left_ts) + F.lit(upper)) / F.lit(width))
+    ).withColumn(
+        "_bucket", F.explode(F.array_distinct(F.array("_lo_b", "_hi_b")))
+    ).drop("_lo_b", "_hi_b")
+    r_b = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias(rts),
+        *[F.col(c).alias(o) for c, o in zip(value_cols, out_vals)],
+    ).withColumn("_bucket", F.floor(F.col(rts) / F.lit(width)))
+
+    joined = l_b.join(r_b, [*keys, "_bucket"]).filter(
+        (F.col(rts) >= F.col(left_ts) - F.lit(lower))
+        & (F.col(rts) <= F.col(left_ts) + F.lit(upper))
+    )
+    return joined.select(
+        *[F.col(c) for c in left.columns],
+        F.col(rts),
+        *[F.col(o).alias(f"{c}{suffix}") for c, o in zip(value_cols, out_vals)],
+    )
+
+
+def _asof_join_impl(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    direction: str,
+    strict: bool,
+    tolerance: int | None,
+    suffix: str,
+) -> DataFrame:
     keys = list(key_cols)
     rts = f"{right_ts}{suffix}"
     out_vals = [f"_av{i}" for i in range(len(value_cols))]

@@ -193,3 +193,36 @@ def test_sessionize_matches_bruteforce(spark, rows, gap):
             want[i] = sid
             prev = t
     assert got == want
+
+
+@given(
+    st.lists(st.tuples(st.integers(1, 3), st.integers(0, 30)),
+             min_size=1, max_size=8),
+    st.lists(st.tuples(st.integers(1, 3), st.integers(0, 30)),
+             min_size=0, max_size=8),
+    st.integers(0, 6),
+    st.integers(0, 6),
+)
+@settings(max_examples=10, deadline=None)
+def test_interval_join_matches_bruteforce(spark, lrows, rrows, lower, upper):
+    from rs_graphdb_spark.operators.temporal import interval_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], "k long, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, 100 + i) for i, (k, t) in enumerate(rrows)],
+        "k long, ts long, rid long",
+    ) if rrows else spark.createDataFrame([], "k long, ts long, rid long")
+    out = interval_join(
+        left, right, key_cols=["k"], left_ts="ts", right_ts="ts",
+        lower=lower, upper=upper, value_cols=["rid"],
+    )
+    got = {(r.lid, r.rid_right) for r in out.collect()}
+    want = {
+        (i, 100 + j)
+        for i, (lk, lt) in enumerate(lrows)
+        for j, (rk, rt) in enumerate(rrows)
+        if lk == rk and lt - lower <= rt <= lt + upper
+    }
+    assert got == want
