@@ -935,6 +935,25 @@ def q69_stream_window(spark, sf_dir):
     )
 
 
+def q87_stream_sessions(spark, sf_dir):
+    """Session windows in Structured Streaming (`F.session_window`,
+    6h gap) — the incremental/state-store twin of batch q80; run as a
+    real streaming job (availableNow -> memory sink)."""
+    import uuid
+
+    from rs_graphdb_spark.streaming.ops import read_event_stream, session_window_stats
+
+    stream = read_event_stream(spark, _staged_events_dir(sf_dir))
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        session_window_stats(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def q70_stream_stateful(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState running
     totals per user) — replaces the reference's stateful stream consumers
@@ -1348,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_group_aware_split": q84_group_aware_split,
         "q85_pack_sequences": q85_pack_sequences,
         "q86_interval_join": q86_interval_join,
+        "q87_stream_sessions": q87_stream_sessions,
     }
 
 
@@ -2128,6 +2148,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, CAST(floor(pre / 2048) AS BIGINT) AS bin,
                    count(*) AS n_docs, CAST(sum(sz) AS BIGINT) AS sum_tokens
             FROM p GROUP BY 1, 2
+        """,
+        "q87_stream_sessions": """
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events
+            ),
+            s AS (
+                SELECT user_id, event_id, t, value,
+                       CASE WHEN lag(t) OVER w IS NULL
+                                 OR t - lag(t) OVER w >= 21600000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+            ),
+            x AS (
+                SELECT user_id, t, value,
+                       sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY t, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS session_id
+                FROM s
+            )
+            SELECT user_id, count(*) AS n_events,
+                   min(t) AS start_us, max(t) AS end_us,
+                   round(sum(value), 4) AS sum_value
+            FROM x GROUP BY user_id, session_id
         """,
         "q86_interval_join": """
             SELECT p.event_id, p.user_id, c.event_id AS click_event_id,

@@ -91,6 +91,40 @@ def windowed_event_counts(
     )
 
 
+def session_window_stats(
+    df: DataFrame,
+    gap: str = "6 hours",
+    watermark: str = "12 hours",
+    streaming: bool = True,
+) -> DataFrame:
+    """Per-user session-window aggregation (``F.session_window``): events
+    of a user closer than ``gap`` merge into one session. The streaming
+    twin of the batch gaps-and-islands operator
+    (`operators/temporal.sessionize`) — same sessions, but computed
+    incrementally with state store merging instead of a window sort.
+
+    Session bounds are reported as exact microsecond longs from the raw
+    ts (min/max over the group), not from the float-derived event_time,
+    so batch and streaming runs agree bit-for-bit with a SQL oracle.
+    Works identically on batch and streaming inputs."""
+    df = with_event_time(df).withColumn("t_us", F.expr("ts div 1000"))
+    if streaming:
+        df = df.withWatermark("event_time", watermark)
+    return (
+        df.groupBy(
+            F.session_window("event_time", gap).alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("t_us").alias("start_us"),
+            F.max("t_us").alias("end_us"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("user_id", "n_events", "start_us", "end_us", "sum_value")
+    )
+
+
 _STATE_SCHEMA = T.StructType([
     T.StructField("total", T.DoubleType()),
     T.StructField("n", T.LongType()),

@@ -89,3 +89,22 @@ def test_append_edge_sink(spark, tmpdir):
     q.awaitTermination(120)
     n_src = spark.read.parquet(events_dir).count()
     assert spark.read.parquet(out).count() == n_src
+
+
+def test_session_windows_stream_equals_batch(spark, tmpdir):
+    from rs_graphdb_spark.streaming.ops import session_window_stats
+
+    events_dir = _events_dir(spark, tmpdir)
+    stream = read_event_stream(spark, events_dir)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        session_window_stats(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {tuple(r) for r in spark.table(name).collect()}
+
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    want = {tuple(r) for r in session_window_stats(batch, streaming=False).collect()}
+    assert got == want and len(got) > 0
