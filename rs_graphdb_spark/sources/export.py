@@ -62,14 +62,19 @@ def save_graph_bucketed(
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     meta = {"nodes": sorted(graph.nodes), "edges": {}}
 
-    def _write(df, key: str, table: str) -> None:
-        w = (
-            df.repartition(buckets, key)  # one file per bucket, not per task
-            .write.mode("overwrite")
-            .bucketBy(buckets, key)
-            .sortBy(key)
-            .format("parquet")
-        )
+    def _write(df, key: str | None, table: str) -> None:
+        # The session catalog may be in-memory (fresh per process) while a
+        # managed table's warehouse directory survives on disk — a bare
+        # re-create then fails with LOCATION_ALREADY_EXISTS. Drop any
+        # same-name entry and write external (under ``location``) so the
+        # on-disk path is reusable across processes.
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{table}")
+        w = df.write.mode("overwrite").format("parquet")
+        if key is not None:
+            # one file per bucket, not per task
+            w = df.repartition(buckets, key).write.mode("overwrite").bucketBy(
+                buckets, key
+            ).sortBy(key).format("parquet")
         if location:
             w = w.option("path", f"{location}/{table}")
         w.saveAsTable(f"{db}.{table}")
@@ -82,9 +87,11 @@ def save_graph_bucketed(
             "src_label": es.src_label, "dst_label": es.dst_label, "name": rt,
         }
     meta["labels"] = {label.lower(): label for label in graph.nodes}
-    spark.createDataFrame([(json.dumps(meta),)], "meta string").write.mode(
-        "overwrite"
-    ).saveAsTable(f"{db}.graph_meta")
+    _write(
+        spark.createDataFrame([(json.dumps(meta),)], "meta string"),
+        None,
+        "graph_meta",
+    )
 
 
 def load_graph_bucketed(spark: SparkSession, db: str) -> PropertyGraph:
