@@ -1249,6 +1249,26 @@ def q86_interval_join(spark, sf_dir):
     )
 
 
+def q88_path_with_rels(spark, sf_dir):
+    """Shortest path carrying node AND edge-id arrays (reference
+    `Path{nodes, rels}`, `src/algorithms/traversal.rs:436-676`):
+    lexicographically smallest min-hop KNOWS path from the smallest
+    source to the largest node reachable within 5 hops. Oracle =
+    recursive-CTE simple-path enumeration in DuckDB."""
+    from rs_graphdb_spark.operators.traversal import (
+        bfs_distances,
+        shortest_path_with_rels,
+    )
+
+    g = _graph(spark, sf_dir)
+    e = g.edges["KNOWS"].df
+    start = e.agg(F.min("src")).first()[0]
+    starts = spark.createDataFrame([(int(start),)], "id long")
+    reach = bfs_distances(g, starts, "KNOWS", max_depth=5)
+    end = reach.agg(F.max("id")).first()[0]
+    return shortest_path_with_rels(e, int(start), int(end), max_depth=5)
+
+
 def q81_asof_join(spark, sf_dir):
     """As-of (point-in-time) join, union-merge formulation (superset —
     reference has no joins beyond traversal): each purchase event is
@@ -1368,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_pack_sequences": q85_pack_sequences,
         "q86_interval_join": q86_interval_join,
         "q87_stream_sessions": q87_stream_sessions,
+        "q88_path_with_rels": q88_path_with_rels,
     }
 
 
@@ -2148,6 +2169,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT shard, CAST(floor(pre / 2048) AS BIGINT) AS bin,
                    count(*) AS n_docs, CAST(sum(sz) AS BIGINT) AS sum_tokens
             FROM p GROUP BY 1, 2
+        """,
+        "q88_path_with_rels": """
+            WITH RECURSIVE kn AS MATERIALIZED (
+                SELECT a.c_custkey * 4 + 1 AS edge_id,
+                       3298534883328 + a.c_custkey AS src,
+                       3298534883328 + b.c_custkey AS dst
+                FROM customer a JOIN customer b
+                  ON b.c_custkey = a.c_custkey + 1
+                 AND b.c_mktsegment = a.c_mktsegment
+                UNION ALL
+                SELECT a.c_custkey * 4 + 2,
+                       3298534883328 + a.c_custkey,
+                       3298534883328 + b.c_custkey
+                FROM customer a JOIN customer b
+                  ON b.c_custkey = a.c_custkey + 2
+                 AND b.c_mktsegment = a.c_mktsegment
+            ),
+            s AS MATERIALIZED (SELECT min(src) AS v FROM kn),
+            p AS (
+                SELECT [s.v] AS path, CAST([] AS BIGINT[]) AS rels,
+                       s.v AS node, 0 AS depth
+                FROM s
+                UNION ALL
+                SELECT list_append(p.path, k.dst),
+                       list_append(p.rels, k.edge_id), k.dst, p.depth + 1
+                FROM p JOIN kn k ON k.src = p.node
+                WHERE p.depth < 5 AND NOT list_contains(p.path, k.dst)
+            ),
+            t AS (SELECT max(node) AS target FROM p)
+            SELECT path, rels, CAST(len(path) - 1 AS INTEGER) AS hops
+            FROM p, t WHERE node = t.target
+            ORDER BY len(path), path, rels LIMIT 1
         """,
         "q87_stream_sessions": """
             WITH e AS (

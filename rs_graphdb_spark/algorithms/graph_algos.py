@@ -495,3 +495,26 @@ def astar(
                 parent[w] = v
                 heapq.heappush(pq, (g2 + h(w), w))
     return None
+
+
+def max_core_number(nodes: DataFrame, edges: DataFrame, k_max: int = 64) -> int:
+    """Largest k with a non-empty k-core (reference ``max_core_number``,
+    `src/algorithms/kcore.rs:195-210`). Driver loop over ``k_core`` with
+    doubling+binary search: O(log k_max) peels instead of the reference's
+    linear scan — each peel is the distributed operator above."""
+    if nodes.isEmpty() or edges.isEmpty():
+        return 0
+    # exponential probe: find first empty k
+    lo, hi = 1, 2
+    while hi <= k_max and not k_core(nodes, edges, hi).isEmpty():
+        lo, hi = hi, hi * 2
+    if hi > k_max:
+        return k_max
+    # invariant: k_core(lo) non-empty, k_core(hi) empty
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if k_core(nodes, edges, mid).isEmpty():
+            hi = mid
+        else:
+            lo = mid
+    return lo

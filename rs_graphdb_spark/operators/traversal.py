@@ -311,3 +311,62 @@ def weighted_shortest_paths(
         if done:
             break
     return dists
+
+
+def shortest_path_with_rels(
+    edges: DataFrame,
+    start: int,
+    end: int,
+    max_depth: int = 10,
+) -> DataFrame:
+    """Point-to-point shortest path carrying the full node AND edge-id
+    arrays (reference ``shortest_path_with_rels``,
+    `src/algorithms/traversal.rs:436-676` — returns ``Path{nodes, rels}``).
+
+    ``edges``: (edge_id, src, dst). Returns one row (path ARRAY<LONG>,
+    rels ARRAY<LONG>, hops INT) — the LEXICOGRAPHICALLY SMALLEST of the
+    minimum-hop paths, or zero rows if unreachable within ``max_depth``.
+
+    Scale shape: BFS frontier loop, but each level prunes to one best
+    (lex-min) candidate path per node — two paths to the same node extend
+    identically, so dominated prefixes can never produce a better final
+    path. Frontier stays <= |V| rows regardless of path multiplicity
+    (all-simple-paths enumeration is the separate, opt-in operator).
+    """
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    edges = edges.select("edge_id", "src", "dst").localCheckpoint(eager=True)
+    frontier = spark.createDataFrame(
+        [(int(start), [int(start)], [])],
+        "node long, path array<long>, rels array<long>",
+    )
+    if start == end:
+        return frontier.select(
+            "path", "rels", (F.size("path") - 1).alias("hops")
+        )
+    w = Window.partitionBy("node").orderBy("path", "rels")
+    for _ in range(max_depth):
+        frontier = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .filter(~F.array_contains("path", F.col("dst")))
+            .select(
+                F.col("dst").alias("node"),
+                F.concat("path", F.array("dst")).alias("path"),
+                F.concat("rels", F.array("edge_id")).alias("rels"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        hit = frontier.filter(F.col("node") == end)
+        if not hit.isEmpty():
+            return hit.select(
+                "path", "rels", (F.size("path") - 1).alias("hops")
+            )
+    return spark.createDataFrame(
+        [], "path array<long>, rels array<long>, hops int"
+    )

@@ -78,3 +78,36 @@ def test_undirected_expand(graph, spark):
     start = spark.createDataFrame([(mid,)], "id long")
     ids, _ = expand(graph, start, "NEXT_ORDER", 1, 1, "both")
     assert sorted(r["id"] for r in ids.collect()) == sorted([chain[0], chain[2]])
+
+
+def test_shortest_path_with_rels_picks_lex_min(spark):
+    from rs_graphdb_spark.operators.traversal import shortest_path_with_rels
+
+    # diamond with two equal-length paths 1->2->4 and 1->3->4:
+    # lexicographic min on node arrays picks [1, 2, 4]
+    edges = spark.createDataFrame(
+        [(10, 1, 2), (11, 1, 3), (12, 2, 4), (13, 3, 4), (14, 4, 5)],
+        "edge_id long, src long, dst long",
+    )
+    r = shortest_path_with_rels(edges, 1, 4).collect()
+    assert len(r) == 1
+    assert r[0].path == [1, 2, 4] and r[0].rels == [10, 12] and r[0].hops == 2
+    # longer direct route never beats min-hop
+    r5 = shortest_path_with_rels(edges, 1, 5).collect()[0]
+    assert r5.path == [1, 2, 4, 5] and r5.hops == 3
+    # unreachable -> empty
+    assert shortest_path_with_rels(edges, 5, 1, max_depth=4).count() == 0
+    # trivial start == end
+    r0 = shortest_path_with_rels(edges, 3, 3).collect()[0]
+    assert r0.path == [3] and r0.rels == [] and r0.hops == 0
+
+
+def test_max_core_number(spark):
+    from rs_graphdb_spark.algorithms.graph_algos import max_core_number
+
+    # K4 (4-clique, undirected pairs): max core = 3; with a pendant
+    # vertex attached the answer must not change
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    edges = spark.createDataFrame(k4 + [(3, 9), (9, 3)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 9]], "id long")
+    assert max_core_number(nodes, edges) == 3
