@@ -1,31 +1,49 @@
-"""Minimal HTTP serving layer over the engine — reference parity for the
-axum server (`/root/reference/src/server.rs:80-121` routes: `/query`,
-`/cypher`, `/search`).
+"""HTTP serving layer over the engine — route parity with the reference's
+axum server (`/root/reference/src/server.rs:83-111`):
+
+POST `/query` `/cypher` `/search` `/nodes` `/rels` `/batch/nodes`
+`/batch/rels` `/cache/clear`; GET `/` `/nodes` `/nodes/<id>`
+`/nodes/<id>/neighbors` `/rels` `/rels/<id>` `/stats` `/labels`
+`/rel-types` `/cache/stats`; PUT `/nodes/<id>` `/rels/<id>`;
+DELETE `/nodes/<id>` `/rels/<id>`.
 
 Stdlib `ThreadingHTTPServer` only (no web framework in this environment);
-the engine-owned logic lives in `sources/json_api.py` and `cypher/` — this
-module is ~transport. Responses are JSON rows with a row cap (the
+engine logic lives in `sources/json_api.py`, `cypher/`, `operators/dml.py`
+— this module is ~transport. Responses are JSON rows with a row cap (the
 reference caps via pagination; a serving layer must never `collect()` an
 unbounded result).
 
+Write semantics: the graph is immutable DataFrames, so every write swaps
+the served `PropertyGraph` for a rewritten one (exactly how Cypher DML
+executes). Single-row POSTs exist for API parity; the scale path is the
+`/batch/*` endpoints (one union per request, not per row), mirroring the
+reference's `batch_create_nodes` (`src/graph/db.rs:170-203`).
+
 Thread-safety: Spark DataFrame actions are thread-safe on one
-SparkSession; the reference serializes through a global mutex
-(`src/service.rs:23-34`) — not needed here.
+SparkSession; graph swaps happen under a lock (the reference serializes
+through a global mutex, `src/service.rs:23-34`).
 """
 
 from __future__ import annotations
 
 import json
+import re
 import threading
+from dataclasses import replace as dc_replace
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from rs_graphdb_spark.cypher import execute_cypher
-from rs_graphdb_spark.graph import PropertyGraph
+from rs_graphdb_spark.graph import EdgeSet, PropertyGraph
 from rs_graphdb_spark.sources.json_api import json_query, substring_search
 
 MAX_ROWS = 1000
+
+_NODE_ID = re.compile(r"^/nodes/(-?\d+)$")
+_NODE_NEIGHBORS = re.compile(r"^/nodes/(-?\d+)/neighbors$")
+_REL_ID = re.compile(r"^/rels/(-?\d+)$")
 
 
 def _rows(df: DataFrame, limit: int = MAX_ROWS) -> list[dict]:
@@ -33,59 +51,290 @@ def _rows(df: DataFrame, limit: int = MAX_ROWS) -> list[dict]:
 
 
 class GraphHTTPServer:
-    """Serve a PropertyGraph over HTTP. Routes (all POST, JSON bodies):
-
-    - ``/query``  — `{label, property?, value?, out_rel?, in_rel?, limit?}`
-      (`src/server.rs:167-205`)
-    - ``/cypher`` — `{query: "MATCH ..."}` (`src/server.rs:592-672`);
-      DML statements apply to the served graph in place
-    - ``/search`` — `{q: "...", labels?: [...]}` (`src/server.rs:803-852`)
-    """
+    """Serve a PropertyGraph over HTTP with the reference's REST surface."""
 
     def __init__(self, graph: PropertyGraph, host: str = "127.0.0.1", port: int = 0):
         self.graph = graph
+        self._lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet test output
                 pass
 
-            def do_POST(self):
+            def _reply(self, out: dict, code: int = 200) -> None:
+                payload = json.dumps(out, default=str).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length", 0))
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def _dispatch(self, method: str) -> None:
                 try:
-                    n = int(self.headers.get("Content-Length", 0))
-                    body = json.loads(self.rfile.read(n) or b"{}")
-                    if self.path == "/query":
-                        out = {"rows": _rows(json_query(outer.graph, body))}
-                    elif self.path == "/cypher":
-                        res = execute_cypher(outer.graph, body["query"])
-                        if isinstance(res, PropertyGraph):
-                            outer.graph = res  # DML: swap the served graph
-                            out = {"ok": True}
-                        else:
-                            out = {"rows": _rows(res)}
-                    elif self.path == "/search":
-                        out = {"rows": _rows(substring_search(
-                            outer.graph, body["q"], body.get("labels")))}
-                    else:
+                    out = outer._route(method, self.path, self._body)
+                    if out is None:
                         self.send_error(404)
-                        return
-                    payload = json.dumps(out, default=str).encode()
-                    self.send_response(200)
-                    self.send_header("Content-Type", "application/json")
-                    self.send_header("Content-Length", str(len(payload)))
-                    self.end_headers()
-                    self.wfile.write(payload)
+                    else:
+                        self._reply(out)
+                except KeyError as exc:
+                    self._reply({"error": f"not found: {exc}"}, 404)
                 except Exception as exc:  # noqa: BLE001 — serving layer
-                    payload = json.dumps({"error": str(exc)[:500]}).encode()
-                    self.send_response(400)
-                    self.send_header("Content-Type", "application/json")
-                    self.send_header("Content-Length", str(len(payload)))
-                    self.end_headers()
-                    self.wfile.write(payload)
+                    self._reply({"error": str(exc)[:500]}, 400)
+
+            def do_GET(self):
+                self._dispatch("GET")
+
+            def do_POST(self):
+                self._dispatch("POST")
+
+            def do_PUT(self):
+                self._dispatch("PUT")
+
+            def do_DELETE(self):
+                self._dispatch("DELETE")
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._thread: threading.Thread | None = None
+
+    # -- routing ----------------------------------------------------------
+
+    def _route(self, method: str, path: str, body_fn) -> dict | None:
+        g = self.graph
+        if method == "GET":
+            if path == "/":
+                return {"name": "rs-graphdb-spark", "status": "ok"}
+            if path == "/nodes":
+                return {"rows": _rows(g.all_nodes())}
+            if path == "/labels":
+                return {"labels": sorted(g.nodes)}
+            if path == "/rel-types":
+                return {"rel_types": sorted(g.edges)}
+            if path == "/stats":
+                return {
+                    "nodes": {lb: df.count() for lb, df in sorted(g.nodes.items())},
+                    "rels": {rt: es.df.count() for rt, es in sorted(g.edges.items())},
+                }
+            if path == "/cache/stats":
+                return {"stats": self._cache().stats()}
+            if m := _NODE_ID.match(path):
+                return {"rows": self._node_rows(int(m.group(1)))}
+            if m := _NODE_NEIGHBORS.match(path):
+                return {"rows": _rows(self._neighbors(int(m.group(1))))}
+            if path == "/rels":
+                rows = []
+                for rt, es in sorted(g.edges.items()):
+                    per = es.df.select("edge_id", "src", "dst").limit(
+                        MAX_ROWS // max(len(g.edges), 1)
+                    )
+                    rows += [{**r.asDict(), "rel_type": rt} for r in per.collect()]
+                return {"rows": rows}
+            if m := _REL_ID.match(path):
+                return {"rows": self._rel_rows(int(m.group(1)))}
+            return None
+
+        body = body_fn()
+        if method == "POST":
+            if path == "/query":
+                return {"rows": _rows(json_query(g, body))}
+            if path == "/cypher":
+                res = execute_cypher(g, body["query"])
+                if isinstance(res, PropertyGraph):
+                    with self._lock:
+                        self.graph = res  # DML: swap the served graph
+                    return {"ok": True}
+                return {"rows": _rows(res)}
+            if path == "/search":
+                return {"rows": _rows(substring_search(g, body["q"], body.get("labels")))}
+            if path == "/nodes":
+                return self._create_nodes([body])
+            if path == "/batch/nodes":
+                return self._create_nodes(body["nodes"])
+            if path == "/rels":
+                return self._create_rels([body])
+            if path == "/batch/rels":
+                return self._create_rels(body["rels"])
+            if path == "/cache/clear":
+                self._cache().clear()
+                return {"ok": True}
+            return None
+        if method == "PUT":
+            if m := _NODE_ID.match(path):
+                return self._update_node(int(m.group(1)), body.get("properties", body))
+            if m := _REL_ID.match(path):
+                return self._update_rel(int(m.group(1)), body.get("properties", body))
+            return None
+        if method == "DELETE":
+            if m := _NODE_ID.match(path):
+                return self._delete_node(int(m.group(1)))
+            if m := _REL_ID.match(path):
+                return self._delete_rel(int(m.group(1)))
+            return None
+        return None
+
+    # -- node / rel helpers ------------------------------------------------
+
+    def _cache(self):
+        from rs_graphdb_spark.plans.cache import QueryCache
+
+        if not hasattr(self, "_query_cache"):
+            self._query_cache = QueryCache()
+        return self._query_cache
+
+    def _find_label(self, node_id: int) -> str:
+        for lb, df in self.graph.nodes.items():
+            if not df.filter(F.col("id") == node_id).isEmpty():
+                return lb
+        raise KeyError(f"node {node_id}")
+
+    def _node_rows(self, node_id: int) -> list[dict]:
+        lb = self._find_label(node_id)
+        return _rows(self.graph.nodes[lb].filter(F.col("id") == node_id))
+
+    def _neighbors(self, node_id: int) -> DataFrame:
+        """Out- and in-neighbor ids over every rel type
+        (`get_node_neighbors`, `src/server.rs`)."""
+        g = self.graph
+        parts = []
+        for rt, es in g.edges.items():
+            parts.append(
+                es.df.filter(F.col("src") == node_id).select(
+                    F.col("dst").alias("id"), F.lit(rt).alias("rel_type"),
+                    F.lit("out").alias("direction"),
+                )
+            )
+            parts.append(
+                es.df.filter(F.col("dst") == node_id).select(
+                    F.col("src").alias("id"), F.lit(rt).alias("rel_type"),
+                    F.lit("in").alias("direction"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("rel_type", "direction", "id")
+
+    def _create_nodes(self, items: list[dict]) -> dict:
+        spark = next(iter(self.graph.nodes.values())).sparkSession
+        by_label: dict[str, list[dict]] = {}
+        for it in items:
+            label = (it.get("labels") or ["Node"])[0]
+            props = dict(it.get("properties", {}))
+            if "id" not in props:
+                raise ValueError("node creation requires properties.id")
+            by_label.setdefault(label, []).append(props)
+        with self._lock:
+            nodes = dict(self.graph.nodes)
+            created = 0
+            for label, rows in by_label.items():
+                new = spark.createDataFrame(rows)
+                new = new.select(F.col("id").cast("long"), *
+                                 [c for c in new.columns if c != "id"])
+                if label in nodes:
+                    nodes[label] = nodes[label].unionByName(
+                        new, allowMissingColumns=True
+                    )
+                else:
+                    nodes[label] = new
+                created += len(rows)
+            self.graph = dc_replace(self.graph, nodes=nodes)
+        return {"ok": True, "created": created}
+
+    def _create_rels(self, items: list[dict]) -> dict:
+        spark = next(iter(self.graph.nodes.values())).sparkSession
+        by_type: dict[str, list[tuple]] = {}
+        for it in items:
+            by_type.setdefault(it["rel_type"], []).append(
+                (int(it["edge_id"]), int(it["src"]), int(it["dst"]))
+            )
+        with self._lock:
+            edges = dict(self.graph.edges)
+            created = 0
+            for rt, rows in by_type.items():
+                new = spark.createDataFrame(
+                    rows, "edge_id long, src long, dst long"
+                )
+                if rt in edges:
+                    edges[rt] = dc_replace(
+                        edges[rt],
+                        df=edges[rt].df.unionByName(new, allowMissingColumns=True),
+                    )
+                else:
+                    edges[rt] = EdgeSet(df=new, src_label="Node", dst_label="Node")
+                created += len(rows)
+            self.graph = dc_replace(self.graph, edges=edges)
+        return {"ok": True, "created": created}
+
+    def _update_node(self, node_id: int, props: dict) -> dict:
+        lb = self._find_label(node_id)
+        with self._lock:
+            nodes = dict(self.graph.nodes)
+            df = nodes[lb]
+            for k, v in props.items():
+                if k == "id":
+                    continue
+                if k not in df.columns:
+                    df = df.withColumn(k, F.lit(None).cast("string"))
+                df = df.withColumn(
+                    k, F.when(F.col("id") == node_id, F.lit(v)).otherwise(F.col(k))
+                )
+            nodes[lb] = df
+            self.graph = dc_replace(self.graph, nodes=nodes)
+        return {"ok": True}
+
+    def _delete_node(self, node_id: int) -> dict:
+        from rs_graphdb_spark.operators.dml import delete_nodes
+
+        lb = self._find_label(node_id)
+        with self._lock:
+            self.graph = delete_nodes(self.graph, lb, F.col("id") == node_id)
+        return {"ok": True}
+
+    def _find_rel_type(self, edge_id: int) -> str:
+        for rt, es in self.graph.edges.items():
+            if not es.df.filter(F.col("edge_id") == edge_id).isEmpty():
+                return rt
+        raise KeyError(f"rel {edge_id}")
+
+    def _rel_rows(self, edge_id: int) -> list[dict]:
+        rt = self._find_rel_type(edge_id)
+        rows = _rows(self.graph.edges[rt].df.filter(F.col("edge_id") == edge_id))
+        return [{**r, "rel_type": rt} for r in rows]
+
+    def _update_rel(self, edge_id: int, props: dict) -> dict:
+        rt = self._find_rel_type(edge_id)
+        with self._lock:
+            edges = dict(self.graph.edges)
+            df = edges[rt].df
+            for k, v in props.items():
+                if k in ("edge_id", "src", "dst"):
+                    continue
+                if k not in df.columns:
+                    df = df.withColumn(k, F.lit(None).cast("string"))
+                df = df.withColumn(
+                    k,
+                    F.when(F.col("edge_id") == edge_id, F.lit(v)).otherwise(F.col(k)),
+                )
+            edges[rt] = dc_replace(edges[rt], df=df)
+            self.graph = dc_replace(self.graph, edges=edges)
+        return {"ok": True}
+
+    def _delete_rel(self, edge_id: int) -> dict:
+        rt = self._find_rel_type(edge_id)
+        with self._lock:
+            edges = dict(self.graph.edges)
+            edges[rt] = dc_replace(
+                edges[rt], df=edges[rt].df.filter(F.col("edge_id") != edge_id)
+            )
+            self.graph = dc_replace(self.graph, edges=edges)
+        return {"ok": True}
+
+    # -- lifecycle ---------------------------------------------------------
 
     def start(self) -> "GraphHTTPServer":
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)

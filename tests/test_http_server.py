@@ -2,6 +2,7 @@
 route contract (`tests/server_api_test.rs` analog)."""
 
 import json
+import urllib.error
 import urllib.request
 
 import pytest
@@ -84,3 +85,75 @@ def test_unknown_route_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, "/nope", {})
     assert e.value.code == 404
+
+
+def _call(server, method, path, body=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}",
+        data=json.dumps(body).encode() if body is not None else None,
+        headers={"Content-Type": "application/json"},
+        method=method,
+    )
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_rest_metadata_routes(server):
+    st, root = _call(server, "GET", "/")
+    assert st == 200 and root["status"] == "ok"
+    st, labels = _call(server, "GET", "/labels")
+    assert "Customer" in labels["labels"]
+    st, rts = _call(server, "GET", "/rel-types")
+    assert "PLACED" in rts["rel_types"]
+    st, stats = _call(server, "GET", "/stats")
+    assert stats["nodes"]["Region"] == 5 and stats["rels"]["IN_REGION"] == 25
+
+
+def test_rest_node_crud_roundtrip(server):
+    # create
+    st, out = _call(server, "POST", "/nodes", {
+        "labels": ["Widget"], "properties": {"id": 900001, "name": "w1"},
+    })
+    assert st == 200 and out["created"] == 1
+    st, got = _call(server, "GET", "/nodes/900001")
+    assert got["rows"][0]["name"] == "w1"
+    # update merges props
+    st, _ = _call(server, "PUT", "/nodes/900001", {"properties": {"name": "w2"}})
+    st, got = _call(server, "GET", "/nodes/900001")
+    assert got["rows"][0]["name"] == "w2"
+    # delete
+    st, _ = _call(server, "DELETE", "/nodes/900001")
+    try:
+        _call(server, "GET", "/nodes/900001")
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_rest_rel_crud_and_neighbors(server):
+    st, out = _call(server, "POST", "/batch/nodes", {"nodes": [
+        {"labels": ["Widget"], "properties": {"id": 900010, "name": "a"}},
+        {"labels": ["Widget"], "properties": {"id": 900011, "name": "b"}},
+    ]})
+    assert out["created"] == 2
+    st, out = _call(server, "POST", "/rels", {
+        "rel_type": "LINKS", "edge_id": 990001, "src": 900010, "dst": 900011,
+    })
+    assert out["created"] == 1
+    st, got = _call(server, "GET", "/rels/990001")
+    assert got["rows"][0]["dst"] == 900011 and got["rows"][0]["rel_type"] == "LINKS"
+    st, nb = _call(server, "GET", "/nodes/900010/neighbors")
+    assert {"id": 900011, "rel_type": "LINKS", "direction": "out"} in nb["rows"]
+    st, _ = _call(server, "DELETE", "/rels/990001")
+    try:
+        _call(server, "GET", "/rels/990001")
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_rest_cache_routes(server):
+    st, out = _call(server, "GET", "/cache/stats")
+    assert st == 200 and "stats" in out
+    st, out = _call(server, "POST", "/cache/clear", {})
+    assert out["ok"] is True
