@@ -1269,6 +1269,16 @@ def q88_path_with_rels(spark, sf_dir):
     return shortest_path_with_rels(e, int(start), int(end), max_depth=5)
 
 
+def q89_dedup_clusters(spark, sf_dir):
+    """End-to-end dedup decision: MinHash pair graph → connected
+    components → per-cluster keeper. One row per document with its
+    cluster id (min doc id of the component) and a keep flag."""
+    from rs_graphdb_spark.functions.dedup import near_dup_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    return near_dup_clusters(docs, "doc_id", "text", threshold=0.8)
+
+
 def q81_asof_join(spark, sf_dir):
     """As-of (point-in-time) join, union-merge formulation (superset —
     reference has no joins beyond traversal): each purchase event is
@@ -1389,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_interval_join": q86_interval_join,
         "q87_stream_sessions": q87_stream_sessions,
         "q88_path_with_rels": q88_path_with_rels,
+        "q89_dedup_clusters": q89_dedup_clusters,
     }
 
 
@@ -1497,6 +1508,38 @@ def _kcore_sql(knows: str, k: int, rounds: int) -> str:
             f" GROUP BY u.src HAVING count(*) >= {k})"
         )
     return "WITH " + ",\n".join(ctes) + f" SELECT id FROM a{rounds}"
+
+
+def _dedup_clusters_sql(pairs_sql: str, rounds: int) -> str:
+    """Oracle for near_dup_clusters: brute-force pair graph + unrolled
+    min-label propagation (MATERIALIZED — see _pagerank_sql). Propagation
+    is idempotent at fixpoint, so ``rounds`` just has to exceed the widest
+    dup-cluster diameter (near-dup components are cliques or short chains;
+    8 is generous)."""
+    ctes = [
+        f"p AS MATERIALIZED ({pairs_sql})",
+        "und AS MATERIALIZED (SELECT a AS src, b AS dst FROM p"
+        " UNION ALL SELECT b, a FROM p)",
+        "n AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)",
+        "c0 AS MATERIALIZED (SELECT id, id AS comp FROM n)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT c.id,"
+            f" least(c.comp, coalesce(m.mn, c.comp)) AS comp"
+            f" FROM c{i - 1} c LEFT JOIN ("
+            f"SELECT u.dst AS id, min(cc.comp) AS mn"
+            f" FROM c{i - 1} cc JOIN und u ON u.src = cc.id"
+            f" GROUP BY u.dst) m USING (id))"
+        )
+    last = f"c{rounds}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""" SELECT d.doc_id,
+                   coalesce(c.comp, d.doc_id) AS cluster,
+                   d.doc_id = coalesce(c.comp, d.doc_id) AS keep
+            FROM documents d LEFT JOIN {last} c ON c.id = d.doc_id"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2170,6 +2213,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs, CAST(sum(sz) AS BIGINT) AS sum_tokens
             FROM p GROUP BY 1, 2
         """,
+        "q89_dedup_clusters": _dedup_clusters_sql(
+            JACCARD_PAIRS.format(threshold=0.8), rounds=8
+        ),
         "q88_path_with_rels": """
             WITH RECURSIVE kn AS MATERIALIZED (
                 SELECT a.c_custkey * 4 + 1 AS edge_id,

@@ -36,6 +36,8 @@ HEADLINE = [
     "q53_multimodal_features",  # Arrow-batched mapInPandas
     "q80_sessionize",       # gaps-and-islands window
     "q81_asof_join",        # union-merge as-of join
+    "q85_pack_sequences",   # sharded token packing
+    "q86_interval_join",    # bucket-banded range join
 ]
 
 

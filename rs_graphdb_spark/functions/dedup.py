@@ -256,6 +256,45 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    k: int = 3,
+) -> DataFrame:
+    """The end-to-end dedup decision: MinHash/LSH pair graph → connected
+    components → per-cluster keeper (minimum id). Returns one row per
+    document: (doc_id, cluster, keep) — ``cluster`` is the min doc id of
+    its near-dup component (its own id when it has no near-dups) and
+    ``keep`` marks the cluster representative to retain.
+
+    This is what a 100 TB dedup pass actually emits: the pair join and
+    component computation run over the (tiny) duplicate subgraph only —
+    documents with no candidate pair never enter the iteration."""
+    from rs_graphdb_spark.algorithms.graph_algos import connected_components
+
+    spark = df.sparkSession
+    pairs = minhash_dedup_pairs(df, id_col, text_col, threshold=threshold, k=k)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    nodes = (
+        pairs.select(F.col("a").alias("id"))
+        .unionByName(pairs.select(F.col("b").alias("id")))
+        .dropDuplicates(["id"])
+    )
+    comp = connected_components(nodes, edges)
+    out = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster"))
+    )
+    return out
+
+
 def simhash(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
     """SimHash: per-token 32-bit hash, per-bit ±1 vote weighted by token
     multiplicity, packed into a long. Pure expression (no shuffle)."""

@@ -200,3 +200,20 @@ def test_pack_greedy_bins_are_contiguous_and_bounded(spark):
         seq = sorted((r.doc_id for r in out if r.shard == shard))
         bins = [next(r.bin for r in out if r.doc_id == d) for d in seq]
         assert bins == sorted(bins)
+
+
+def test_near_dup_clusters_keeper_semantics(spark):
+    from rs_graphdb_spark.functions.dedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base), (2, base + "!"),            # near-dups of each other
+        (3, "completely different text about spark dataframes at scale ok"),
+        (4, base + "?"),                       # third member of cluster 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.cluster, r.keep) for r in
+           near_dup_clusters(df, "doc_id", "text", threshold=0.8).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False) and out[4] == (1, False)
+    assert out[3] == (3, True)   # singleton keeps itself
