@@ -1279,6 +1279,20 @@ def q89_dedup_clusters(spark, sf_dir):
     return near_dup_clusters(docs, "doc_id", "text", threshold=0.8)
 
 
+def q90_profile(spark, sf_dir):
+    """Single-pass data profiling (ANALYZE / ingest validation): all
+    per-column stats as expressions in ONE agg over one scan, unpivoted
+    via stack — no per-column jobs (`functions/profile.py`)."""
+    from rs_graphdb_spark.functions.profile import profile
+
+    orders = _read(spark, sf_dir, "orders")
+    return profile(
+        orders,
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+         "o_orderpriority"],
+    )
+
+
 def q81_asof_join(spark, sf_dir):
     """As-of (point-in-time) join, union-merge formulation (superset —
     reference has no joins beyond traversal): each purchase event is
@@ -1400,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_stream_sessions": q87_stream_sessions,
         "q88_path_with_rels": q88_path_with_rels,
         "q89_dedup_clusters": q89_dedup_clusters,
+        "q90_profile": q90_profile,
     }
 
 
@@ -2213,6 +2228,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs, CAST(sum(sz) AS BIGINT) AS sum_tokens
             FROM p GROUP BY 1, 2
         """,
+        "q90_profile": " UNION ALL ".join(
+            f"""SELECT '{c}' AS col_name, count(*) AS n,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_null,
+                   count(DISTINCT {c}) AS n_distinct,
+                   {f'CAST(min({c}) AS DOUBLE)' if num else 'CAST(NULL AS DOUBLE)'}
+                       AS min_num,
+                   {f'CAST(max({c}) AS DOUBLE)' if num else 'CAST(NULL AS DOUBLE)'}
+                       AS max_num,
+                   {f'min({c})' if not num else 'CAST(NULL AS VARCHAR)'}
+                       AS min_str,
+                   {f'max({c})' if not num else 'CAST(NULL AS VARCHAR)'}
+                       AS max_str
+            FROM orders"""
+            for c, num in [
+                ("o_orderkey", True), ("o_custkey", True),
+                ("o_totalprice", True), ("o_orderstatus", False),
+                ("o_orderpriority", False),
+            ]
+        ),
         "q89_dedup_clusters": _dedup_clusters_sql(
             JACCARD_PAIRS.format(threshold=0.8), rounds=8
         ),

@@ -217,3 +217,20 @@ def test_near_dup_clusters_keeper_semantics(spark):
     assert out[1] == (1, True)
     assert out[2] == (1, False) and out[4] == (1, False)
     assert out[3] == (3, True)   # singleton keeps itself
+
+
+def test_profile_single_pass_stats(spark):
+    from rs_graphdb_spark.functions.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (2, None, 3.5)],
+        "k long, s string, v double",
+    )
+    out = {r.col_name: r for r in profile(df, ["k", "s", "v"]).collect()}
+    assert out["k"].n == 3 and out["k"].n_null == 0 and out["k"].n_distinct == 2
+    assert out["k"].min_num == 1.0 and out["k"].max_num == 2.0
+    assert out["s"].n_null == 1 and out["s"].min_str == "a" and out["s"].max_str == "b"
+    assert out["v"].n_null == 1 and out["v"].max_num == 3.5
+    # single job: the plan has exactly one scan of the input
+    plan = profile(df, ["k", "s", "v"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
