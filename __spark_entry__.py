@@ -1293,6 +1293,27 @@ def q90_profile(spark, sf_dir):
     )
 
 
+def q91_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (seed-expansion primitive; teleport vector
+    uniform over the 5 smallest KNOWS sources). Top-20 by rank; oracle =
+    teleport-modified unrolled supersteps (`_ppr_sql`)."""
+    from rs_graphdb_spark.algorithms.graph_algos import personalized_pagerank
+
+    g = _graph(spark, sf_dir)
+    e = g.edges["KNOWS"].df
+    sources = (
+        e.select(F.col("src").alias("id")).distinct().orderBy("id").limit(5)
+    )
+    r = personalized_pagerank(
+        g.nodes["Customer"], e, sources, damping=0.85, iterations=10
+    )
+    return (
+        r.select("id", F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), "id")
+        .limit(20)
+    )
+
+
 def q81_asof_join(spark, sf_dir):
     """As-of (point-in-time) join, union-merge formulation (superset —
     reference has no joins beyond traversal): each purchase event is
@@ -1415,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_path_with_rels": q88_path_with_rels,
         "q89_dedup_clusters": q89_dedup_clusters,
         "q90_profile": q90_profile,
+        "q91_personalized_pagerank": q91_personalized_pagerank,
     }
 
 
@@ -1442,6 +1464,44 @@ def _pagerank_sql(knows: str, damping: float, iterations: int) -> str:
             f" (1 - {d}) / (SELECT cnt FROM c)"
             f" + {d} * coalesce(m.s, 0) AS rank"
             f" FROM n LEFT JOIN ("
+            f"SELECT e.dst AS id, sum(r.rank / od.d) AS s"
+            f" FROM r{i - 1} r JOIN e ON e.src = r.id"
+            f" JOIN od ON od.src = r.id GROUP BY e.dst) m USING (id))"
+        )
+    last = f"r{iterations}"
+    ctes.append(f"t AS (SELECT sum(rank) AS tot FROM {last})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT id, round(rank / (SELECT tot FROM t), 8) AS rank"
+        f" FROM {last}"
+        f" ORDER BY round(rank / (SELECT tot FROM t), 8) DESC, id LIMIT 20"
+    )
+
+
+def _ppr_sql(knows: str, damping: float, iterations: int, n_sources: int) -> str:
+    """Personalized-PageRank oracle: teleport vector uniform over the
+    ``n_sources`` smallest edge sources, r0 = p, r{{i+1}} = (1-d)p + d·Σ.
+    Same MATERIALIZED unrolling rules as `_pagerank_sql`."""
+    d = damping
+    ctes = [
+        f"k AS MATERIALIZED ({knows})",
+        "n AS MATERIALIZED (SELECT 3298534883328 + c_custkey AS id FROM customer)",
+        "e AS MATERIALIZED (SELECT 3298534883328 + src_key AS src,"
+        " 3298534883328 + dst_key AS dst FROM k)",
+        f"s AS MATERIALIZED (SELECT DISTINCT src AS id FROM e"
+        f" ORDER BY src LIMIT {n_sources})",
+        "od AS MATERIALIZED"
+        " (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+        f"tp AS MATERIALIZED (SELECT n.id,"
+        f" CASE WHEN s.id IS NOT NULL THEN 1.0 / {n_sources} ELSE 0.0 END AS p"
+        f" FROM n LEFT JOIN s USING (id))",
+        "r0 AS MATERIALIZED (SELECT id, p AS rank FROM tp)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT tp.id,"
+            f" (1 - {d}) * tp.p + {d} * coalesce(m.s, 0) AS rank"
+            f" FROM tp LEFT JOIN ("
             f"SELECT e.dst AS id, sum(r.rank / od.d) AS s"
             f" FROM r{i - 1} r JOIN e ON e.src = r.id"
             f" JOIN od ON od.src = r.id GROUP BY e.dst) m USING (id))"
@@ -1778,6 +1838,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "q35_pagerank": _pagerank_sql(KNOWS, damping=0.85, iterations=10),
+        "q91_personalized_pagerank": _ppr_sql(
+            KNOWS, damping=0.85, iterations=10, n_sources=5
+        ),
         "q37_label_propagation": _lpa_sql(KNOWS, iterations=5),
         "q36_kcore": _kcore_sql(KNOWS, k=2, rounds=10),
         "q31_degree_centrality": f"""

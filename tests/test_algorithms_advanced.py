@@ -89,3 +89,17 @@ def test_pregel_min_label_propagation(spark):
     )
     got = {r["id"]: r["comp"] for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_personalized_pagerank_concentrates_on_seed(spark):
+    from rs_graphdb_spark.algorithms.graph_algos import personalized_pagerank
+
+    # chain 1 -> 2 -> 3 plus isolated 9; seed {1}
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 9)], "id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    r = {row.id: row.rank for row in
+         personalized_pagerank(nodes, edges, seeds, iterations=20).collect()}
+    assert r[1] > r[2] > r[3] > 0
+    assert r[9] == 0.0                       # unreachable from the seed
+    assert abs(sum(r.values()) - 1.0) < 1e-9  # normalized
