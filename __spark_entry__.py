@@ -1314,6 +1314,16 @@ def q91_personalized_pagerank(spark, sf_dir):
     )
 
 
+def q92_hopping_window(spark, sf_dir):
+    """Hopping/sliding event-time windows (1h window, 30min slide —
+    every event in two windows), batch twin of the streaming op
+    (`streaming/ops.hopping_event_counts`)."""
+    from rs_graphdb_spark.streaming.ops import hopping_event_counts
+
+    ev = _read(spark, sf_dir, "events")
+    return hopping_event_counts(ev, streaming=False)
+
+
 def q81_asof_join(spark, sf_dir):
     """As-of (point-in-time) join, union-merge formulation (superset —
     reference has no joins beyond traversal): each purchase event is
@@ -1437,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_dedup_clusters": q89_dedup_clusters,
         "q90_profile": q90_profile,
         "q91_personalized_pagerank": q91_personalized_pagerank,
+        "q92_hopping_window": q92_hopping_window,
     }
 
 
@@ -2370,6 +2381,22 @@ def oracle_sql() -> dict[str, str]:
                    min(t) AS start_us, max(t) AS end_us,
                    round(sum(value), 4) AS sum_value
             FROM x GROUP BY user_id, session_id
+        """,
+        "q92_hopping_window": """
+            WITH e AS (
+                SELECT epoch_us(ts) AS t, event_type, value FROM events
+            ),
+            w AS (
+                SELECT unnest([
+                           (t // 1800000000) * 1800000000 - 1800000000,
+                           (t // 1800000000) * 1800000000
+                       ]) AS win_start_us,
+                       event_type, value
+                FROM e
+            )
+            SELECT win_start_us, event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM w GROUP BY 1, 2
         """,
         "q86_interval_join": """
             SELECT p.event_id, p.user_id, c.event_id AS click_event_id,

@@ -91,6 +91,37 @@ def windowed_event_counts(
     )
 
 
+def hopping_event_counts(
+    df: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    streaming: bool = True,
+) -> DataFrame:
+    """Hopping (sliding) window counts/sums per event type — each event
+    lands in window/slide overlapping windows (`F.window` with a slide;
+    the tumbling op above is the slide == window special case). Window
+    starts are emitted as exact epoch-microsecond longs (slide-aligned,
+    so no float exposure in the output). Batch == streaming semantics."""
+    df = with_event_time(df)
+    if streaming:
+        df = df.withWatermark("event_time", watermark)
+    return (
+        df.groupBy(
+            F.window("event_time", window, slide).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
 def session_window_stats(
     df: DataFrame,
     gap: str = "6 hours",
