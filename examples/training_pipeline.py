@@ -1,0 +1,61 @@
+"""End-to-end training-data pipeline over the documents/embeddings
+fixtures: profile → quality/language analysis → near-dup clustering →
+contamination-safe split → sequence packing. Every stage is the same
+operator the 100 TB deployment would run (see PLANS.md for the plan
+shapes).
+
+Run: python examples/training_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F
+
+from rs_graphdb_spark.functions.dedup import near_dup_clusters
+from rs_graphdb_spark.functions.profile import profile
+from rs_graphdb_spark.functions.sampling import group_aware_split, pack_greedy
+from rs_graphdb_spark.functions.text import fingerprint, quality_features, token_count
+from rs_graphdb_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("training-pipeline")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    print("-- 1. ingest validation (single-pass profile)")
+    profile(docs, ["doc_id", "text"]).show(truncate=False)
+
+    print("-- 2. quality features")
+    q = quality_features("text")
+    scored = docs.select("doc_id", *[c.alias(k) for k, c in q.items()])
+    scored.agg(*[F.round(F.avg(c), 3).alias(f"avg_{c}")
+                 for c in scored.columns if c != "doc_id"]).show()
+
+    print("-- 3. near-dup clustering (MinHash/LSH -> CC -> keeper)")
+    clusters = near_dup_clusters(docs, "doc_id", "text", threshold=0.8)
+    clusters.groupBy("keep").count().show()
+
+    print("-- 4. contamination-safe split (keyed on dup fingerprint)")
+    kept = docs.join(clusters.filter("keep"), docs.doc_id == clusters.doc_id
+                     ).select(docs["*"])
+    split = group_aware_split(kept.withColumn("fp", fingerprint("text")), "fp")
+    split.groupBy("split").count().orderBy("split").show()
+
+    print("-- 5. sequence packing (2048-token bins, 8 shards)")
+    packed = pack_greedy(
+        split.withColumn("sz", token_count("text").cast("long")),
+        "doc_id", "sz", budget=2048, shards=8,
+    )
+    packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("docs"), F.sum("sz").alias("tokens")
+    ).orderBy("shard", "bin").show(10)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
