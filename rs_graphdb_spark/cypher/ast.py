@@ -196,3 +196,14 @@ class MergeStmt:
     node: NodePattern
     on_create: tuple = ()
     on_match: tuple = ()
+
+
+@dataclass(frozen=True)
+class TransactionStmt:
+    """BEGIN / COMMIT / ROLLBACK — parsed for script compatibility
+    (reference `src/cypher/parser.rs:962-997`). Executes as a no-op:
+    batch-job atomicity replaces the reference's op-log transactions
+    (SURVEY.md §2.11; even there commit/rollback only flip status,
+    `src/transactions/transaction.rs:321-348`)."""
+
+    kind: str  # "begin" | "commit" | "rollback"

@@ -321,6 +321,11 @@ class Compiler:
             return self._run_foreach(stmt)
         if isinstance(stmt, ast.CallStmt):
             return self._run_call(stmt)
+        if isinstance(stmt, ast.TransactionStmt):
+            # no-op: batch-job atomicity replaces op-log transactions
+            # (SURVEY.md §2.11); returns the unchanged graph so scripted
+            # BEGIN/COMMIT/ROLLBACK sequences run through unchanged
+            return self.g
         raise CypherCompileError(f"unsupported statement {stmt!r}")
 
     def _run_merge_rel(self, stmt: ast.MergeRelStmt) -> PropertyGraph:

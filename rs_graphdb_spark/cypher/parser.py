@@ -369,6 +369,12 @@ class _P:
         return var, tuple(updates)
 
     def statement(self):
+        for tx in ("begin", "commit", "rollback"):
+            if self.kw(tx):
+                self.i += 1
+                if tx == "begin" and self.try_kw("transaction"):
+                    pass
+                return ast.TransactionStmt(kind=tx)
         if self.kw("create"):
             self.i += 1
             anon: list = []

@@ -316,3 +316,13 @@ def test_var_length_direction_variants(g):
     both = q().undirected_variable_length("KNOWS", 1, 2).df.count()
     assert out > 0 and rev > 0
     assert both >= max(out, rev)
+
+
+def test_transaction_statements_are_noops(g):
+    from rs_graphdb_spark.cypher import execute_cypher
+    from rs_graphdb_spark.graph import PropertyGraph
+
+    for stmt in ("BEGIN", "BEGIN TRANSACTION", "COMMIT", "ROLLBACK"):
+        out = execute_cypher(g, stmt)
+        assert isinstance(out, PropertyGraph)
+        assert out.nodes.keys() == g.nodes.keys()
