@@ -1324,6 +1324,24 @@ def q92_hopping_window(spark, sf_dir):
     return hopping_event_counts(ev, streaming=False)
 
 
+def q93_hits(spark, sf_dir):
+    """HITS hubs/authorities over KNOWS (L1-normalized supersteps —
+    exactly reproducible in SQL, no sqrt). Top-20 authorities."""
+    from rs_graphdb_spark.algorithms.graph_algos import hits
+
+    g = _graph(spark, sf_dir)
+    r = hits(g.nodes["Customer"], g.edges["KNOWS"].df, iterations=5)
+    return (
+        r.select(
+            "id",
+            F.round("hub", 8).alias("hub"),
+            F.round("authority", 8).alias("authority"),
+        )
+        .orderBy(F.col("authority").desc(), "id")
+        .limit(20)
+    )
+
+
 def q81_asof_join(spark, sf_dir):
     """As-of (point-in-time) join, union-merge formulation (superset —
     reference has no joins beyond traversal): each purchase event is
@@ -1448,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_profile": q90_profile,
         "q91_personalized_pagerank": q91_personalized_pagerank,
         "q92_hopping_window": q92_hopping_window,
+        "q93_hits": q93_hits,
     }
 
 
@@ -1524,6 +1543,53 @@ def _ppr_sql(knows: str, damping: float, iterations: int, n_sources: int) -> str
         + f" SELECT id, round(rank / (SELECT tot FROM t), 8) AS rank"
         f" FROM {last}"
         f" ORDER BY round(rank / (SELECT tot FROM t), 8) DESC, id LIMIT 20"
+    )
+
+
+def _hits_sql(knows: str, iterations: int) -> str:
+    """Unrolled HITS oracle: per superstep authority-from-hubs then
+    hub-from-authorities, each L1-normalized. Same MATERIALIZED rules as
+    `_pagerank_sql`."""
+    ctes = [
+        f"k AS MATERIALIZED ({knows})",
+        "n AS MATERIALIZED (SELECT 3298534883328 + c_custkey AS id FROM customer)",
+        "e AS MATERIALIZED (SELECT 3298534883328 + src_key AS src,"
+        " 3298534883328 + dst_key AS dst FROM k)",
+        "s0 AS MATERIALIZED (SELECT id, 1.0 AS hub, 1.0 AS auth FROM n)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"ar{i} AS MATERIALIZED (SELECT n.id, coalesce(m.s, 0) AS a"
+            f" FROM n LEFT JOIN (SELECT e.dst AS id, sum(s.hub) AS s"
+            f" FROM s{i - 1} s JOIN e ON e.src = s.id GROUP BY e.dst) m"
+            f" USING (id))"
+        )
+        ctes.append(
+            f"an{i} AS MATERIALIZED (SELECT id,"
+            f" a / (SELECT CASE WHEN sum(a) = 0 THEN 1 ELSE sum(a) END"
+            f" FROM ar{i}) AS auth FROM ar{i})"
+        )
+        ctes.append(
+            f"hr{i} AS MATERIALIZED (SELECT n.id, coalesce(m.s, 0) AS h"
+            f" FROM n LEFT JOIN (SELECT e.src AS id, sum(a.auth) AS s"
+            f" FROM an{i} a JOIN e ON e.dst = a.id GROUP BY e.src) m"
+            f" USING (id))"
+        )
+        ctes.append(
+            f"hn{i} AS MATERIALIZED (SELECT id,"
+            f" h / (SELECT CASE WHEN sum(h) = 0 THEN 1 ELSE sum(h) END"
+            f" FROM hr{i}) AS hub FROM hr{i})"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT hn.id, hn.hub, an.auth"
+            f" FROM hn{i} hn JOIN an{i} an USING (id))"
+        )
+    last = f"s{iterations}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""" SELECT id, round(hub, 8) AS hub, round(auth, 8) AS authority
+            FROM {last}
+            ORDER BY round(auth, 8) DESC, id LIMIT 20"""
     )
 
 
@@ -1852,6 +1918,7 @@ def oracle_sql() -> dict[str, str]:
         "q91_personalized_pagerank": _ppr_sql(
             KNOWS, damping=0.85, iterations=10, n_sources=5
         ),
+        "q93_hits": _hits_sql(KNOWS, iterations=5),
         "q37_label_propagation": _lpa_sql(KNOWS, iterations=5),
         "q36_kcore": _kcore_sql(KNOWS, k=2, rounds=10),
         "q31_degree_centrality": f"""

@@ -573,3 +573,60 @@ def personalized_pagerank(
             state = state.localCheckpoint(eager=True)
     total = state.agg(F.sum("rank")).first()[0] or 1.0
     return state.select("id", (F.col("rank") / total).alias("rank"))
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 10,
+) -> DataFrame:
+    """HITS hubs-and-authorities (beyond-reference companion to
+    ``pagerank``): authority = sum of in-neighbor hub scores, hub = sum
+    of out-neighbor authority scores, L1-normalized each superstep (L1
+    keeps the oracle exact — no sqrt). Returns (id, hub, authority).
+
+    Two shuffles per superstep (one per direction), state carried in a
+    single frame like ``pagerank``."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    state = (
+        nodes.select("id")
+        .withColumn("hub", F.lit(1.0))
+        .withColumn("auth", F.lit(1.0))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(iterations):
+        auth_msgs = (
+            state.join(edges, state["id"] == edges["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("a_new"))
+        )
+        # normalization totals stay IN the plan (crossJoin with a 1-row
+        # agg) — a .first() here would block the driver twice per superstep
+        state = (
+            state.drop("auth")
+            .join(auth_msgs, "id", "left")
+            .withColumn("auth", F.coalesce("a_new", F.lit(0.0)))
+            .drop("a_new")
+        )
+        a_tot = state.agg(F.sum("auth").alias("_t"))
+        state = state.crossJoin(a_tot).withColumn(
+            "auth", F.col("auth") / F.when(F.col("_t") == 0, 1.0).otherwise(F.col("_t"))
+        ).drop("_t")
+        hub_msgs = (
+            state.join(edges, state["id"] == edges["dst"])
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth").alias("h_new"))
+        )
+        state = (
+            state.drop("hub")
+            .join(hub_msgs, "id", "left")
+            .withColumn("hub", F.coalesce("h_new", F.lit(0.0)))
+            .drop("h_new")
+        )
+        h_tot = state.agg(F.sum("hub").alias("_t"))
+        state = state.crossJoin(h_tot).withColumn(
+            "hub", F.col("hub") / F.when(F.col("_t") == 0, 1.0).otherwise(F.col("_t"))
+        ).drop("_t")
+        if (i + 1) % 2 == 0 or i == iterations - 1:
+            state = state.localCheckpoint(eager=True)
+    return state.select("id", "hub", F.col("auth").alias("authority"))

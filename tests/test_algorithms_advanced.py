@@ -103,3 +103,16 @@ def test_personalized_pagerank_concentrates_on_seed(spark):
     assert r[1] > r[2] > r[3] > 0
     assert r[9] == 0.0                       # unreachable from the seed
     assert abs(sum(r.values()) - 1.0) < 1e-9  # normalized
+
+
+def test_hits_hub_authority_structure(spark):
+    from rs_graphdb_spark.algorithms.graph_algos import hits
+
+    # star: 1,2,3 all point at 4 -> 4 is the authority, 1-3 equal hubs
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id long")
+    edges = spark.createDataFrame([(1, 4), (2, 4), (3, 4)], "src long, dst long")
+    r = {row.id: (row.hub, row.authority) for row in
+         hits(nodes, edges, iterations=4).collect()}
+    assert r[4][1] == 1.0 and r[4][0] == 0.0
+    assert abs(r[1][0] - 1 / 3) < 1e-9 and r[1][0] == r[2][0] == r[3][0]
+    assert r[1][1] == 0.0
