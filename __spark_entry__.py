@@ -1342,6 +1342,28 @@ def q93_hits(spark, sf_dir):
     )
 
 
+def q94_node_similarity(spark, sf_dir):
+    """Neighbor-set Jaccard between customer pairs (link-prediction
+    primitive; sparse shared-neighbor join, never all-pairs)."""
+    from rs_graphdb_spark.algorithms.graph_algos import node_similarity
+
+    g = _graph(spark, sf_dir)
+    return node_similarity(g.edges["KNOWS"].df, min_jaccard=0.3).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q95_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link-prediction scores over KNOWS (rare shared
+    neighbors weigh more: sum 1/ln(deg(z)))."""
+    from rs_graphdb_spark.algorithms.graph_algos import adamic_adar
+
+    g = _graph(spark, sf_dir)
+    return adamic_adar(g.edges["KNOWS"].df).select(
+        "a", "b", F.round("score", 6).alias("score")
+    )
+
+
 def q81_asof_join(spark, sf_dir):
     """As-of (point-in-time) join, union-merge formulation (superset —
     reference has no joins beyond traversal): each purchase event is
@@ -1467,6 +1489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_personalized_pagerank": q91_personalized_pagerank,
         "q92_hopping_window": q92_hopping_window,
         "q93_hits": q93_hits,
+        "q94_node_similarity": q94_node_similarity,
+        "q95_adamic_adar": q95_adamic_adar,
     }
 
 
@@ -1919,6 +1943,48 @@ def oracle_sql() -> dict[str, str]:
             KNOWS, damping=0.85, iterations=10, n_sources=5
         ),
         "q93_hits": _hits_sql(KNOWS, iterations=5),
+        "q94_node_similarity": f"""
+            WITH k AS MATERIALIZED ({KNOWS}),
+            und AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT 3298534883328 + src_key AS src,
+                           3298534883328 + dst_key AS dst FROM k
+                    UNION ALL
+                    SELECT 3298534883328 + dst_key, 3298534883328 + src_key
+                    FROM k
+                ) WHERE src <> dst
+            ),
+            deg AS MATERIALIZED (SELECT src, count(*) AS n FROM und GROUP BY 1),
+            inter AS (
+                SELECT x.src AS a, y.src AS b, count(*) AS i
+                FROM und x JOIN und y ON x.dst = y.dst AND x.src < y.src
+                GROUP BY 1, 2
+            )
+            SELECT a, b, round(i / (da.n + db.n - i), 6) AS jaccard
+            FROM inter
+            JOIN deg da ON da.src = a JOIN deg db ON db.src = b
+            WHERE i / (da.n + db.n - i) >= 0.3
+        """,
+        "q95_adamic_adar": f"""
+            WITH k AS MATERIALIZED ({KNOWS}),
+            und AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT 3298534883328 + src_key AS src,
+                           3298534883328 + dst_key AS dst FROM k
+                    UNION ALL
+                    SELECT 3298534883328 + dst_key, 3298534883328 + src_key
+                    FROM k
+                ) WHERE src <> dst
+            ),
+            deg AS MATERIALIZED (SELECT src, count(*) AS n FROM und GROUP BY 1),
+            wz AS MATERIALIZED (
+                SELECT u.dst AS member, u.src AS z, 1.0 / ln(d.n) AS w
+                FROM und u JOIN deg d ON d.src = u.src
+            )
+            SELECT x.member AS a, y.member AS b, round(sum(x.w), 6) AS score
+            FROM wz x JOIN wz y ON x.z = y.z AND x.member < y.member
+            GROUP BY 1, 2
+        """,
         "q37_label_propagation": _lpa_sql(KNOWS, iterations=5),
         "q36_kcore": _kcore_sql(KNOWS, k=2, rounds=10),
         "q31_degree_centrality": f"""

@@ -630,3 +630,61 @@ def hits(
         if (i + 1) % 2 == 0 or i == iterations - 1:
             state = state.localCheckpoint(eager=True)
     return state.select("id", "hub", F.col("auth").alias("authority"))
+
+
+def node_similarity(edges: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
+    """Neighbor-set Jaccard between node pairs (the standard graph
+    node-similarity / link-prediction primitive; beyond-reference).
+    Returns (a, b, jaccard) for a < b sharing >= 1 undirected neighbor.
+
+    Sparse formulation: pairs materialize ONLY via a shared-neighbor
+    equi-join (shuffle key = the common neighbor), never all-pairs —
+    same shape as the n-gram similarity join, so hub nodes are the skew
+    axis (cap or sample super-hub adjacency at 100 TB)."""
+    und = _undirected(edges).localCheckpoint(eager=True)
+    deg = und.groupBy("src").agg(F.count("*").alias("n"))
+    inter = (
+        und.alias("x")
+        .join(
+            und.alias("y"),
+            (F.col("x.dst") == F.col("y.dst")) & (F.col("x.src") < F.col("y.src")),
+        )
+        .groupBy(F.col("x.src").alias("a"), F.col("y.src").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    na = deg.select(F.col("src").alias("a"), F.col("n").alias("na"))
+    nb = deg.select(F.col("src").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a").join(nb, "b")
+        .select(
+            "a", "b",
+            (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def adamic_adar(edges: DataFrame) -> DataFrame:
+    """Adamic–Adar link-prediction score: for each pair (a, b) with >= 1
+    common undirected neighbor z, score = sum 1/ln(deg(z)) — rare shared
+    neighbors count more. Same sparse shared-neighbor join as
+    ``node_similarity``. Returns (a, b, score)."""
+    und = _undirected(edges).localCheckpoint(eager=True)
+    deg = und.groupBy("src").agg(F.count("*").alias("n"))
+    # deg-1 neighbors can never be COMMON neighbors (need two members),
+    # and 1/ln(1) divides by zero under ANSI — drop them before the join
+    wz = und.join(deg.filter(F.col("n") >= 2), "src").select(
+        F.col("dst").alias("member"),
+        F.col("src").alias("z"),
+        (1.0 / F.log(F.col("n"))).alias("w"),
+    )
+    return (
+        wz.alias("x")
+        .join(
+            wz.alias("y"),
+            (F.col("x.z") == F.col("y.z"))
+            & (F.col("x.member") < F.col("y.member")),
+        )
+        .groupBy(F.col("x.member").alias("a"), F.col("y.member").alias("b"))
+        .agg(F.sum(F.col("x.w")).alias("score"))
+    )

@@ -116,3 +116,20 @@ def test_hits_hub_authority_structure(spark):
     assert r[4][1] == 1.0 and r[4][0] == 0.0
     assert abs(r[1][0] - 1 / 3) < 1e-9 and r[1][0] == r[2][0] == r[3][0]
     assert r[1][1] == 0.0
+
+
+def test_node_similarity_and_adamic_adar(spark):
+    import math
+
+    from rs_graphdb_spark.algorithms.graph_algos import adamic_adar, node_similarity
+
+    # 1 and 2 share neighbors {3, 4}; 1 also has 5 exclusively
+    edges = spark.createDataFrame(
+        [(1, 3), (1, 4), (1, 5), (2, 3), (2, 4)], "src long, dst long"
+    )
+    sim = {(r.a, r.b): r.jaccard for r in node_similarity(edges).collect()}
+    # N(1)={3,4,5}, N(2)={3,4} -> J = 2/3
+    assert abs(sim[(1, 2)] - 2 / 3) < 1e-9
+    aa = {(r.a, r.b): r.score for r in adamic_adar(edges).collect()}
+    # common neighbors 3 and 4, each deg 2 -> score = 2/ln(2)
+    assert abs(aa[(1, 2)] - 2 / math.log(2)) < 1e-9
