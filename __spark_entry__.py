@@ -1364,6 +1364,26 @@ def q95_adamic_adar(spark, sf_dir):
     )
 
 
+def q96_topk_per_group(spark, sf_dir):
+    """Top-3 documents per detected language by token count — the
+    grouped-top-k pattern (window rank + filter; composes lang_id +
+    token_count through a partitioned window)."""
+    docs = _read(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        TX.lang_id("text").alias("lang_guess"),
+        TX.token_count("text").alias("n_tokens"),
+    )
+    w = W.partitionBy("lang_guess").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang_guess", "rnk", "doc_id", "n_tokens")
+    )
+
+
 def q81_asof_join(spark, sf_dir):
     """As-of (point-in-time) join, union-merge formulation (superset —
     reference has no joins beyond traversal): each purchase event is
@@ -1491,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_hits": q93_hits,
         "q94_node_similarity": q94_node_similarity,
         "q95_adamic_adar": q95_adamic_adar,
+        "q96_topk_per_group": q96_topk_per_group,
     }
 
 
@@ -2125,6 +2146,37 @@ def oracle_sql() -> dict[str, str]:
                                  c.vec_id) AS INTEGER) AS rank
             FROM q JOIN e c ON c.vec_id <> q.vec_id
             QUALIFY rank <= 10
+        """,
+        "q96_topk_per_group": f"""
+            WITH h AS (
+                SELECT doc_id, CAST(len({TOKS}) AS INTEGER) AS n_tokens,
+                  len(list_filter({TOKS},
+                      x -> list_contains(['the','and','of','to','a'], x))) AS he,
+                  len(list_filter({TOKS},
+                      x -> list_contains(['der','und','die','das','ist'], x))) AS hd,
+                  len(list_filter({TOKS},
+                      x -> list_contains(['le','la','et','les','des'], x))) AS hf,
+                  len(list_filter({TOKS},
+                      x -> list_contains(['el','los','las','una','es'], x))) AS hs
+                FROM documents
+            ),
+            lg AS (
+                SELECT doc_id, n_tokens, CASE
+                     WHEN he >= hd AND he >= hf AND he >= hs AND he > 0 THEN 'en'
+                     WHEN hd >= hf AND hd >= hs AND hd > 0 THEN 'de'
+                     WHEN hf >= hs AND hf > 0 THEN 'fr'
+                     WHEN hs > 0 THEN 'es'
+                     ELSE 'und' END AS lang_guess
+                FROM h
+            )
+            SELECT lang_guess, rnk, doc_id, n_tokens FROM (
+                SELECT lang_guess, doc_id, n_tokens,
+                       CAST(row_number() OVER (
+                           PARTITION BY lang_guess
+                           ORDER BY n_tokens DESC, doc_id ASC
+                       ) AS INTEGER) AS rnk
+                FROM lg
+            ) WHERE rnk <= 3
         """,
         "q50_lang_id": f"""
             WITH h AS (
