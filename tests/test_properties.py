@@ -226,3 +226,41 @@ def test_interval_join_matches_bruteforce(spark, lrows, rrows, lower, upper):
         if lk == rk and lt - lower <= rt <= lt + upper
     }
     assert got == want
+
+
+@given(
+    st.lists(st.integers(1, 80), min_size=1, max_size=20),
+    st.integers(50, 300),
+    st.integers(1, 4),
+)
+@settings(max_examples=10, deadline=None)
+def test_pack_greedy_matches_bruteforce(spark, sizes, budget, shards):
+    from rs_graphdb_spark.functions.sampling import hash_bucket, pack_greedy
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "doc_id long, sz long"
+    )
+    out = {r.doc_id: (r.shard, r.bin) for r in
+           pack_greedy(df, "doc_id", "sz", budget, shards=shards).collect()}
+    shard_of = {r.doc_id: r.s for r in df.select(
+        "doc_id", hash_bucket("doc_id", shards).alias("s")).collect()}
+
+    want = {}
+    for sh in set(shard_of.values()):
+        acc = 0
+        for i in sorted(d for d, s in shard_of.items() if s == sh):
+            want[i] = (sh, acc // budget)
+            acc += sizes[i]
+    assert out == want
+
+
+@given(st.lists(st.integers(0, 100000), min_size=1, max_size=50, unique=True))
+@settings(max_examples=10, deadline=None)
+def test_hash_bucket_deterministic_and_in_range(spark, ids):
+    from rs_graphdb_spark.functions.sampling import hash_bucket
+
+    df = spark.createDataFrame([(i,) for i in ids], "k long")
+    a = {r.k: r.b for r in df.select("k", hash_bucket("k", 7).alias("b")).collect()}
+    b = {r.k: r.b for r in df.select("k", hash_bucket("k", 7).alias("b")).collect()}
+    assert a == b
+    assert all(0 <= v < 7 for v in a.values())
