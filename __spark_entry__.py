@@ -1384,6 +1384,18 @@ def q96_topk_per_group(spark, sf_dir):
     )
 
 
+def q97_kmeans(spark, sf_dir):
+    """Lloyd's k-means over the embeddings table (k=4, 3 iterations,
+    deterministic init = vectors of the 4 smallest ids). Centroids are
+    driver-resident literals folded into each assignment pass — the corpus
+    is never shuffled; the update pass is one posexplode + partial-agg'd
+    hash aggregation per iteration (shuffle rows ≤ k x dim x partitions)."""
+    from rs_graphdb_spark.functions.clustering import kmeans
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return kmeans(emb, "vec_id", "embedding", k=4, iterations=3)
+
+
 def q81_asof_join(spark, sf_dir):
     """As-of (point-in-time) join, union-merge formulation (superset —
     reference has no joins beyond traversal): each purchase event is
@@ -1512,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_node_similarity": q94_node_similarity,
         "q95_adamic_adar": q95_adamic_adar,
         "q96_topk_per_group": q96_topk_per_group,
+        "q97_kmeans": q97_kmeans,
     }
 
 
@@ -1736,6 +1749,68 @@ def _dedup_clusters_sql(pairs_sql: str, rounds: int) -> str:
                    coalesce(c.comp, d.doc_id) AS cluster,
                    d.doc_id = coalesce(c.comp, d.doc_id) AS keep
             FROM documents d LEFT JOIN {last} c ON c.id = d.doc_id"""
+    )
+
+
+def _kmeans_sql(k: int, iterations: int) -> str:
+    """Unrolled Lloyd's k-means oracle mirroring
+    `functions/clustering.kmeans`: init = vectors of the k smallest ids,
+    each superstep = (argmin-distance assignment, per-dimension mean).
+    Centroids are (c, pos, val) rows; distance is a grouped SUM over the
+    64 dimensions. MATERIALIZED for the same reason as `_pagerank_sql`."""
+    ctes = [
+        "emb AS MATERIALIZED (SELECT vec_id AS id,"
+        " embedding::DOUBLE[] AS v FROM embeddings)",
+        "cen0 AS MATERIALIZED (SELECT CAST(rn - 1 AS INTEGER) AS c,"
+        " generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS val"
+        " FROM (SELECT row_number() OVER (ORDER BY id) AS rn, v"
+        f" FROM emb ORDER BY id LIMIT {k}) t",
+    ]
+    ctes[-1] += ")"
+    for i in range(iterations):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT e.id, cen.c,"
+            " sum((e.v[cen.pos + 1] - cen.val)"
+            " * (e.v[cen.pos + 1] - cen.val)) AS d"
+            f" FROM emb e CROSS JOIN cen{i} cen GROUP BY e.id, cen.c)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT id, c AS cluster FROM"
+            " (SELECT id, c, row_number() OVER"
+            " (PARTITION BY id ORDER BY d, c) AS rn"
+            f" FROM d{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"cen{i + 1} AS MATERIALIZED (SELECT a.cluster AS c, t.pos,"
+            " avg(t.val) AS val FROM (SELECT id,"
+            " generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS val"
+            f" FROM emb) t JOIN a{i} a ON a.id = t.id"
+            " GROUP BY a.cluster, t.pos)"
+        )
+    last = f"cen{iterations}"
+    ctes.append(
+        "df AS MATERIALIZED (SELECT e.id, cen.c,"
+        " sum((e.v[cen.pos + 1] - cen.val)"
+        " * (e.v[cen.pos + 1] - cen.val)) AS d"
+        f" FROM emb e CROSS JOIN {last} cen GROUP BY e.id, cen.c)"
+    )
+    ctes.append(
+        "af AS MATERIALIZED (SELECT id, c AS cluster, d FROM"
+        " (SELECT id, c, d, row_number() OVER"
+        " (PARTITION BY id ORDER BY d, c) AS rn FROM df) WHERE rn = 1)"
+    )
+    ctes.append(
+        f"nrm AS (SELECT c AS cluster, sqrt(sum(val * val)) AS nv"
+        f" FROM {last} GROUP BY c)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """ SELECT CAST(a.cluster AS INTEGER) AS cluster,
+                 count(*) AS n_members,
+                 round(any_value(n.nv), 6) AS centroid_norm,
+                 round(avg(sqrt(a.d)), 6) AS mean_dist
+            FROM af a JOIN nrm n ON n.cluster = a.cluster
+            GROUP BY a.cluster"""
     )
 
 
@@ -2178,6 +2253,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM lg
             ) WHERE rnk <= 3
         """,
+        "q97_kmeans": _kmeans_sql(4, 3),
         "q50_lang_id": f"""
             WITH h AS (
                 SELECT

@@ -1,0 +1,143 @@
+"""Distributed k-means over embedding columns (Lloyd's algorithm).
+
+Beyond-reference surface: the reference has no vector operations (its only
+numeric-geometry code is the A* euclidean heuristic,
+`/root/reference/src/algorithms/astar.rs:219-283`).  K-means over an
+``array<float>`` embedding column is the standard curation primitive for
+training-data pipelines (semantic sharding, topic balancing, IVF coarse
+quantizers — `knn_ivf` in functions/similarity.py uses exactly such cells).
+
+Scale design (100 TB):
+
+- Centroids are tiny (k × dim doubles) and live on the driver; each
+  assignment pass ships them as **literals folded into the plan** — the
+  corpus is never shuffled for assignment (a pure projection in the scan
+  stage, whole-stage codegen'd, no Python).
+- The update pass is one ``posexplode`` + hash aggregation per iteration:
+  shuffle volume is k × dim rows per partition after partial (map-side)
+  aggregation — independent of corpus size.
+- Distances fold left-to-right over the vector (``F.aggregate``), matching
+  sequential summation in other engines — keeps results comparable bit-wise
+  per pair (see tools/check.py oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _sq_dist(vec, centroid: list[float]):
+    """Squared euclidean distance, left-to-right double fold (deterministic
+    summation order — parity with sequential engines)."""
+    carr = F.array(*[F.lit(float(w)) for w in centroid])
+    return F.aggregate(
+        F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+def _assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Add a `cluster` column: argmin squared distance, ties → lowest index.
+
+    `array_min` over `struct(dist, idx)` compares lexicographically, which
+    is exactly (min dist, then min index).
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                _sq_dist(F.col(vec_col), c).alias("d"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn("cluster", F.array_min(pairs)["c"])
+
+
+def kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iterations: int = 3,
+) -> DataFrame:
+    """Lloyd's k-means; returns one row per cluster:
+    ``cluster, n_members, centroid_norm, mean_dist`` (floats rounded 6dp).
+
+    Deterministic: initial centroids are the vectors of the ``k`` smallest
+    ids; every reduction is over doubles with rounded outputs.
+
+    The per-row assignment under the final centroids is available via
+    :func:`kmeans_assign` for pipeline use (semantic sharding).
+    """
+    emb = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    ).localCheckpoint()
+
+    # init: vectors of the k smallest ids (data-derived, reproducible)
+    centroids = [
+        r["_v"] for r in emb.orderBy("_id").limit(k).collect()
+    ]
+
+    for _ in range(iterations):
+        assigned = _assign(emb, "_v", centroids)
+        # elementwise mean per cluster: one posexplode + partial-agg'd
+        # hash aggregation; shuffle rows ≤ k × dim × n_partitions
+        rows = (
+            assigned.select("cluster", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("val"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("cv"))
+            .collect()
+        )
+        new = {r["cluster"]: [p["val"] for p in r["cv"]] for r in rows}
+        # empty cluster keeps its previous centroid
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+
+    final = _assign(emb, "_v", centroids)
+    norms = {
+        i: sum(w * w for w in c) ** 0.5 for i, c in enumerate(centroids)
+    }
+    norm_expr = F.array(*[F.lit(norms[i]) for i in range(k)])[F.col("cluster")]
+    return (
+        final.withColumn("_d", F.sqrt(
+            F.array(*[_sq_dist(F.col("_v"), c) for c in centroids])[F.col("cluster")]
+        ))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("_d"), 6).alias("mean_dist"),
+        )
+        .withColumn("centroid_norm", F.round(norm_expr, 6))
+        .select("cluster", "n_members", "centroid_norm", "mean_dist")
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iterations: int = 3,
+) -> DataFrame:
+    """Per-row final cluster assignment (``id, cluster``) under the same
+    deterministic procedure as :func:`kmeans`."""
+    emb = df.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).localCheckpoint()
+    centroids = [r["_v"] for r in emb.orderBy(id_col).limit(k).collect()]
+    for _ in range(iterations):
+        assigned = _assign(emb, "_v", centroids)
+        rows = (
+            assigned.select("cluster", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("val"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("cv"))
+            .collect()
+        )
+        new = {r["cluster"]: [p["val"] for p in r["cv"]] for r in rows}
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return _assign(emb, "_v", centroids).select(id_col, "cluster")

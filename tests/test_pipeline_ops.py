@@ -234,3 +234,53 @@ def test_profile_single_pass_stats(spark):
     # single job: the plan has exactly one scan of the input
     plan = profile(df, ["k", "s", "v"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_kmeans_separates_obvious_blobs(spark):
+    from rs_graphdb_spark.functions.clustering import kmeans, kmeans_assign
+
+    # Three well-separated blobs; ids 0,1,2 are one per blob, so the
+    # deterministic init (vectors of the k smallest ids) pins cluster i
+    # to blob i and the labelling is exact, not just up-to-permutation.
+    import random
+
+    rng = random.Random(7)
+    centers = [[0.0, 0.0], [10.0, 10.0], [-10.0, 10.0]]
+    rows = []
+    for i in range(30):
+        c = i % 3
+        rows.append((i, [centers[c][0] + rng.gauss(0, 0.3),
+                         centers[c][1] + rng.gauss(0, 0.3)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    assign = {r.vec_id: r.cluster
+              for r in kmeans_assign(emb, "vec_id", "embedding",
+                                     k=3, iterations=3).collect()}
+    assert len(assign) == 30
+    for i in range(30):
+        assert assign[i] == i % 3
+
+    summary = {r.cluster: r for r in
+               kmeans(emb, "vec_id", "embedding", k=3, iterations=3).collect()}
+    assert sorted(summary) == [0, 1, 2]
+    assert all(summary[c].n_members == 10 for c in summary)
+    # tight blobs: mean distance well under the inter-center spacing
+    assert all(summary[c].mean_dist < 1.0 for c in summary)
+    # centroid of blob 1 is near (10, 10): norm ~ sqrt(200)
+    assert abs(summary[1].centroid_norm - 200 ** 0.5) < 0.5
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    from rs_graphdb_spark.functions.clustering import kmeans
+
+    # Two identical points, k=2: cluster 1's member migrates to cluster 0
+    # (ties break to the lowest index), leaving cluster 1 empty — it must
+    # survive with its previous centroid rather than crash or vanish.
+    emb = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.cluster: r for r in
+           kmeans(emb, "vec_id", "embedding", k=2, iterations=2).collect()}
+    assert out[0].n_members == 2
+    assert 1 not in out  # no members, so no summary row — but no crash
