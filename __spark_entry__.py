@@ -798,13 +798,15 @@ def q62_astar(spark, sf_dir):
     surface (`src/algorithms/astar.rs:82-283`). Driver-side on the
     collected KNOWS subgraph (size-guarded); synthetic grid coords
     x=key%32, y=key//32."""
-    from rs_graphdb_spark.algorithms.graph_algos import astar
+    from rs_graphdb_spark.algorithms.graph_algos import astar, collect_edge_list
 
     g = _graph(spark, sf_dir)
-    edges = [
-        (r["src"] - CUSTOMER, r["dst"] - CUSTOMER)
-        for r in g.edges["KNOWS"].df.select("src", "dst").collect()
-    ]
+    edges = collect_edge_list(
+        g.edges["KNOWS"].df.select(
+            (F.col("src") - CUSTOMER).alias("src"),
+            (F.col("dst") - CUSTOMER).alias("dst"),
+        )
+    )
     keys = {k for e in edges for k in e}
     coords = {k: (float(k % 32), float(k // 32)) for k in keys}
     start = min(r[0] for r in edges)
@@ -820,13 +822,10 @@ def q62_astar(spark, sf_dir):
 def q63_dfs_preorder(spark, sf_dir):
     """DFS preorder (driver-side, `src/algorithms/traversal.rs:61-138`);
     sequential by nature → rows-only check."""
-    from rs_graphdb_spark.algorithms.graph_algos import dfs_preorder
+    from rs_graphdb_spark.algorithms.graph_algos import collect_edge_list, dfs_preorder
 
     g = _graph(spark, sf_dir)
-    edges = [
-        (r["src"], r["dst"])
-        for r in g.edges["KNOWS"].df.select("src", "dst").collect()
-    ]
+    edges = collect_edge_list(g.edges["KNOWS"].df.select("src", "dst"))
     start = min(r[0] for r in edges)
     order = dfs_preorder(edges, start)
     return spark.createDataFrame(

@@ -262,7 +262,7 @@ def label_propagation(
 def strongly_connected_components(
     nodes: DataFrame,
     edges: DataFrame,
-    max_rounds: int = 8,
+    max_rounds: int = 64,
     max_prop_iters: int = 64,
 ) -> DataFrame:
     """SCC via the distributed coloring algorithm — the documented
@@ -336,6 +336,14 @@ def strongly_connected_components(
         out = member if out is None else out.unionByName(member)
         remaining = remaining.join(member, "id", "left_anti").localCheckpoint(
             eager=True
+        )
+    # Every round peels ≥1 SCC, so termination is guaranteed; if the cap
+    # still fires (adversarial chain needing >max_rounds), refuse to return
+    # a silently incomplete assignment.
+    if not remaining.isEmpty():
+        raise RuntimeError(
+            f"SCC did not assign all nodes within max_rounds={max_rounds}; "
+            "raise max_rounds (each round resolves at least one component)"
         )
     return out if out is not None else nodes.select("id", F.col("id").alias("scc"))
 
@@ -415,6 +423,25 @@ def betweenness_sampled(
         .agg(F.sum("delta").alias("bc"))
         .filter(F.col("bc") > 1e-12)
     )
+
+
+def collect_edge_list(
+    edges_df: DataFrame, max_edges: int = 100_000
+) -> list[tuple[int, int]]:
+    """Size-guarded driver-side materialization of an edge set for the
+    inherently-sequential algorithms (A*, DFS preorder).
+
+    The guard runs BEFORE ``collect()``: ``limit(max+1).count()`` touches at
+    most max+1 rows executor-side, so a too-large subgraph raises without
+    ever shipping rows to the driver (at 100× scale the collect itself
+    would OOM the driver before any in-Python guard could fire).
+    """
+    if edges_df.limit(max_edges + 1).count() > max_edges:
+        raise ValueError(
+            f"subgraph too large for driver-side algorithm (> {max_edges} edges); "
+            "use the distributed analogs (weighted_shortest_paths / bfs_layers)"
+        )
+    return [(r[0], r[1]) for r in edges_df.select("src", "dst").collect()]
 
 
 def dfs_preorder(

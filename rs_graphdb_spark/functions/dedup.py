@@ -226,13 +226,18 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.5,
     k: int = 3,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via the sparse explode-join.
 
     Scale path: pairs only materialize for docs sharing ≥1 shingle, and the
-    shuffle key is the shingle itself — at 100 TB, hot shingles should be
-    pre-filtered by document frequency (stop-shingle removal) before the
-    join; here corpus shingles are synthetic and near-unique."""
+    shuffle key is the shingle itself. A shingle appearing in d documents
+    produces O(d²) candidate rows, so hot ("stop") shingles are removed by
+    document frequency BEFORE the self-join — ``max_shingle_df`` bounds the
+    per-shingle blowup at max_df² (on by default; the 100 TB prerequisite).
+    Jaccard is then computed over each document's non-stop shingle set
+    (numerator and denominator consistently), the standard stop-shingle
+    semantics."""
     par = df.sparkSession.sparkContext.defaultParallelism
     # materialize the exploded shingles ONCE — both sides of the self-join
     # (and the size agg) reuse them; inlining would run the tokenize/
@@ -240,6 +245,13 @@ def ngram_jaccard_pairs(
     sh = df.repartition(par, id_col).select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("s")
     ).localCheckpoint(eager=True)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("s").agg(F.countDistinct("doc").alias("df_"))
+            .filter(F.col("df_") > max_shingle_df)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti").localCheckpoint(eager=True)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("x")

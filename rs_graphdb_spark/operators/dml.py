@@ -39,7 +39,10 @@ def delete_nodes(graph: PropertyGraph, label: str, cond: Column) -> PropertyGrap
     every edge set touching that label."""
     victims = graph.nodes[label].filter(cond).select("id")
     nodes = dict(graph.nodes)
-    nodes[label] = graph.nodes[label].filter(~cond)
+    # Survivors via left_anti on the victim set, NOT filter(~cond): a NULL
+    # predicate (nullable property) must keep the row, matching the Cypher
+    # executor's three-valued WHERE semantics.
+    nodes[label] = graph.nodes[label].join(victims, "id", "left_anti")
     edges = {}
     for rel, es in graph.edges.items():
         df = es.df
@@ -74,6 +77,10 @@ def merge_nodes(
     with ON CREATE SET / ON MATCH SET — left-anti to find the missing
     pattern instances, conditional update on the matched ones."""
     existing = graph.nodes[label]
+    # MERGE key semantics: one pattern instance per key — duplicate incoming
+    # keys would multiply matched rows through the flag join and mint
+    # duplicate ids in the created branch.
+    incoming = incoming.dropDuplicates([key_col])
     matched_keys = incoming.select(key_col).join(
         existing.select(key_col), key_col, "left_semi"
     )

@@ -264,7 +264,7 @@ def weighted_shortest_paths(
     rel_type: str,
     weight: "F.Column",
     direction: str = "out",
-    max_iters: int = 16,
+    max_iters: int = 32,
 ) -> DataFrame:
     """Single-source weighted shortest paths (id, cost) by iterative
     relaxation (distributed Bellman-Ford).
@@ -310,6 +310,13 @@ def weighted_shortest_paths(
         dists = new_dists
         if done:
             break
+    else:
+        # The fixpoint argument only holds if relaxation actually converged;
+        # returning overestimated costs silently would be wrong.
+        raise RuntimeError(
+            f"weighted_shortest_paths did not converge in max_iters={max_iters} "
+            "rounds; raise max_iters (bound = longest shortest path in hops)"
+        )
     return dists
 
 

@@ -55,7 +55,10 @@ class GraphHTTPServer:
 
     def __init__(self, graph: PropertyGraph, host: str = "127.0.0.1", port: int = 0):
         self.graph = graph
-        self._lock = threading.Lock()
+        # Re-entrant: _route holds it across every mutating request's whole
+        # read-compute-swap (the reference's global mutex, src/server.rs),
+        # and the per-helper blocks re-acquire it.
+        self._lock = threading.RLock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -105,6 +108,16 @@ class GraphHTTPServer:
     # -- routing ----------------------------------------------------------
 
     def _route(self, method: str, path: str, body_fn) -> dict | None:
+        if method != "GET":
+            # Serialize the entire read-compute-swap for mutating methods:
+            # a writer that reads self.graph, derives a new graph, and swaps
+            # it must not interleave with another writer's swap (lost
+            # update). GETs read an immutable snapshot lock-free.
+            with self._lock:
+                return self._route_locked(method, path, body_fn)
+        return self._route_locked(method, path, body_fn)
+
+    def _route_locked(self, method: str, path: str, body_fn) -> dict | None:
         g = self.graph
         if method == "GET":
             if path == "/":

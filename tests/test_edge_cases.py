@@ -120,3 +120,100 @@ def test_pagination_covers_all_rows_once(g):
         page += 1
     assert len(seen) == n and len(set(seen)) == n
     assert seen == sorted(seen)
+
+
+# -- round-2 hardening (VERDICT/ADVICE follow-ups) ---------------------------
+
+def test_collect_edge_list_guard_fires_before_collect(g):
+    """A too-large subgraph must raise from the size guard, not OOM the
+    driver: the guard counts executor-side before any collect."""
+    from rs_graphdb_spark.algorithms.graph_algos import collect_edge_list
+
+    edges = g.edges["KNOWS"].df
+    with pytest.raises(ValueError, match="too large"):
+        collect_edge_list(edges, max_edges=10)
+    # and under the cap it returns the real edge list
+    small = edges.limit(5)
+    assert len(collect_edge_list(small, max_edges=10)) == 5
+
+
+def test_delete_nodes_null_predicate_keeps_row(g, spark):
+    """WHERE over a nullable prop: NULL rows are survivors (3VL), and their
+    edges are NOT cascaded away."""
+    from pyspark.sql import functions as F
+    from dataclasses import replace as dc_replace
+    from rs_graphdb_spark.operators.dml import delete_nodes
+
+    cust = g.nodes["Customer"]
+    # poke a NULL into c_acctbal for one known row
+    key = cust.select("id").orderBy("id").first()["id"]
+    poked = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("id") == key, F.lit(None)).otherwise(F.col("c_acctbal")),
+    )
+    g2 = dc_replace(g, nodes={**g.nodes, "Customer": poked})
+    before_edges = g2.edges["KNOWS"].df.count()
+    out = delete_nodes(g2, "Customer", F.col("c_acctbal") < -999999.0)
+    # nothing matches the predicate; the NULL row must survive
+    assert out.nodes["Customer"].count() == cust.count()
+    assert not out.nodes["Customer"].filter(F.col("id") == key).isEmpty()
+    assert out.edges["KNOWS"].df.count() == before_edges
+
+
+def test_merge_nodes_duplicate_incoming_keys(g, spark):
+    """Duplicate keys in MERGE input must not multiply existing rows or
+    mint duplicate ids."""
+    from rs_graphdb_spark.operators.dml import merge_nodes
+
+    n_before = g.nodes["Nation"].count()
+    incoming = spark.createDataFrame(
+        [(5, "dup-a"), (5, "dup-b"), (999, "new-x"), (999, "new-y")],
+        "n_nationkey int, note string",
+    )
+    out = merge_nodes(g, "Nation", "n_nationkey", incoming)
+    got = out.nodes["Nation"]
+    assert got.count() == n_before + 1  # one create, no multiplication
+    assert got.groupBy("id").count().filter(F.col("count") > 1).isEmpty()
+
+
+def test_scc_raises_rather_than_dropping_nodes(spark):
+    """A descending chain resolves one singleton SCC per round; with a tiny
+    round cap the algorithm must raise, never silently omit nodes."""
+    from rs_graphdb_spark.algorithms.graph_algos import (
+        strongly_connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i - 1) for i in range(2, 7)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        strongly_connected_components(nodes, edges, max_rounds=2)
+    full = strongly_connected_components(nodes, edges, max_rounds=8)
+    assert full.count() == 6  # all singletons assigned
+
+
+def test_weighted_sssp_raises_on_nonconvergence(spark, g):
+    from rs_graphdb_spark.operators.traversal import weighted_shortest_paths
+    from pyspark.sql import functions as F
+
+    start = g.edges["KNOWS"].df.agg(F.min("src")).first()[0]
+    with pytest.raises(RuntimeError, match="converge"):
+        weighted_shortest_paths(g, start, "KNOWS", F.lit(1), max_iters=1)
+
+
+def test_ngram_stop_shingle_cap_bounds_candidates(spark):
+    """A hot shingle shared by every doc must not blow up the candidate
+    count when the DF cap is on."""
+    from rs_graphdb_spark.functions.dedup import ngram_jaccard_pairs
+
+    rows = [(i, f"the common header unique{i} tail{i} word{i} more{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "body", threshold=0.0, max_shingle_df=5
+    )
+    uncapped = ngram_jaccard_pairs(
+        df, "doc_id", "body", threshold=0.0, max_shingle_df=None
+    )
+    assert capped.count() < uncapped.count()
+    assert uncapped.count() == 30 * 29 / 2  # hot shingle pairs everything
