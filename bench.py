@@ -51,7 +51,10 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     spark = get_spark("bench")
-    qs = entry_mod.queries()
+    # Bench measures the lean per-operator forms (stable names comparable
+    # across rounds/BASELINE.md); queries() holds the driver-facing folded
+    # verification suites, which deliberately bundle several operators.
+    qs = entry_mod._legacy_queries()
 
     # warm the graph projection (lazy plans, one-time parquet footer reads)
     entry_mod._graph(spark, sf_dir)

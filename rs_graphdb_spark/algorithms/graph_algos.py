@@ -82,13 +82,18 @@ def connected_components(
     component = min node id in the component.
 
     Convergence test: Σ component is strictly decreasing while labels
-    change — one cheap agg instead of a change-count join.
+    change — one cheap agg instead of a change-count join. The sum runs
+    in DECIMAL(38,0): with 64-bit id namespaces (this engine shifts label
+    ids by multiples of 2^40) a BIGINT sum overflows at ~10^6 rows and
+    ANSI mode turns that into a job-killing ARITHMETIC_OVERFLOW — found
+    by the 10× scale probe (PLANS.md).
     """
     und = _undirected(edges).localCheckpoint(eager=True)
     comp = nodes.select("id").withColumn("component", F.col("id")).localCheckpoint(
         eager=True
     )
-    prev_sum = comp.agg(F.sum("component")).first()[0]
+    _dec_sum = F.sum(F.col("component").cast("decimal(38,0)"))
+    prev_sum = comp.agg(_dec_sum).first()[0]
     for i in range(max_iter):
         msgs = (
             comp.join(und, comp["id"] == und["src"])
@@ -106,7 +111,7 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = comp.agg(F.sum("component")).first()[0]
+        cur_sum = comp.agg(_dec_sum).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

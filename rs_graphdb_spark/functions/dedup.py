@@ -179,34 +179,43 @@ def _materialize_result(result: DataFrame, *release: DataFrame) -> DataFrame:
     return out
 
 
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """The shared shingle frame: (doc_id, sets ARRAY<STRING>), fanned out
+    and checkpointed once. MinHash, n-gram Jaccard, and the cluster
+    decision all consume THIS frame — in a pipeline that runs several
+    dedup passes over one corpus, shingling is computed exactly once.
+
+    NB: repartition must precede the projection — an Exchange above the
+    Project would leave the expensive shingle compute on the original
+    (possibly single) input split. Checkpointed BEFORE deriving hashes:
+    project-collapse would otherwise inline the shingle expression once
+    per derived column."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(par, id_col)
+        .select(F.col(id_col).alias("doc_id"), shingles(text_col, k).alias("sets"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
     k: int = 3,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash/LSH near-duplicate pairs with exact-Jaccard verification.
 
     Pipeline: shingle → minhash → band-bucket join → candidates →
     exact Jaccard ≥ threshold. False positives: impossible (exact verify).
-    False negatives: banding miss probability only (≈5e-8 at J=0.8)."""
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    # A small corpus often arrives as ONE parquet split; fan out before the
-    # per-row shingle/signature compute or it all lands on a single core.
-    # (At real scale the scan already has many splits — this is a cheap
-    # round-robin either way, keyed work comes later.)
-    # NB: repartition must precede the projection — an Exchange above the
-    # Project would leave the expensive shingle compute on the original
-    # (possibly single) input split. Shingle sets are checkpointed BEFORE
-    # deriving hashes: project-collapse would otherwise inline the shingle
-    # expression twice (once per derived column).
-    sets_df = (
-        df.repartition(par, id_col)
-        .select(F.col(id_col).alias("doc_id"), shingles(text_col, k).alias("sets"))
-        .localCheckpoint(eager=True)
-    )
+    False negatives: banding miss probability only (≈5e-8 at J=0.8).
+
+    Pass a precomputed ``sets_df`` (from :func:`shingle_sets`) to share the
+    shingle frame across dedup passes."""
+    if sets_df is None:
+        sets_df = shingle_sets(df, id_col, text_col, k)
     base = sets_df.withColumn(
         "sh", F.transform("sets", lambda s: md5_long(s) % MERSENNE_P)
     ).persist()
@@ -227,6 +236,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     k: int = 3,
     max_shingle_df: int | None = 10_000,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via the sparse explode-join.
 
@@ -237,13 +247,17 @@ def ngram_jaccard_pairs(
     per-shingle blowup at max_df² (on by default; the 100 TB prerequisite).
     Jaccard is then computed over each document's non-stop shingle set
     (numerator and denominator consistently), the standard stop-shingle
-    semantics."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    # materialize the exploded shingles ONCE — both sides of the self-join
-    # (and the size agg) reuse them; inlining would run the tokenize/
-    # sequence/slice expression three times over the corpus.
-    sh = df.repartition(par, id_col).select(
-        F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("s")
+    semantics.
+
+    Pass a precomputed ``sets_df`` (from :func:`shingle_sets`) to share the
+    shingle frame across dedup passes."""
+    if sets_df is None:
+        sets_df = shingle_sets(df, id_col, text_col, k)
+    # explode the (already checkpointed) shared shingle frame — both sides
+    # of the self-join and the size agg reuse the exploded rows; inlining
+    # would run the tokenize/sequence/slice expression three times.
+    sh = sets_df.select(
+        F.col("doc_id").alias("doc"), F.explode("sets").alias("s")
     ).localCheckpoint(eager=True)
     if max_shingle_df is not None:
         hot = (
@@ -274,6 +288,7 @@ def near_dup_clusters(
     text_col: str,
     threshold: float = 0.8,
     k: int = 3,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """The end-to-end dedup decision: MinHash/LSH pair graph → connected
     components → per-cluster keeper (minimum id). Returns one row per
@@ -287,7 +302,9 @@ def near_dup_clusters(
     from rs_graphdb_spark.algorithms.graph_algos import connected_components
 
     spark = df.sparkSession
-    pairs = minhash_dedup_pairs(df, id_col, text_col, threshold=threshold, k=k)
+    pairs = minhash_dedup_pairs(
+        df, id_col, text_col, threshold=threshold, k=k, sets_df=sets_df
+    )
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     nodes = (
         pairs.select(F.col("a").alias("id"))

@@ -29,37 +29,64 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: raw parquet schema of the events fixture with
-#: spark.sql.legacy.parquet.nanosAsLong=true (ts = int96-nanos as LONG)
-EVENT_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
-
 def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over an events parquet directory.
 
     One file = one micro-batch by default; bound per-trigger intake with
     ``maxFilesPerTrigger`` at scale (the backpressure analog of the
-    reference's bounded mpsc channel)."""
+    reference's bounded mpsc channel). The stream schema is inferred from
+    a batch peek so the fixture's ts representation (TIMESTAMP(NANOS) read
+    as long under nanosAsLong, or TIMESTAMP(MICROS) read as ntz) never
+    drifts from what the files actually hold."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_dir).schema
     return (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
 
 
+#: naive epoch literal for timezone-FREE ntz→epoch conversion. A
+#: ``cast("timestamp")`` + unix_micros would re-interpret the wall-clock in
+#: the SESSION timezone — the driver's vanilla SparkSession makes no UTC
+#: promise, so that form is off by the tz offset (verified against DuckDB
+#: ``epoch_us`` under America/New_York).
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def event_time_us(df: DataFrame, ts_col: str = "ts"):
+    """Epoch-microsecond LONG from the events ts column, robust to every
+    fixture representation AND to the session timezone: nanos-as-long
+    (``ts div 1000``), microsecond TIMESTAMP_NTZ (naive ``timestampdiff``
+    — no session-tz reinterpretation), or tz-aware TIMESTAMP
+    (``unix_micros``)."""
+    dt = dict(df.dtypes).get(ts_col)
+    if dt == "bigint":
+        return F.expr(f"{ts_col} div 1000")
+    if dt == "timestamp_ntz":
+        return F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {ts_col})")
+    return F.unix_micros(F.col(ts_col))
+
+
+def _win_start_epoch_s(dtype: str):
+    """Window-struct start → epoch seconds LONG (event_time is always an
+    epoch-correct LTZ timestamp — see ``with_event_time`` — so unix_*
+    conversions here are timezone-free by construction)."""
+    return F.unix_timestamp(F.col("w.start")).cast("long")
+
+
+def _win_start_epoch_us(dtype: str):
+    return F.unix_micros(F.col("w.start"))
+
+
 def with_event_time(df: DataFrame) -> DataFrame:
-    """Nanos-long ts → proper event-time timestamp column."""
-    return df.withColumn(
-        "event_time", F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000))
-    )
+    """ts in any representation → epoch-correct LTZ event-time column.
+
+    Watermarks require TIMESTAMP (not NTZ), so the column is built from
+    epoch micros via ``timestamp_micros`` — a pure epoch constructor that
+    never consults the session timezone (an ntz→timestamp CAST would)."""
+    return df.withColumn("event_time", F.timestamp_micros(event_time_us(df)))
 
 
 def windowed_event_counts(
@@ -73,6 +100,7 @@ def windowed_event_counts(
     Works identically on batch and streaming inputs (watermark is a no-op
     in batch mode) — the batch run is the oracle for the streaming run."""
     df = with_event_time(df)
+    et_type = dict(df.dtypes)["event_time"]
     if streaming:
         df = df.withWatermark("event_time", watermark)
     return (
@@ -85,7 +113,7 @@ def windowed_event_counts(
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("win_start"),
+            _win_start_epoch_s(et_type).alias("win_start"),
             "event_type", "n_events", "sum_value",
         )
     )
@@ -104,6 +132,7 @@ def hopping_event_counts(
     starts are emitted as exact epoch-microsecond longs (slide-aligned,
     so no float exposure in the output). Batch == streaming semantics."""
     df = with_event_time(df)
+    et_type = dict(df.dtypes)["event_time"]
     if streaming:
         df = df.withWatermark("event_time", watermark)
     return (
@@ -116,7 +145,7 @@ def hopping_event_counts(
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
-            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            _win_start_epoch_us(et_type).alias("win_start_us"),
             "event_type", "n_events", "sum_value",
         )
     )
@@ -138,7 +167,7 @@ def session_window_stats(
     ts (min/max over the group), not from the float-derived event_time,
     so batch and streaming runs agree bit-for-bit with a SQL oracle.
     Works identically on batch and streaming inputs."""
-    df = with_event_time(df).withColumn("t_us", F.expr("ts div 1000"))
+    df = with_event_time(df).withColumn("t_us", event_time_us(df))
     if streaming:
         df = df.withWatermark("event_time", watermark)
     return (
