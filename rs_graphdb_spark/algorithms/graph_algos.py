@@ -75,47 +75,91 @@ def pagerank(
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 50
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 30
 ) -> DataFrame:
     """Undirected connected components (`src/algorithms/community.rs:6-52`)
-    via min-label propagation to fixpoint. Returns (id, component) with
+    via alternating large-star / small-star contractions — the published
+    MapReduce CC algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14). Returns (id, component) with
     component = min node id in the component.
 
-    Convergence test: Σ component is strictly decreasing while labels
-    change — one cheap agg instead of a change-count join. The sum runs
-    in DECIMAL(38,0): with 64-bit id namespaces (this engine shifts label
-    ids by multiples of 2^40) a BIGINT sum overflows at ~10^6 rows and
-    ANSI mode turns that into a job-killing ARITHMETIC_OVERFLOW — found
-    by the 10× scale probe (PLANS.md).
+    Why not per-edge min-label propagation: that needs O(diameter) rounds
+    — on a 100 TB graph with chain-like regions that is millions of rounds
+    (and a round cap silently truncates labels mid-flight). Star
+    contractions converge in O(log) alternations regardless of diameter:
+    large-star hangs every strictly-larger neighbor of u under
+    min(N(u) ∪ {u}); small-star re-hangs u and its smaller neighbors under
+    the same minimum; the edge set contracts toward a star forest rooted
+    at each component's minimum. 30 alternations covers > 2^30-node
+    components; if the cap ever fires we raise instead of returning a
+    half-contracted forest.
+
+    Convergence signature sums run in DECIMAL(38,0): with 64-bit id
+    namespaces a BIGINT sum overflows at ~10^6 rows and ANSI mode turns
+    that into a job-killing ARITHMETIC_OVERFLOW (found by the 10× scale
+    probe, PLANS.md).
     """
-    und = _undirected(edges).localCheckpoint(eager=True)
-    comp = nodes.select("id").withColumn("component", F.col("id")).localCheckpoint(
-        eager=True
+    e = (
+        _undirected(edges)
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    _dec_sum = F.sum(F.col("component").cast("decimal(38,0)"))
-    prev_sum = comp.agg(_dec_sum).first()[0]
-    for i in range(max_iter):
-        msgs = (
-            comp.join(und, comp["id"] == und["src"])
-            .select(F.col("dst").alias("id"), F.col("component").alias("msg"))
-            .groupBy("id")
-            .agg(F.min("msg").alias("nbr_min"))
+
+    def _dec(c):
+        return F.sum(F.col(c).cast("decimal(38,0)"))
+
+    prev = None
+    converged = e.isEmpty()
+    for _ in range(max_rounds):
+        if converged:
+            break
+        # large-star: (v, m) for every neighbor v > u, m = min(N(u) ∪ {u})
+        und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = und.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("u", "mn").alias("m")
         )
-        comp = (
-            comp.join(msgs, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-            )
+        e = (
+            und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        cur_sum = comp.agg(_dec_sum).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return comp
+        # small-star: canonicalize u > v, re-hang u and its smaller
+        # neighbors under the minimum
+        dir_e = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = dir_e.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            dir_e.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = e.agg(
+            F.count("*").alias("n"), _dec("u").alias("su"), _dec("v").alias("sv")
+        ).first()
+        cur = (sig["n"], sig["su"], sig["sv"])
+        if cur == prev:
+            converged = True
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not stabilize in max_rounds={max_rounds} "
+            "alternations (bound is logarithmic in component size — raise it)"
+        )
+    comp_map = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return (
+        nodes.select("id")
+        .join(comp_map, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:

@@ -128,6 +128,48 @@ def load_graph(spark: SparkSession, path: str) -> PropertyGraph:
     return g
 
 
+def stream_results(df, batch_size: int = 100):
+    """Batched result streaming with batch-end progress markers — the
+    analog of the reference's ``QueryStream``/``StreamItem`` protocol
+    (`/root/reference/src/query_stream.rs:49-95`: items, then a
+    ``batch_end`` marker carrying ``batch_index`` and ``progress`` 0..1).
+
+    Yields ``("row", Row)`` items interleaved with
+    ``("batch_end", {"batch_index": i, "progress": p, "rows": n})``
+    markers. Rows arrive through ``toLocalIterator`` (one partition
+    resident driver-side at a time — the Spark-native backpressure that
+    replaces the reference's bounded mpsc channel); the total for the
+    progress fraction is one count() job, same as the reference's
+    up-front total (`query_stream.rs:238-256`)."""
+    total = df.count()
+    if total == 0:
+        yield ("batch_end", {"batch_index": 0, "progress": 1.0, "rows": 0})
+        return
+    emitted = 0
+    batch_index = 0
+    in_batch = 0
+    for row in df.toLocalIterator():
+        yield ("row", row)
+        emitted += 1
+        in_batch += 1
+        if in_batch == batch_size:
+            yield (
+                "batch_end",
+                {
+                    "batch_index": batch_index,
+                    "progress": emitted / total,
+                    "rows": in_batch,
+                },
+            )
+            batch_index += 1
+            in_batch = 0
+    if in_batch:
+        yield (
+            "batch_end",
+            {"batch_index": batch_index, "progress": 1.0, "rows": in_batch},
+        )
+
+
 def export_json(graph: PropertyGraph, labels: list[str] | None = None):
     """Distributed JSON export: iterator of JSON strings per node row
     (`db.export_graph("json")`, `src/graph/db.rs:679-700`)."""

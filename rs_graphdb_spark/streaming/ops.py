@@ -222,6 +222,55 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+class StreamProgressRecorder:
+    """Micro-batch progress markers for Structured Streaming jobs — the
+    incremental twin of ``sources.export.stream_results``' batch_end
+    protocol (reference `StreamItem::batch_end`,
+    `/root/reference/src/query_stream.rs:86-95`). Wraps a
+    ``StreamingQueryListener``; ``markers()`` returns
+    ``[{"batch_index", "rows"}, ...]`` in completion order.
+
+    Total-row progress fractions are undefined for unbounded streams (the
+    reference can report 0..1 only because it streams a FINITE query
+    result); per-batch indices + row counts are the honest streaming
+    equivalent, and callers with a bounded availableNow run can divide by
+    their own known total."""
+
+    def __init__(self) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        recorder = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:
+                pass
+
+            def onQueryProgress(self, event) -> None:
+                p = event.progress
+                recorder._batches.append(
+                    {"batch_index": p.batchId, "rows": p.numInputRows}
+                )
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+            def onQueryTerminated(self, event) -> None:
+                pass
+
+        self._batches: list[dict] = []
+        self.listener = _L()
+
+    def attach(self, spark: SparkSession) -> "StreamProgressRecorder":
+        spark.streams.addListener(self.listener)
+        return self
+
+    def detach(self, spark: SparkSession) -> None:
+        spark.streams.removeListener(self.listener)
+
+    def markers(self) -> list[dict]:
+        return list(self._batches)
+
+
 def append_edge_sink(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ):

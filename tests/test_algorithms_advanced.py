@@ -133,3 +133,62 @@ def test_node_similarity_and_adamic_adar(spark):
     aa = {(r.a, r.b): r.score for r in adamic_adar(edges).collect()}
     # common neighbors 3 and 4, each deg 2 -> score = 2/ln(2)
     assert abs(aa[(1, 2)] - 2 / math.log(2)) < 1e-9
+
+
+def _union_find_components(n_nodes, edge_list):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min member id per component
+    roots = {}
+    for i in range(n_nodes):
+        r = find(i)
+        roots.setdefault(r, i)  # first (smallest) member seen
+    return {i: roots[find(i)] for i in range(n_nodes)}
+
+
+def test_cc_stars_match_union_find_random_graphs(spark):
+    """Alternating large/small-star CC vs a driver-side union-find oracle
+    over seeded random graphs (sparse, dense, and with isolated nodes)."""
+    import random
+
+    from rs_graphdb_spark.algorithms.graph_algos import connected_components
+
+    for seed, n, m in [(1, 60, 40), (2, 120, 200), (3, 40, 8)]:
+        rng = random.Random(seed)
+        edge_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        expect = _union_find_components(n, edge_list)
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edges = spark.createDataFrame(edge_list or [(0, 0)], "src long, dst long")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(nodes, edges).collect()
+        }
+        assert got == expect, f"seed={seed}"
+
+
+def test_cc_stars_long_path_logarithmic_rounds(spark):
+    """A 400-node path has diameter 399 — per-edge min-label propagation
+    needs ~200 rounds (and silently truncates at a round cap); star
+    contraction must finish within the default 30 alternations and assign
+    everyone component 0."""
+    from rs_graphdb_spark.algorithms.graph_algos import connected_components
+
+    n = 400
+    nodes = spark.range(n).select(F.col("id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    comp = connected_components(nodes, edges)
+    assert comp.filter(F.col("component") != 0).count() == 0

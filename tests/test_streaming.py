@@ -108,3 +108,52 @@ def test_session_windows_stream_equals_batch(spark, tmpdir):
     batch = spark.read.parquet(f"{SF}/events.parquet")
     want = {tuple(r) for r in session_window_stats(batch, streaming=False).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_results_batch_end_markers(spark):
+    """QueryStream parity: rows interleaved with batch_end markers whose
+    progress fractions ramp to exactly 1.0."""
+    from rs_graphdb_spark.sources.export import stream_results
+
+    df = spark.range(250).select(F.col("id"))
+    items = list(stream_results(df, batch_size=100))
+    rows = [r for kind, r in items if kind == "row"]
+    ends = [m for kind, m in items if kind == "batch_end"]
+    assert len(rows) == 250
+    assert [m["batch_index"] for m in ends] == [0, 1, 2]
+    assert [m["rows"] for m in ends] == [100, 100, 50]
+    assert ends[-1]["progress"] == 1.0
+    assert ends[0]["progress"] == pytest.approx(100 / 250)
+    # empty result: single end-marker at progress 1.0
+    empty = list(stream_results(spark.range(0), batch_size=10))
+    assert empty == [("batch_end", {"batch_index": 0, "progress": 1.0, "rows": 0})]
+
+
+def test_streaming_progress_recorder(spark, tmpdir):
+    """Micro-batch markers from a real availableNow streaming run."""
+    from rs_graphdb_spark.streaming.ops import StreamProgressRecorder
+
+    events_dir = _events_dir(spark, tmpdir)
+    rec = StreamProgressRecorder().attach(spark)
+    try:
+        stream = read_event_stream(spark, events_dir)
+        name = f"prog_{uuid.uuid4().hex[:8]}"
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        # listener events are delivered asynchronously
+        import time
+
+        total = spark.read.parquet(events_dir).count()
+        for _ in range(60):
+            if sum(m["rows"] for m in rec.markers()) >= total:
+                break
+            time.sleep(0.5)
+        markers = rec.markers()
+        assert sum(m["rows"] for m in markers) == total
+        assert [m["batch_index"] for m in markers][0] == 0
+    finally:
+        rec.detach(spark)
