@@ -1914,13 +1914,29 @@ def q39_exact_dedup(spark, sf_dir):
 
 
 def q40_minhash_dedup(spark, sf_dir):
-    """Suite: MinHash+LSH near-dup pairs + the end-to-end dedup decision
-    (pairs → connected components → keeper)."""
+    """Suite: MinHash+LSH near-dup pairs, the end-to-end dedup decision
+    (pairs → connected components → keeper), and INCREMENTAL ingest: the
+    newest 20% of documents probed against an LSH index of the older 80%
+    without re-shingling the corpus (the batch-ingest shape at 100 TB)."""
+    from rs_graphdb_spark.functions.dedup import minhash_index, minhash_probe
+
     cl = q89_dedup_clusters(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    split = int(0.8 * (docs.agg(F.max("doc_id")).first()[0] + 1))
+    corpus_sets = _shingle_sets(spark, sf_dir).filter(F.col("doc_id") < split)
+    banded, sets = minhash_index(
+        docs.filter(F.col("doc_id") < split), "doc_id", "text",
+        sets_df=corpus_sets,
+    )
+    incr = minhash_probe(
+        banded, sets, docs.filter(F.col("doc_id") >= split), "doc_id", "text",
+        threshold=0.8,
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     return _quads(
         _quad("pairs", q44_minhash_lsh_dedup(spark, sf_dir), k="a", v="jaccard", s="b"),
         _quad("cluster", cl, k="doc_id", s="cluster"),
         _quad("keep", cl, k="doc_id", s="keep"),
+        _quad("incr", incr, k="a", v="jaccard", s="b"),
     )
 
 
@@ -3675,6 +3691,15 @@ def oracle_sql() -> dict[str, str]:
             _sql_quad("pairs", base["q44_minhash_lsh_dedup"], k="a", v="jaccard", s="b"),
             _sql_quad("cluster", base["q89_dedup_clusters"], k="doc_id", s="cluster"),
             _sql_quad("keep", base["q89_dedup_clusters"], k="doc_id", s="keep"),
+            # incremental probe: pairs with ≥1 side in the newest 20% — since
+            # b = max(a, b) and new docs hold the highest ids, that is b >= S
+            _sql_quad(
+                "incr",
+                f"""SELECT a, b, jaccard FROM ({base["q44_minhash_lsh_dedup"]}) __p
+                    WHERE b >= (SELECT CAST(floor(0.8 * (max(doc_id) + 1))
+                                AS BIGINT) FROM documents)""",
+                k="a", v="jaccard", s="b",
+            ),
         ),
         "q41_simhash": base["q45_simhash_neardup"],
         "q42_ngram_jaccard": base["q46_ngram_jaccard"],

@@ -282,6 +282,99 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    sets_df: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable LSH index of a corpus: ``(banded, sets)``
+    where ``banded`` = (doc, band, bh) band-bucket keys and ``sets`` =
+    (doc_id, sets) shingle sets for exact verification.
+
+    This is the incremental-ingest layout: at 100 TB both frames are
+    written once (``banded`` bucketed by (band, bh), ``sets`` by doc_id)
+    and every future batch probes them without re-shingling or
+    re-signing the corpus."""
+    if sets_df is None:
+        sets_df = shingle_sets(df, id_col, text_col, k)
+    hashed = sets_df.withColumn(
+        "sh", F.transform("sets", lambda s: md5_long(s) % MERSENNE_P)
+    )
+    sigs = hashed.select(
+        "doc_id", minhash_signature(F.col("sh")).alias("sig")
+    ).localCheckpoint(eager=True)
+    banded = sigs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.md5(F.array_join(F.slice(F.col("sig"), i * rows + 1, rows), ","))
+                    .alias("bh"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("e"),
+    ).select("doc", "e.band", "e.bh").localCheckpoint(eager=True)
+    return banded, sets_df
+
+
+def minhash_probe(
+    index_banded: DataFrame,
+    index_sets: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    k: int = 3,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Incremental near-dup pairs: NEW documents against an existing
+    :func:`minhash_index` corpus, plus among the new documents themselves
+    — without touching the corpus text. Returns (a, b, jaccard) with
+    a < b, exact-verified.
+
+    Scale shape: only the new batch is shingled/signed; the join key is
+    (band, bh) against the bucketed index, so a probe reads only the
+    colliding buckets (partition-pruned when the index is written
+    bucketed by that key). This is how a continuously-ingesting 100 TB
+    pipeline runs dedup per arriving batch at batch-sized cost."""
+    new_banded, new_sets = minhash_index(
+        new_df, id_col, text_col, k, bands, rows
+    )
+    vs_corpus = (
+        new_banded.alias("n")
+        .join(
+            index_banded.alias("i"),
+            (F.col("n.band") == F.col("i.band")) & (F.col("n.bh") == F.col("i.bh")),
+        )
+        .filter(F.col("n.doc") != F.col("i.doc"))
+        .select(
+            F.least(F.col("n.doc"), F.col("i.doc")).alias("a"),
+            F.greatest(F.col("n.doc"), F.col("i.doc")).alias("b"),
+        )
+    )
+    vs_new = (
+        new_banded.alias("l")
+        .join(
+            new_banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+    )
+    cands = vs_corpus.unionByName(vs_new).dropDuplicates(["a", "b"])
+    all_sets = index_sets.unionByName(new_sets).dropDuplicates(["doc_id"])
+    verified = exact_jaccard(cands, all_sets, "doc_id", "sets")
+    return _materialize_result(verified.filter(F.col("jaccard") >= threshold))
+
+
 def near_dup_clusters(
     df: DataFrame,
     id_col: str,

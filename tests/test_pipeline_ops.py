@@ -284,3 +284,40 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
            kmeans(emb, "vec_id", "embedding", k=2, iterations=2).collect()}
     assert out[0].n_members == 2
     assert 1 not in out  # no members, so no summary row — but no crash
+
+
+def test_minhash_incremental_probe(spark, docs):
+    """Incremental ingest: index docs 1-3, probe doc 4 + a near-dup of
+    doc 1 arriving as a new batch — pairs must match a full-corpus run
+    restricted to new-side pairs, without re-shingling the corpus."""
+    from rs_graphdb_spark.functions.dedup import (
+        minhash_index,
+        minhash_probe,
+        minhash_dedup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    new = spark.createDataFrame(
+        [(5, base), (6, "unrelated fresh content entirely new words")],
+        "doc_id long, text string",
+    )
+    banded, sets = minhash_index(docs, "doc_id", "text")
+    got = {
+        (r["a"], r["b"]): round(r["jaccard"], 6)
+        for r in minhash_probe(
+            banded, sets, new, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    # doc 5 duplicates docs 1/2 exactly and nearly-duplicates doc 3
+    assert got[(1, 5)] == 1.0 and got[(2, 5)] == 1.0
+    assert (3, 5) in got
+    assert not any(6 in p for p in got)
+    # equivalence: full-corpus pairs restricted to new ids
+    full = {
+        (r["a"], r["b"]): round(r["jaccard"], 6)
+        for r in minhash_dedup_pairs(
+            docs.unionByName(new), "doc_id", "text", threshold=0.5
+        ).collect()
+        if r["b"] >= 5
+    }
+    assert got == full
