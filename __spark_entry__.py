@@ -1949,7 +1949,21 @@ def q42_ngram_jaccard(spark, sf_dir):
 
 
 def q43_embedding_dedup(spark, sf_dir):
-    return q47_embedding_neardup(spark, sf_dir)
+    """Suite: embedding-cosine near-dup pairs — exact all-pairs baseline +
+    the LSH-bucketed scale path (same pairs scored bucket-locally; oracle
+    embeds the identical deterministic plane literals)."""
+    from rs_graphdb_spark.functions.similarity import embedding_near_dup_lsh
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    lsh = embedding_near_dup_lsh(emb, "vec_id", "embedding", 0.45).select(
+        "a", "b", F.round("cos", 6).alias("cos")
+    )
+    return _quads(
+        _quad("exact", q47_embedding_neardup(spark, sf_dir), k="a", v="cos", s="b"),
+        _quad("lsh", lsh, k="a", v="cos", s="b"),
+    )
 
 
 def q44_knn_ann(spark, sf_dir):
@@ -3452,6 +3466,32 @@ def oracle_sql() -> dict[str, str]:
         " ELSE CAST(0 AS BIGINT) END)"
         for i, plane in enumerate(planes)
     )
+    # banded (8-table × 4-plane) codes for the near-dup LSH pairs twin —
+    # same seed stream, planes 0..31
+    banded_planes = _hyperplanes(64, 32)
+
+    def _tbl_code(t: int) -> str:
+        return " + ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(w) for w in plane)
+            + f"]) >= 0 THEN CAST({1 << i} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+            for i, plane in enumerate(banded_planes[t * 4:(t + 1) * 4])
+        )
+
+    banded_codes_sql = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, {t} AS tbl, ({_tbl_code(t)}) AS code FROM e"
+        for t in range(8)
+    )
+    lsh_pairs_sql = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS MATERIALIZED ({banded_codes_sql})
+        SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+               round(list_cosine_similarity(x.v, y.v), 6) AS cos
+        FROM c x JOIN c y ON y.tbl = x.tbl AND y.code = x.code
+                         AND x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(x.v, y.v) >= 0.45
+    """
     lsh_sql = f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         c AS MATERIALIZED (SELECT vec_id, v, ({code_expr}) AS code FROM e),
@@ -3703,7 +3743,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q41_simhash": base["q45_simhash_neardup"],
         "q42_ngram_jaccard": base["q46_ngram_jaccard"],
-        "q43_embedding_dedup": base["q47_embedding_neardup"],
+        "q43_embedding_dedup": _sql_union(
+            _sql_quad("exact", base["q47_embedding_neardup"], k="a", v="cos", s="b"),
+            _sql_quad("lsh", lsh_pairs_sql, k="a", v="cos", s="b"),
+        ),
         "q44_knn_ann": _sql_union(
             _sql_quad("exact", base["q48_knn_bruteforce"], k="query_id", v="cos", s="neighbor_id"),
             _sql_quad("lsh", lsh_sql, k="query_id", v="cos", s="neighbor_id"),

@@ -321,3 +321,29 @@ def test_minhash_incremental_probe(spark, docs):
         if r["b"] >= 5
     }
     assert got == full
+
+
+def test_embedding_lsh_pairs_subset_of_exact(spark):
+    """LSH-bucketed near-dup pairs must be a subset of the exact all-pairs
+    result (same threshold) and must catch identical vectors (which always
+    share a bucket)."""
+    import random
+
+    from rs_graphdb_spark.functions.dedup import embedding_near_dup_pairs
+    from rs_graphdb_spark.functions.similarity import embedding_near_dup_lsh
+
+    rng = random.Random(11)
+    vecs = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(30)]
+    vecs.append(list(vecs[0]))  # 30 duplicates 0 exactly
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["a"], r["b"]) for r in
+        embedding_near_dup_pairs(df, "vec_id", "embedding", 0.4).collect()
+    }
+    lsh = {
+        (r["a"], r["b"]) for r in
+        embedding_near_dup_lsh(df, "vec_id", "embedding", 0.4).collect()
+    }
+    assert lsh <= exact
+    assert (0, 30) in lsh

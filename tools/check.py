@@ -7,6 +7,12 @@ names, and the sorted value matrix. Floats compared exactly first, with a
 anything needing the fallback is a WARNING to fix, not a pass).
 
 Usage: python tools/check.py [sf_dir] [query_name ...]
+
+Set CHECK_VANILLA=1 to run with a driver-like session instead of the
+engine's tuned factory: default confs, a deliberately non-UTC timezone,
+Arrow off. The driver makes no promises about its SparkSession — this
+mode catches session-dependent results (a timezone-sensitive epoch
+conversion slipped through round 2 until probed this way).
 """
 
 from __future__ import annotations
@@ -76,10 +82,25 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    import __spark_entry__ as entry_mod
-    from rs_graphdb_spark.session import get_spark
+    import os
 
-    spark = get_spark("check")
+    import __spark_entry__ as entry_mod
+
+    if os.environ.get("CHECK_VANILLA"):
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-vanilla")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        from rs_graphdb_spark.session import get_spark
+
+        spark = get_spark("check")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
