@@ -84,6 +84,7 @@ def knn_lsh(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 0x5EED,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucketing then exact rerank within
     the query's bucket. With n_planes=8 the corpus splits into ≤256
@@ -91,24 +92,46 @@ def knn_lsh(
     100 TB, bucket the corpus table on the code at write time so the probe
     is a partition-pruned scan, not a join over everything.
 
-    Approximate by construction (bucket-boundary misses) — verified
-    rows-only, not against a SQL oracle."""
+    ``multi_probe=True`` additionally probes the n_planes codes at Hamming
+    distance 1 from the query's code (the standard recall knob: each
+    flipped bit visits the bucket just across one hyperplane) — candidate
+    work rises ~(n_planes+1)× per query, recall rises accordingly, and
+    the corpus side still never moves.
+
+    Deterministic (seeded planes) — the driver oracle reproduces the
+    single-probe form with the same plane literals."""
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         hyperplane_code(F.col(vec_col), planes).alias("code"),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        hyperplane_code(F.col(vec_col), planes).alias("code"),
-    )
+    qcode = hyperplane_code(F.col(vec_col), planes)
+    if multi_probe:
+        probe_codes = F.array_distinct(
+            F.array(qcode, *[
+                qcode.bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)
+            ])
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(probe_codes).alias("code"),
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            qcode.alias("code"),
+        )
     scored = (
         c.join(F.broadcast(q), "code")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
     )
+    if multi_probe:  # a neighbor can collide on several probe codes
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

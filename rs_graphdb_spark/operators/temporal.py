@@ -20,10 +20,10 @@ range-join blowup:
   recent right-side values forward with ``last(..., ignorenulls=True)``
   over an ordered window. One shuffle, one sort, linear in |L|+|R|.
 
-Hot keys (bot users) skew the window sort; at real scale pre-filter the
-top-k pathological keys or split sessions by a coarse time bucket first
-(bucket boundaries only ever split a session, never merge, so a second
-pass over bucket-edge sessions repairs exactness if needed).
+Hot keys (bot users) skew the window sort; ``sessionize_bucketed`` is the
+implemented remedy — split by coarse time bucket (boundaries only ever
+split a session, never merge), then a summary-level second pass repairs
+bucket-edge sessions exactly.
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "asof_join", "interval_join"]
+__all__ = ["sessionize", "sessionize_bucketed", "asof_join", "interval_join"]
 
 
 def sessionize(
@@ -61,6 +61,68 @@ def sessionize(
         Window.unboundedPreceding, Window.currentRow
     )
     return events.withColumn("session_id", F.sum(is_new).over(run))
+
+
+def sessionize_bucketed(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: int,
+    bucket_width: int,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Hot-key-safe sessionize: identical output to :func:`sessionize`,
+    but the big window sort runs per ``(key, time-bucket)`` instead of per
+    key — a bot user with 10^9 events no longer pins one task, because its
+    events split across ``bucket_width``-sized slices.
+
+    Exact edge repair: bucket boundaries can only SPLIT a session, never
+    merge two (buckets are disjoint time ranges, and sessions inside a
+    bucket are already separated by > gap). So a second gaps-and-islands
+    pass over the per-bucket SESSION SUMMARIES (start/end per local
+    session — orders of magnitude smaller than the event log) stitches
+    boundary-crossing sessions back together: summary i+1 merges into i
+    iff ``start_{i+1} − end_i <= gap``, exactly the predicate the
+    single-pass version evaluates between those two adjacent events.
+
+    Requires ``bucket_width > gap`` (narrower buckets would still be
+    correct but make the repair pass pointless — every session would
+    span buckets).
+    """
+    if bucket_width <= gap:
+        raise ValueError(
+            f"bucket_width ({bucket_width}) must exceed gap ({gap})"
+        )
+    bucketed = events.withColumn(
+        "_bkt", F.floor(F.col(ts_col) / F.lit(bucket_width))
+    )
+    order = [F.col(ts_col).asc(), *(F.col(c).asc() for c in order_cols)]
+    w_local = Window.partitionBy(key_col, "_bkt").orderBy(*order)
+    prev = F.lag(ts_col).over(w_local)
+    is_new = F.when(
+        prev.isNull() | ((F.col(ts_col) - prev) > F.lit(gap)), 1
+    ).otherwise(0)
+    run_local = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = bucketed.withColumn("_lsid", F.sum(is_new).over(run_local))
+
+    summaries = local.groupBy(key_col, "_bkt", "_lsid").agg(
+        F.min(ts_col).alias("_start"), F.max(ts_col).alias("_end")
+    )
+    w_merge = Window.partitionBy(key_col).orderBy(
+        F.col("_start").asc(), F.col("_bkt").asc(), F.col("_lsid").asc()
+    )
+    prev_end = F.lag("_end").over(w_merge)
+    starts = F.when(
+        prev_end.isNull() | ((F.col("_start") - prev_end) > F.lit(gap)), 1
+    ).otherwise(0)
+    run_merge = w_merge.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mapping = summaries.withColumn("session_id", F.sum(starts).over(run_merge)).select(
+        key_col, "_bkt", "_lsid", "session_id"
+    )
+    return (
+        local.join(mapping, [key_col, "_bkt", "_lsid"])
+        .drop("_bkt", "_lsid")
+    )
 
 
 def asof_join(

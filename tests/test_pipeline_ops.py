@@ -347,3 +347,23 @@ def test_embedding_lsh_pairs_subset_of_exact(spark):
     }
     assert lsh <= exact
     assert (0, 30) in lsh
+
+
+def test_knn_lsh_multi_probe_recall(spark):
+    """Distance-1 multi-probe must find at least every single-probe
+    neighbor and close some of the gap to exact brute force."""
+    import random
+
+    rng = random.Random(23)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qs = df.filter(F.col("vec_id") < 3)
+
+    def pairs(res):
+        return {(r["query_id"], r["neighbor_id"]) for r in res.collect()}
+
+    exact = pairs(knn_bruteforce(df, qs, "vec_id", "embedding", k=10))
+    single = pairs(knn_lsh(df, qs, "vec_id", "embedding", k=10))
+    multi = pairs(knn_lsh(df, qs, "vec_id", "embedding", k=10, multi_probe=True))
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi) >= len(single)

@@ -80,3 +80,46 @@ def test_asof_keeps_left_multiplicity_and_columns(spark):
     out = _asof(spark, direction="backward")
     assert out.count() == 3
     assert set(out.columns) == {"k", "ts", "lid", "ts_right", "rid_right"}
+
+
+def test_sessionize_bucketed_equals_plain(spark):
+    """Bucketed sessionize must reproduce the single-pass result exactly,
+    including sessions spanning bucket boundaries and gaps exactly at the
+    threshold (> gap splits, == gap does not)."""
+    import random
+
+    from rs_graphdb_spark.operators.temporal import sessionize, sessionize_bucketed
+
+    rng = random.Random(5)
+    rows = []
+    eid = 0
+    for user in range(8):
+        t = 0
+        for _ in range(60):
+            # jumps chosen to straddle bucket edges (width 100) and to hit
+            # the gap boundary exactly (gap 10)
+            t += rng.choice([1, 3, 9, 10, 11, 40, 95, 100, 101])
+            rows.append((user, t, eid))
+            eid += 1
+    df = spark.createDataFrame(rows, "user long, t long, eid long")
+    plain = {
+        (r["user"], r["eid"]): r["session_id"]
+        for r in sessionize(df, "user", "t", gap=10, order_cols=["eid"]).collect()
+    }
+    bucketed = {
+        (r["user"], r["eid"]): r["session_id"]
+        for r in sessionize_bucketed(
+            df, "user", "t", gap=10, bucket_width=100, order_cols=["eid"]
+        ).collect()
+    }
+    assert bucketed == plain
+
+
+def test_sessionize_bucketed_rejects_narrow_buckets(spark):
+    import pytest as _pytest
+
+    from rs_graphdb_spark.operators.temporal import sessionize_bucketed
+
+    df = spark.createDataFrame([(1, 1, 1)], "user long, t long, eid long")
+    with _pytest.raises(ValueError):
+        sessionize_bucketed(df, "user", "t", gap=100, bucket_width=50)
