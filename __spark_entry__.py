@@ -1990,12 +1990,34 @@ def q47_interval_join(spark, sf_dir):
 
 
 def q48_splits(spark, sf_dir):
-    """Suite: deterministic hash split + group-aware (leakage-safe) split."""
+    """Suite: deterministic hash split, group-aware (leakage-safe) split,
+    deterministic uniform sample, and stratified (per-language) sample —
+    the data-mixing surface, all pure projections."""
+    from rs_graphdb_spark.functions.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    samp = hash_sample(docs, "doc_id", 0.1).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TX.token_count("text").cast("long")).alias("sum_tokens"),
+    )
+    strat = (
+        stratified_hash_sample(
+            docs.withColumn("lg", TX.lang_id("text")),
+            "doc_id", "lg", {"en": 0.5}, default_fraction=0.1,
+        )
+        .groupBy("lg")
+        .agg(F.count("*").alias("cnt"))
+    )
     return _quads(
         _metric_quads(q83_deterministic_split(spark, sf_dir),
                       {"det_docs": "n_docs", "det_tokens": "sum_tokens"}, s="split"),
         _metric_quads(q84_group_aware_split(spark, sf_dir),
                       {"grp_docs": "n_docs", "grp_groups": "n_groups"}, s="split"),
+        _metric_quads(samp, {"sample_docs": "n_docs", "sample_tokens": "sum_tokens"}),
+        _quad("strat", strat, v="cnt", s="lg"),
     )
 
 
@@ -3762,6 +3784,56 @@ def oracle_sql() -> dict[str, str]:
             _sql_metric_quads(base["q84_group_aware_split"],
                               {"grp_docs": "n_docs", "grp_groups": "n_groups"},
                               s="split"),
+            _sql_metric_quads(
+                """
+                WITH b AS (
+                    SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 1000000 AS bucket,
+                           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                                AS BIGINT) AS sz
+                    FROM documents
+                )
+                SELECT count(*) AS n_docs, CAST(sum(sz) AS BIGINT) AS sum_tokens
+                FROM b WHERE bucket < 100000
+                """,
+                {"sample_docs": "n_docs", "sample_tokens": "sum_tokens"},
+            ),
+            _sql_quad(
+                "strat",
+                """
+                WITH t AS (
+                    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                    FROM documents
+                ),
+                h AS (
+                    SELECT doc_id,
+                      len(list_filter(tk, x -> list_contains(['the','and','of','to','a'], x))) AS he,
+                      len(list_filter(tk, x -> list_contains(['der','und','die','das','ist'], x))) AS hd,
+                      len(list_filter(tk, x -> list_contains(['le','la','et','les','des'], x))) AS hf,
+                      len(list_filter(tk, x -> list_contains(['el','los','las','una','es'], x))) AS hs
+                    FROM t
+                ),
+                lg AS (
+                    SELECT doc_id, CASE
+                         WHEN he >= hd AND he >= hf AND he >= hs AND he > 0 THEN 'en'
+                         WHEN hd >= hf AND hd >= hs AND hd > 0 THEN 'de'
+                         WHEN hf >= hs AND hf > 0 THEN 'fr'
+                         WHEN hs > 0 THEN 'es'
+                         ELSE 'und' END AS lg
+                    FROM h
+                ),
+                b AS (
+                    SELECT lg.lg,
+                           ('0x' || substr(md5(CAST(lg.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 1000000 AS bucket
+                    FROM lg
+                )
+                SELECT lg, count(*) AS cnt FROM b
+                WHERE bucket < (CASE WHEN lg = 'en' THEN 500000 ELSE 100000 END)
+                GROUP BY lg
+                """,
+                v="cnt", s="lg",
+            ),
         ),
         "q49_pack_sequences": base["q85_pack_sequences"],
         "q50_kmeans": base["q97_kmeans"],

@@ -17,7 +17,14 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "deterministic_split", "group_aware_split", "pack_greedy"]
+__all__ = [
+    "hash_bucket",
+    "deterministic_split",
+    "group_aware_split",
+    "hash_sample",
+    "stratified_hash_sample",
+    "pack_greedy",
+]
 
 
 def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
@@ -70,6 +77,50 @@ def group_aware_split(
     clusters). Still a pure projection."""
     weights = weights or {"train": 90, "val": 5, "test": 5}
     return df.withColumn("split", _split_expr(hash_bucket(group_col), weights))
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: Column | str,
+    fraction: float,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic uniform sample: keep a row iff its hash bucket falls
+    below ``fraction`` of the bucket space. Unlike ``df.sample()`` this is
+    reproducible across runs/engines (md5, no RNG), stable under data
+    growth (a kept row stays kept forever), and a pure projection —
+    filter + scan, no shuffle, at any scale. Fraction granularity is
+    1/buckets."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(hash_bucket(id_col, buckets) < int(round(fraction * buckets)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: Column | str,
+    strata_col: Column | str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic stratified sample: per-stratum keep-fractions (e.g.
+    up-sample rare languages, down-sample boilerplate-heavy domains — the
+    standard data-mixing step before training). Same determinism contract
+    as :func:`hash_sample`; strata not listed get ``default_fraction``.
+    Still a pure projection — the per-stratum threshold is a CASE
+    expression, not a join."""
+    sc = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    thresh = None
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1], got {frac}")
+        lit = F.lit(int(round(frac * buckets)))
+        thresh = F.when(sc == name, lit) if thresh is None else thresh.when(
+            sc == name, lit
+        )
+    thresh = thresh.otherwise(F.lit(int(round(default_fraction * buckets))))
+    return df.filter(hash_bucket(id_col, buckets) < thresh)
 
 
 def pack_greedy(

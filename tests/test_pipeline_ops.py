@@ -367,3 +367,37 @@ def test_knn_lsh_multi_probe_recall(spark):
     multi = pairs(knn_lsh(df, qs, "vec_id", "embedding", k=10, multi_probe=True))
     assert len(multi & exact) >= len(single & exact)
     assert len(multi) >= len(single)
+
+
+def test_hash_sample_deterministic_and_stable(spark):
+    """Same rows kept across runs; growing the table never evicts a
+    previously-kept row; fraction lands near target."""
+    from rs_graphdb_spark.functions.sampling import hash_sample
+
+    small = spark.range(2000).select(F.col("id").alias("doc_id"))
+    big = spark.range(4000).select(F.col("id").alias("doc_id"))
+    kept_small = {r["doc_id"] for r in hash_sample(small, "doc_id", 0.2).collect()}
+    kept_again = {r["doc_id"] for r in hash_sample(small, "doc_id", 0.2).collect()}
+    kept_big = {r["doc_id"] for r in hash_sample(big, "doc_id", 0.2).collect()}
+    assert kept_small == kept_again
+    assert kept_small <= kept_big  # growth never reassigns
+    assert 0.15 < len(kept_small) / 2000 < 0.25
+
+
+def test_stratified_hash_sample_fractions(spark):
+    from rs_graphdb_spark.functions.sampling import stratified_hash_sample
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out = stratified_hash_sample(
+        df, "doc_id", "lang", {"en": 0.5}, default_fraction=0.1
+    )
+    counts = {r["lang"]: r["cnt"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert 0.4 < counts["en"] / 2000 < 0.6
+    assert 0.05 < counts["de"] / 2000 < 0.15
+    # zero default drops unlisted strata entirely
+    none_default = stratified_hash_sample(df, "doc_id", "lang", {"en": 0.5})
+    assert none_default.filter(F.col("lang") == "de").count() == 0
