@@ -40,13 +40,34 @@ def main() -> None:
     clusters = near_dup_clusters(docs, "doc_id", "text", threshold=0.8)
     clusters.groupBy("keep").count().show()
 
-    print("-- 4. contamination-safe split (keyed on dup fingerprint)")
+    print("-- 4. incremental dedup: probe a new batch against the corpus index")
+    from rs_graphdb_spark.functions.dedup import minhash_index, minhash_probe
+
+    split_id = docs.agg(F.max("doc_id")).first()[0] // 2
+    banded, sets = minhash_index(docs.filter(F.col("doc_id") <= split_id),
+                                 "doc_id", "text")
+    probe = minhash_probe(banded, sets,
+                          docs.filter(F.col("doc_id") > split_id),
+                          "doc_id", "text", threshold=0.8)
+    print(f"   new-batch near-dup pairs: {probe.count()}")
+
+    print("-- 5. contamination-safe split (keyed on dup fingerprint)")
     kept = docs.join(clusters.filter("keep"), docs.doc_id == clusters.doc_id
                      ).select(docs["*"])
     split = group_aware_split(kept.withColumn("fp", fingerprint("text")), "fp")
     split.groupBy("split").count().orderBy("split").show()
 
-    print("-- 5. sequence packing (2048-token bins, 8 shards)")
+    print("-- 6. language-stratified mixing sample (en 50%, others 10%)")
+    from rs_graphdb_spark.functions.sampling import stratified_hash_sample
+    from rs_graphdb_spark.functions.text import lang_id
+
+    mixed = stratified_hash_sample(
+        split.withColumn("lg", lang_id("text")),
+        "doc_id", "lg", {"en": 0.5}, default_fraction=0.1,
+    )
+    mixed.groupBy("lg").count().orderBy("lg").show()
+
+    print("-- 7. sequence packing (2048-token bins, 8 shards)")
     packed = pack_greedy(
         split.withColumn("sz", token_count("text").cast("long")),
         "doc_id", "sz", budget=2048, shards=8,
