@@ -1865,13 +1865,37 @@ def q34_stream_stateful(spark, sf_dir):
 
 def q35_sources(spark, sf_dir):
     """Suite: JSON query API source, parquet persistence roundtrip,
-    bucketed-catalog shuffle-free hop."""
+    bucketed-catalog shuffle-free hop, and the JSON/DOT export sinks
+    (DOT content verified by md5 over its sorted lines — the oracle
+    rebuilds the identical text in SQL)."""
+    import hashlib
+
+    from rs_graphdb_spark.graph import PropertyGraph
+    from rs_graphdb_spark.sources.export import export_dot, export_json
+
+    g = _graph(spark, sf_dir)
+    sub = PropertyGraph(
+        nodes={"Nation": g.nodes["Nation"], "Region": g.nodes["Region"]},
+        edges={"IN_REGION": g.edges["IN_REGION"]},
+    )
+    dot = export_dot(sub, ["IN_REGION"], name_cols={"Region": "r_name"})
+    lines = sorted(
+        ln.strip() for ln in dot.splitlines() if ln.strip() not in ("digraph G {", "}")
+    )
+    digest = hashlib.md5("\n".join(lines).encode()).hexdigest()
+    n_json = sum(1 for _ in export_json(sub))
+    export_parts = spark.createDataFrame(
+        [("export_dot", len(lines), None, digest),
+         ("export_json_rows", None, float(n_json), None)],
+        "part string, k long, v double, s string",
+    )
     return _quads(
         _quad("json_src", q71_json_query_source(spark, sf_dir), k="id", v="totalprice"),
         _quad("persist", q73_persistence_roundtrip(spark, sf_dir), v="n_nations", s="r_name"),
         _metric_quads(q82_bucketed_hop(spark, sf_dir),
                       {"bkt_orders": "n_orders", "bkt_rev": "revenue"},
                       s="c_mktsegment"),
+        export_parts,
     )
 
 
@@ -3724,6 +3748,32 @@ def oracle_sql() -> dict[str, str]:
             _sql_metric_quads(base["q82_bucketed_hop"],
                               {"bkt_orders": "n_orders", "bkt_rev": "revenue"},
                               s="c_mktsegment"),
+            _sql_quad(
+                "export_dot",
+                f"""
+                WITH lines AS (
+                    SELECT 'n' || CAST({NATION} + n_nationkey AS VARCHAR)
+                           || ' -> n' || CAST({REGION} + n_regionkey AS VARCHAR)
+                           || ' [label="IN_REGION"];' AS l
+                    FROM nation
+                    UNION ALL
+                    SELECT 'n' || CAST({REGION} + r_regionkey AS VARCHAR)
+                           || ' [label="' || r_name || '"];'
+                    FROM region
+                    WHERE r_regionkey IN (SELECT n_regionkey FROM nation)
+                )
+                SELECT count(*) AS n_lines,
+                       md5(string_agg(l, chr(10) ORDER BY l)) AS digest
+                FROM lines
+                """,
+                k="n_lines", s="digest",
+            ),
+            _sql_quad(
+                "export_json_rows",
+                "SELECT (SELECT count(*) FROM nation)"
+                " + (SELECT count(*) FROM region) AS n",
+                v="n",
+            ),
         ),
         "q36_text_features": _sql_union(
             _sql_quad("lang", base["q50_lang_id"], v="cnt", s="lang_guess"),
