@@ -1900,7 +1900,16 @@ def q35_sources(spark, sf_dir):
 
 
 def q36_text_features(spark, sf_dir):
-    """Suite: language-ID counts + per-doc quality features + token stats."""
+    """Suite: language-ID counts, per-doc quality features, token stats,
+    within-doc repetition ratio, and the composite quality-filter verdict
+    (Gopher-rules shape)."""
+    docs = _read(spark, sf_dir, "documents")
+    rep = docs.select(
+        "doc_id", TX.repetition_ratio("text").alias("rep")
+    )
+    keep = docs.select(
+        TX.quality_filter("text").alias("keep")
+    ).groupBy("keep").agg(F.count("*").alias("cnt"))
     return _quads(
         _quad("lang", q50_lang_id(spark, sf_dir), v="cnt", s="lang_guess"),
         _metric_quads(q51_quality_scores(spark, sf_dir),
@@ -1910,6 +1919,8 @@ def q36_text_features(spark, sf_dir):
                       k="doc_id"),
         _metric_quads(q52_token_stats(spark, sf_dir),
                       {"tok_alnum": "n_tokens", "tok_bpe": "n_bpe"}, k="doc_id"),
+        _quad("repetition", rep, k="doc_id", v="rep"),
+        _quad("filter_keep", keep, v="cnt", s="keep"),
     )
 
 
@@ -3785,6 +3796,64 @@ def oracle_sql() -> dict[str, str]:
             _sql_metric_quads(base["q52_token_stats"],
                               {"tok_alnum": "n_tokens", "tok_bpe": "n_bpe"},
                               k="doc_id"),
+            _sql_quad(
+                "repetition",
+                """
+                WITH t AS (
+                    SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                    FROM documents
+                ),
+                g AS (
+                    SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+                        list_transform(range(len(tk) - 2),
+                                       i -> array_to_string(tk[i + 1:i + 3], ' '))
+                        ELSE [] END AS gr
+                    FROM t
+                )
+                SELECT doc_id,
+                       round(CASE WHEN len(gr) > 0
+                             THEN 1.0 - len(list_distinct(gr)) * 1.0 / len(gr)
+                             ELSE 0.0 END, 6) AS rep
+                FROM g
+                """,
+                k="doc_id", v="rep",
+            ),
+            _sql_quad(
+                "filter_keep",
+                """
+                WITH t AS (
+                    SELECT doc_id, text,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                    FROM documents
+                ),
+                g AS (
+                    SELECT doc_id, text, tk, CASE WHEN len(tk) >= 3 THEN
+                        list_transform(range(len(tk) - 2),
+                                       i -> array_to_string(tk[i + 1:i + 3], ' '))
+                        ELSE [] END AS gr
+                    FROM t
+                ),
+                f AS (
+                    SELECT
+                        len(tk) AS n_tok,
+                        len(array_to_string(tk, '')) * 1.0
+                            / greatest(len(tk), 1) AS mean_len,
+                        round(CASE WHEN len(gr) > 0
+                              THEN 1.0 - len(list_distinct(gr)) * 1.0 / len(gr)
+                              ELSE 0.0 END, 6) AS rep,
+                        (len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+                            * 1.0 / greatest(len(text), 1) AS alpha_ratio
+                    FROM g
+                )
+                SELECT (n_tok >= 20 AND n_tok <= 100000
+                        AND mean_len >= 2.0 AND mean_len <= 12.0
+                        AND rep <= 0.3 AND alpha_ratio >= 0.6) AS keep,
+                       count(*) AS cnt
+                FROM f GROUP BY 1
+                """,
+                v="cnt", s="keep",
+            ),
         ),
         "q37_tfidf": _sql_union(
             _sql_quad("inv", base["q74_inverted_index"], k="doc_id", v="tf", s="term"),

@@ -85,6 +85,62 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     }
 
 
+def repetition_ratio(col: Column | str, k: int = 3) -> Column:
+    """Within-document repetition: fraction of word k-gram occurrences
+    that are repeats of an earlier k-gram (0 = no repetition, → 1 for
+    boilerplate loops). A standard pretraining quality signal — docs that
+    repeat themselves (templated pages, scraper loops) score high and get
+    filtered. Pure expression: `1 − distinct(k-grams)/total(k-grams)`."""
+    toks = tokenize(col)
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    return F.round(
+        F.when(
+            total > 0,
+            1.0 - F.size(F.array_distinct(grams)) / total,
+        ).otherwise(0.0),
+        6,
+    )
+
+
+def quality_filter(
+    col: Column | str,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_tok_len: float = 2.0,
+    max_mean_tok_len: float = 12.0,
+    max_repetition: float = 0.3,
+    min_alpha_ratio: float = 0.6,
+) -> Column:
+    """Composite keep/drop verdict from rule bounds over the quality
+    features (the Gopher-rules shape: token-count window, mean-word-length
+    window, repetition cap, alphabetic-character floor). Returns BOOLEAN
+    keep. Thresholds are arguments so a pipeline can tune per-domain;
+    everything stays one codegen'd expression — filtering 100 TB is a
+    scan, not a job per rule."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokenize(c)
+    n_tok = F.size(toks)
+    mean_len = F.length(F.array_join(toks, "")) / F.greatest(n_tok, F.lit(1))
+    n_alpha = F.length(c) - F.length(F.regexp_replace(c, "[a-zA-Z]", ""))
+    alpha_ratio = n_alpha / F.greatest(F.length(c), F.lit(1))
+    return (
+        (n_tok >= min_tokens)
+        & (n_tok <= max_tokens)
+        & (mean_len >= min_mean_tok_len)
+        & (mean_len <= max_mean_tok_len)
+        & (repetition_ratio(c) <= max_repetition)
+        & (alpha_ratio >= min_alpha_ratio)
+    )
+
+
 def lang_id(col: Column | str) -> Column:
     """Stopword-marker language heuristic: argmax of per-language marker
     hit counts, ties broken by fixed language order (en, de, fr, es),

@@ -401,3 +401,35 @@ def test_stratified_hash_sample_fractions(spark):
     # zero default drops unlisted strata entirely
     none_default = stratified_hash_sample(df, "doc_id", "lang", {"en": 0.5})
     assert none_default.filter(F.col("lang") == "de").count() == 0
+
+
+def test_repetition_ratio_and_quality_filter(spark):
+    from rs_graphdb_spark.functions.text import quality_filter, repetition_ratio
+
+    rows = [
+        # clean prose: long enough, low repetition, alphabetic
+        (1, "the quick brown fox jumps over a lazy dog while many other "
+            "animals watch the scene from afar with great interest today"),
+        # boilerplate loop: one sentence repeated — high repetition
+        (2, "click here to subscribe now " * 20),
+        # too short
+        (3, "hello world"),
+        # symbol soup: alpha ratio too low
+        (4, "@@## $$%% 1234 ^^&& " * 10),
+        # empty
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["rep"], r["keep"])
+        for r in df.select(
+            "doc_id",
+            repetition_ratio("text").alias("rep"),
+            quality_filter("text").alias("keep"),
+        ).collect()
+    }
+    assert out[1][0] < 0.1 and out[1][1] is True
+    assert out[2][0] > 0.8 and out[2][1] is False
+    assert out[3][1] is False          # below min_tokens
+    assert out[4][1] is False          # alpha ratio
+    assert out[5][0] == 0.0 and out[5][1] is False
