@@ -1569,7 +1569,7 @@ def q07_semi_anti(spark, sf_dir):
 
 _GLOBAL_AGG_METRICS = [
     "cnt", "sum_bal", "avg_bal", "min_bal", "max_bal",
-    "stdev_samp", "stdev_pop", "var_samp", "p50_cont",
+    "stdev_samp", "stdev_pop", "var_samp", "p50_cont", "p50_disc",
 ]
 
 
@@ -1592,6 +1592,9 @@ def q08_global_profile(spark, sf_dir):
         F.round(F.stddev_pop("c_acctbal"), 4).alias("stdev_pop"),
         F.round(F.var_samp("c_acctbal"), 4).alias("var_samp"),
         F.round(F.percentile(F.col("c_acctbal"), F.lit(0.5)), 4).alias("p50_cont"),
+        F.round(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)"), 4
+        ).alias("p50_disc"),
     )
     collect = (
         _q(spark, sf_dir).from_label("Nation")
@@ -1829,11 +1832,17 @@ def q31_cypher_traverse(spark, sf_dir):
 
 
 def q32_cypher_advanced(spark, sf_dir):
-    """Suite: OPTIONAL MATCH (real left join), WITH chaining, FOREACH."""
+    """Suite: OPTIONAL MATCH (real left join), WITH chaining, FOREACH,
+    CALL { subquery } with an outer grouped aggregate."""
+    call = _cypher(spark, sf_dir, """
+        CALL { MATCH (n:Nation) RETURN n.n_regionkey AS rk }
+        RETURN rk, count(*) AS cnt
+    """)
     return _quads(
         _quad("optional", q67_cypher_optional(spark, sf_dir), k="k", v="n_neighbors"),
         _quad("with_cnt", q76_cypher_with(spark, sf_dir), v="cnt"),
         _quad("foreach", q77_cypher_foreach(spark, sf_dir), k="id", s="n_name"),
+        _quad("call", call, k="rk", v="cnt"),
     )
 
 
@@ -3570,7 +3579,8 @@ def oracle_sql() -> dict[str, str]:
                round(stddev_samp(c_acctbal), 4) AS stdev_samp,
                round(stddev_pop(c_acctbal), 4) AS stdev_pop,
                round(var_samp(c_acctbal), 4) AS var_samp,
-               round(quantile_cont(c_acctbal, 0.5), 4) AS p50_cont
+               round(quantile_cont(c_acctbal, 0.5), 4) AS p50_cont,
+               round(quantile_disc(c_acctbal, 0.5), 4) AS p50_disc
         FROM customer
     """
     collect_sql = """
@@ -3735,6 +3745,11 @@ def oracle_sql() -> dict[str, str]:
             _sql_quad("optional", base["q67_cypher_optional"], k="k", v="n_neighbors"),
             _sql_quad("with_cnt", base["q76_cypher_with"], v="cnt"),
             _sql_quad("foreach", base["q77_cypher_foreach"], k="id", s="n_name"),
+            _sql_quad(
+                "call",
+                "SELECT n_regionkey AS rk, count(*) AS cnt FROM nation GROUP BY 1",
+                k="rk", v="cnt",
+            ),
         ),
         "q33_stream_windows": _sql_union(
             _sql_metric_quads(base["q69_stream_window"],
