@@ -320,6 +320,12 @@ def strongly_connected_components(
     not distribute, forward/backward reachability does (SURVEY.md §2.12).
 
     Per round over the unassigned induced subgraph:
+      0. TRIM: iteratively peel nodes with no in-edges or no out-edges
+         within the remaining subgraph — each is provably a singleton SCC
+         (it cannot lie on any cycle). On DAG-ish graphs this resolves
+         almost everything without a single coloring round; without it the
+         coloring loop can burn one round per singleton (the standard
+         FW-BW-Trim refinement of the coloring algorithm);
       1. forward max-id propagation to fixpoint → color(v) = max id that
          reaches v;
       2. roots r with color(r) == r;
@@ -335,6 +341,30 @@ def strongly_connected_components(
     out: DataFrame | None = None
 
     for _ in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        # trim: nodes outside both endpoint sets of the remaining-induced
+        # edge relation can't be on a cycle → singleton SCCs. Peeled a
+        # bounded number of sweeps (each peel exposes new trivial nodes;
+        # a pathological pure-chain DAG would otherwise turn the peel
+        # itself into an O(length) driver loop — leftovers just fall
+        # through to the coloring sweep, which handles them correctly).
+        for _ in range(8):
+            e_rem = (
+                e_all.join(remaining.withColumnRenamed("id", "src"), "src")
+                .join(remaining.withColumnRenamed("id", "dst"), "dst")
+            )
+            has_out = e_rem.select(F.col("src").alias("id")).dropDuplicates()
+            has_in = e_rem.select(F.col("dst").alias("id")).dropDuplicates()
+            cyclic = has_out.join(has_in, "id", "inner").localCheckpoint(eager=True)
+            trivial = remaining.join(cyclic, "id", "left_anti")
+            if trivial.isEmpty():
+                break
+            singles = trivial.select("id", F.col("id").alias("scc"))
+            out = (
+                singles if out is None else out.unionByName(singles)
+            ).localCheckpoint(eager=True)
+            remaining = cyclic
         if remaining.isEmpty():
             break
         e = (

@@ -192,3 +192,19 @@ def test_cc_stars_long_path_logarithmic_rounds(spark):
     )
     comp = connected_components(nodes, edges)
     assert comp.filter(F.col("component") != 0).count() == 0
+
+
+def test_scc_trim_resolves_dag_without_coloring(spark):
+    """A pure DAG is all singleton SCCs — the trim step must resolve it
+    (and a cycle hanging off the DAG must still be found by coloring)."""
+    from rs_graphdb_spark.algorithms.graph_algos import strongly_connected_components
+
+    # DAG: 0->1->2->3,  0->2, 1->3 ; cycle: 10->11->12->10 fed by 3->10
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2), (1, 3), (3, 10), (10, 11), (11, 12), (12, 10)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 10, 11, 12]], "id long")
+    got = {r["id"]: r["scc"] for r in strongly_connected_components(nodes, edges).collect()}
+    assert got[0] == 0 and got[1] == 1 and got[2] == 2 and got[3] == 3
+    assert got[10] == got[11] == got[12] == 12

@@ -177,8 +177,33 @@ def test_merge_nodes_duplicate_incoming_keys(g, spark):
 
 
 def test_scc_raises_rather_than_dropping_nodes(spark):
-    """A descending chain resolves one singleton SCC per round; with a tiny
-    round cap the algorithm must raise, never silently omit nodes."""
+    """With a tiny round cap the algorithm must raise, never silently omit
+    nodes. Trim resolves all acyclic nodes, so the adversarial input is a
+    descending CHAIN OF 2-CYCLES — every node is on a cycle (trim can't
+    peel any) and max-id coloring resolves exactly one cycle per round."""
+    from rs_graphdb_spark.algorithms.graph_algos import (
+        strongly_connected_components,
+    )
+
+    # cycles {0,1} {2,3} {4,5} {6,7}, chained high→low: 2→1, 4→3, 6→5
+    pairs = [(2 * k, 2 * k + 1) for k in range(4)]
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    edges += [(2 * k, 2 * k - 1) for k in range(1, 4)]
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        strongly_connected_components(nodes, edges_df, max_rounds=2)
+    full = {
+        r["id"]: r["scc"]
+        for r in strongly_connected_components(nodes, edges_df, max_rounds=8).collect()
+    }
+    assert all(full[2 * k] == full[2 * k + 1] == 2 * k + 1 for k in range(4))
+
+
+def test_scc_trim_handles_descending_chain_fast(spark):
+    """The round-1 pathological input — a descending singleton chain that
+    used to need one coloring round per node — now resolves entirely in
+    the trim phase, inside a 2-round cap."""
     from rs_graphdb_spark.algorithms.graph_algos import (
         strongly_connected_components,
     )
@@ -187,10 +212,9 @@ def test_scc_raises_rather_than_dropping_nodes(spark):
     edges = spark.createDataFrame(
         [(i, i - 1) for i in range(2, 7)], "src long, dst long"
     )
-    with pytest.raises(RuntimeError, match="max_rounds"):
-        strongly_connected_components(nodes, edges, max_rounds=2)
-    full = strongly_connected_components(nodes, edges, max_rounds=8)
-    assert full.count() == 6  # all singletons assigned
+    full = strongly_connected_components(nodes, edges, max_rounds=2)
+    assert full.count() == 6
+    assert full.filter(F.col("id") != F.col("scc")).count() == 0
 
 
 def test_weighted_sssp_raises_on_nonconvergence(spark, g):
