@@ -1747,13 +1747,24 @@ def q24_dfs_preorder(spark, sf_dir):
 
 
 def q25_graph_ranking(spark, sf_dir):
-    """Suite: HITS hubs/authorities + link-prediction scores (neighbor
-    Jaccard, Adamic-Adar)."""
+    """Suite: HITS hubs/authorities, link-prediction scores (neighbor
+    Jaccard, Adamic-Adar), and deterministic DeepWalk random walks (the
+    embedding-training corpus; md5-seeded choices replayed exactly by the
+    recursive-CTE oracle)."""
+    from rs_graphdb_spark.operators.traversal import random_walks
+
+    g = _graph(spark, sf_dir)
+    e = g.edges["KNOWS"].df
+    starts = e.select(F.col("src").alias("id")).distinct().orderBy("id").limit(20)
+    walks = random_walks(e, starts, walk_length=10, walks_per_node=2)
     return _quads(
         _metric_quads(q93_hits(spark, sf_dir),
                       {"hits_hub": "hub", "hits_auth": "authority"}, k="id"),
         _quad("node_sim", q94_node_similarity(spark, sf_dir), k="a", v="jaccard", s="b"),
         _quad("adamic_adar", q95_adamic_adar(spark, sf_dir), k="a", v="score", s="b"),
+        _quad("walks", walks, k="start", v="node",
+              s=F.concat(F.col("walk").cast("string"), F.lit(":"),
+                         F.col("step").cast("string"))),
     )
 
 
@@ -3713,6 +3724,43 @@ def oracle_sql() -> dict[str, str]:
                               k="id"),
             _sql_quad("node_sim", base["q94_node_similarity"], k="a", v="jaccard", s="b"),
             _sql_quad("adamic_adar", base["q95_adamic_adar"], k="a", v="score", s="b"),
+            _sql_quad(
+                "walks",
+                f"""
+                WITH RECURSIVE k AS (
+                    SELECT a.c_custkey AS src_key, b.c_custkey AS dst_key
+                    FROM customer a JOIN customer b
+                      ON b.c_custkey IN (a.c_custkey + 1, a.c_custkey + 2)
+                     AND b.c_mktsegment = a.c_mktsegment
+                ),
+                e AS (SELECT DISTINCT {CUSTOMER} + src_key AS src,
+                             {CUSTOMER} + dst_key AS dst FROM k),
+                adj AS (
+                    SELECT src, dst,
+                           row_number() OVER (PARTITION BY src ORDER BY dst) AS rnk,
+                           count(*) OVER (PARTITION BY src) AS deg
+                    FROM e
+                ),
+                starts AS (SELECT DISTINCT src AS id FROM e ORDER BY src LIMIT 20),
+                wk AS (
+                    SELECT s.id AS start, w.walk, s.id AS node, 0 AS step
+                    FROM starts s, (SELECT unnest([0, 1]) AS walk) w
+                    UNION ALL
+                    SELECT wk.start, wk.walk, a.dst, wk.step + 1
+                    FROM wk JOIN adj a ON a.src = wk.node
+                     AND a.rnk = (('0x' || substr(md5(
+                           'w_' || CAST(wk.start AS VARCHAR)
+                           || '_' || CAST(wk.walk AS VARCHAR)
+                           || '_' || CAST(wk.step + 1 AS VARCHAR)
+                           || '_' || CAST(wk.node AS VARCHAR)), 1, 8))::BIGINT
+                          % a.deg) + 1
+                    WHERE wk.step < 10
+                )
+                SELECT start, walk, step, node FROM wk
+                """,
+                k="start", v="node",
+                s="CAST(walk AS VARCHAR) || ':' || CAST(step AS VARCHAR)",
+            ),
         ),
         "q26_dml_delete_set": _sql_union(
             _sql_metric_quads(base["q38_delete_cascade"],

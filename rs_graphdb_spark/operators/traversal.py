@@ -377,3 +377,63 @@ def shortest_path_with_rels(
     return spark.createDataFrame(
         [], "path array<long>, rels array<long>, hops int"
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    walk_length: int = 10,
+    walks_per_node: int = 2,
+    seed: str = "w",
+) -> DataFrame:
+    """Deterministic DeepWalk-style random walks over a directed edge set
+    — the graph → embedding-training bridge (walk corpora feed skip-gram /
+    node2vec training exactly like token streams feed LLM pretraining).
+
+    Determinism contract (matches the rest of the engine): the "random"
+    neighbor choice at ``(node, walk, step)`` is the md5 of the seeded
+    triple, mod out-degree, over a dst-sorted neighbor ranking — no RNG,
+    so runs are reproducible across clusters AND the DuckDB oracle can
+    replay every walk bit-for-bit. Walks stop early at sink nodes.
+
+    Scale shape: one join per step against a ranked-adjacency frame
+    (edges + per-src row_number + out-degree, built once and
+    checkpointed); the walk frontier is (start, walk, node) — bounded by
+    |starts| × walks_per_node rows per step, never path-enumerating.
+    Returns (start, walk, step, node) including step 0.
+    """
+    from pyspark.sql import Window
+
+    from rs_graphdb_spark.functions.dedup import md5_long
+
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = (
+        edges.select("src", "dst")
+        .dropDuplicates()
+        .withColumn("_rank", F.row_number().over(w))
+        .withColumn("_deg", F.count("*").over(Window.partitionBy("src")))
+        .localCheckpoint(eager=True)
+    )
+    frontier = starts.select(F.col("id").alias("start")).crossJoin(
+        F.broadcast(
+            starts.sparkSession.range(walks_per_node).select(
+                F.col("id").cast("int").alias("walk")
+            )
+        )
+    ).withColumn("node", F.col("start"))
+    out = frontier.withColumn("step", F.lit(0))
+    for step in range(1, walk_length + 1):
+        choice = md5_long(
+            F.concat_ws("_", F.lit(seed), F.col("start").cast("string"),
+                        F.col("walk").cast("string"), F.lit(str(step)),
+                        F.col("node").cast("string"))
+        )
+        frontier = (
+            frontier.join(adj, frontier["node"] == adj["src"])
+            .filter(F.col("_rank") == (choice % F.col("_deg")) + 1)
+            .select("start", "walk", F.col("dst").alias("node"))
+        )
+        if step % CHECKPOINT_EVERY == 0:
+            frontier = frontier.localCheckpoint(eager=True)
+        out = out.unionByName(frontier.withColumn("step", F.lit(step)))
+    return out

@@ -111,3 +111,29 @@ def test_max_core_number(spark):
     edges = spark.createDataFrame(k4 + [(3, 9), (9, 3)], "src long, dst long")
     nodes = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 9]], "id long")
     assert max_core_number(nodes, edges) == 3
+
+
+def test_random_walks_deterministic_and_edge_respecting(spark):
+    from rs_graphdb_spark.operators.traversal import random_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )  # node 4 is a sink
+    starts = spark.createDataFrame([(1,), (4,)], "id long")
+    w1 = random_walks(edges, starts, walk_length=6, walks_per_node=3)
+    w2 = random_walks(edges, starts, walk_length=6, walks_per_node=3)
+    rows = {(r["start"], r["walk"], r["step"]): r["node"] for r in w1.collect()}
+    assert rows == {(r["start"], r["walk"], r["step"]): r["node"] for r in w2.collect()}
+    # every consecutive step follows a real edge
+    edge_set = {(1, 2), (1, 3), (2, 3), (3, 1), (3, 4)}
+    for (s, w, st), node in rows.items():
+        if st == 0:
+            assert node == s
+        else:
+            prev = rows[(s, w, st - 1)]
+            assert (prev, node) in edge_set
+    # walks from the sink emit only step 0; walks reaching 4 stop there
+    assert all(st == 0 for (s, w, st) in rows if s == 4)
+    for (s, w, st), node in rows.items():
+        if node == 4:
+            assert (s, w, st + 1) not in rows
