@@ -2066,6 +2066,20 @@ def q48_splits(spark, sf_dir):
         .groupBy("lg")
         .agg(F.count("*").alias("cnt"))
     )
+    # benchmark decontamination: train-split docs sharing any 3-gram with
+    # the test split (broadcast benchmark shingles, corpus scanned once)
+    from rs_graphdb_spark.functions.dedup import ngram_contamination
+    from rs_graphdb_spark.functions.sampling import deterministic_split
+
+    split_docs = deterministic_split(docs, "doc_id")
+    train = split_docs.filter(F.col("split") == "train")
+    test = split_docs.filter(F.col("split") == "test")
+    contam = ngram_contamination(
+        train, test, "doc_id", "text",
+        train_sets=_shingle_sets(spark, sf_dir).join(
+            train.select("doc_id"), "doc_id", "left_semi"
+        ),
+    )
     return _quads(
         _metric_quads(q83_deterministic_split(spark, sf_dir),
                       {"det_docs": "n_docs", "det_tokens": "sum_tokens"}, s="split"),
@@ -2073,6 +2087,8 @@ def q48_splits(spark, sf_dir):
                       {"grp_docs": "n_docs", "grp_groups": "n_groups"}, s="split"),
         _metric_quads(samp, {"sample_docs": "n_docs", "sample_tokens": "sum_tokens"}),
         _quad("strat", strat, v="cnt", s="lg"),
+        _metric_quads(contam, {"contam_hits": "n_hits", "contam_ratio": "hit_ratio"},
+                      k="doc_id"),
     )
 
 
@@ -4015,6 +4031,43 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY lg
                 """,
                 v="cnt", s="lg",
+            ),
+            _sql_metric_quads(
+                """
+                WITH sp AS (
+                    SELECT doc_id, text,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 100 AS bucket
+                    FROM documents
+                ),
+                toks AS (
+                    SELECT doc_id, bucket,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                    FROM sp
+                ),
+                sh AS (
+                    SELECT doc_id, bucket,
+                           unnest(list_distinct(list_transform(
+                               range(len(t) - 2),
+                               i -> array_to_string(t[i + 1:i + 3], ' ')))) AS s
+                    FROM toks WHERE len(t) >= 3
+                ),
+                bench AS (SELECT DISTINCT s FROM sh WHERE bucket >= 95),
+                tr AS (
+                    SELECT doc_id, s,
+                           count(*) OVER (PARTITION BY doc_id) AS n_shingles
+                    FROM sh WHERE bucket < 90
+                )
+                SELECT tr.doc_id, count(*) AS n_hits,
+                       any_value(tr.n_shingles) AS n_shingles,
+                       round(count(*) * 1.0
+                             / greatest(any_value(tr.n_shingles), 1), 6)
+                           AS hit_ratio
+                FROM tr JOIN bench ON bench.s = tr.s
+                GROUP BY tr.doc_id
+                """,
+                {"contam_hits": "n_hits", "contam_ratio": "hit_ratio"},
+                k="doc_id",
             ),
         ),
         "q49_pack_sequences": base["q85_pack_sequences"],

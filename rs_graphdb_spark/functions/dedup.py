@@ -417,6 +417,45 @@ def near_dup_clusters(
     return out
 
 
+def ngram_contamination(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    train_sets: DataFrame | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    k-gram with a benchmark/eval set — the standard guard against test-set
+    leakage into a pretraining corpus (beyond near-dup: a doc QUOTING a
+    benchmark question must be caught even when globally dissimilar).
+
+    Returns (doc_id, n_hits, n_shingles, hit_ratio) for training docs with
+    ≥1 benchmark shingle. Scale shape: the benchmark shingle set is small
+    (evals are MBs, corpora are TBs) → distinct-shingle semi-join with the
+    benchmark side broadcast; the corpus is scanned once, never shuffled
+    on anything but its own exploded shingles."""
+    if train_sets is None:
+        train_sets = shingle_sets(train_df, id_col, text_col, k)
+    bench = (
+        bench_df.select(F.explode(shingles(text_col, k)).alias("s"))
+        .dropDuplicates()
+    )
+    tr = train_sets.select("doc_id", F.size("sets").alias("n_shingles"),
+                           F.explode("sets").alias("s"))
+    hits = (
+        tr.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return hits.select(
+        "doc_id", "n_hits", "n_shingles",
+        F.round(F.col("n_hits") / F.greatest("n_shingles", F.lit(1)), 6).alias(
+            "hit_ratio"
+        ),
+    )
+
+
 def simhash(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
     """SimHash: per-token 32-bit hash, per-bit ±1 vote weighted by token
     multiplicity, packed into a long. Pure expression (no shuffle)."""

@@ -433,3 +433,25 @@ def test_repetition_ratio_and_quality_filter(spark):
     assert out[3][1] is False          # below min_tokens
     assert out[4][1] is False          # alpha ratio
     assert out[5][0] == 0.0 and out[5][1] is False
+
+
+def test_ngram_contamination(spark):
+    """A training doc quoting a benchmark question is flagged even when
+    globally dissimilar; clean docs are not."""
+    from rs_graphdb_spark.functions.dedup import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "a long essay about geography that asks what is the capital "
+                "of france among many other things entirely its own"),
+            (2, "completely unrelated text about spark shuffle partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_hits"] for r in
+           ngram_contamination(train, bench, "doc_id", "text").collect()}
+    assert 1 in out and out[1] >= 4  # the quoted 6-gram yields 4 3-gram hits
+    assert 2 not in out
