@@ -1751,12 +1751,13 @@ def q25_graph_ranking(spark, sf_dir):
     Jaccard, Adamic-Adar), and deterministic DeepWalk random walks (the
     embedding-training corpus; md5-seeded choices replayed exactly by the
     recursive-CTE oracle)."""
-    from rs_graphdb_spark.operators.traversal import random_walks
+    from rs_graphdb_spark.operators.traversal import random_walks, sample_neighbors
 
     g = _graph(spark, sf_dir)
     e = g.edges["KNOWS"].df
     starts = e.select(F.col("src").alias("id")).distinct().orderBy("id").limit(20)
     walks = random_walks(e, starts, walk_length=10, walks_per_node=2)
+    sampled = sample_neighbors(e, starts.limit(10), fanouts=[3, 2])
     return _quads(
         _metric_quads(q93_hits(spark, sf_dir),
                       {"hits_hub": "hub", "hits_auth": "authority"}, k="id"),
@@ -1765,6 +1766,7 @@ def q25_graph_ranking(spark, sf_dir):
         _quad("walks", walks, k="start", v="node",
               s=F.concat(F.col("walk").cast("string"), F.lit(":"),
                          F.col("step").cast("string"))),
+        _quad("sampled", sampled, k="src", v="dst", s="hop"),
     )
 
 
@@ -3776,6 +3778,46 @@ def oracle_sql() -> dict[str, str]:
                 """,
                 k="start", v="node",
                 s="CAST(walk AS VARCHAR) || ':' || CAST(step AS VARCHAR)",
+            ),
+            _sql_quad(
+                "sampled",
+                f"""
+                WITH k AS (
+                    SELECT a.c_custkey AS src_key, b.c_custkey AS dst_key
+                    FROM customer a JOIN customer b
+                      ON b.c_custkey IN (a.c_custkey + 1, a.c_custkey + 2)
+                     AND b.c_mktsegment = a.c_mktsegment
+                ),
+                e AS (SELECT DISTINCT {CUSTOMER} + src_key AS src,
+                             {CUSTOMER} + dst_key AS dst FROM k),
+                seeds AS (SELECT DISTINCT src AS node FROM e ORDER BY src LIMIT 10),
+                h1 AS (
+                    SELECT 1 AS hop, src, dst FROM (
+                        SELECT e.src, e.dst, row_number() OVER (
+                            PARTITION BY e.src ORDER BY
+                                ('0x' || substr(md5('ns_1_'
+                                    || CAST(e.src AS VARCHAR) || '_'
+                                    || CAST(e.dst AS VARCHAR)), 1, 8))::BIGINT ASC,
+                                e.dst ASC) AS rn
+                        FROM e JOIN seeds s ON s.node = e.src
+                    ) t WHERE rn <= 3
+                ),
+                f2 AS (SELECT DISTINCT dst AS node FROM h1),
+                h2 AS (
+                    SELECT 2 AS hop, src, dst FROM (
+                        SELECT e.src, e.dst, row_number() OVER (
+                            PARTITION BY e.src ORDER BY
+                                ('0x' || substr(md5('ns_2_'
+                                    || CAST(e.src AS VARCHAR) || '_'
+                                    || CAST(e.dst AS VARCHAR)), 1, 8))::BIGINT ASC,
+                                e.dst ASC) AS rn
+                        FROM e JOIN f2 s ON s.node = e.src
+                    ) t WHERE rn <= 2
+                )
+                SELECT hop, src, dst FROM h1
+                UNION ALL SELECT hop, src, dst FROM h2
+                """,
+                k="src", v="dst", s="hop",
             ),
         ),
         "q26_dml_delete_set": _sql_union(

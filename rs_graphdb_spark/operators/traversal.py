@@ -437,3 +437,50 @@ def random_walks(
             frontier = frontier.localCheckpoint(eager=True)
         out = out.unionByName(frontier.withColumn("step", F.lit(step)))
     return out
+
+
+def sample_neighbors(
+    edges: DataFrame,
+    seeds: DataFrame,
+    fanouts: "list[int]",
+    seed: str = "ns",
+) -> DataFrame:
+    """Deterministic k-hop neighborhood sampling (the GraphSAGE minibatch
+    shape): hop h keeps at most ``fanouts[h]`` out-neighbors per frontier
+    node, chosen by md5 rank — no RNG, so minibatches reproduce across
+    runs/engines and the DuckDB oracle can replay them.
+
+    Returns the sampled edge list (hop, src, dst) with hop 1-based; the
+    union of endpoints is the minibatch subgraph. Scale shape: one join +
+    one window rank per hop over a checkpointed edge frame; frontier size
+    is bounded by seeds × Π fanouts (the caps ARE the point — unbounded
+    k-hop expansion over a hub node explodes, sampling doesn't)."""
+    from pyspark.sql import Window
+
+    from rs_graphdb_spark.functions.dedup import md5_long
+
+    e = edges.select("src", "dst").dropDuplicates().localCheckpoint(eager=True)
+    frontier = seeds.select(F.col("id").alias("node")).dropDuplicates()
+    spark = edges.sparkSession
+    out = spark.createDataFrame([], "hop int, src long, dst long")
+    for hop, fanout in enumerate(fanouts, start=1):
+        ranked = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("src", "dst")
+            .withColumn(
+                "_r",
+                md5_long(F.concat_ws("_", F.lit(seed), F.lit(str(hop)),
+                                     F.col("src").cast("string"),
+                                     F.col("dst").cast("string"))),
+            )
+        )
+        w = Window.partitionBy("src").orderBy(F.col("_r").asc(), F.col("dst").asc())
+        picked = (
+            ranked.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= fanout)
+            .select(F.lit(hop).alias("hop"), "src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(picked)
+        frontier = picked.select(F.col("dst").alias("node")).dropDuplicates()
+    return out

@@ -137,3 +137,31 @@ def test_random_walks_deterministic_and_edge_respecting(spark):
     for (s, w, st), node in rows.items():
         if node == 4:
             assert (s, w, st + 1) not in rows
+
+
+def test_sample_neighbors_caps_and_determinism(spark):
+    from rs_graphdb_spark.operators.traversal import sample_neighbors
+
+    # hub node 0 with 20 out-neighbors; each neighbor points to 2 more
+    edges = [(0, i) for i in range(1, 21)]
+    edges += [(i, 100 + i) for i in range(1, 21)]
+    edges += [(i, 200 + i) for i in range(1, 21)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    s1 = sample_neighbors(e, seeds, [5, 2])
+    s2 = sample_neighbors(e, seeds, [5, 2])
+    rows1 = {(r["hop"], r["src"], r["dst"]) for r in s1.collect()}
+    rows2 = {(r["hop"], r["src"], r["dst"]) for r in s2.collect()}
+    assert rows1 == rows2  # deterministic
+    hop1 = [r for r in rows1 if r[0] == 1]
+    assert len(hop1) == 5  # hub capped at fanout, not 20
+    # hop-2 edges originate only from sampled hop-1 targets, each capped at 2
+    hop1_targets = {d for (_, _, d) in hop1}
+    for (h, s, d) in rows1:
+        if h == 2:
+            assert s in hop1_targets
+    from collections import Counter
+    per_src = Counter(s for (h, s, _) in rows1 if h == 2)
+    assert all(c <= 2 for c in per_src.values())
+    # every sampled edge is a real edge
+    assert all((s, d) in set(edges) for (_, s, d) in rows1)
