@@ -484,3 +484,95 @@ def sample_neighbors(
         out = out.unionByName(picked)
         frontier = picked.select(F.col("dst").alias("node")).dropDuplicates()
     return out
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    walk_length: int = 10,
+    walks_per_node: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: str = "n2v",
+) -> DataFrame:
+    """Deterministic node2vec walks: like :func:`random_walks` but with
+    the 2nd-order p/q bias — from state (prev → node), a candidate next
+    hop ``dst`` weighs ``1/p`` when it backtracks (dst == prev), ``1``
+    when it stays near (dst adjacent to prev in the undirected view), and
+    ``1/q`` otherwise. p > 1 discourages returning, q < 1 encourages
+    outward exploration (DFS-like), q > 1 keeps walks local (BFS-like).
+
+    The weighted choice is still RNG-free: u = md5(state)/2^31 picks the
+    first candidate (dst-ordered) whose cumulative weight share exceeds
+    u — reproducible across runs, clusters, and a driver-side replica.
+
+    Scale shape per step: one join for candidates, one broadcast-able
+    left join flagging prev-adjacency, one window cumsum — frontier stays
+    at starts × walks rows. Returns (start, walk, step, node).
+    """
+    from pyspark.sql import Window
+
+    from rs_graphdb_spark.functions.dedup import md5_long
+
+    M = 1 << 31
+    e = edges.select("src", "dst").dropDuplicates().localCheckpoint(eager=True)
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates().localCheckpoint(eager=True)
+
+    frontier = starts.select(F.col("id").alias("start")).crossJoin(
+        F.broadcast(
+            starts.sparkSession.range(walks_per_node).select(
+                F.col("id").cast("int").alias("walk")
+            )
+        )
+    ).withColumn("node", F.col("start")).withColumn(
+        "prev", F.lit(None).cast("long")
+    )
+    out = frontier.select("start", "walk", F.lit(0).alias("step"), "node")
+    for step in range(1, walk_length + 1):
+        cands = frontier.join(e, frontier["node"] == e["src"]).select(
+            "start", "walk", "prev", "node", "dst"
+        )
+        near = und.select(
+            F.col("src").alias("dst"), F.col("dst").alias("prev"),
+            F.lit(True).alias("_near"),
+        )
+        cands = cands.join(near, ["dst", "prev"], "left").withColumn(
+            "_w",
+            F.when(F.col("dst") == F.col("prev"), F.lit(1.0 / p))
+            .when(F.col("_near"), F.lit(1.0))
+            .otherwise(F.lit(1.0 / q)),
+        )
+        grp = Window.partitionBy("start", "walk")
+        cum_w = grp.orderBy(F.col("dst").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        u = (
+            md5_long(
+                F.concat_ws("_", F.lit(seed), F.col("start").cast("string"),
+                            F.col("walk").cast("string"), F.lit(str(step)),
+                            F.col("node").cast("string"))
+            ) % M
+        ) / F.lit(float(M))
+        picked = (
+            cands.withColumn("_cum", F.sum("_w").over(cum_w))
+            .withColumn("_tot", F.sum("_w").over(grp))
+            .filter(F.col("_cum") > u * F.col("_tot"))
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("start", "walk").orderBy(F.col("dst").asc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select("start", "walk", F.col("node").alias("prev"),
+                    F.col("dst").alias("node"))
+        )
+        if step % CHECKPOINT_EVERY == 0:
+            picked = picked.localCheckpoint(eager=True)
+        frontier = picked
+        out = out.unionByName(
+            frontier.select("start", "walk", F.lit(step).alias("step"), "node")
+        )
+    return out

@@ -165,3 +165,61 @@ def test_sample_neighbors_caps_and_determinism(spark):
     assert all(c <= 2 for c in per_src.values())
     # every sampled edge is a real edge
     assert all((s, d) in set(edges) for (_, s, d) in rows1)
+
+
+def test_node2vec_walks_match_python_replica(spark):
+    """Exact replay: a driver-side Python replica of the md5-seeded
+    weighted choice must reproduce every Spark walk step; and extreme p/q
+    must steer behavior (tiny p forces backtracking on a 2-cycle)."""
+    import hashlib
+
+    from rs_graphdb_spark.operators.traversal import node2vec_walks
+
+    edge_list = [(1, 2), (2, 1), (2, 3), (3, 1), (3, 4), (4, 2)]
+    e = spark.createDataFrame(edge_list, "src long, dst long")
+    starts = spark.createDataFrame([(1,), (3,)], "id long")
+
+    def md5_long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def replica(p, q, walk_length, seed="n2v"):
+        M = 1 << 31
+        adj = {}
+        und = set()
+        for a, b in edge_list:
+            adj.setdefault(a, []).append(b)
+            und.add((a, b)); und.add((b, a))
+        rows = {}
+        for start in (1, 3):
+            prev, node = None, start
+            rows[(start, 0, 0)] = node
+            for step in range(1, walk_length + 1):
+                nbrs = sorted(adj.get(node, []))
+                if not nbrs:
+                    break
+                ws = []
+                for d in nbrs:
+                    if prev is not None and d == prev:
+                        ws.append(1.0 / p)
+                    elif prev is not None and (d, prev) in und:
+                        ws.append(1.0)
+                    else:
+                        ws.append(1.0 / q)
+                tot = sum(ws)
+                u = (md5_long(f"{seed}_{start}_0_{step}_{node}") % M) / M
+                cum = 0.0
+                for d, w in zip(nbrs, ws):
+                    cum += w
+                    if cum > u * tot:
+                        choice = d
+                        break
+                prev, node = node, choice
+                rows[(start, 0, step)] = node
+        return rows
+
+    for p, q in [(1.0, 1.0), (0.001, 1.0), (1.0, 0.01), (4.0, 0.25)]:
+        got = {
+            (r["start"], r["walk"], r["step"]): r["node"]
+            for r in node2vec_walks(e, starts, walk_length=8, p=p, q=q).collect()
+        }
+        assert got == replica(p, q, 8), f"p={p} q={q}"
