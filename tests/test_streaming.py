@@ -157,3 +157,70 @@ def test_streaming_progress_recorder(spark, tmpdir):
         assert [m["batch_index"] for m in markers][0] == 0
     finally:
         rec.detach(spark)
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmpdir):
+    """Late-data semantics: the watermark persists in the checkpoint, so a
+    restarted query drops an event arriving a full day behind the
+    frontier committed by the previous run (within one availableNow run
+    the pre-planned batches share the initial watermark — restart
+    boundaries are where the guarantee bites). Batch mode has no
+    watermark and keeps the late row."""
+    import time
+
+    from pyspark.sql import Row
+
+    src = str(tmpdir / "late_in")
+    ckpt = str(tmpdir / "late_ckpt")
+    (tmpdir / "late_in").mkdir()
+    base = 1_700_000_000  # epoch seconds
+    on_time = [
+        Row(event_id=i, ts=(base + i * 60) * 1_000_000, user_id=1,
+            event_type="click", value=1.0, props="{}")
+        for i in range(60)
+    ]
+    spark.createDataFrame(on_time).withColumn(
+        "ts", F.timestamp_micros(F.col("ts"))
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmpdir / "late_out")
+
+    def run_once():
+        stream = read_event_stream(spark, src)
+        q = (
+            windowed_event_counts(stream, window="5 minutes",
+                                  watermark="10 minutes")
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        return q
+
+    q1 = run_once()  # commits watermark = base+59min − 10min to the checkpoint
+    late = [Row(event_id=999, ts=(base - 86_400) * 1_000_000, user_id=1,
+                event_type="click", value=1.0, props="{}")]
+    spark.createDataFrame(late).withColumn(
+        "ts", F.timestamp_micros(F.col("ts"))
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = run_once()  # restart: persisted watermark now applies
+    time.sleep(1)
+
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark") or 0)
+        for p in q2.recentProgress if p["stateOperators"]
+    )
+    assert dropped == 1  # the day-late row was discarded by the watermark
+    streamed = {
+        r["win_start"]: r["n_events"] for r in spark.read.parquet(out).collect()
+    }
+    late_win = (base - 86_400) // 300 * 300
+    assert late_win not in streamed
+    # batch mode has no watermark: the late window IS present
+    batch = {
+        r["win_start"]: r["n_events"]
+        for r in windowed_event_counts(
+            spark.read.parquet(src), streaming=False
+        ).collect()
+    }
+    assert batch[late_win] == 1
