@@ -1671,7 +1671,32 @@ def q14_json_extract(spark, sf_dir):
 
 
 def q15_time_bucket(spark, sf_dir):
-    return q30_time_bucket(spark, sf_dir)
+    """Suite: direct event-time hour bucketing + the hypertable-style
+    continuous aggregate answering the SAME query from 5-minute partials
+    (count/sum are decomposable, so the rollup must merge to exactly the
+    direct answer — one shared oracle pins both)."""
+    from rs_graphdb_spark.operators.temporal import rollup_partials, rollup_to
+
+    direct = q30_time_bucket(spark, sf_dir)
+    FIVE_MIN_US = 300 * 1_000_000
+    HOUR_US = 3600 * 1_000_000
+    ev = _events_projected(spark, sf_dir)
+    partials = rollup_partials(
+        ev, "t_us", FIVE_MIN_US, key_cols=["event_type"], value_col="value"
+    )
+    hourly = rollup_to(partials, FIVE_MIN_US, HOUR_US, key_cols=["event_type"])
+    rolled = hourly.select(
+        F.expr("bucket_start div 1000000").alias("hour_epoch"),
+        "event_type",
+        F.col("p_count").alias("cnt"),
+        F.round("p_sum", 4).alias("sum_value"),
+    )
+    return _quads(
+        _metric_quads(direct, {"direct_cnt": "cnt", "direct_sum": "sum_value"},
+                      k="hour_epoch", s="event_type"),
+        _metric_quads(rolled, {"rollup_cnt": "cnt", "rollup_sum": "sum_value"},
+                      k="hour_epoch", s="event_type"),
+    )
 
 
 def q16_centrality(spark, sf_dir):
@@ -3701,7 +3726,17 @@ def oracle_sql() -> dict[str, str]:
             _sql_quad("union_all", base["q17_union_all"], k="id"),
         ),
         "q14_json_extract": base["q29_json_extract"],
-        "q15_time_bucket": base["q30_time_bucket"],
+        "q15_time_bucket": _sql_union(
+            _sql_metric_quads(base["q30_time_bucket"],
+                              {"direct_cnt": "cnt", "direct_sum": "sum_value"},
+                              k="hour_epoch", s="event_type"),
+            # rollup parts merge 5-min partials; decomposable aggregates
+            # make the merged result equal the direct aggregation, so the
+            # SAME oracle pins both paths
+            _sql_metric_quads(base["q30_time_bucket"],
+                              {"rollup_cnt": "cnt", "rollup_sum": "sum_value"},
+                              k="hour_epoch", s="event_type"),
+        ),
         "q16_centrality": _sql_union(
             _sql_quad("degree", base["q31_degree_centrality"], k="id", v="centrality"),
             _sql_quad("betweenness", base["q61_betweenness"], k="id", v="bc"),

@@ -33,7 +33,75 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "sessionize_bucketed", "asof_join", "interval_join"]
+__all__ = [
+    "sessionize", "sessionize_bucketed", "asof_join", "interval_join",
+    "rollup_partials", "rollup_to",
+]
+
+
+def rollup_partials(
+    events: DataFrame,
+    ts_col: str,
+    bucket_width: int,
+    key_cols: Sequence[str] = (),
+    value_col: str | None = None,
+) -> DataFrame:
+    """Hypertable-style continuous aggregate, level 0: per fine time
+    bucket (and optional keys), the decomposable partials — count, sum,
+    min, max. Persist this table once; every coarser-grained query is
+    answered from it without touching the event log again.
+
+    ``ts_col`` is an epoch-like numeric; ``bucket_width`` its unit."""
+    aggs = [F.count("*").alias("p_count")]
+    if value_col is not None:
+        aggs += [
+            F.sum(value_col).alias("p_sum"),
+            F.min(value_col).alias("p_min"),
+            F.max(value_col).alias("p_max"),
+        ]
+    return (
+        events.withColumn("bucket", F.floor(F.col(ts_col) / F.lit(bucket_width)))
+        .groupBy("bucket", *key_cols)
+        .agg(*aggs)
+        .withColumn("bucket_start", F.col("bucket") * bucket_width)
+        .drop("bucket")
+    )
+
+
+def rollup_to(
+    partials: DataFrame,
+    fine_width: int,
+    coarse_width: int,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Hypertable rollup, level 1+: merge fine partials into a coarser
+    grain (``coarse_width`` must be a multiple of ``fine_width``). Count/
+    sum/min/max are decomposable, so the merged result is EXACTLY the
+    direct aggregation over raw events — at 100 TB this reads the (tiny)
+    partials table instead of the event log, the whole point of a
+    continuous aggregate."""
+    if coarse_width % fine_width != 0:
+        raise ValueError(
+            f"coarse_width ({coarse_width}) must be a multiple of "
+            f"fine_width ({fine_width})"
+        )
+    merged = [F.sum("p_count").alias("p_count")]
+    if "p_sum" in partials.columns:
+        merged += [
+            F.sum("p_sum").alias("p_sum"),
+            F.min("p_min").alias("p_min"),
+            F.max("p_max").alias("p_max"),
+        ]
+    return (
+        partials.withColumn(
+            "bucket",
+            F.floor(F.col("bucket_start") / F.lit(coarse_width)),
+        )
+        .groupBy("bucket", *key_cols)
+        .agg(*merged)
+        .withColumn("bucket_start", F.col("bucket") * coarse_width)
+        .drop("bucket")
+    )
 
 
 def sessionize(

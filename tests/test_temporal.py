@@ -123,3 +123,31 @@ def test_sessionize_bucketed_rejects_narrow_buckets(spark):
     df = spark.createDataFrame([(1, 1, 1)], "user long, t long, eid long")
     with _pytest.raises(ValueError):
         sessionize_bucketed(df, "user", "t", gap=100, bucket_width=50)
+
+
+def test_rollup_merges_to_direct_aggregation(spark):
+    from rs_graphdb_spark.operators.temporal import rollup_partials, rollup_to
+
+    import random
+
+    rng = random.Random(9)
+    rows = [(rng.randrange(0, 7200), float(rng.randrange(100)) / 4, "a" if rng.random() < 0.5 else "b")
+            for _ in range(3000)]
+    ev = spark.createDataFrame(rows, "t long, value double, event_type string")
+    partials = rollup_partials(ev, "t", 60, key_cols=["event_type"], value_col="value")
+    hourly = rollup_to(partials, 60, 3600, key_cols=["event_type"])
+    got = {
+        (r["bucket_start"], r["event_type"]):
+            (r["p_count"], round(r["p_sum"], 6), r["p_min"], r["p_max"])
+        for r in hourly.collect()
+    }
+    direct = {
+        (r["b"] * 3600, r["event_type"]): (r["c"], round(r["s"], 6), r["mn"], r["mx"])
+        for r in ev.groupBy((F.floor(F.col("t") / 3600)).alias("b"), "event_type")
+        .agg(F.count("*").alias("c"), F.sum("value").alias("s"),
+             F.min("value").alias("mn"), F.max("value").alias("mx")).collect()
+    }
+    assert got == direct
+    import pytest as _p
+    with _p.raises(ValueError):
+        rollup_to(partials, 60, 90)
