@@ -1606,6 +1606,10 @@ def q08_global_profile(spark, sf_dir):
         _read(spark, sf_dir, "orders"),
         ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"],
     )
+    from rs_graphdb_spark.functions.profile import kmv_estimate, kmv_sketch
+
+    sketch = kmv_sketch(cust.select("c_name"), "c_name", k=64)
+    kmv_est = kmv_estimate(sketch, k=64)
     return _quads(
         _metric_quads(aggs, {m: m for m in _GLOBAL_AGG_METRICS}),
         _quad("label_count", q02_all_nodes_count(spark, sf_dir), v="cnt", s="label"),
@@ -1623,6 +1627,8 @@ def q08_global_profile(spark, sf_dir):
         _quad("prof_max_str", prof,
               s=F.concat(F.col("col_name"), F.lit("="),
                          F.coalesce(F.col("max_str"), F.lit("")))),
+        _quad("kmv_h", sketch, k="rank", v="h"),
+        _quad("kmv_est", kmv_est, v="estimate"),
     )
 
 
@@ -3704,6 +3710,36 @@ def oracle_sql() -> dict[str, str]:
                       s="col_name || '=' || coalesce(min_str, '')"),
             _sql_quad("prof_max_str", prof,
                       s="col_name || '=' || coalesce(max_str, '')"),
+            # KMV distinct-count sketch: deterministic md5 hashes, so the
+            # sketch CONTENT is checkable, not just the estimate
+            _sql_quad(
+                "kmv_h",
+                """
+                SELECT row_number() OVER (ORDER BY h) AS rank, h FROM (
+                    SELECT DISTINCT
+                        ('0x' || substr(md5(c_name), 1, 8))::BIGINT AS h
+                    FROM customer WHERE c_name IS NOT NULL
+                    ORDER BY h LIMIT 64
+                )
+                """,
+                k="rank", v="h",
+            ),
+            _sql_quad(
+                "kmv_est",
+                """
+                WITH sk AS (
+                    SELECT DISTINCT
+                        ('0x' || substr(md5(c_name), 1, 8))::BIGINT AS h
+                    FROM customer WHERE c_name IS NOT NULL
+                    ORDER BY h LIMIT 64
+                )
+                SELECT CASE WHEN count(*) >= 64
+                       THEN round(63.0 / (max(h) / 4294967296.0), 4)
+                       ELSE CAST(count(*) AS DOUBLE) END AS estimate
+                FROM sk
+                """,
+                v="estimate",
+            ),
         ),
         "q09_grouped_agg": base["q13_grouped_agg"],
         "q10_topk_page": _sql_union(

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile"]
+__all__ = ["profile", "kmv_sketch", "kmv_estimate", "kmv_merge"]
 
 _NUMERIC = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
             T.DoubleType, T.FloatType, T.DecimalType)
@@ -62,3 +62,63 @@ def profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             " min_num, max_num, min_str, max_str)"
         )
     )
+
+
+# -- KMV distinct-count sketch ----------------------------------------------
+# The k-minimum-values sketch (Bar-Yossef et al.): hash every value into
+# [0, 1), keep the k smallest hashes; with the k-th smallest at h_k the
+# distinct count is ~ (k-1)/h_k. Bounded size (k rows), mergeable (union
+# then re-take k smallest), single-pass. Unlike HLL registers, a KMV built
+# on md5 is DETERMINISTIC — the DuckDB oracle reproduces the sketch rows
+# bit-for-bit, which is the engine-wide contract for result-visible values.
+
+_KMV_M = float(1 << 32)  # md5_long domain
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """Build the sketch: the k smallest 32-bit md5 hashes of the column's
+    distinct values, as rows (rank, h). One scan; the k-smallest is
+    TakeOrdered (per-partition top-k, then merge — never a full sort)."""
+    from pyspark.sql import Window
+
+    from rs_graphdb_spark.functions.dedup import md5_long
+
+    hashes = (
+        df.select(F.col(col).cast("string").alias("v"))
+        .where(F.col("v").isNotNull())
+        .distinct()
+        .select(md5_long(F.col("v")).alias("h"))
+        .distinct()  # hash collisions collapse, exactly as in the estimator
+        .orderBy("h")
+        .limit(k)
+    )
+    w = Window.orderBy("h")
+    return hashes.withColumn("rank", F.row_number().over(w)).select("rank", "h")
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a sketch: (k-1)/(h_k/M) when the
+    sketch is full, else the exact count of sketch rows (fewer distinct
+    values than k → the sketch IS the distinct set)."""
+    agg = sketch.agg(
+        F.count("*").alias("n_rows"), F.max("h").alias("h_k")
+    )
+    return agg.select(
+        F.when(
+            F.col("n_rows") >= k,
+            F.round((F.lit(float(k - 1))) / (F.col("h_k") / F.lit(_KMV_M)), 4),
+        ).otherwise(F.col("n_rows").cast("double")).alias("estimate"),
+        "n_rows", "h_k",
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Merge two sketches: union, dedup, re-take the k smallest — the
+    sketch of the UNION of the underlying sets, exactly."""
+    from pyspark.sql import Window
+
+    merged = (
+        a.select("h").unionByName(b.select("h")).distinct().orderBy("h").limit(k)
+    )
+    w = Window.orderBy("h")
+    return merged.withColumn("rank", F.row_number().over(w)).select("rank", "h")

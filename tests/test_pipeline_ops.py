@@ -455,3 +455,27 @@ def test_ngram_contamination(spark):
            ngram_contamination(train, bench, "doc_id", "text").collect()}
     assert 1 in out and out[1] >= 4  # the quoted 6-gram yields 4 3-gram hits
     assert 2 not in out
+
+
+def test_kmv_sketch_estimate_and_merge(spark):
+    """KMV distinct-count: ~accurate at k=256, exact below k, and
+    merge(sketch(A), sketch(B)) must equal sketch(A ∪ B) exactly."""
+    from rs_graphdb_spark.functions.profile import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    a = spark.range(10_000).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    sk = kmv_sketch(a, "v", k=256)
+    est = kmv_estimate(sk, k=256).first()
+    assert 8_000 < est["estimate"] < 12_000  # ~1/sqrt(k) relative error
+    # below-k: exact
+    small = spark.range(100).select(F.col("id").cast("string").alias("v"))
+    assert kmv_estimate(kmv_sketch(small, "v", k=256), k=256).first()["estimate"] == 100.0
+    # mergeability: overlapping halves
+    b = spark.range(5_000, 15_000).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    union_direct = {r["h"] for r in kmv_sketch(a.unionByName(b), "v", k=256).collect()}
+    merged = {r["h"] for r in kmv_merge(kmv_sketch(a, "v", k=256),
+                                        kmv_sketch(b, "v", k=256), k=256).collect()}
+    assert merged == union_direct
