@@ -264,3 +264,44 @@ def test_hash_bucket_deterministic_and_in_range(spark, ids):
     b = {r.k: r.b for r in df.select("k", hash_bucket("k", 7).alias("b")).collect()}
     assert a == b
     assert all(0 <= v < 7 for v in a.values())
+
+
+def test_dfs_preorder_equals_lexmin_path_rank():
+    """The q24 oracle's premise: with ascending-neighbor expansion, DFS
+    discovery order equals the rank of each node's lexicographically
+    smallest simple path from the root. Brute-forced over 150 random
+    digraphs (driver-side, no Spark)."""
+    import random
+
+    from rs_graphdb_spark.algorithms.graph_algos import dfs_preorder
+
+    def lexmin_paths(edges, start):
+        adj = {}
+        for s, d in edges:
+            adj.setdefault(s, []).append(d)
+        best = {}
+
+        def rec(node, path):
+            if node not in best or path < best[node]:
+                best[node] = list(path)
+            for n in sorted(adj.get(node, [])):
+                if n not in path:
+                    rec(n, path + [n])
+
+        rec(start, [start])
+        return best
+
+    for trial in range(150):
+        rng = random.Random(trial)
+        n = rng.randrange(3, 9)
+        m = rng.randrange(2, 14)
+        edges = [(a, b) for a, b in
+                 {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+                 if a != b]
+        if not edges:
+            continue
+        start = min(a for a, _ in edges)
+        order = dfs_preorder(edges, start)
+        best = lexmin_paths(edges, start)
+        lex_order = [v for v, _ in sorted(best.items(), key=lambda kv: kv[1])]
+        assert order == lex_order, f"trial {trial}"
