@@ -1731,10 +1731,26 @@ def q18_components(spark, sf_dir):
 
 
 def q19_pagerank(spark, sf_dir):
-    """Suite: PageRank + personalized PageRank (top-20 each)."""
+    """Suite: PageRank, personalized PageRank, and WEIGHTED PageRank
+    (rank mass split by edge weight instead of out-degree; +1-step edges
+    weigh 2, +2 skips weigh 1 — same weighting as the SSSP suite)."""
+    from rs_graphdb_spark.algorithms.graph_algos import pagerank
+
+    g = _graph(spark, sf_dir)
+    weighted = pagerank(
+        g.nodes["Customer"],
+        g.edges["KNOWS"].df.withColumn("w", F.lit(3) - (F.col("dst") - F.col("src"))),
+        0.85, 10, weight_col="w",
+    )
+    wpr = (
+        weighted.select("id", F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("id"))
+        .limit(20)
+    )
     return _quads(
         _quad("pagerank", q35_pagerank(spark, sf_dir), k="id", v="rank"),
         _quad("ppr", q91_personalized_pagerank(spark, sf_dir), k="id", v="rank"),
+        _quad("wpr", wpr, k="id", v="rank"),
     )
 
 
@@ -2295,22 +2311,28 @@ def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _pagerank_sql(knows: str, damping: float, iterations: int) -> str:
+def _pagerank_sql(
+    knows: str, damping: float, iterations: int, weight_expr: str | None = None
+) -> str:
     """Unrolled fixed-iteration PageRank oracle: r0 = 1/n, r{{i+1}} =
     (1-d)/n + d * Σ_in(rank/out_deg), final sum-normalization — one CTE
     per superstep, exactly mirroring `algorithms/graph_algos.pagerank`.
-    Iteration CTEs are MATERIALIZED: DuckDB inlines CTEs by default, and
-    a chain where step i references step i-1 more than once re-expands
-    exponentially (2^iterations) without it."""
+    ``weight_expr`` (over src_key/dst_key) switches to the weighted form
+    (rank·w/Σw_out). Iteration CTEs are MATERIALIZED: DuckDB inlines CTEs
+    by default, and a chain where step i references step i-1 more than
+    once re-expands exponentially (2^iterations) without it."""
     d = damping
+    w_col = f", CAST({weight_expr} AS DOUBLE) AS w" if weight_expr else ""
+    od = ("(SELECT src, sum(w) AS d FROM e GROUP BY src)" if weight_expr
+          else "(SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src)")
+    msg = "sum(r.rank * e.w / od.d)" if weight_expr else "sum(r.rank / od.d)"
     ctes = [
         f"k AS MATERIALIZED ({knows})",
         "n AS MATERIALIZED (SELECT 3298534883328 + c_custkey AS id FROM customer)",
         "e AS MATERIALIZED (SELECT 3298534883328 + src_key AS src,"
-        " 3298534883328 + dst_key AS dst FROM k)",
+        f" 3298534883328 + dst_key AS dst{w_col} FROM k)",
         "c AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM n)",
-        "od AS MATERIALIZED"
-        " (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+        f"od AS MATERIALIZED {od}",
         "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT cnt FROM c) AS rank FROM n)",
     ]
     for i in range(1, iterations + 1):
@@ -2319,7 +2341,7 @@ def _pagerank_sql(knows: str, damping: float, iterations: int) -> str:
             f" (1 - {d}) / (SELECT cnt FROM c)"
             f" + {d} * coalesce(m.s, 0) AS rank"
             f" FROM n LEFT JOIN ("
-            f"SELECT e.dst AS id, sum(r.rank / od.d) AS s"
+            f"SELECT e.dst AS id, {msg} AS s"
             f" FROM r{i - 1} r JOIN e ON e.src = r.id"
             f" JOIN od ON od.src = r.id GROUP BY e.dst) m USING (id))"
         )
@@ -3788,6 +3810,20 @@ def oracle_sql() -> dict[str, str]:
         "q19_pagerank": _sql_union(
             _sql_quad("pagerank", base["q35_pagerank"], k="id", v="rank"),
             _sql_quad("ppr", base["q91_personalized_pagerank"], k="id", v="rank"),
+            _sql_quad(
+                "wpr",
+                _pagerank_sql(
+                    """
+                    SELECT a.c_custkey AS src_key, b.c_custkey AS dst_key
+                    FROM customer a JOIN customer b
+                      ON b.c_custkey IN (a.c_custkey + 1, a.c_custkey + 2)
+                     AND b.c_mktsegment = a.c_mktsegment
+                    """,
+                    damping=0.85, iterations=10,
+                    weight_expr="3 - (dst_key - src_key)",
+                ),
+                k="id", v="rank",
+            ),
         ),
         "q20_community": _sql_union(
             _sql_quad("kcore", base["q36_kcore"], k="id"),

@@ -30,17 +30,28 @@ def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     iterations: int = 20,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank (`/root/reference/src/algorithms/pagerank.rs:9-65`):
     uniform 1/n init, pull along in-edges, rank = (1−d)/n + d·Σ rank/out_deg,
     fixed iteration count, final sum-normalization. Returns (id, rank).
 
+    ``weight_col`` switches to weighted PageRank: a message carries
+    rank · w / Σw_out(src) instead of rank / out_deg (the unweighted code
+    path is untouched — identical arithmetic, identical oracle hashes).
+
     One shuffle per superstep (the groupBy(dst)); out-degrees precomputed
     once and joined broadcast-style when small.
     """
     n = nodes.count()
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    if weight_col is not None:
+        edges = edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("_w")
+        ).localCheckpoint(eager=True)
+        out_deg = edges.groupBy("src").agg(F.sum("_w").alias("out_deg"))
+    else:
+        edges = edges.select("src", "dst").localCheckpoint(eager=True)
+        out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     # state: (id, rank, out_deg) — carrying out_deg avoids a per-iter join
     state = (
         nodes.select("id")
@@ -51,12 +62,14 @@ def pagerank(
     )
     base = (1.0 - damping) / n
     for i in range(iterations):
+        msg_val = (
+            (F.col("rank") * F.col("_w") / F.col("out_deg"))
+            if weight_col is not None
+            else (F.col("rank") / F.col("out_deg"))
+        )
         msgs = (
             state.join(edges, state["id"] == edges["src"])
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("rank") / F.col("out_deg")).alias("msg"),
-            )
+            .select(F.col("dst").alias("id"), msg_val.alias("msg"))
             .groupBy("id")
             .agg(F.sum("msg").alias("in_sum"))
         )

@@ -208,3 +208,25 @@ def test_scc_trim_resolves_dag_without_coloring(spark):
     got = {r["id"]: r["scc"] for r in strongly_connected_components(nodes, edges).collect()}
     assert got[0] == 0 and got[1] == 1 and got[2] == 2 and got[3] == 3
     assert got[10] == got[11] == got[12] == 12
+
+
+def test_weighted_pagerank(spark):
+    """Weight-1 weighted PR equals unweighted PR; skewed weights move rank
+    mass toward the heavy edge's target."""
+    from rs_graphdb_spark.algorithms.graph_algos import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    # 0 points to 1 (heavy) and 2 (light); 1,2 point to 3
+    edges = spark.createDataFrame(
+        [(0, 1, 9.0), (0, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0), (3, 0, 1.0)],
+        "src long, dst long, w double",
+    )
+    flat = edges.withColumn("w", F.lit(1.0))
+    un = {r["id"]: round(r["rank"], 10)
+          for r in pagerank(nodes, edges, 0.85, 8).collect()}
+    w1 = {r["id"]: round(r["rank"], 10)
+          for r in pagerank(nodes, flat, 0.85, 8, weight_col="w").collect()}
+    assert un == w1
+    wt = {r["id"]: r["rank"]
+          for r in pagerank(nodes, edges, 0.85, 8, weight_col="w").collect()}
+    assert wt[1] > un[1] and wt[2] < un[2]  # mass follows the heavy edge
