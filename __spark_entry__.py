@@ -1552,7 +1552,22 @@ def q04_three_hop_chain(spark, sf_dir):
 
 
 def q05_var_length(spark, sf_dir):
-    return q25_var_length(spark, sf_dir)
+    """Suite: variable-length BFS expansion 1..2 hops in all three
+    directions (out / in / undirected) with set-distance dedup."""
+    def base_q():
+        return (
+            _q(spark, sf_dir).from_label("Order")
+            .where_prop_eq("o_orderpriority", "1-URGENT")
+        )
+
+    return _quads(
+        _quad("out", q25_var_length(spark, sf_dir), k="id"),
+        _quad("in", base_q().in_variable_length("NEXT_ORDER", 1, 2).select("id"),
+              k="id"),
+        _quad("und",
+              base_q().undirected_variable_length("NEXT_ORDER", 1, 2).select("id"),
+              k="id"),
+    )
 
 
 def q06_optional_match(spark, sf_dir):
@@ -3711,7 +3726,53 @@ def oracle_sql() -> dict[str, str]:
             _sql_quad("two_hop_distinct", base["q18_distinct_hop"], k="id", s="p_name"),
         ),
         "q04_three_hop_chain": base["q12_three_hop_chain"],
-        "q05_var_length": base["q25_var_length"],
+        "q05_var_length": _sql_union(
+            _sql_quad("out", base["q25_var_length"], k="id"),
+            _sql_quad(
+                "in",
+                f"""
+                WITH nxt AS (
+                    SELECT o_orderkey AS src,
+                           lead(o_orderkey) OVER (
+                               PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS dst
+                    FROM orders
+                ),
+                e AS (SELECT src, dst FROM nxt WHERE dst IS NOT NULL),
+                s AS (SELECT o_orderkey AS k FROM orders
+                      WHERE o_orderpriority = '1-URGENT'),
+                h1 AS (SELECT e.src AS k FROM e JOIN s ON e.dst = s.k),
+                h2 AS (SELECT e2.src AS k FROM e e2 JOIN h1 ON e2.dst = h1.k)
+                SELECT DISTINCT {ORDER} + k AS id
+                FROM (SELECT k FROM h1 UNION SELECT k FROM h2) u
+                WHERE k NOT IN (SELECT k FROM s)
+                """,
+                k="id",
+            ),
+            _sql_quad(
+                "und",
+                f"""
+                WITH nxt AS (
+                    SELECT o_orderkey AS src,
+                           lead(o_orderkey) OVER (
+                               PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS dst
+                    FROM orders
+                ),
+                e0 AS (SELECT src, dst FROM nxt WHERE dst IS NOT NULL),
+                e AS (SELECT src, dst FROM e0
+                      UNION SELECT dst, src FROM e0),
+                s AS (SELECT o_orderkey AS k FROM orders
+                      WHERE o_orderpriority = '1-URGENT'),
+                h1 AS (SELECT e.dst AS k FROM e JOIN s ON e.src = s.k),
+                h2 AS (SELECT e2.dst AS k FROM e e2 JOIN h1 ON e2.src = h1.k)
+                SELECT DISTINCT {ORDER} + k AS id
+                FROM (SELECT k FROM h1 UNION SELECT k FROM h2) u
+                WHERE k NOT IN (SELECT k FROM s)
+                """,
+                k="id",
+            ),
+        ),
         "q06_optional_match": base["q22_optional_match"],
         "q07_semi_anti": _sql_union(
             _sql_quad("semi_count", base["q23_semi_join"], v="cnt"),

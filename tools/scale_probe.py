@@ -28,6 +28,7 @@ def main() -> None:
         connected_components,
         k_core,
         pagerank,
+        strongly_connected_components,
     )
     from rs_graphdb_spark.loaders import load_tpch_graph
     from rs_graphdb_spark.session import get_spark
@@ -74,11 +75,27 @@ def main() -> None:
         rows = out.count()
         return f"| {tag} | {rows} rows | {time.time() - t0:.1f} s |"
 
+    # SEGMENT_RING (the cycle fixture) blown up the same way for SCC
+    ring1 = g.edges["SEGMENT_RING"].df.select("src", "dst").localCheckpoint(eager=True)
+    ringN = ring1
+    for i in range(1, factor):
+        ringN = ringN.unionByName(ring1.select(
+            (F.col("src") + SHIFT * i).alias("src"),
+            (F.col("dst") + SHIFT * i).alias("dst"),
+        ))
+    ringN = ringN.repartition(par).localCheckpoint(eager=True)
+
     print(f"1x: {n1} nodes / {e1} edges; {factor}x: {nN} nodes / {eN} edges")
-    for scale, (nd, ed) in (("1x", (nodes1, edges1)), (f"{factor}x", (nodesN, edgesN))):
+    for scale, (nd, ed, rg) in (
+        ("1x", (nodes1, edges1, ring1)), (f"{factor}x", (nodesN, edgesN, ringN))
+    ):
         print(probe(f"PageRank 10 iters {scale}", lambda: pagerank(nd, ed, 0.85, 10)))
         print(probe(f"connected components {scale}", lambda: connected_components(nd, ed)))
         print(probe(f"k-core k=2 {scale}", lambda: k_core(nd, ed, k=2)))
+        print(probe(f"SCC KNOWS (DAG -> all-trim) {scale}",
+                    lambda: strongly_connected_components(nd, ed)))
+        print(probe(f"SCC SEGMENT_RING (cycles) {scale}",
+                    lambda: strongly_connected_components(nd, rg)))
 
 
 if __name__ == "__main__":
