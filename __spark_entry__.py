@@ -1652,10 +1652,34 @@ def q09_grouped_agg(spark, sf_dir):
 
 
 def q10_topk_page(spark, sf_dir):
-    """Suite: ORDER BY + LIMIT top-k, SKIP/LIMIT pagination."""
+    """Suite: ORDER BY + LIMIT top-k, SKIP/LIMIT pagination, and the
+    stable QueryCursor protocol (three pages walked through the cached
+    sorted snapshot, page metadata included)."""
+    from rs_graphdb_spark.query import QueryCursor
+
+    cur = QueryCursor(
+        _q(spark, sf_dir).from_label("Order").df.select("o_orderkey"),
+        order_cols=["o_orderkey"], page_size=40,
+    )
+    try:
+        pages = [cur.next_page() for _ in range(3)]
+        cursor_rows = [
+            ("cursor", r["o_orderkey"], None, f"{p.page}:{str(p.has_more).lower()}")
+            for p in pages for r in p.data
+        ]
+        meta_rows = [
+            ("cursor_meta", p.total, float(p.page_size), str(p.page))
+            for p in pages
+        ]
+    finally:
+        cur.close()
+    cursor_df = spark.createDataFrame(
+        cursor_rows + meta_rows, "part string, k long, v double, s string"
+    )
     return _quads(
         _quad("topk", q14_topk(spark, sf_dir), k="o_orderkey", v="o_totalprice"),
         _quad("page", q15_skip_limit(spark, sf_dir), k="o_orderkey", v="o_totalprice"),
+        cursor_df,
     )
 
 
@@ -3828,6 +3852,31 @@ def oracle_sql() -> dict[str, str]:
         "q10_topk_page": _sql_union(
             _sql_quad("topk", base["q14_topk"], k="o_orderkey", v="o_totalprice"),
             _sql_quad("page", base["q15_skip_limit"], k="o_orderkey", v="o_totalprice"),
+            # cursor pages 1..3 over the id-sorted order table; has_more is
+            # true whenever rows remain beyond the page's end
+            _sql_quad(
+                "cursor",
+                """
+                SELECT o_orderkey,
+                       CAST(((rn - 1) // 40) + 1 AS VARCHAR) || ':' ||
+                       CAST(40 * (((rn - 1) // 40) + 1)
+                            < (SELECT count(*) FROM orders) AS VARCHAR) AS tag
+                FROM (SELECT o_orderkey,
+                             row_number() OVER (ORDER BY o_orderkey) AS rn
+                      FROM orders)
+                WHERE rn <= 120
+                """,
+                k="o_orderkey", s="tag",
+            ),
+            _sql_quad(
+                "cursor_meta",
+                """
+                SELECT (SELECT count(*) FROM orders) AS total,
+                       40.0 AS page_size, CAST(p AS VARCHAR) AS page
+                FROM (SELECT unnest([1, 2, 3]) AS p)
+                """,
+                k="total", v="page_size", s="page",
+            ),
         ),
         "q11_window_rank": base["q26_window_rank"],
         "q12_window_analytics": _sql_union(
