@@ -207,20 +207,29 @@ def asof_join(
 ) -> DataFrame:
     """Point-in-time join: for each left row, attach ``value_cols`` from
     the single right row with the greatest ``right_ts`` <= ``left_ts``
-    (``backward``) or smallest ``right_ts`` >= ``left_ts`` (``forward``)
-    within the same ``key_cols`` group. Left rows with no match keep
-    NULLs (left-outer semantics; filter afterwards for inner).
+    (``backward``), smallest ``right_ts`` >= ``left_ts`` (``forward``),
+    or smallest absolute gap in either direction (``nearest`` — pandas
+    ``merge_asof`` parity; equal gaps resolve backward) within the same
+    ``key_cols`` group. Left rows with no match keep NULLs (left-outer
+    semantics; filter afterwards for inner).
 
-    ``strict=True`` excludes equal timestamps. ``tolerance`` (same unit
-    as the ts columns) bounds the allowed gap. Ties on ``right_ts``
-    within a key resolve to the row latest in ``(right_ts, *value_cols)``
-    order — pass a unique id in ``value_cols`` for determinism.
+    ``strict=True`` excludes equal timestamps (backward/forward only).
+    ``tolerance`` (same unit as the ts columns) bounds the allowed gap.
+    Ties on ``right_ts`` within a key resolve to the row latest in
+    ``(right_ts, *value_cols)`` order for backward, earliest for the
+    forward side — pass a unique id in ``value_cols`` for determinism.
 
     Right-side columns come back as ``{name}{suffix}`` plus
-    ``{right_ts}{suffix}``.
+    ``{right_ts}{suffix}``. Still one shuffle + one window sort —
+    ``nearest`` adds a second frame over the same sorted partition, not a
+    second exchange.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if direction == "nearest" and strict:
+        raise ValueError("nearest does not support strict=True")
     return _asof_join_impl(
         left, right, key_cols, left_ts, right_ts, value_cols,
         direction, strict, tolerance, suffix,
@@ -306,6 +315,51 @@ def _asof_join_impl(
         *[F.col(c).alias(o) for c, o in zip(value_cols, out_vals)],
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    if direction == "nearest":
+        # both fills over ONE sorted partition: last-non-null looking back,
+        # first-non-null looking forward; equal-ts right rows sort before
+        # the left row, so they land in the backward fill with gap 0 (the
+        # minimum — 'nearest' picks them regardless of which side saw them)
+        order = [F.col("_t").asc(), F.col("_side").asc(),
+                 *[F.col(c).asc() for c in out_vals]]
+        w_b = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_f = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+            Window.currentRow, Window.unboundedFollowing
+        )
+        filled = unioned.select(
+            "*",
+            F.last(F.col(rts), ignorenulls=True).over(w_b).alias("_b_ts"),
+            *[F.last(F.col(o), ignorenulls=True).over(w_b).alias(f"_b_{o}")
+              for o in out_vals],
+            F.first(F.col(rts), ignorenulls=True).over(w_f).alias("_f_ts"),
+            *[F.first(F.col(o), ignorenulls=True).over(w_f).alias(f"_f_{o}")
+              for o in out_vals],
+        )
+        res = filled.filter(F.col("_side") == 1)
+        b_gap = F.col("_t") - F.col("_b_ts")
+        f_gap = F.col("_f_ts") - F.col("_t")
+        use_f = F.col("_f_ts").isNotNull() & (
+            F.col("_b_ts").isNull() | (f_gap < b_gap)
+        )
+        ch_ts = F.when(use_f, F.col("_f_ts")).otherwise(F.col("_b_ts"))
+        gap = F.when(use_f, f_gap).otherwise(b_gap)
+        matched = ch_ts.isNotNull()
+        if tolerance is not None:
+            matched = matched & (gap <= F.lit(tolerance))
+        return res.select(
+            *left.columns,
+            F.when(matched, ch_ts).alias(rts),
+            *[
+                F.when(
+                    matched,
+                    F.when(use_f, F.col(f"_f_{o}")).otherwise(F.col(f"_b_{o}")),
+                ).alias(f"{c}{suffix}")
+                for c, o in zip(value_cols, out_vals)
+            ],
+        )
 
     # Order so that eligible right rows precede each left row: ascending
     # ts for backward, descending for forward. At equal ts the right row

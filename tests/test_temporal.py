@@ -151,3 +151,50 @@ def test_rollup_merges_to_direct_aggregation(spark):
     import pytest as _p
     with _p.raises(ValueError):
         rollup_to(partials, 60, 90)
+
+
+def test_asof_nearest_matches_brute_force(spark):
+    """nearest-direction as-of vs a driver-side brute force over random
+    data: min |gap| wins, equal gaps resolve backward, tolerance bounds
+    the gap, keys never mix."""
+    import random
+
+    from rs_graphdb_spark.operators.temporal import asof_join
+
+    rng = random.Random(31)
+    left_rows = [(rng.randrange(3), rng.randrange(0, 1000), i)
+                 for i in range(120)]
+    right_rows = [(rng.randrange(3), rng.randrange(0, 1000), 1000 + i)
+                  for i in range(80)]
+    left = spark.createDataFrame(left_rows, "k long, t long, lid long")
+    right = spark.createDataFrame(right_rows, "k long, t long, rid long")
+
+    for tol in (None, 25):
+        got = {
+            r["lid"]: (r["t_right"], r["rid_right"])
+            for r in asof_join(
+                left, right, key_cols=["k"], left_ts="t", right_ts="t",
+                value_cols=["rid"], direction="nearest", tolerance=tol,
+            ).collect()
+        }
+        for k, t, lid in left_rows:
+            cands = [(rt, rid) for rk, rt, rid in right_rows if rk == k]
+            if tol is not None:
+                cands = [c for c in cands if abs(c[0] - t) <= tol]
+            if not cands:
+                assert got[lid] == (None, None), lid
+                continue
+            best_gap = min(abs(rt - t) for rt, _ in cands)
+            back = [c for c in cands if t - c[0] == best_gap]
+            fwd = [c for c in cands if c[0] - t == best_gap]
+            if back:  # equal gaps resolve backward; backward ties → max rid
+                expect = max(back)
+            else:
+                expect = (min(c[0] for c in fwd),
+                          min(rid for rt, rid in fwd if rt == min(c[0] for c in fwd)))
+            assert got[lid] == expect, f"lid={lid} got={got[lid]} want={expect}"
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        asof_join(left, right, ["k"], "t", "t", ["rid"],
+                  direction="nearest", strict=True)
