@@ -48,6 +48,18 @@ def pagerank(
         edges = edges.select(
             "src", "dst", F.col(weight_col).cast("double").alias("_w")
         ).localCheckpoint(eager=True)
+        # weights must be strictly positive: a NULL weight would NULL the
+        # per-src sum (silently vanishing that node's rank mass) and a
+        # non-positive total flips message signs (r2 advice #3). One cheap
+        # agg over the already-checkpointed edges.
+        bad = edges.filter(
+            F.col("_w").isNull() | F.isnan("_w") | (F.col("_w") <= 0)
+        ).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"pagerank: weight_col {weight_col!r} contains NULL/NaN/"
+                "non-positive values; weights must be strictly positive"
+            )
         out_deg = edges.groupBy("src").agg(F.sum("_w").alias("out_deg"))
     else:
         edges = edges.select("src", "dst").localCheckpoint(eager=True)
@@ -155,10 +167,24 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # pair-sensitive convergence signature: count + per-column sums
+        # alone can collide (two child→parent pairs swapping parents keeps
+        # all three), so also sum an order-independent per-ROW hash of
+        # (u, v) — any change to the edge multiset moves it (r2 advice #2)
+        pair_hash = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("u"), F.col("v"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("decimal(38,0)")
         sig = e.agg(
-            F.count("*").alias("n"), _dec("u").alias("su"), _dec("v").alias("sv")
+            F.count("*").alias("n"),
+            _dec("u").alias("su"),
+            _dec("v").alias("sv"),
+            F.sum(pair_hash).alias("sh"),
         ).first()
-        cur = (sig["n"], sig["su"], sig["sv"])
+        cur = (sig["n"], sig["su"], sig["sv"], sig["sh"])
         if cur == prev:
             converged = True
         prev = cur

@@ -66,15 +66,25 @@ def md5_long(col: Column) -> Column:
 
 
 def shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct word-level k-gram shingles of a text column."""
+    """Distinct word-level k-gram shingles of a text column.
+
+    Documents with fewer than k tokens yield an EMPTY set rather than a
+    runtime error: ``sequence(0, n-k)`` with n < k would produce a
+    descending sequence whose first slice start is 0 — a
+    SparkRuntimeException that would kill a whole ingest job for one
+    short document (r2 advice #1; same guard shape as
+    ``repetition_ratio``)."""
     toks = tokenize(col)
     n = F.size(toks)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1))),
-            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-        )
-    )
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingle_hashes(col: Column | str, k: int = 3) -> Column:
@@ -152,14 +162,14 @@ def exact_jaccard(pairs: DataFrame, sets_df: DataFrame, id_col: str, set_col: st
     (a, b, jaccard). Set arithmetic is JVM-side ``array_intersect``."""
     sa = sets_df.select(F.col(id_col).alias("a"), F.col(set_col).alias("sa"))
     sb = sets_df.select(F.col(id_col).alias("b"), F.col(set_col).alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    # try_divide: two empty sets (possible once short docs shingle to [])
+    # define jaccard as NULL, which no >= threshold filter keeps
     return (
         pairs.join(sa, "a").join(sb, "b")
         .select(
             "a", "b",
-            (
-                F.size(F.array_intersect("sa", "sb"))
-                / (F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb")))
-            ).alias("jaccard"),
+            F.try_divide(inter, F.size("sa") + F.size("sb") - inter).alias("jaccard"),
         )
     )
 
@@ -216,7 +226,9 @@ def minhash_dedup_pairs(
     shingle frame across dedup passes."""
     if sets_df is None:
         sets_df = shingle_sets(df, id_col, text_col, k)
-    base = sets_df.withColumn(
+    # short docs yield empty shingle sets; drop them here or their
+    # all-sentinel signatures would collide in every LSH band
+    base = sets_df.filter(F.size("sets") > 0).withColumn(
         "sh", F.transform("sets", lambda s: md5_long(s) % MERSENNE_P)
     ).persist()
     # materialize signatures once — the LSH self-join would otherwise
@@ -301,7 +313,7 @@ def minhash_index(
     re-signing the corpus."""
     if sets_df is None:
         sets_df = shingle_sets(df, id_col, text_col, k)
-    hashed = sets_df.withColumn(
+    hashed = sets_df.filter(F.size("sets") > 0).withColumn(
         "sh", F.transform("sets", lambda s: md5_long(s) % MERSENNE_P)
     )
     sigs = hashed.select(

@@ -140,7 +140,14 @@ def stream_results(df, batch_size: int = 100):
     resident driver-side at a time — the Spark-native backpressure that
     replaces the reference's bounded mpsc channel); the total for the
     progress fraction is one count() job, same as the reference's
-    up-front total (`query_stream.rs:238-256`)."""
+    up-front total (`query_stream.rs:238-256`).
+
+    The count and the row iteration read ONE materialized snapshot
+    (``localCheckpoint``) — on a nondeterministic or concurrently-changing
+    source a double execution could drift, overshooting progress past 1.0
+    or under-reporting the final marker (r2 advice #4). Progress is also
+    clamped and the last marker forced to exactly 1.0."""
+    df = df.localCheckpoint(eager=True)
     total = df.count()
     if total == 0:
         yield ("batch_end", {"batch_index": 0, "progress": 1.0, "rows": 0})
@@ -157,7 +164,7 @@ def stream_results(df, batch_size: int = 100):
                 "batch_end",
                 {
                     "batch_index": batch_index,
-                    "progress": emitted / total,
+                    "progress": min(1.0, emitted / total),
                     "rows": in_batch,
                 },
             )
@@ -167,6 +174,13 @@ def stream_results(df, batch_size: int = 100):
         yield (
             "batch_end",
             {"batch_index": batch_index, "progress": 1.0, "rows": in_batch},
+        )
+    elif emitted and emitted != total:
+        # snapshot makes this unreachable in practice, but if the final
+        # full batch under-ran the precomputed total, still close at 1.0
+        yield (
+            "batch_end",
+            {"batch_index": batch_index, "progress": 1.0, "rows": 0},
         )
 
 

@@ -1,6 +1,7 @@
 """SCC / betweenness / A* / DFS on hand-built micro-graphs with exact
 expected outputs (reference test style, SURVEY.md §5)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from rs_graphdb_spark.algorithms.graph_algos import (
@@ -230,3 +231,18 @@ def test_weighted_pagerank(spark):
     wt = {r["id"]: r["rank"]
           for r in pagerank(nodes, edges, 0.85, 8, weight_col="w").collect()}
     assert wt[1] > un[1] and wt[2] < un[2]  # mass follows the heavy edge
+
+
+def test_weighted_pagerank_rejects_bad_weights(spark):
+    """NULL / non-positive weights would silently vanish rank mass (NULL
+    out-degree sums) or flip message signs — they must raise instead
+    (r2 advice #3)."""
+    from rs_graphdb_spark.algorithms.graph_algos import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    for bad_w in [None, 0.0, -2.0]:
+        edges = spark.createDataFrame(
+            [(0, 1, 1.0), (1, 2, bad_w)], "src long, dst long, w double"
+        )
+        with pytest.raises(ValueError, match="strictly positive"):
+            pagerank(nodes, edges, 0.85, 2, weight_col="w")

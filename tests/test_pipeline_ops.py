@@ -479,3 +479,22 @@ def test_kmv_sketch_estimate_and_merge(spark):
     merged = {r["h"] for r in kmv_merge(kmv_sketch(a, "v", k=256),
                                         kmv_sketch(b, "v", k=256), k=256).collect()}
     assert merged == union_direct
+
+
+def test_shingles_short_doc_yields_empty_not_error(spark):
+    """Documents with fewer than k tokens must produce an empty shingle
+    set, not a SparkRuntimeException (r2 advice #1): one short doc in a
+    continuous-ingest batch must never kill the job."""
+    from rs_graphdb_spark.functions.dedup import shingle_sets, shingles
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "a"), (4, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["s"] for r in df.select("doc_id", shingles("text", 3).alias("s")).collect()}
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["alpha beta gamma", "beta gamma delta"]
+    # and the full pair pipeline tolerates the short docs end-to-end
+    sets_df = shingle_sets(df, "doc_id", "text")
+    pairs = minhash_dedup_pairs(df, "doc_id", "text", sets_df=sets_df)
+    assert pairs.count() == 0
