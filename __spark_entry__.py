@@ -704,21 +704,32 @@ def q52_token_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing (decode stubbed — no media libs in this environment)
+# Multimodal plumbing (REAL stdlib decode: BMP header walk, PNM grammar,
+# PNG chunk walk + CRC32 + inflate + de-filter)
 # ---------------------------------------------------------------------------
 
 def q53_multimodal_features(spark, sf_dir):
-    """Arrow-batched mapInPandas feature extraction over binary payloads
-    (documents projected to a media table; decode is a deterministic
-    stub)."""
-    from rs_graphdb_spark.functions.multimodal import documents_as_media, extract_features
+    """Arrow-batched mapInPandas REAL image decode over binary payloads:
+    documents are rendered into genuine BMP/PGM/PNG files (round-robin by
+    doc_id, text bytes as grayscale pixels) and decoded by parsing the
+    actual format — BMP BITMAPINFOHEADER, PNM header grammar, PNG chunk
+    walk with CRC verification + zlib inflate + scanline de-filtering.
+    Every 97th doc carries a deliberately corrupt payload and must come
+    back as ('unknown', NULL dims) — per-row decode isolation, not job
+    death. NULLs are coalesced to -1 for hash-stable comparison."""
+    from rs_graphdb_spark.functions.multimodal import documents_as_images, extract_features
 
     # single-file parquet = 1 partition; fan out so the Arrow/Python stage
     # runs on all cores (at cluster scale the source is already split).
     par = spark.sparkContext.defaultParallelism
-    media = documents_as_media(_read(spark, sf_dir, "documents").repartition(par))
+    media = documents_as_images(
+        _read(spark, sf_dir, "documents").repartition(par), corrupt_every=97
+    )
     return extract_features(media).select(
-        "media_id", "n_bytes", "width", "height", "checksum"
+        "media_id", "media_type", "n_bytes",
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        F.coalesce("checksum", F.lit(-1)).alias("checksum"),
     )
 
 
@@ -2041,12 +2052,13 @@ def q37_tfidf(spark, sf_dir):
 
 
 def q38_multimodal(spark, sf_dir):
-    """Suite: Arrow-batched feature extraction + frame-sampling fan-out."""
+    """Suite: Arrow-batched REAL image decode (format carried in s, so a
+    misparsed header fails the hash) + frame-sampling fan-out."""
     return _quads(
         _metric_quads(q53_multimodal_features(spark, sf_dir),
                       {"mm_bytes": "n_bytes", "mm_w": "width",
                        "mm_h": "height", "mm_ck": "checksum"},
-                      k="media_id"),
+                      k="media_id", s="media_type"),
         _quad("frames", q54_frame_sample(spark, sf_dir),
               k="media_id", v="frame_byte", s="frame_idx"),
     )
@@ -3130,15 +3142,40 @@ def _oracle_base() -> dict[str, str]:
                         '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe
             FROM documents
         """,
+        # real-codec twin: documents_as_images renders doc text into true
+        # BMP/PGM/PNG bytes (fmt = doc_id % 3; pixels = first min(n, w*h)
+        # text bytes zero-padded); extract_features PARSES those bytes, so
+        # matching this arithmetic proves the header walk / inflate /
+        # de-filter decoded correctly. doc_id % 97 rows are corrupt
+        # payloads (8 bytes) and must decode to 'unknown'/-1.
         "q53_multimodal_features": """
+            WITH d AS (
+                SELECT doc_id,
+                       text,
+                       octet_length(encode(text)) AS n,
+                       octet_length(encode(text)) % 64 + 16 AS w,
+                       (octet_length(encode(text)) // 64) % 64 + 16 AS h,
+                       doc_id % 3 AS fmt,
+                       (doc_id % 97 = 0) AS corrupt
+                FROM documents
+            )
             SELECT doc_id AS media_id,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
-                   CAST((octet_length(encode(text)) // 64) % 64 + 16
-                        AS INTEGER) AS height,
-                   CAST(list_sum(list_transform(range(1, len(text) + 1),
-                        i -> unicode(text[i]))) AS BIGINT) AS checksum
-            FROM documents
+                   CASE WHEN corrupt THEN 'unknown'
+                        WHEN fmt = 0 THEN 'bmp'
+                        WHEN fmt = 1 THEN 'pgm'
+                        ELSE 'png' END AS media_type,
+                   CAST(CASE WHEN corrupt THEN 8
+                        WHEN fmt = 0 THEN 1078 + h * ((w + 3) // 4 * 4)
+                        WHEN fmt = 1 THEN 9 + length(CAST(w AS VARCHAR))
+                             + length(CAST(h AS VARCHAR)) + w * h
+                        ELSE 68 + h * (w + 1) END AS BIGINT) AS n_bytes,
+                   CAST(CASE WHEN corrupt THEN -1 ELSE w END AS INTEGER) AS width,
+                   CAST(CASE WHEN corrupt THEN -1 ELSE h END AS INTEGER) AS height,
+                   CAST(CASE WHEN corrupt THEN -1 ELSE coalesce(
+                        list_sum(list_transform(range(1, least(n, w * h) + 1),
+                                 i -> unicode(text[i]))), 0)
+                        END AS BIGINT) AS checksum
+            FROM d
         """,
         "q54_frame_sample": """
             WITH f AS (SELECT doc_id, text,
@@ -4226,7 +4263,7 @@ def oracle_sql() -> dict[str, str]:
             _sql_metric_quads(base["q53_multimodal_features"],
                               {"mm_bytes": "n_bytes", "mm_w": "width",
                                "mm_h": "height", "mm_ck": "checksum"},
-                              k="media_id"),
+                              k="media_id", s="media_type"),
             _sql_quad("frames", base["q54_frame_sample"], k="media_id",
                       v="frame_byte", s="frame_idx"),
         ),

@@ -10,15 +10,22 @@ Beyond-reference surface (the reference carries only four scalar types,
 - decode / feature-extract / resize / frame-sample run as Arrow-batched
   ``mapInPandas`` stages: whole partitions stream through Python in
   columnar batches, never row-at-a-time.
-- the actual codec step is STUBBED (no image/audio libs in this
-  environment): `decode_stub` derives deterministic pseudo-features from
-  the payload bytes. The Spark-side plumbing — schema, batch iteration,
-  partitioning — is real and tested; swap `decode_stub` for a PIL/ffmpeg
-  call in production.
+- the decode step is REAL: :func:`decode_image` parses genuine image
+  formats with the stdlib only — BMP (BITMAPFILEHEADER/BITMAPINFOHEADER
+  struct walk), binary PGM/PPM (P5/P6 header grammar), and PNG (signature,
+  chunk walk with CRC-32 verification, zlib inflate, scanline de-filtering
+  for all five filter types). No image libraries required.
+- decode errors are isolated PER ROW: a corrupt payload yields NULL
+  features (``media_type='unknown'``), never a failed task — one bad file
+  in a 100 TB scan must not kill the job.
+- matching stdlib encoders (:func:`encode_image`) exist so fixtures carry
+  true format bytes; swap them for a camera/scraper feed in production.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -48,60 +55,276 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("checksum", T.LongType()),
 ])
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-def decode_stub(payload: bytes) -> dict:
-    """Deterministic fake decode. REPLACE WITH a real codec (PIL/ffmpeg)
-    in production — this environment has no media libraries.
 
-    The fake is arithmetic on the byte stream so the DuckDB oracle can
-    reproduce it: width/height derive from byte length, checksum is the
-    sum of all byte values.
-    """
-    n = len(payload)
-    return {
-        "n_bytes": n,
-        "width": (n % 64) + 16,
-        "height": ((n // 64) % 64) + 16,
-        "checksum": sum(payload),
-    }
+# ---------------------------------------------------------------------------
+# Encoders (stdlib-only): grayscale pixel buffer -> real format bytes
+# ---------------------------------------------------------------------------
+
+def _encode_bmp(pixels: bytes, w: int, h: int) -> bytes:
+    """8-bit grayscale BMP: 14-byte file header + 40-byte BITMAPINFOHEADER +
+    256-entry palette + bottom-up rows padded to 4-byte stride.
+    File size = 1078 + h * ceil(w/4)*4 (deterministic)."""
+    stride = (w + 3) // 4 * 4
+    data_off = 14 + 40 + 1024
+    file_size = data_off + stride * h
+    hdr = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, stride * h,
+                      2835, 2835, 256, 0)
+    palette = b"".join(struct.pack("<BBBB", i, i, i, 0) for i in range(256))
+    pad = b"\x00" * (stride - w)
+    # bottom-up: last image row first
+    rows = b"".join(
+        pixels[y * w:(y + 1) * w] + pad for y in range(h - 1, -1, -1)
+    )
+    return hdr + dib + palette + rows
+
+
+def _encode_pgm(pixels: bytes, w: int, h: int) -> bytes:
+    """Binary PGM (P5), maxval 255: ASCII header + raw row-major samples.
+    File size = len('P5\\n{w} {h}\\n255\\n') + w*h."""
+    return b"P5\n%d %d\n255\n" % (w, h) + pixels
+
+
+def _zlib_stored(data: bytes) -> bytes:
+    """A valid zlib stream using only DEFLATE *stored* blocks of ≤65535
+    bytes. Unlike ``zlib.compress(data, 0)`` (whose internal block split
+    is implementation-defined), this layout is exact by construction:
+    len = 2 + 5*max(1, ceil(n/65535)) + n + 4 — so fixture sizes are
+    arithmetic. ``zlib.decompress`` reads it like any other stream."""
+    out = [b"\x78\x01"]  # zlib header: deflate, 32K window, no dict
+    n = len(data)
+    pos = 0
+    while True:
+        chunk = data[pos:pos + 65535]
+        pos += len(chunk)
+        final = 1 if pos >= n else 0
+        out.append(struct.pack("<BHH", final, len(chunk), 0xFFFF ^ len(chunk)))
+        out.append(chunk)
+        if final:
+            break
+    out.append(struct.pack(">I", zlib.adler32(data) & 0xFFFFFFFF))
+    return b"".join(out)
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+
+def _encode_png(pixels: bytes, w: int, h: int) -> bytes:
+    """8-bit grayscale PNG: signature + IHDR + one IDAT (stored-block zlib
+    of filter-0 scanlines) + IEND, all chunk CRCs real.
+    File size = 57 + (2 + 5*max(1, ceil(h*(w+1)/65535)) + h*(w+1) + 4)."""
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y * w:(y + 1) * w] for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib_stored(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+IMAGE_FORMATS = ("bmp", "pgm", "png")
+
+
+def encode_image(pixels: bytes, w: int, h: int, fmt: str) -> bytes:
+    """Grayscale pixel buffer (row-major, len == w*h) → real format bytes."""
+    if len(pixels) != w * h:
+        raise ValueError(f"need {w * h} pixels, got {len(pixels)}")
+    if fmt == "bmp":
+        return _encode_bmp(pixels, w, h)
+    if fmt == "pgm":
+        return _encode_pgm(pixels, w, h)
+    if fmt == "png":
+        return _encode_png(pixels, w, h)
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# Decoders (stdlib-only, real header/chunk parsing)
+# ---------------------------------------------------------------------------
+
+def _decode_bmp(payload: bytes) -> tuple[str, int, int, int]:
+    magic, _file_size, _r1, _r2, data_off = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP")
+    (dib_size, w, h_signed, planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if dib_size < 40 or planes != 1 or compression != 0:
+        raise ValueError("unsupported BMP variant")
+    if bpp != 8:
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    h = abs(h_signed)  # negative height = top-down row order
+    stride = (w + 3) // 4 * 4
+    end = data_off + stride * h
+    if w <= 0 or h == 0 or end > len(payload):
+        raise ValueError("truncated BMP pixel array")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                        offset=data_off).reshape(h, stride)
+    # row order doesn't affect the sum; padding columns do — drop them
+    checksum = int(arr[:, :w].astype(np.int64).sum())
+    return ("bmp", w, h, checksum)
+
+
+def _decode_pgm(payload: bytes) -> tuple[str, int, int, int]:
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM")
+    fmt = "pgm" if payload[:2] == b"P5" else "ppm"
+    # header grammar: magic, then 3 ASCII ints (w, h, maxval) separated by
+    # whitespace, '#' comments running to end-of-line, then ONE whitespace
+    # byte before the raw samples
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PNM header")
+        c = payload[pos:pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(payload) and payload[pos:pos + 1].isdigit():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        else:
+            raise ValueError(f"bad PNM header byte {c!r}")
+    w, h, maxval = fields
+    if not payload[pos:pos + 1].isspace():
+        raise ValueError("missing PNM header terminator")
+    pos += 1
+    if maxval != 255:
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    n = w * h * (3 if fmt == "ppm" else 1)
+    if w <= 0 or h <= 0 or pos + n > len(payload):
+        raise ValueError("truncated PNM pixel data")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return (fmt, w, h, int(arr.astype(np.int64).sum()))
+
+
+def _png_defilter(raw: bytes, w: int, h: int) -> np.ndarray:
+    """Undo PNG scanline filtering (types 0-4) for 8-bit grayscale
+    (bytes-per-pixel 1). Returns the (h, w) sample array."""
+    if len(raw) != h * (w + 1):
+        raise ValueError("PNG raw stream length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        line = rows[y, 1:].copy()
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line
+            for x in range(1, w):
+                cur[x] = (int(cur[x]) + int(cur[x - 1])) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            cur = line
+            cur[0] = (int(cur[0]) + int(prev[0]) // 2) & 0xFF
+            for x in range(1, w):
+                cur[x] = (int(cur[x]) + (int(cur[x - 1]) + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for x in range(w):
+                a = int(cur[x - 1]) if x else 0
+                b = int(prev[x])
+                c = int(prev[x - 1]) if x else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prev = out[y]
+    return out
+
+
+def _decode_png(payload: bytes) -> tuple[str, int, int, int]:
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, ctyp, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or ctyp != 0 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG variant")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    else:
+        raise ValueError("PNG missing IEND")
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    pixels = _png_defilter(raw, w, h)
+    return ("png", w, h, int(pixels.astype(np.int64).sum()))
+
+
+def decode_image(payload: bytes) -> tuple[str | None, int | None, int | None, int | None]:
+    """Parse a real image payload → (format, width, height, pixel_sum).
+    Unknown/corrupt payloads return (None, None, None, None) — callers
+    rely on per-row isolation, never exceptions."""
+    try:
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
+        if payload[:2] in (b"P5", b"P6"):
+            return _decode_pgm(payload)
+        if payload[:8] == _PNG_SIG:
+            return _decode_png(payload)
+    except Exception:
+        pass
+    return (None, None, None, None)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over a media table.
+    """Arrow-batched REAL image decode over a media table.
 
     ``mapInPandas``: each partition arrives as an iterator of columnar
-    batches; we decode batch-at-a-time. No shuffle — features inherit the
-    media table's partitioning.
+    batches; each payload is decoded by parsing its actual format bytes
+    (:func:`decode_image`). No shuffle — features inherit the media
+    table's partitioning. ``media_type`` in the OUTPUT is the parsed
+    format ('bmp'/'pgm'/'ppm'/'png'), or 'unknown' with NULL dims for a
+    payload that fails to decode (per-row error isolation).
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # Vectorized over the whole Arrow batch: one concatenated byte
-            # buffer + reduceat, instead of per-row Python `sum(payload)`
-            # (10-100x at real payload sizes).
-            payloads = pdf["payload"]
-            n = payloads.map(len).to_numpy(dtype=np.int64)
-            if len(payloads):
-                buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
-                starts = np.zeros(len(n), dtype=np.int64)
-                np.cumsum(n[:-1], out=starts[1:])
-                # reduceat misbehaves on zero-length segments; guard them.
-                checksum = np.zeros(len(n), dtype=np.int64)
-                nz = n > 0
-                if nz.any():
-                    seg = np.add.reduceat(buf.astype(np.int64), starts[nz])
-                    # reduceat sums start[i]..start[i+1]; trailing segment
-                    # runs to the end of buf, which is exactly payload end.
-                    checksum[nz] = seg
-            else:
-                checksum = np.zeros(0, dtype=np.int64)
+            fmts, ws, hs, cks = [], [], [], []
+            for payload in pdf["payload"]:
+                fmt, w, h, ck = decode_image(bytes(payload))
+                fmts.append(fmt if fmt is not None else "unknown")
+                ws.append(w)
+                hs.append(h)
+                cks.append(ck)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": n,
-                "width": ((n % 64) + 16).astype(np.int32),
-                "height": (((n // 64) % 64) + 16).astype(np.int32),
-                "checksum": checksum,
+                "media_type": fmts,
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "checksum": pd.array(cks, dtype="Int64"),
             })
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
@@ -148,8 +371,8 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 256) -> DataFrame:
 
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: project the synthetic `documents` table into a media table
-    (text bytes as payload) so the multimodal plumbing is exercised on the
-    driver fixtures without real image data."""
+    (text bytes as payload) — used by the frame-sampling fan-out, which
+    strides over raw payload bytes regardless of format."""
     source = F.col("source") if "source" in docs.columns else F.lit("unknown")
     return docs.select(
         F.col("doc_id").alias("media_id"),
@@ -161,3 +384,45 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             F.lit(0).alias("declared_h"),
         ).alias("meta"),
     )
+
+
+def documents_as_images(docs: DataFrame, corrupt_every: int | None = None) -> DataFrame:
+    """Fixture/ingest adapter: build a media table whose payloads are REAL
+    image files (round-robin BMP/PGM/PNG by doc_id) with the document's
+    UTF-8 bytes as grayscale pixel content.
+
+    Deterministic layout (mirrored by the DuckDB oracle):
+      n = len(utf8(text)); w = n%64+16; h = (n//64)%64+16;
+      pixels = first min(n, w*h) text bytes, zero-padded to w*h
+      → decoded checksum = sum of the first min(n, w*h) byte values.
+
+    ``corrupt_every``: every doc_id divisible by it gets a deliberately
+    garbage payload — the negative-path fixture proving per-row decode
+    isolation end-to-end.
+
+    Runs as Arrow-batched ``mapInPandas`` (binary assembly is Python-side
+    by nature — in production this stage IS the scraper/codec)."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if corrupt_every is not None and did % corrupt_every == 0:
+                    payloads.append(b"CORRUPT!")
+                    continue
+                data = text.encode("utf-8")
+                n = len(data)
+                w = n % 64 + 16
+                h = (n // 64) % 64 + 16
+                pixels = data[:w * h].ljust(w * h, b"\x00")
+                payloads.append(encode_image(pixels, w, h, IMAGE_FORMATS[did % 3]))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "media_type": ["image"] * len(pdf),
+                "payload": payloads,
+                "meta": [
+                    {"source": "synthetic", "declared_w": 0, "declared_h": 0}
+                ] * len(pdf),
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(_encode, schema=MEDIA_SCHEMA)

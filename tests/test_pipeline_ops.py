@@ -101,15 +101,53 @@ def test_knn_lsh_subset_of_bruteforce(spark):
     assert approx <= exact and len(approx) > 0
 
 
-def test_multimodal_features_deterministic(docs):
-    media = documents_as_media(docs.withColumnRenamed("doc_id", "doc_id"))
+def test_multimodal_real_decode_roundtrip(docs):
+    """documents_as_images renders REAL BMP/PGM/PNG bytes; extract_features
+    must parse them back (header walk / inflate / de-filter) to the exact
+    dims and pixel sum the generator used."""
+    from rs_graphdb_spark.functions.multimodal import documents_as_images
+
+    media = documents_as_images(docs)
     feats = {r["media_id"]: r for r in extract_features(media).collect()}
     raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    fmt_by_mod = {0: "bmp", 1: "pgm", 2: "png"}
     for mid, row in feats.items():
         b = raw[mid].encode()
-        assert row["n_bytes"] == len(b)
-        assert row["width"] == (len(b) % 64) + 16
-        assert row["checksum"] == sum(b)
+        n = len(b)
+        w, h = n % 64 + 16, (n // 64) % 64 + 16
+        assert row["media_type"] == fmt_by_mod[mid % 3]
+        assert (row["width"], row["height"]) == (w, h)
+        assert row["checksum"] == sum(b[: w * h])
+        assert row["n_bytes"] > n  # real container carries a header
+
+
+def test_multimodal_corrupt_rows_isolated(docs):
+    """A corrupt payload yields NULL features on ITS row only — the batch
+    (and job) survives (per-row decode isolation)."""
+    from rs_graphdb_spark.functions.multimodal import documents_as_images
+
+    media = documents_as_images(docs, corrupt_every=2)  # doc 2, 4 corrupt
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert rows[2]["media_type"] == "unknown"
+    assert rows[2]["width"] is None and rows[2]["checksum"] is None
+    assert rows[2]["n_bytes"] == 8  # b"CORRUPT!"
+    assert rows[1]["media_type"] == "pgm" and rows[1]["width"] is not None
+
+
+def test_decode_image_negative_paths():
+    """Driver-free codec checks: truncation, garbage, and a CRC-tampered
+    PNG all return all-None instead of raising."""
+    from rs_graphdb_spark.functions.multimodal import decode_image, encode_image
+
+    px = bytes(range(256)) * 2
+    blob = encode_image(px[:20 * 25], 20, 25, "png")
+    tampered = bytearray(blob)
+    tampered[45] ^= 0xFF  # inside IHDR/IDAT region → CRC mismatch
+    for bad in [b"", b"CORRUPT!", b"BMgarbage", b"P5\n99", blob[:-9],
+                bytes(tampered)]:
+        assert decode_image(bad) == (None, None, None, None)
+    fmt, w, h, ck = decode_image(blob)
+    assert (fmt, w, h, ck) == ("png", 20, 25, sum(px[:20 * 25]))
 
 
 def test_frame_sample_fanout(docs):
