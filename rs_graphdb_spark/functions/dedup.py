@@ -241,6 +241,51 @@ def minhash_dedup_pairs(
     return _materialize_result(verified.filter(F.col("jaccard") >= threshold), base)
 
 
+def _posting_pairs(g: DataFrame) -> DataFrame:
+    """Grouped posting lists ``(ds sorted ARRAY<LONG>)`` → one (a, b) row
+    per co-posting pair with a < b. posexplode + slice keeps per-row
+    memory at ONE posting array (≤ max_shingle_df longs) — a flattened
+    all-combinations array for a df=10k shingle would be 50M structs in a
+    single row."""
+    return (
+        g.select(F.col("ds"), F.posexplode("ds").alias("i", "a"))
+        .select(
+            "a",
+            F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("b"),
+        )
+    )
+
+
+def _prefix_postings(sh: DataFrame, threshold: float) -> DataFrame:
+    """AllPairs/PPJoin prefix filter: order each document's postings by
+    global rarity (document frequency asc, shingle asc — a total order, no
+    global rank needed) and keep only the first ``|S| − ⌈t·|S|⌉ + 1``.
+
+    Why lossless: Jaccard(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉; the
+    globally-SMALLEST common shingle must then lie inside both docs'
+    prefixes (if it didn't for A, the whole overlap would fit in A's
+    suffix of size ⌈t·|A|⌉ − 1 < |A∩B|). So joining prefix×prefix loses
+    no qualifying pair, and candidate mass drops from Σ_s df(s)² to
+    Σ_s pref_df(s)² — the standard 10-100× cut on near-dup corpora."""
+    from pyspark.sql.window import Window
+
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df_"))
+    w_doc = Window.partitionBy("doc").orderBy(F.col("df_").asc(), F.col("s").asc())
+    ranked = (
+        sh.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(w_doc))
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc")))
+    )
+    # round before ceil: 0.8*5 = 4.000000000000001 would otherwise ceil to
+    # 5 and over-shrink the prefix (a silent false-negative source)
+    min_overlap = F.ceil(F.round(F.lit(threshold) * F.col("n"), 9))
+    return (
+        ranked.filter(F.col("rn") <= F.col("n") - min_overlap + 1)
+        .select("doc", "s")
+        .localCheckpoint(eager=True)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -249,42 +294,90 @@ def ngram_jaccard_pairs(
     k: int = 3,
     max_shingle_df: int | None = 10_000,
     sets_df: DataFrame | None = None,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via the sparse explode-join.
 
     Scale path: pairs only materialize for docs sharing ≥1 shingle, and the
-    shuffle key is the shingle itself. A shingle appearing in d documents
-    produces O(d²) candidate rows, so hot ("stop") shingles are removed by
-    document frequency BEFORE the self-join — ``max_shingle_df`` bounds the
-    per-shingle blowup at max_df² (on by default; the 100 TB prerequisite).
-    Jaccard is then computed over each document's non-stop shingle set
-    (numerator and denominator consistently), the standard stop-shingle
-    semantics.
+    shuffle key is the shingle itself. Two complementary bounds keep the
+    self-join linear-ish at 100 TB:
+
+    - hot ("stop") shingles are removed by document frequency BEFORE the
+      join — ``max_shingle_df`` caps the per-shingle blowup at max_df²
+      (on by default). Jaccard is then computed over each document's
+      non-stop shingle set (numerator and denominator consistently), the
+      standard stop-shingle semantics.
+    - ``prefix_filter`` applies the AllPairs/PPJoin prefix principle
+      (:func:`_prefix_postings`): only each doc's rarest
+      ``|S| − ⌈t·|S|⌉ + 1`` shingles become join keys; candidates are then
+      verified with EXACT Jaccard over the full non-stop sets, so the
+      result is identical to the unfiltered join (a property test pins
+      this). Default ``None`` = auto: on for threshold ≥ 0.7 (where the
+      prefix keeps ~30% of postings and cuts candidate mass ~10×), off
+      below (measured crossover at sf0.1 — the extra rank/verify stages
+      outweigh a <2× mass cut).
 
     Pass a precomputed ``sets_df`` (from :func:`shingle_sets`) to share the
     shingle frame across dedup passes."""
     if sets_df is None:
         sets_df = shingle_sets(df, id_col, text_col, k)
-    # explode the (already checkpointed) shared shingle frame — both sides
-    # of the self-join and the size agg reuse the exploded rows; inlining
-    # would run the tokenize/sequence/slice expression three times.
     sh = sets_df.select(
         F.col("doc_id").alias("doc"), F.explode("sets").alias("s")
-    ).localCheckpoint(eager=True)
-    if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("s").agg(F.countDistinct("doc").alias("df_"))
-            .filter(F.col("df_") > max_shingle_df)
-            .select("s")
-        )
-        sh = sh.join(F.broadcast(hot), "s", "left_anti").localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
-    inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.doc") < F.col("y.doc")))
-        .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
-        .agg(F.count("*").alias("i"))
     )
+    # ONE shuffle on the shingle builds the grouped posting lists; the
+    # stop-shingle cap is a filter on the same frame (no separate
+    # df-count job + anti-join pass). (doc, s) rows are unique by
+    # construction (sets are array_distinct), so size(ds) = document
+    # frequency.
+    g = sh.groupBy("s").agg(F.collect_list("doc").alias("ds"))
+    if max_shingle_df is not None:
+        g = g.filter(F.size("ds") <= max_shingle_df)
+    g = g.localCheckpoint(eager=True)
+    # per-doc non-stop set size — BEFORE the df≥2 cut below: doc-unique
+    # shingles never form pairs but absolutely count in the union size
+    sizes = (
+        g.select(F.explode("ds").alias("doc"))
+        .groupBy("doc").agg(F.count("*").alias("n"))
+    )
+    gp = g.filter(F.size("ds") >= 2).select(F.array_sort("ds").alias("ds"))
+    if prefix_filter is None:
+        # auto: the prefix filter pays when it removes most of each doc's
+        # postings (prefix len = n − ⌈t·n⌉ + 1); below t≈0.7 the extra
+        # ranking/verify stages cost more than the ~2× mass cut saves
+        # (measured at sf0.1, PLANS.md round-3 table)
+        prefix_filter = threshold >= 0.7
+    if prefix_filter:
+        # non-stop postings rebuilt from the checkpointed grouped frame —
+        # ranking and verification must both exclude stop shingles
+        sh_ns = g.select(F.col("s"), F.explode("ds").alias("doc"))
+        pre_g = (
+            _prefix_postings(sh_ns, threshold)
+            .groupBy("s").agg(F.collect_list("doc").alias("ds"))
+            .filter(F.size("ds") >= 2)
+            .select(F.array_sort("ds").alias("ds"))
+        )
+        cands = (
+            _posting_pairs(pre_g)
+            .dropDuplicates(["a", "b"])
+            .localCheckpoint(eager=True)
+        )
+        # verify on full non-stop sets, but only for docs that appear in a
+        # candidate pair — the collect_list agg never touches the rest of
+        # the corpus
+        cand_docs = (
+            cands.select(F.col("a").alias("doc"))
+            .unionByName(cands.select(F.col("b").alias("doc")))
+            .dropDuplicates(["doc"])
+        )
+        arrs = (
+            sh_ns.join(F.broadcast(cand_docs), "doc", "left_semi")
+            .groupBy("doc")
+            .agg(F.collect_list("s").alias("sets"))
+        )
+        verified = exact_jaccard(cands, arrs.withColumnRenamed("doc", "doc_id"),
+                                 "doc_id", "sets")
+        return _materialize_result(verified.filter(F.col("jaccard") >= threshold))
+    inter = _posting_pairs(gp).groupBy("a", "b").agg(F.count("*").alias("i"))
     na = sizes.select(F.col("doc").alias("a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc").alias("b"), F.col("n").alias("nb"))
     return _materialize_result(
