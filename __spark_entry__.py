@@ -686,10 +686,16 @@ def q50_lang_id(spark, sf_dir):
 
 def q51_quality_scores(spark, sf_dir):
     """Per-document quality features: length, token count, mean token
-    length, punctuation ratio, stopword ratio."""
+    length, punctuation ratio, stopword ratio — computed through the
+    single-evaluation struct form (tokenizer runs once per row, r2
+    verdict hardening #9)."""
     docs = _read(spark, sf_dir, "documents")
-    feats = TX.quality_features("text")
-    return docs.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+    return docs.select(
+        "doc_id", TX.quality_features_struct("text").alias("qf")
+    ).select(
+        "doc_id", "qf.n_chars_m", "qf.n_tokens", "qf.mean_tok_len",
+        "qf.punct_ratio", "qf.stopword_ratio",
+    )
 
 
 def q52_token_stats(spark, sf_dir):

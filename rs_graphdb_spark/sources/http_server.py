@@ -140,13 +140,23 @@ class GraphHTTPServer:
             if m := _NODE_NEIGHBORS.match(path):
                 return {"rows": _rows(self._neighbors(int(m.group(1))))}
             if path == "/rels":
-                rows = []
-                for rt, es in sorted(g.edges.items()):
-                    per = es.df.select("edge_id", "src", "dst").limit(
-                        MAX_ROWS // max(len(g.edges), 1)
-                    )
-                    rows += [{**r.asDict(), "rel_type": rt} for r in per.collect()]
-                return {"rows": rows}
+                # ONE unioned limited query = one Spark job for the route
+                # (was a collect per rel-type, r2 verdict anti-pattern #2);
+                # per-type limits before the union preserve the fair
+                # per-type quota
+                per_cap = MAX_ROWS // max(len(g.edges), 1)
+                parts = [
+                    es.df.select(
+                        "edge_id", "src", "dst", F.lit(rt).alias("rel_type")
+                    ).limit(per_cap)
+                    for rt, es in sorted(g.edges.items())
+                ]
+                if not parts:
+                    return {"rows": []}
+                unioned = parts[0]
+                for p in parts[1:]:
+                    unioned = unioned.unionByName(p)
+                return {"rows": [r.asDict() for r in unioned.collect()]}
             if m := _REL_ID.match(path):
                 return {"rows": self._rel_rows(int(m.group(1)))}
             return None
