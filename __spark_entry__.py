@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 
 from rs_graphdb_spark import Query, load_tpch_graph
 from rs_graphdb_spark.functions import text as TX
+from rs_graphdb_spark.session import local_df as _ldf
 
 # Node-id namespace constants — must mirror rs_graphdb_spark.graph.LABEL_INDEX.
 S = 1 << 40
@@ -525,7 +526,7 @@ def q38_delete_cascade(spark, sf_dir):
     g2 = delete_nodes(g, "Customer", F.col("c_acctbal") < 500.0)
     n_cust = g2.nodes["Customer"].agg(F.count("*").alias("n")).first()["n"]
     n_edges = g2.edges["PLACED"].df.agg(F.count("*").alias("n")).first()["n"]
-    return spark.createDataFrame(
+    return _ldf(spark,
         [(n_cust, n_edges)], "n_customers long, n_placed long"
     )
 
@@ -550,7 +551,7 @@ def q40_merge_upsert(spark, sf_dir):
     from rs_graphdb_spark.operators.dml import merge_nodes
 
     g = _graph(spark, sf_dir)
-    incoming = spark.createDataFrame(
+    incoming = _ldf(spark,
         [(5, "UPDATED_NATION", 0), (97, "NEWLAND", 1), (98, "MERGETOPIA", 2)],
         "n_nationkey int, n_name string, n_regionkey int",
     )
@@ -575,7 +576,7 @@ def q42_constraint_exists(spark, sf_dir):
 
     g = _graph(spark, sf_dir)
     n = existence_violations(g.nodes["Customer"], "c_name").count()
-    return spark.createDataFrame([(n,)], "n_missing long")
+    return _ldf(spark, [(n,)], "n_missing long")
 
 
 # ---------------------------------------------------------------------------
@@ -785,7 +786,7 @@ def q56_has_path(spark, sf_dir):
     start = _knows_start(spark, sf_dir)
     g = _graph(spark, sf_dir)
     d = shortest_path_length(g, start, start + 5, "KNOWS", max_depth=6)
-    return spark.createDataFrame(
+    return _ldf(spark,
         [(d is not None, d)], "reachable boolean, dist int"
     )
 
@@ -867,7 +868,7 @@ def q62_astar(spark, sf_dir):
     goal = start + 5
     coords.setdefault(goal, (float(goal % 32), float(goal // 32)))
     res = astar(edges, coords, start, goal)
-    return spark.createDataFrame(
+    return _ldf(spark,
         [(res is not None, round(res[0], 6) if res else None)],
         "found boolean, cost double",
     )
@@ -882,7 +883,7 @@ def q63_dfs_preorder(spark, sf_dir):
     edges = collect_edge_list(g.edges["KNOWS"].df.select("src", "dst"))
     start = min(r[0] for r in edges)
     order = dfs_preorder(edges, start)
-    return spark.createDataFrame(
+    return _ldf(spark,
         [(nid, i) for i, nid in enumerate(order)], "id long, ord int"
     )
 
@@ -1219,6 +1220,53 @@ def q82_bucketed_hop(spark, sf_dir):
     )
 
 
+def q97_composite_prefix_probe(spark, sf_dir):
+    """Composite-index PREFIX probe (`find_prefix`,
+    `/root/reference/src/index_composite.rs:181-225`): the composite
+    (o_orderpriority, o_orderdate) "index" is a Hive-partitioned layout on
+    the leading column; probing the prefix is answered by partition
+    PRUNING — only the matching directory is scanned. The function ASSERTS
+    pruning at the physical-plan level (the probe predicate must appear in
+    the scan's PartitionFilters), so the driver run itself verifies the
+    layout, not just the row values."""
+    import hashlib
+    import pathlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    loc = pathlib.Path(__file__).parent / ".tmp" / f"orders_pfx_{tag}"
+    if not loc.exists():
+        (_read(spark, sf_dir, "orders")
+         .write.mode("overwrite").partitionBy("o_orderpriority")
+         .parquet(str(loc)))
+    t = spark.read.parquet(str(loc))
+    probe = t.filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    if not pf or "o_orderpriority" not in pf[0]:
+        raise RuntimeError(
+            "composite prefix probe is NOT partition-pruned:\n" + plan[:2000]
+        )
+    return probe.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("rev"),
+    )
+
+
+def q98_circle_layout(spark, sf_dir):
+    """Circle layout coordinates (`src/visualization/layout.rs:70-120`)
+    over the Nation nodes — driver-side presentation math, size-guarded;
+    coordinates rounded to 6 dp and hash-checked against the oracle's
+    cos/sin arithmetic."""
+    from rs_graphdb_spark.functions.layout import circle_layout
+
+    g = _graph(spark, sf_dir)
+    ids = [r["id"] for r in g.nodes["Nation"].select("id").collect()]
+    pos = circle_layout(ids, radius=100.0)
+    rows = [(nid, round(x, 6), round(y, 6)) for nid, (x, y) in sorted(pos.items())]
+    return _ldf(spark, rows, "id long, x double, y double")
+
+
 def q83_deterministic_split(spark, sf_dir):
     """Hash-deterministic 90/5/5 train/val/test split (reproducible
     across engines/runs; adding data never reassigns a doc). Pure
@@ -1314,7 +1362,7 @@ def q88_path_with_rels(spark, sf_dir):
     g = _graph(spark, sf_dir)
     e = g.edges["KNOWS"].df
     start = e.agg(F.min("src")).first()[0]
-    starts = spark.createDataFrame([(int(start),)], "id long")
+    starts = _ldf(spark, [(int(start),)], "id long")
     reach = bfs_distances(g, starts, "KNOWS", max_depth=5)
     end = reach.agg(F.max("id")).first()[0]
     return shortest_path_with_rels(e, int(start), int(end), max_depth=5)
@@ -1690,7 +1738,7 @@ def q10_topk_page(spark, sf_dir):
         ]
     finally:
         cur.close()
-    cursor_df = spark.createDataFrame(
+    cursor_df = _ldf(spark,
         cursor_rows + meta_rows, "part string, k long, v double, s string"
     )
     return _quads(
@@ -1854,13 +1902,22 @@ def q25_graph_ranking(spark, sf_dir):
     Jaccard, Adamic-Adar), and deterministic DeepWalk random walks (the
     embedding-training corpus; md5-seeded choices replayed exactly by the
     recursive-CTE oracle)."""
-    from rs_graphdb_spark.operators.traversal import random_walks, sample_neighbors
+    from rs_graphdb_spark.operators.traversal import (
+        node2vec_walks,
+        random_walks,
+        sample_neighbors,
+    )
 
     g = _graph(spark, sf_dir)
     e = g.edges["KNOWS"].df
     starts = e.select(F.col("src").alias("id")).distinct().orderBy("id").limit(20)
     walks = random_walks(e, starts, walk_length=10, walks_per_node=2)
     sampled = sample_neighbors(e, starts.limit(10), fanouts=[3, 2])
+    # p=4, q=1/4: weights ∈ {0.25, 1, 4} are exact in binary, so the
+    # oracle's correlated-subquery cumulative sums can't drift from the
+    # window-cumsum by float addition order
+    n2v = node2vec_walks(e, starts.limit(5), walk_length=5, walks_per_node=1,
+                         p=4.0, q=0.25)
     return _quads(
         _metric_quads(q93_hits(spark, sf_dir),
                       {"hits_hub": "hub", "hits_auth": "authority"}, k="id"),
@@ -1870,6 +1927,7 @@ def q25_graph_ranking(spark, sf_dir):
               s=F.concat(F.col("walk").cast("string"), F.lit(":"),
                          F.col("step").cast("string"))),
         _quad("sampled", sampled, k="src", v="dst", s="hop"),
+        _quad("n2v", n2v, k="start", v="node", s="step"),
     )
 
 
@@ -1906,7 +1964,7 @@ def q29_cypher_write(spark, sf_dir):
     g2 = execute_cypher(
         g, "CREATE (n:Nation {n_nationkey: 99, n_name: 'CREATEDLAND', n_regionkey: 3})"
     )
-    rows = spark.createDataFrame(
+    rows = _ldf(spark,
         [(200, "BATCHLAND_A", 0), (201, "BATCHLAND_B", 1), (202, "BATCHLAND_C", 2)],
         "n_nationkey int, n_name string, n_regionkey int",
     )
@@ -1962,9 +2020,82 @@ def q32_cypher_advanced(spark, sf_dir):
     )
 
 
+def q99_foreach_batch_sink(spark, sf_dir):
+    """foreachBatch append sink — the AsyncStorage write path
+    (`/root/reference/src/storage/async_store.rs:21-107`,
+    `src/graph/async_db.rs:12-70`): stream events through
+    ``append_edge_sink`` into a parquet table, then verify the appended
+    table's row count and value sum against the source (exactly-once per
+    epoch via the sink's transactional file commit)."""
+    import pathlib
+    import shutil
+    import uuid
+
+    from rs_graphdb_spark.streaming.ops import append_edge_sink, read_event_stream
+
+    base = pathlib.Path(__file__).parent / ".tmp" / f"fb_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, _staged_events_dir(sf_dir)).select(
+        "event_id", "user_id", "value"
+    )
+    q = append_edge_sink(stream, str(base / "out"), str(base / "ckpt"))
+    q.awaitTermination(300)
+    row = spark.read.parquet(str(base / "out")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sv"),
+    ).first()
+    shutil.rmtree(base, ignore_errors=True)
+    return _ldf(spark, [(row["n"], row["sv"])], "fb_rows long, fb_sum double")
+
+
+def q100_stream_markers(spark, sf_dir):
+    """Batch-end progress markers (``StreamItem::batch_end``,
+    `/root/reference/src/query_stream.rs:86-95`): an availableNow job over
+    a 4-file staging of events with maxFilesPerTrigger=1 must produce
+    exactly 4 non-empty markers whose rows sum to the source row count,
+    with strictly increasing batch ids — all oracle-predictable."""
+    import hashlib
+    import pathlib
+    import shutil
+    import uuid
+
+    from rs_graphdb_spark.streaming.ops import (
+        StreamProgressRecorder,
+        read_event_stream,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = pathlib.Path(__file__).parent / ".tmp" / f"events_src4_{tag}"
+    if not d.exists():
+        (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .repartition(4).write.mode("overwrite").parquet(str(d)))
+    total = spark.read.parquet(str(d)).count()
+    ckpt = pathlib.Path(__file__).parent / ".tmp" / f"mk_{uuid.uuid4().hex[:8]}"
+    rec = StreamProgressRecorder().attach(spark)
+    try:
+        q = (
+            read_event_stream(spark, str(d)).select("event_id")
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        markers = rec.wait_for_rows(q.id, total)
+    finally:
+        rec.detach(spark)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    nonempty = [m for m in markers if m["rows"] > 0]
+    mono = all(a["batch_index"] < b["batch_index"]
+               for a, b in zip(nonempty, nonempty[1:]))
+    return _ldf(
+        spark,
+        [(len(nonempty), sum(m["rows"] for m in nonempty), str(mono).lower())],
+        "marker_n long, marker_rows long, marker_mono string",
+    )
+
+
 def q33_stream_windows(spark, sf_dir):
     """Suite: real Structured-Streaming tumbling windows + hopping windows
-    (batch twin)."""
+    (batch twin) + the foreachBatch append sink row-count/sum check."""
     return _quads(
         _metric_quads(q69_stream_window(spark, sf_dir),
                       {"tumb_cnt": "n_events", "tumb_sum": "sum_value"},
@@ -1972,12 +2103,16 @@ def q33_stream_windows(spark, sf_dir):
         _metric_quads(q92_hopping_window(spark, sf_dir),
                       {"hop_cnt": "n_events", "hop_sum": "sum_value"},
                       k="win_start_us", s="event_type"),
+        _metric_quads(q99_foreach_batch_sink(spark, sf_dir),
+                      {"fb_rows": "fb_rows", "fb_sum": "fb_sum"}),
     )
 
 
 def q34_stream_stateful(spark, sf_dir):
     """Suite: applyInPandasWithState running totals + session windows, both
-    as real streaming jobs."""
+    as real streaming jobs, + batch-end progress markers (count / row
+    total / batch-id monotonicity)."""
+    markers = q100_stream_markers(spark, sf_dir)
     return _quads(
         _metric_quads(q70_stream_stateful(spark, sf_dir),
                       {"run_cnt": "n_events", "run_sum": "total_value"}, k="user_id"),
@@ -1985,6 +2120,9 @@ def q34_stream_stateful(spark, sf_dir):
                       {"sess_cnt": "n_events", "sess_end": "end_us",
                        "sess_sum": "sum_value"},
                       k="user_id", s="start_us"),
+        _metric_quads(markers,
+                      {"marker_n": "marker_n", "marker_rows": "marker_rows"},
+                      s="marker_mono"),
     )
 
 
@@ -2009,7 +2147,7 @@ def q35_sources(spark, sf_dir):
     )
     digest = hashlib.md5("\n".join(lines).encode()).hexdigest()
     n_json = sum(1 for _ in export_json(sub))
-    export_parts = spark.createDataFrame(
+    export_parts = _ldf(spark,
         [("export_dot", len(lines), None, digest),
          ("export_json_rows", None, float(n_json), None)],
         "part string, k long, v double, s string",
@@ -2020,6 +2158,10 @@ def q35_sources(spark, sf_dir):
         _metric_quads(q82_bucketed_hop(spark, sf_dir),
                       {"bkt_orders": "n_orders", "bkt_rev": "revenue"},
                       s="c_mktsegment"),
+        _metric_quads(q97_composite_prefix_probe(spark, sf_dir),
+                      {"cpfx_n": "n", "cpfx_rev": "rev"}, s="o_orderpriority"),
+        _metric_quads(q98_circle_layout(spark, sf_dir),
+                      {"lay_x": "x", "lay_y": "y"}, k="id"),
         export_parts,
     )
 
@@ -4065,6 +4207,55 @@ def oracle_sql() -> dict[str, str]:
                 s="CAST(walk AS VARCHAR) || ':' || CAST(step AS VARCHAR)",
             ),
             _sql_quad(
+                "n2v",
+                f"""
+                WITH RECURSIVE k AS (
+                    SELECT a.c_custkey AS src_key, b.c_custkey AS dst_key
+                    FROM customer a JOIN customer b
+                      ON b.c_custkey IN (a.c_custkey + 1, a.c_custkey + 2)
+                     AND b.c_mktsegment = a.c_mktsegment
+                ),
+                e AS (SELECT DISTINCT {CUSTOMER} + src_key AS src,
+                             {CUSTOMER} + dst_key AS dst FROM k),
+                und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+                starts AS (SELECT DISTINCT src AS id FROM e ORDER BY src LIMIT 5),
+                wk AS (
+                    SELECT s.id AS start, CAST(NULL AS BIGINT) AS prev,
+                           s.id AS node, 0 AS step
+                    FROM starts s
+                    UNION ALL
+                    SELECT wk.start, wk.node,
+                        (SELECT c.dst FROM e c WHERE c.src = wk.node
+                          AND (SELECT SUM(CASE WHEN c2.dst = wk.prev THEN 0.25
+                                   WHEN EXISTS (SELECT 1 FROM und u2
+                                        WHERE u2.src = c2.dst
+                                          AND u2.dst = wk.prev) THEN 1.0
+                                   ELSE 4.0 END)
+                               FROM e c2
+                               WHERE c2.src = wk.node AND c2.dst <= c.dst)
+                            > ((('0x' || substr(md5(
+                                  'n2v_' || CAST(wk.start AS VARCHAR)
+                                  || '_0_' || CAST(wk.step + 1 AS VARCHAR)
+                                  || '_' || CAST(wk.node AS VARCHAR)),
+                                  1, 8))::BIGINT % 2147483648)
+                               / 2147483648.0)
+                              * (SELECT SUM(CASE WHEN c3.dst = wk.prev THEN 0.25
+                                     WHEN EXISTS (SELECT 1 FROM und u3
+                                          WHERE u3.src = c3.dst
+                                            AND u3.dst = wk.prev) THEN 1.0
+                                     ELSE 4.0 END)
+                                 FROM e c3 WHERE c3.src = wk.node)
+                          ORDER BY c.dst LIMIT 1) AS node,
+                        wk.step + 1
+                    FROM wk
+                    WHERE wk.step < 5
+                      AND EXISTS (SELECT 1 FROM e WHERE e.src = wk.node)
+                )
+                SELECT start, step, node FROM wk
+                """,
+                k="start", v="node", s="CAST(step AS VARCHAR)",
+            ),
+            _sql_quad(
                 "sampled",
                 f"""
                 WITH k AS (
@@ -4149,6 +4340,17 @@ def oracle_sql() -> dict[str, str]:
             _sql_metric_quads(base["q92_hopping_window"],
                               {"hop_cnt": "n_events", "hop_sum": "sum_value"},
                               k="win_start_us", s="event_type"),
+            # foreachBatch append sink: the appended table must carry
+            # exactly the source rows (exactly-once per epoch)
+            _sql_metric_quads(
+                """
+                SELECT count(*) AS fb_rows,
+                       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                           AS fb_sum
+                FROM events
+                """,
+                {"fb_rows": "fb_rows", "fb_sum": "fb_sum"},
+            ),
         ),
         "q34_stream_stateful": _sql_union(
             _sql_metric_quads(base["q70_stream_stateful"],
@@ -4158,6 +4360,19 @@ def oracle_sql() -> dict[str, str]:
                               {"sess_cnt": "n_events", "sess_end": "end_us",
                                "sess_sum": "sum_value"},
                               k="user_id", s="start_us"),
+            # 4 staged files × maxFilesPerTrigger=1 → exactly 4 non-empty
+            # batch markers, rows summing to the source count, batch ids
+            # strictly increasing
+            _sql_metric_quads(
+                """
+                SELECT CAST(4 AS BIGINT) AS marker_n,
+                       count(*) AS marker_rows,
+                       'true' AS marker_mono
+                FROM events
+                """,
+                {"marker_n": "marker_n", "marker_rows": "marker_rows"},
+                s="marker_mono",
+            ),
         ),
         "q35_sources": _sql_union(
             _sql_quad("json_src", base["q71_json_query_source"], k="id", v="totalprice"),
@@ -4165,6 +4380,37 @@ def oracle_sql() -> dict[str, str]:
             _sql_metric_quads(base["q82_bucketed_hop"],
                               {"bkt_orders": "n_orders", "bkt_rev": "revenue"},
                               s="c_mktsegment"),
+            # composite prefix probe (partition-pruned layout; the Spark
+            # side ALSO asserts PartitionFilters in the physical plan)
+            _sql_metric_quads(
+                """
+                SELECT o_orderpriority,
+                       count(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                            AS DOUBLE) AS rev
+                FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+                GROUP BY o_orderpriority
+                """,
+                {"cpfx_n": "n", "cpfx_rev": "rev"}, s="o_orderpriority",
+            ),
+            # circle layout: sorted ids on an evenly spaced ring of radius
+            # 100 (layout.rs:70-120); libm cos/sin agree at 6 dp
+            _sql_metric_quads(
+                f"""
+                WITH n AS (
+                    SELECT {NATION} + n_nationkey AS id,
+                           row_number() OVER (ORDER BY n_nationkey) - 1 AS i,
+                           count(*) OVER () AS cnt
+                    FROM nation
+                )
+                SELECT id,
+                       round(100 * cos(2 * pi() * i / cnt), 6) AS x,
+                       round(100 * sin(2 * pi() * i / cnt), 6) AS y
+                FROM n
+                """,
+                {"lay_x": "x", "lay_y": "y"}, k="id",
+            ),
             _sql_quad(
                 "export_dot",
                 f"""

@@ -182,11 +182,15 @@ class CallStmt:
 
 @dataclass(frozen=True)
 class MergeRelStmt:
-    """MERGE (a:L {..})-[:T]->(b:L {..}) — ensure the edge exists between
-    every matching endpoint pair (`src/cypher/executor.rs:861-1023`
-    single-rel path). Endpoints must already exist; `Both` direction is
+    """MERGE (a:L {..})-[:T]->(b:L {..}) [ON CREATE SET r...] — ensure the
+    edge exists between every matching endpoint pair
+    (`src/cypher/executor.rs:861-1023` single-rel path). Endpoint nodes
+    that match nothing are created from their pattern (reference
+    `tests/merge_comprehensive_test.rs:222-237`); `Both` direction is
     rejected like reference CREATE (`src/cypher/executor.rs:610-648`)."""
     path: PatternPath
+    on_create: tuple = ()
+    on_match: tuple = ()
 
 
 @dataclass(frozen=True)

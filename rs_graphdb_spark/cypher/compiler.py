@@ -329,48 +329,105 @@ class Compiler:
         raise CypherCompileError(f"unsupported statement {stmt!r}")
 
     def _run_merge_rel(self, stmt: ast.MergeRelStmt) -> PropertyGraph:
-        """Relationship MERGE: for every (a, b) endpoint pair matching the
-        patterns, create the edge iff absent (left-anti against the edge
-        table — `src/cypher/executor.rs:962-1018`). Endpoint node patterns
-        ARE enforced, matching reference MERGE (`:914`). Idempotent."""
+        """Relationship MERGE: endpoint patterns that match no node are
+        first created from their pattern props (reference creates the
+        missing parts of the pattern, `src/cypher/executor.rs:861-1023`;
+        scenario `tests/merge_comprehensive_test.rs:222-237`), then for
+        every (a, b) endpoint pair the edge is created iff absent
+        (left-anti against the edge table — `:962-1018`). A previously
+        unseen rel type opens a new EdgeSet between the pattern labels.
+        ON CREATE SET applies to newly created edges, ON MATCH SET to the
+        edges that already existed. Idempotent."""
         from pyspark.sql import Window
 
         from rs_graphdb_spark.graph import EdgeSet
 
         (rel, dst_node) = stmt.path.hops[0]
-        if rel.rel_type not in self.g.edges:
-            raise CypherCompileError(f"unknown relationship type {rel.rel_type!r}")
-        es = self.g.edges[rel.rel_type]
         src_pat, dst_pat = stmt.path.start, dst_node
         if rel.direction == "in":
             src_pat, dst_pat = dst_pat, src_pat
+        g = PropertyGraph(nodes=dict(self.g.nodes), edges=dict(self.g.edges))
+        if rel.rel_type in g.edges:
+            es = g.edges[rel.rel_type]
+        else:
+            if not (src_pat.label and dst_pat.label):
+                raise CypherCompileError(
+                    f"new relationship type {rel.rel_type!r} needs labeled "
+                    "endpoint patterns to declare its endpoints"
+                )
+            spark = next(iter(g.nodes.values())).sparkSession
+            empty = spark.createDataFrame(
+                [], "edge_id long, src long, dst long"
+            )
+            es = EdgeSet(df=empty, src_label=src_pat.label,
+                         dst_label=dst_pat.label)
 
-        def _ids(np: ast.NodePattern, label: str) -> DataFrame:
+        def _ensure_nodes(np: ast.NodePattern, label: str) -> None:
+            """Create the endpoint from its pattern when nothing matches
+            (MERGE creates the missing parts of the pattern)."""
             if np.label and np.label != label:
                 raise CypherCompileError(
                     f"pattern label {np.label!r} does not match edge endpoint {label!r}"
                 )
-            df = self.g.nodes[label]
-            for k, v in np.props:
-                df = df.filter(F.col(k) == F.lit(v))
-            return df.select("id")
+            if label not in g.nodes:
+                raise CypherCompileError(f"unknown label {label!r}")
+            if not np.props:
+                return
+            pat = ast.NodePattern(var=np.var, label=label, props=np.props)
+            merged = Compiler(g)._run_merge(ast.MergeStmt(node=pat))
+            g.nodes[label] = merged.nodes[label]
 
+        def _ids(np: ast.NodePattern, label: str) -> DataFrame:
+            df = g.nodes[label]
+            for k, v in np.props:
+                df = (df.filter(F.col(k) == F.lit(v))
+                      if k in df.columns else df.limit(0))
+            # MERGE endpoint patterns are point lookups (a handful of ids);
+            # without the coalesce the CartesianProduct below schedules
+            # left-partitions × right-partitions near-empty tasks — 4000+
+            # tasks for a 1×1 pair on a 32-way table
+            return df.select("id").coalesce(1)
+
+        _ensure_nodes(src_pat, es.src_label)
+        _ensure_nodes(dst_pat, es.dst_label)
         a = _ids(src_pat, es.src_label).withColumnRenamed("id", "src")
         b = _ids(dst_pat, es.dst_label).withColumnRenamed("id", "dst")
-        missing = a.crossJoin(b).join(
+        pairs = a.crossJoin(b)
+        missing = pairs.join(
             es.df.select("src", "dst"), ["src", "dst"], "left_anti"
         )
-        g = PropertyGraph(nodes=dict(self.g.nodes), edges=dict(self.g.edges))
+        edge_df = es.df
+        if stmt.on_match:
+            matched = pairs.join(es.df.select("src", "dst"), ["src", "dst"],
+                                 "left_semi").withColumn("__m", F.lit(True))
+            flagged = edge_df.join(matched, ["src", "dst"], "left")
+            for k, v in stmt.on_match:
+                old = F.col(k) if k in edge_df.columns else F.lit(None)
+                flagged = flagged.withColumn(
+                    k, F.when(F.col("__m"), F.lit(v)).otherwise(old)
+                )
+            edge_df = flagged.drop("__m")
         if missing.isEmpty():
+            if edge_df is not es.df:
+                g.edges[rel.rel_type] = EdgeSet(
+                    df=edge_df, src_label=es.src_label, dst_label=es.dst_label
+                )
             return g
-        max_eid = es.df.agg(F.max("edge_id")).first()[0] or 0
+        max_eid = edge_df.agg(F.max("edge_id")).first()[0] or 0
         w = Window.orderBy("src", "dst")
         new = missing.withColumn("edge_id", F.lit(max_eid) + F.row_number().over(w))
-        for c in es.df.columns:
+        for k, v in stmt.on_create:
+            new = new.withColumn(k, F.lit(v))
+        for c in new.columns:  # new edge-property keys extend the table
+            if c not in edge_df.columns:
+                edge_df = edge_df.withColumn(
+                    c, F.lit(None).cast(new.schema[c].dataType)
+                )
+        for c in edge_df.columns:
             if c not in new.columns:
-                new = new.withColumn(c, F.lit(None).cast(es.df.schema[c].dataType))
+                new = new.withColumn(c, F.lit(None).cast(edge_df.schema[c].dataType))
         g.edges[rel.rel_type] = EdgeSet(
-            df=es.df.unionByName(new.select(es.df.columns)),
+            df=edge_df.unionByName(new.select(edge_df.columns)),
             src_label=es.src_label,
             dst_label=es.dst_label,
         )
@@ -452,7 +509,14 @@ class Compiler:
             spark = nodes.sparkSession
             max_id = nodes.agg(F.max("id")).first()[0] or 0
             row = {k: v for k, v in np.props}
-            new = spark.createDataFrame([row]) if row else spark.range(1)
+            if row:
+                # Arrow-path literal (see session.local_df): a pickled-list
+                # relation taxes every later action with a Python task
+                import pandas as pd
+
+                new = spark.createDataFrame(pd.DataFrame([row]))
+            else:
+                new = spark.range(1)
             w = Window.orderBy(F.lit(1))
             new = new.withColumn("id", F.lit(max_id) + F.row_number().over(w))
             for c in new.columns:  # new property keys extend the table
@@ -517,21 +581,42 @@ class Compiler:
         """MERGE = match full pattern else create, with ON CREATE SET /
         ON MATCH SET (`src/cypher/executor.rs:740-1211`)."""
         np = stmt.node
-        if np.label is None:
-            raise CypherCompileError("MERGE needs a label")
         g = PropertyGraph(nodes=dict(self.g.nodes), edges=dict(self.g.edges))
+        if np.label is None:
+            # MERGE (n) — matches ANY node (reference
+            # `tests/merge_comprehensive_test.rs:392-406`): a no-op on a
+            # non-empty graph. Creating an anonymous label-less node has no
+            # home in the label-table model → documented divergence.
+            if any(not df.isEmpty() for df in g.nodes.values()):
+                return g
+            raise CypherCompileError(
+                "MERGE without a label on an empty graph is unsupported "
+                "(label-table model has no label-less store)"
+            )
         nodes = g.nodes[np.label]
         spark = nodes.sparkSession
         cond = F.lit(True)
         for k, v in np.props:
-            cond = cond & (F.col(k) == F.lit(v))
+            # a property key the table has never seen can match nothing —
+            # the full pattern is unmatched and MERGE creates (reference
+            # partial-match scenario `merge_comprehensive_test.rs:410-430`)
+            cond = cond & (
+                (F.col(k) == F.lit(v)) if k in nodes.columns else F.lit(False)
+            )
         matched = nodes.filter(cond)
         if matched.isEmpty():
             props = dict(np.props)
             for k, v in stmt.on_create:
                 props[k] = v
             max_id = nodes.agg(F.max("id")).first()[0] or 0
-            new = spark.createDataFrame([props]).withColumn("id", F.lit(max_id + 1))
+            # Arrow-path literal row: a pickled-list relation would re-run
+            # a Python worker task on EVERY later action over the unioned
+            # table (session.local_df docstring has the numbers)
+            import pandas as pd
+
+            new = spark.createDataFrame(pd.DataFrame([props])).withColumn(
+                "id", F.lit(max_id + 1)
+            )
             for c in new.columns:  # new property keys extend the table
                 if c not in nodes.columns:
                     nodes = nodes.withColumn(c, F.lit(None).cast(new.schema[c].dataType))

@@ -392,8 +392,21 @@ class _P:
                 if rel.direction == "both":
                     raise CypherSyntaxError("MERGE rejects undirected relationships")
                 dst = self.node_pattern(anon)
+                rel_on_create: tuple = ()
+                rel_on_match: tuple = ()
+                while self.kw("on"):
+                    self.i += 1
+                    if self.try_kw("create"):
+                        self.eat_kw("set")
+                        _, rel_on_create = self.set_updates()
+                    else:
+                        self.eat_kw("match")
+                        self.eat_kw("set")
+                        _, rel_on_match = self.set_updates()
                 return ast.MergeRelStmt(
-                    path=ast.PatternPath(start=node, hops=((rel, dst),))
+                    path=ast.PatternPath(start=node, hops=((rel, dst),)),
+                    on_create=rel_on_create,
+                    on_match=rel_on_match,
                 )
             on_create: tuple = ()
             on_match: tuple = ()

@@ -155,8 +155,10 @@ def has_path(
 ) -> bool:
     """Reachability (`src/algorithms/shortest_path.rs:314-323`)."""
     spark = graph.edges[rel_type].df.sparkSession
-    start = spark.createDataFrame([(src_id,)], "id long")
-    target = spark.createDataFrame([(dst_id,)], "id long")
+    # JVM-side one-row literals: a pickled-list relation would re-run a
+    # Python worker task on every action over the plan (session.local_df)
+    start = spark.range(1).select(F.lit(int(src_id)).cast("long").alias("id"))
+    target = spark.range(1).select(F.lit(int(dst_id)).cast("long").alias("id"))
     reached = bfs_distances(graph, start, rel_type, direction, max_depth, target)
     return not reached.join(target, "id").isEmpty()
 
@@ -173,8 +175,10 @@ def shortest_path_length(
     edge weights fixed to 1 (`src/algorithms/shortest_path.rs:404-451`), so
     BFS depth IS its answer."""
     spark = graph.edges[rel_type].df.sparkSession
-    start = spark.createDataFrame([(src_id,)], "id long")
-    target = spark.createDataFrame([(dst_id,)], "id long")
+    # JVM-side one-row literals: a pickled-list relation would re-run a
+    # Python worker task on every action over the plan (session.local_df)
+    start = spark.range(1).select(F.lit(int(src_id)).cast("long").alias("id"))
+    target = spark.range(1).select(F.lit(int(dst_id)).cast("long").alias("id"))
     dists = bfs_distances(graph, start, rel_type, direction, max_depth, target)
     row = dists.join(target, "id").select("dist").first()
     return None if row is None else row["dist"]
@@ -200,7 +204,10 @@ def shortest_path_counts(
     edges, _ = _edges_for(graph, rel_type, direction)
     edges = edges.localCheckpoint(eager=True)
     spark = edges.sparkSession
-    current = spark.createDataFrame([(start_id, 1)], "id long, n_paths long")
+    current = spark.range(1).select(
+        F.lit(int(start_id)).cast("long").alias("id"),
+        F.lit(1).cast("long").alias("n_paths"),
+    )
     visited = current.withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
     depth = 0
     while max_depth is None or depth < max_depth:
@@ -239,7 +246,10 @@ def all_simple_paths_counts(
     edges, _ = _edges_for(graph, rel_type, direction)
     edges = edges.localCheckpoint(eager=True)
     spark = edges.sparkSession
-    paths = spark.createDataFrame([(start_id, [start_id])], "id long, path array<long>")
+    paths = spark.range(1).select(
+        F.lit(int(start_id)).cast("long").alias("id"),
+        F.array(F.lit(int(start_id)).cast("long")).alias("path"),
+    )
     counts: list[tuple[int, int]] = []
     for depth in range(1, max_depth + 1):
         paths = (
@@ -255,7 +265,9 @@ def all_simple_paths_counts(
         if n == 0:
             break
         counts.append((depth, n))
-    return spark.createDataFrame(counts, "depth int, n_paths long")
+    from rs_graphdb_spark.session import local_df
+
+    return local_df(spark, counts, "depth int, n_paths long")
 
 
 def weighted_shortest_paths(
@@ -288,7 +300,10 @@ def weighted_shortest_paths(
         )
     edges = edges.localCheckpoint(eager=True)
     spark = edges.sparkSession
-    dists = spark.createDataFrame([(start_id, 0)], "id long, cost long").localCheckpoint(
+    dists = spark.range(1).select(
+        F.lit(int(start_id)).cast("long").alias("id"),
+        F.lit(0).cast("long").alias("cost"),
+    ).localCheckpoint(
         eager=True
     )
     for _ in range(max_iters):
@@ -344,9 +359,10 @@ def shortest_path_with_rels(
 
     spark = edges.sparkSession
     edges = edges.select("edge_id", "src", "dst").localCheckpoint(eager=True)
-    frontier = spark.createDataFrame(
-        [(int(start), [int(start)], [])],
-        "node long, path array<long>, rels array<long>",
+    frontier = spark.range(1).select(
+        F.lit(int(start)).cast("long").alias("node"),
+        F.array(F.lit(int(start)).cast("long")).alias("path"),
+        F.array().cast("array<long>").alias("rels"),
     )
     if start == end:
         return frontier.select(

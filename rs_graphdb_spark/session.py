@@ -12,6 +12,30 @@ import os
 from pyspark.sql import SparkSession
 
 
+def local_df(spark: SparkSession, data, schema: str):
+    """Small local-literal DataFrame via the Arrow fast path.
+
+    ``spark.createDataFrame(list_of_tuples)`` pickles rows into a Python
+    RDD — EVERY subsequent action on any plan containing that relation
+    re-runs a Python worker task (measured 3-7 s per job on this box).
+    Routing the same rows through pandas hits the Arrow conversion and
+    lands JVM-side: ~0.1 s per action. Use for every literal frame that
+    participates in later queries (created nodes/edges, empty seeds).
+    """
+    import pandas as pd
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(schema)
+    rows = [tuple(r) if not isinstance(r, tuple) else r for r in data]
+    if not rows:
+        return spark.createDataFrame([], st)
+    # dtype=object keeps None as None (a typed pandas column would turn it
+    # into NaN, which is NOT SQL NULL after conversion); the explicit
+    # schema pins exact Spark types
+    pdf = pd.DataFrame(rows, columns=st.fieldNames(), dtype=object)
+    return spark.createDataFrame(pdf, schema=st)
+
+
 def get_spark(app_name: str = "rs-graphdb-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from rs_graphdb_spark.cypher import execute_cypher
 from rs_graphdb_spark.graph import EdgeSet, PropertyGraph
+from rs_graphdb_spark.session import local_df
 from rs_graphdb_spark.sources.json_api import json_query, substring_search
 
 MAX_ROWS = 1000
@@ -79,6 +80,20 @@ class GraphHTTPServer:
 
             def _dispatch(self, method: str) -> None:
                 try:
+                    if self.path.startswith("/grpc/"):
+                        n = int(self.headers.get("Content-Length", 0))
+                        blob = outer._route_grpc(
+                            method, self.path, self.rfile.read(n)
+                        )
+                        if blob is None:
+                            self.send_error(404)
+                            return
+                        self.send_response(200)
+                        self.send_header("Content-Type", "application/x-protobuf")
+                        self.send_header("Content-Length", str(len(blob)))
+                        self.end_headers()
+                        self.wfile.write(blob)
+                        return
                     out = outer._route(method, self.path, self._body)
                     if out is None:
                         self.send_error(404)
@@ -116,6 +131,71 @@ class GraphHTTPServer:
             with self._lock:
                 return self._route_locked(method, path, body_fn)
         return self._route_locked(method, path, body_fn)
+
+    def _route_grpc(self, method: str, path: str, body: bytes) -> bytes | None:
+        """The reference's three gRPC RPCs (`proto/graphdb.proto:59-64`,
+        `src/grpc/mod.rs:1-50`) served as protobuf-over-HTTP unary calls
+        (the grpc-web/Connect shape): ``POST /grpc/<Method>`` with
+        ``application/x-protobuf`` request/response bodies, encoded by the
+        dependency-free codec in `sources/protowire.py`. Same engine calls
+        as the JSON routes — this closes the transport-parity gap without
+        a second server."""
+        from rs_graphdb_spark.sources import protowire as pw
+
+        if method != "POST":
+            return None
+        if path == "/grpc/CreateNode":
+            req = pw.decode_create_node_request(body)
+            label = (req["labels"] or ["Node"])[0]
+            props = dict(req["properties"])
+            with self._lock:
+                g = self.graph
+                if "id" in props:
+                    nid = int(props["id"])
+                else:  # dense next-id like the reference's counter
+                    nid = (
+                        (g.nodes[label].agg(F.max("id")).first()[0] or 0) + 1
+                        if label in g.nodes else 1
+                    )
+                self._create_nodes(
+                    [{"labels": [label], "properties": {**props, "id": nid}}]
+                )
+            return pw.encode_node(nid, [label], props)
+        if path == "/grpc/CreateRelationship":
+            req = pw.decode_create_rel_request(body)
+            with self._lock:
+                g = self.graph
+                if req["rel_type"] in g.edges:
+                    eid = (
+                        g.edges[req["rel_type"]].df.agg(F.max("edge_id"))
+                        .first()[0] or 0
+                    ) + 1
+                else:
+                    eid = 1
+                self._create_rels([{
+                    "rel_type": req["rel_type"], "edge_id": eid,
+                    "src": req["start"], "dst": req["end"],
+                }])
+            return pw.encode_relationship(
+                eid, req["start"], req["end"], req["rel_type"],
+                req["properties"],
+            )
+        if path == "/grpc/ExecuteCypher":
+            query = pw.decode_cypher_request(body)
+            with self._lock:
+                res = execute_cypher(self.graph, query)
+                if isinstance(res, PropertyGraph):
+                    self.graph = res
+                    return pw.encode_cypher_response([])
+            rows = []
+            for r in res.limit(MAX_ROWS).collect():
+                d = r.asDict(recursive=True)
+                rows.append({
+                    k: (v if isinstance(v, (bool, int, float, str)) else str(v))
+                    for k, v in d.items()
+                })
+            return pw.encode_cypher_response(rows)
+        return None
 
     def _route_locked(self, method: str, path: str, body_fn) -> dict | None:
         g = self.graph
@@ -255,7 +335,9 @@ class GraphHTTPServer:
             nodes = dict(self.graph.nodes)
             created = 0
             for label, rows in by_label.items():
-                new = spark.createDataFrame(rows)
+                import pandas as pd
+
+                new = spark.createDataFrame(pd.DataFrame(rows))
                 new = new.select(F.col("id").cast("long"), *
                                  [c for c in new.columns if c != "id"])
                 if label in nodes:
@@ -279,9 +361,7 @@ class GraphHTTPServer:
             edges = dict(self.graph.edges)
             created = 0
             for rt, rows in by_type.items():
-                new = spark.createDataFrame(
-                    rows, "edge_id long, src long, dst long"
-                )
+                new = local_df(spark, rows, "edge_id long, src long, dst long")
                 if rt in edges:
                     edges[rt] = dc_replace(
                         edges[rt],

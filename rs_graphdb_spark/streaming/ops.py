@@ -248,7 +248,8 @@ class StreamProgressRecorder:
             def onQueryProgress(self, event) -> None:
                 p = event.progress
                 recorder._batches.append(
-                    {"batch_index": p.batchId, "rows": p.numInputRows}
+                    {"batch_index": p.batchId, "rows": p.numInputRows,
+                     "query_id": str(p.id)}
                 )
 
             def onQueryIdle(self, event) -> None:
@@ -267,8 +268,30 @@ class StreamProgressRecorder:
     def detach(self, spark: SparkSession) -> None:
         spark.streams.removeListener(self.listener)
 
-    def markers(self) -> list[dict]:
-        return list(self._batches)
+    def markers(self, query_id: str | None = None) -> list[dict]:
+        """Markers in completion order; pass the StreamingQuery's ``id`` to
+        scope to one query (listener callbacks are session-global AND
+        asynchronous — callers should poll until their expected row total
+        arrives, see ``wait_for_rows``)."""
+        out = list(self._batches)
+        if query_id is not None:
+            out = [m for m in out if m.get("query_id") == str(query_id)]
+        return out
+
+    def wait_for_rows(self, query_id: str, expected_rows: int,
+                      timeout_s: float = 60.0) -> list[dict]:
+        """Block until the query's markers account for ``expected_rows``
+        input rows (progress events arrive on a listener bus AFTER
+        ``awaitTermination`` returns), then return them."""
+        import time
+
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            got = self.markers(query_id)
+            if sum(m["rows"] for m in got) >= expected_rows:
+                return got
+            time.sleep(0.1)
+        return self.markers(query_id)
 
 
 def append_edge_sink(

@@ -157,3 +157,79 @@ def test_rest_cache_routes(server):
     assert st == 200 and "stats" in out
     st, out = _call(server, "POST", "/cache/clear", {})
     assert out["ok"] is True
+
+
+def _post_pb(server, path, blob):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}",
+        data=blob,
+        headers={"Content-Type": "application/x-protobuf"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, resp.read()
+
+
+def test_protowire_roundtrips():
+    """Codec self-consistency for every graphdb.proto message shape,
+    including negative ints, bools, doubles, and multi-entry maps."""
+    from rs_graphdb_spark.sources import protowire as pw
+
+    props = {"name": "Alice", "age": 30, "score": -2.5, "neg": -7, "ok": True}
+    assert pw.decode_node(pw.encode_node(5, ["Person", "User"], props)) == {
+        "id": 5, "labels": ["Person", "User"], "properties": props
+    }
+    rel = pw.decode_relationship(
+        pw.encode_relationship(9, 1, 2, "KNOWS", {"since": 2024}))
+    assert rel == {"id": 9, "start": 1, "end": 2, "rel_type": "KNOWS",
+                   "properties": {"since": 2024}}
+    assert pw.decode_create_node_request(
+        pw.encode_create_node_request(["N"], props)
+    ) == {"labels": ["N"], "properties": props}
+    assert pw.decode_create_rel_request(
+        pw.encode_create_rel_request(3, 4, "LINK", {})
+    ) == {"start": 3, "end": 4, "rel_type": "LINK", "properties": {}}
+    assert pw.decode_cypher_request(pw.encode_cypher_request("MATCH (n)")) == "MATCH (n)"
+    rows = [{"a": 1, "b": "x"}, {"a": -2, "b": "y"}]
+    assert pw.decode_cypher_response(pw.encode_cypher_response(rows)) == rows
+
+
+def test_grpc_execute_cypher_route(server):
+    """protobuf-over-HTTP ExecuteCypher: same rows as the JSON route."""
+    from rs_graphdb_spark.sources import protowire as pw
+
+    q = ("MATCH (n:Nation) WHERE n.n_regionkey = 1 "
+         "RETURN n.n_name AS name ORDER BY name")
+    status, blob = _post_pb(server, "/grpc/ExecuteCypher",
+                            pw.encode_cypher_request(q))
+    assert status == 200
+    rows = pw.decode_cypher_response(blob)
+    _, js = _post(server, "/cypher", {"query": q})
+    assert [r["name"] for r in rows] == [r["name"] for r in js["rows"]]
+
+
+def test_grpc_create_node_and_relationship(server):
+    """CreateNode / CreateRelationship RPCs mutate the served graph and
+    echo the created entities (graphdb.proto:59-64 semantics)."""
+    from rs_graphdb_spark.sources import protowire as pw
+
+    status, blob = _post_pb(
+        server, "/grpc/CreateNode",
+        pw.encode_create_node_request(
+            ["Nation"], {"n_name": "PROTOLAND", "n_regionkey": 2}),
+    )
+    assert status == 200
+    node = pw.decode_node(blob)
+    assert node["labels"] == ["Nation"]
+    assert node["properties"]["n_name"] == "PROTOLAND"
+    nid = node["id"]
+    _, out = _post(server, "/query", {
+        "label": "Nation", "property": "n_name", "value": "PROTOLAND"})
+    assert len(out["rows"]) == 1
+
+    status, blob = _post_pb(
+        server, "/grpc/CreateRelationship",
+        pw.encode_create_rel_request(nid, nid, "SELF", {}),
+    )
+    assert status == 200
+    rel = pw.decode_relationship(blob)
+    assert rel["start"] == nid and rel["end"] == nid and rel["rel_type"] == "SELF"
