@@ -628,11 +628,16 @@ def q46_ngram_jaccard(spark, sf_dir):
 
 
 def q47_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact all-pairs form; LSH-bucketed
-    scale path in functions/similarity.py)."""
+    """Embedding-cosine near-dup pairs — exact all-pairs BASELINE, so it
+    runs on a bounded probe set (vec_id < 2^20 = the first shard at any
+    synthesized scale; a no-op at the driver's sf0.01/sf0.1 where all ids
+    are < 2000). The quadratic form must never grow with the corpus —
+    the full-corpus scale path is the LSH part of the q43 suite."""
     from rs_graphdb_spark.functions.dedup import embedding_near_dup_pairs
 
-    emb = _read(spark, sf_dir, "embeddings").select(
+    emb = _read(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < (1 << 20)
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     return embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.45).select(
@@ -1215,7 +1220,11 @@ def q82_bucketed_hop(spark, sf_dir):
         .groupBy(F.col("c.c_mktsegment").alias("c_mktsegment"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o.o_totalprice"), 4).alias("revenue"),
+            # DECIMAL sum: a double sum's addition order differs between
+            # Spark and DuckDB, and at sf1 the drift (≈2e-4 on 1.5M rows)
+            # survives round(4) — exact decimal arithmetic does not
+            F.sum(F.col("o.o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
         )
     )
 
@@ -3196,7 +3205,8 @@ def _oracle_base() -> dict[str, str]:
         """,
         "q46_ngram_jaccard": JACCARD_PAIRS.format(threshold=0.5),
         "q47_embedding_neardup": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id < 1048576)
             SELECT a.vec_id AS a, b.vec_id AS b,
                    round(list_cosine_similarity(a.v, b.v), 6) AS cos
             FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -3528,7 +3538,8 @@ def _oracle_base() -> dict[str, str]:
         """,
         "q82_bucketed_hop": """
             SELECT c_mktsegment, count(*) AS n_orders,
-                   round(sum(o_totalprice), 4) AS revenue
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
             FROM customer JOIN orders ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,

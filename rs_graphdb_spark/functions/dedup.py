@@ -271,8 +271,11 @@ def _prefix_postings(sh: DataFrame, threshold: float) -> DataFrame:
 
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df_"))
     w_doc = Window.partitionBy("doc").orderBy(F.col("df_").asc(), F.col("s").asc())
+    # shuffle_hash hint: both sides come off localCheckpoint leaves whose
+    # size Catalyst can't estimate; a mis-chosen broadcast of the posting
+    # frame OOMs the driver at scale (seen at the 10x probe)
     ranked = (
-        sh.join(dfreq, "s")
+        sh.join(dfreq.hint("shuffle_hash"), "s")
         .withColumn("rn", F.row_number().over(w_doc))
         .withColumn("n", F.count("*").over(Window.partitionBy("doc")))
     )
@@ -312,10 +315,10 @@ def ngram_jaccard_pairs(
       ``|S| − ⌈t·|S|⌉ + 1`` shingles become join keys; candidates are then
       verified with EXACT Jaccard over the full non-stop sets, so the
       result is identical to the unfiltered join (a property test pins
-      this). Default ``None`` = auto: on for threshold ≥ 0.7 (where the
-      prefix keeps ~30% of postings and cuts candidate mass ~10×), off
-      below (measured crossover at sf0.1 — the extra rank/verify stages
-      outweigh a <2× mass cut).
+      this). Default off: benchmarked slower than the fused pipeline on
+      every corpus shape and threshold tried (PLANS.md round-3 table) —
+      it exists as an opt-in for extreme-df corpora where the count
+      path's Σdf² genuinely explodes.
 
     Pass a precomputed ``sets_df`` (from :func:`shingle_sets`) to share the
     shingle frame across dedup passes."""
@@ -341,11 +344,14 @@ def ngram_jaccard_pairs(
     )
     gp = g.filter(F.size("ds") >= 2).select(F.array_sort("ds").alias("ds"))
     if prefix_filter is None:
-        # auto: the prefix filter pays when it removes most of each doc's
-        # postings (prefix len = n − ⌈t·n⌉ + 1); below t≈0.7 the extra
-        # ranking/verify stages cost more than the ~2× mass cut saves
-        # (measured at sf0.1, PLANS.md round-3 table)
-        prefix_filter = threshold >= 0.7
+        # default OFF: measured on both corpus shapes (typical sf0.1 and a
+        # mirrored-shard near-dup-dense 10×) at t=0.5 AND t=0.8, the fused
+        # grouped-posting pipeline beat the prefix path every time — when
+        # near-dups dominate, the duplicates share exactly the rare
+        # (prefix) shingles, so the mass cut never outweighs the extra
+        # rank/verify stages (PLANS.md round-3 crossover table). Opt in
+        # for extreme-df corpora where Σdf² genuinely explodes.
+        prefix_filter = False
     if prefix_filter:
         # non-stop postings rebuilt from the checkpointed grouped frame —
         # ranking and verification must both exclude stop shingles
@@ -356,10 +362,17 @@ def ngram_jaccard_pairs(
             .filter(F.size("ds") >= 2)
             .select(F.array_sort("ds").alias("ds"))
         )
+        from pyspark import StorageLevel
+
+        # DISK_ONLY, not localCheckpoint: on a near-dup-dense corpus the
+        # candidate set can be tens of millions of rows — an eager
+        # in-memory materialization OOMs the executors (seen at the 10x
+        # probe); disk persistence keeps the two consumers below from
+        # recomputing it while never holding it on-heap
         cands = (
             _posting_pairs(pre_g)
             .dropDuplicates(["a", "b"])
-            .localCheckpoint(eager=True)
+            .persist(StorageLevel.DISK_ONLY)
         )
         # verify on full non-stop sets, but only for docs that appear in a
         # candidate pair — the collect_list agg never touches the rest of
@@ -376,7 +389,9 @@ def ngram_jaccard_pairs(
         )
         verified = exact_jaccard(cands, arrs.withColumnRenamed("doc", "doc_id"),
                                  "doc_id", "sets")
-        return _materialize_result(verified.filter(F.col("jaccard") >= threshold))
+        return _materialize_result(
+            verified.filter(F.col("jaccard") >= threshold), cands
+        )
     inter = _posting_pairs(gp).groupBy("a", "b").agg(F.count("*").alias("i"))
     na = sizes.select(F.col("doc").alias("a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc").alias("b"), F.col("n").alias("nb"))

@@ -174,23 +174,43 @@ def embedding_near_dup_lsh(
     P ≈ 2e-3, and the probability decays further as cosine → 1.
 
     Deterministic (seeded planes) → exactly reproducible by a SQL twin
-    embedding the same plane literals."""
-    codes = banded_hyperplane_codes(
-        F.col(vec_col), tables, planes_per_table, dim, seed
+    embedding the same plane literals.
+
+    Exact-duplicate collapse (on by default): real corpora carry many
+    bit-identical embeddings (mirrored shards, re-crawls), and k copies
+    of one vector put k entries into EVERY bucket — candidate work grows
+    k² per buckets instead of 1. Vectors are first grouped by an exact
+    content hash, LSH runs over one representative per group, and member
+    pairs are expanded afterwards — candidate generation is linear in
+    DISTINCT vectors; only the (inherently quadratic) emitted pair list
+    scales with duplicate multiplicity. Output is pair-for-pair identical
+    to the uncollapsed form (members share their representative's
+    buckets, so the candidate set is unchanged)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    vh = F.md5(F.array_join(F.transform("v", lambda x: x.cast("string")), ","))
+    groups = (
+        base.withColumn("vh", vh)
+        .groupBy("vh")
+        .agg(
+            F.min("id").alias("id"),
+            F.sort_array(F.collect_list("id")).alias("members"),
+            F.first("v").alias("v"),
+        )
+        .localCheckpoint(eager=True)
     )
-    c = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
+    codes = banded_hyperplane_codes(F.col("v"), tables, planes_per_table, dim, seed)
+    c = groups.select(
+        "id",
         F.explode(
             F.array(*[
                 F.struct(F.lit(t).alias("tbl"), code.alias("code"))
                 for t, code in enumerate(codes)
             ])
         ).alias("e"),
-    ).select("id", "v", "e.tbl", "e.code")
+    ).select("id", "e.tbl", "e.code")
     par = df.sparkSession.sparkContext.defaultParallelism
     c = c.repartition(par, "tbl", "code").localCheckpoint(eager=True)
-    return (
+    rep_pairs = (
         c.alias("x")
         .join(
             c.alias("y"),
@@ -198,13 +218,42 @@ def embedding_near_dup_lsh(
             & (F.col("x.code") == F.col("y.code"))
             & (F.col("x.id") < F.col("y.id")),
         )
-        .select(
-            F.col("x.id").alias("a"),
-            F.col("y.id").alias("b"),
-            cosine(F.col("x.v"), F.col("y.v")).alias("cos"),
-        )
-        .dropDuplicates(["a", "b"])
+        .select(F.col("x.id").alias("ra"), F.col("y.id").alias("rb"))
+        .dropDuplicates(["ra", "rb"])
+    )
+    # verify at the REPRESENTATIVE level — every member pair of a rep pair
+    # shares the exact same cosine (identical vector bits), so the k²
+    # expansion happens only for pairs that already passed the threshold
+    ga = groups.select(F.col("id").alias("ra"), F.col("members").alias("_ms_a"),
+                       F.col("v").alias("_va"))
+    gb = groups.select(F.col("id").alias("rb"), F.col("members").alias("_ms_b"),
+                       F.col("v").alias("_vb"))
+    survivors = (
+        rep_pairs.join(ga, "ra").join(gb, "rb")
+        .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
         .filter(F.col("cos") >= threshold)
+    )
+    cross = (
+        survivors
+        .select(F.explode("_ms_a").alias("ia"), "_ms_b", "cos")
+        .select("ia", F.explode("_ms_b").alias("ib"), "cos")
+    )
+    within = (
+        groups.filter(F.size("members") > 1)
+        .withColumn("cos", cosine(F.col("v"), F.col("v")))
+        .filter(F.col("cos") >= threshold)  # self-cosine ≈ 1.0; keeps the
+        # uncollapsed form's semantics for any threshold > 1
+        .select(F.col("members").alias("ms"), "cos")
+        .select(F.posexplode("ms").alias("i", "ia"), F.col("ms"), "cos")
+        .select("ia",
+                F.explode(F.slice("ms", F.col("i") + 2, F.size("ms"))).alias("ib"),
+                "cos")
+    )
+    return (
+        cross.unionByName(within)
+        .select(F.least("ia", "ib").alias("a"), F.greatest("ia", "ib").alias("b"),
+                "cos")
+        .dropDuplicates(["a", "b"])
     )
 
 
