@@ -215,6 +215,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     k: int = 3,
     sets_df: DataFrame | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """MinHash/LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -222,13 +223,52 @@ def minhash_dedup_pairs(
     exact Jaccard ≥ threshold. False positives: impossible (exact verify).
     False negatives: banding miss probability only (≈5e-8 at J=0.8).
 
+    ``collapse_exact`` (on by default): documents with IDENTICAL shingle
+    arrays — exact duplicates after normalization, the most common dup
+    shape in crawled corpora — are grouped by a content hash first; the
+    128-hash signatures, banding and Jaccard verification run once per
+    DISTINCT document, and member pairs expand afterwards (cross-group
+    pairs inherit their representatives' verified Jaccard, within-group
+    pairs are exactly 1.0). k copies of one document cost one signature
+    instead of k, and k bucket entries collapse to 1 (k² candidate work
+    → 1). The emitted pair set is identical to the uncollapsed form.
+
     Pass a precomputed ``sets_df`` (from :func:`shingle_sets`) to share the
     shingle frame across dedup passes."""
     if sets_df is None:
         sets_df = shingle_sets(df, id_col, text_col, k)
     # short docs yield empty shingle sets; drop them here or their
     # all-sentinel signatures would collide in every LSH band
-    base = sets_df.filter(F.size("sets") > 0).withColumn(
+    nonempty = sets_df.filter(F.size("sets") > 0)
+    groups = None
+    if collapse_exact:
+        # hash-only pre-pass: shuffle (doc_id, 32-byte hash) — never the
+        # shingle arrays — and SKIP collapse when a cheap agg shows the
+        # corpus has no exact-dup groups at all (the extra join/expansion
+        # stages would be pure overhead)
+        # lazy: the no-dup (skip) case pays exactly one agg pass over the
+        # already-checkpointed sets frame; the collapse case recomputes
+        # the cheap md5 projection once more for the groupBy
+        gh = nonempty.select(
+            "doc_id", F.md5(F.array_join("sets", "\x1f")).alias("_gh")
+        )
+        stats = gh.agg(
+            F.count("*").alias("n"), F.countDistinct("_gh").alias("d")
+        ).first()
+        if stats["d"] < stats["n"]:
+            groups = (
+                gh.groupBy("_gh")
+                .agg(
+                    F.min("doc_id").alias("doc_id"),
+                    F.sort_array(F.collect_list("doc_id")).alias("_members"),
+                )
+                .drop("_gh")
+                .localCheckpoint(eager=True)
+            )
+            nonempty = nonempty.join(
+                groups.select("doc_id"), "doc_id", "left_semi"
+            )
+    base = nonempty.withColumn(
         "sh", F.transform("sets", lambda s: md5_long(s) % MERSENNE_P)
     ).persist()
     # materialize signatures once — the LSH self-join would otherwise
@@ -237,8 +277,33 @@ def minhash_dedup_pairs(
         "doc_id", minhash_signature(F.col("sh")).alias("sig")
     ).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, "doc_id", "sig")
-    verified = exact_jaccard(cands, base.select("doc_id", "sets"), "doc_id", "sets")
-    return _materialize_result(verified.filter(F.col("jaccard") >= threshold), base)
+    verified = exact_jaccard(
+        cands, base.select("doc_id", "sets"), "doc_id", "sets"
+    ).filter(F.col("jaccard") >= threshold)
+    if groups is None:
+        return _materialize_result(verified, base)
+    ga = groups.select(F.col("doc_id").alias("a"), F.col("_members").alias("_ma"))
+    gb = groups.select(F.col("doc_id").alias("b"), F.col("_members").alias("_mb"))
+    cross = (
+        verified.join(ga, "a").join(gb, "b")
+        .select(F.explode("_ma").alias("ia"), "_mb", "jaccard")
+        .select("ia", F.explode("_mb").alias("ib"), "jaccard")
+    )
+    within = (
+        groups.filter(F.size("_members") > 1)
+        .select(F.col("_members").alias("ms"))
+        .select(F.posexplode("ms").alias("i", "ia"), F.col("ms"))
+        .select("ia",
+                F.explode(F.slice("ms", F.col("i") + 2, F.size("ms"))).alias("ib"))
+        .withColumn("jaccard", F.lit(1.0))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    out = (
+        cross.unionByName(within)
+        .select(F.least("ia", "ib").alias("a"),
+                F.greatest("ia", "ib").alias("b"), "jaccard")
+    )
+    return _materialize_result(out, base)
 
 
 def _posting_pairs(g: DataFrame) -> DataFrame:

@@ -578,3 +578,29 @@ def test_ngram_prefix_filter_lossless_and_smaller(spark):
             return sum(r["count"] * (r["count"] - 1) // 2 for r in per)
 
         assert mass(pre) < mass(sh)
+
+
+def test_minhash_collapse_exact_equals_uncollapsed(spark):
+    """Exact-duplicate collapse must emit the identical pair set (same
+    jaccard values) as the uncollapsed pipeline on a corpus with exact
+    dup groups, near-dups, and singletons."""
+    from rs_graphdb_spark.functions.dedup import minhash_dedup_pairs, shingle_sets
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy dog", "sleepy dog", 1)
+    rows = [(1, base), (2, base), (3, base),        # 3-way exact dup group
+            (4, near), (5, near),                   # near-dup pair group
+            (6, "completely different content about spark shuffles here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets_df = shingle_sets(df, "doc_id", "text")
+    fast = {(r["a"], r["b"]): round(r["jaccard"], 9)
+            for r in minhash_dedup_pairs(df, "doc_id", "text", threshold=0.5,
+                                         sets_df=sets_df, collapse_exact=True).collect()}
+    slow = {(r["a"], r["b"]): round(r["jaccard"], 9)
+            for r in minhash_dedup_pairs(df, "doc_id", "text", threshold=0.5,
+                                         sets_df=sets_df, collapse_exact=False).collect()}
+    assert fast == slow
+    assert fast[(1, 2)] == 1.0 and fast[(1, 3)] == 1.0 and fast[(2, 3)] == 1.0
+    assert fast[(4, 5)] == 1.0  # near-dup group is itself an exact dup pair
+    assert (1, 4) in fast and fast[(1, 4)] < 1.0
+    assert not any(6 in p for p in fast)
