@@ -1981,7 +1981,15 @@ def q29_cypher_write(spark, sf_dir):
     merge_stmt = "MERGE (n:Nation {n_nationkey: 0})-[:IN_REGION]->(r:Region {r_regionkey: 4})"
     g4 = execute_cypher(g, merge_stmt)
     g5 = execute_cypher(g4, merge_stmt)  # second run must match, not create
+    # BEGIN/COMMIT/ROLLBACK parse and no-op (§2.11 documented scope:
+    # batch-job atomicity replaces op-log transactions) — the graph must
+    # come through a scripted transaction block unchanged
+    g6 = g
+    for stmt in ("BEGIN TRANSACTION", "COMMIT", "BEGIN", "ROLLBACK"):
+        g6 = execute_cypher(g6, stmt)
     return _quads(
+        _quad("txn_noop",
+              g6.nodes["Nation"].agg(F.count("*").alias("n")), v="n"),
         _quad("created",
               g2.nodes["Nation"].filter(F.col("n_name") == "CREATEDLAND")
               .select("id", "n_name"), k="id", s="n_name"),
@@ -4318,6 +4326,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q28_merge_upsert": base["q40_merge_upsert"],
         "q29_cypher_write": _sql_union(
+            _sql_quad("txn_noop", "SELECT count(*) AS n FROM nation", v="n"),
             _sql_quad("created", created_sql, k="id", s="n_name"),
             _sql_quad("n_after_create", n_after_sql, v="n"),
             _sql_quad("batch_created", batch_sql, k="id", s="n_name"),

@@ -1,0 +1,104 @@
+"""Physical-plan regression tests: the plan SHAPES the 100 TB design
+relies on, asserted at the explain level so a refactor that silently
+adds a shuffle / loses pushdown / drops a broadcast fails CI.
+
+(The bucketed no-Exchange assertion lives in test_sources; the
+composite-prefix PartitionFilters assertion runs inside q97 itself.)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_exchanges(df) -> int:
+    # count shuffle exchanges only (broadcast exchanges are the cheap kind)
+    return sum(
+        1 for ln in _plan(df).splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    )
+
+
+def test_label_scan_pushes_filter_and_prunes_columns(spark, graph):
+    df = (
+        graph.nodes["Customer"]
+        .filter(F.col("c_acctbal") > 1000.0)
+        .select("id", "c_name")
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "c_acctbal" in plan.split("PushedFilters", 1)[1][:200]
+    # projection pruning: the scan must not read the untouched wide columns
+    read = plan.split("ReadSchema", 1)[1][:300]
+    assert "c_mktsegment" not in read and "c_nationkey" not in read
+
+
+def test_one_hop_join_broadcasts_small_dim(spark, graph):
+    nation = graph.nodes["Nation"]
+    cust = graph.nodes["Customer"]
+    edges = graph.edges["CUST_NATION"].df
+    df = (
+        cust.join(edges, cust["id"] == edges["src"])
+        .join(nation, edges["dst"] == nation["id"])
+        .groupBy("n_name").count()
+    )
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_asof_join_is_single_shuffle(spark):
+    from rs_graphdb_spark.operators.temporal import asof_join
+    from rs_graphdb_spark.session import local_df
+
+    left = local_df(spark, [(1, 10), (1, 20)], "user_id long, ts long")
+    right = local_df(spark, [(1, 5, 7)], "user_id long, ts long, event_id long")
+    out = asof_join(left, right, ["user_id"], "ts", "ts", value_cols=["event_id"])
+    # the union-merge design: ONE exchange partitions the unioned frame by
+    # key; everything after is window work on that partitioning
+    assert _n_exchanges(out) == 1, _plan(out)
+
+
+def test_sessionize_is_single_shuffle(spark):
+    from rs_graphdb_spark.operators.temporal import sessionize
+    from rs_graphdb_spark.session import local_df
+
+    ev = local_df(spark, [(1, 10), (1, 20)], "user_id long, ts long")
+    out = sessionize(ev, "user_id", "ts", gap=5)
+    assert _n_exchanges(out) == 1, _plan(out)
+
+
+def test_quality_features_single_jvm_projection(spark):
+    """The single-evaluation struct form must stay ONE JVM projection
+    directly over a 2-column pruned scan — no Python stage, no shuffle,
+    and exactly one tokenizer call in the plan (the lambda binding).
+    (Higher-order functions run as interpreted expressions, outside
+    whole-stage codegen — still JVM-side and single-pass.)"""
+    from rs_graphdb_spark.functions.text import quality_features_struct
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.select("doc_id", quality_features_struct("text").alias("qf"))
+    plan = _plan(df)
+    assert _n_exchanges(df) == 0
+    assert "Python" not in plan  # no UDF fallback crept in
+    assert plan.count("regexp_extract_all") == 1  # tokenizer bound once
+    read = plan.split("ReadSchema", 1)[1][:200]
+    assert "doc_id" in read and "lang" not in read  # column pruning held
+
+
+def test_interval_join_shuffles_on_bucket_key(spark):
+    from rs_graphdb_spark.operators.temporal import interval_join
+    from rs_graphdb_spark.session import local_df
+
+    left = local_df(spark, [(1, 100)], "user_id long, ts long")
+    right = local_df(spark, [(1, 150, 9)], "user_id long, ts long, event_id long")
+    out = interval_join(left, right, ["user_id"], "ts", "ts", 50, 50,
+                        value_cols=["event_id"])
+    plan = _plan(out)
+    # join key must include the derived time bucket, not just user_id —
+    # that is what bounds the per-key fan-out under a hot key
+    assert "_bucket" in plan
