@@ -313,9 +313,24 @@ class _P:
         group_by: list = []
         if self.try_kw("group"):
             self.eat_kw("by")
-            group_by.append(self.prop_ref())
+
+            def _group_key():
+                # `GROUP BY n.prop` or `GROUP BY alias` — the reference
+                # accepts the RETURN-item alias form
+                # (`tests/aggregation_enhanced_test.rs:386-396`)
+                if self.peek(1) == ("op", "."):
+                    return self.prop_ref()
+                alias = self.name()
+                for it in items:
+                    if it.alias == alias and isinstance(it.expr, ast.Prop):
+                        return it.expr
+                raise CypherSyntaxError(
+                    f"GROUP BY {alias!r} does not name a returned property"
+                )
+
+            group_by.append(_group_key())
             while self.try_op(","):
-                group_by.append(self.prop_ref())
+                group_by.append(_group_key())
         order_by: list = []
         if self.try_kw("order"):
             self.eat_kw("by")
