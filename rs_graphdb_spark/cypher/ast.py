@@ -90,11 +90,15 @@ class MatchClause:
 
 @dataclass(frozen=True)
 class WithClause:
-    """`WITH a, b [WHERE ...]` — projects bindings and chains
-    (`src/cypher/executor.rs:100-116`; the reference re-filters its single
-    frontier, we keep the listed variables' columns)."""
+    """`WITH a, b.prop [AS alias] [WHERE ...]` — projects bindings and
+    chains (`src/cypher/executor.rs:100-116`; the reference re-filters its
+    single frontier, we keep the listed variables' columns). ``props``
+    carries property projections ``(Prop, alias|None)`` — aliased ones
+    become plain columns referencable by bare name downstream
+    (`tests/with_clause_test.rs:127-183`)."""
     vars: tuple
     where: object = None
+    props: tuple = ()
 
 
 @dataclass(frozen=True)

@@ -45,6 +45,16 @@ class Compiler:
             raise CypherCompileError(
                 f"cannot infer label for node variable {np.var!r}"
             )
+        if label not in self.g.nodes:
+            # reference parity: MATCH on a label with no store yields an
+            # EMPTY result, not an error (`tests/with_clause_test.rs:
+            # 245-257` — a:NonExistent). Only the id column exists, so a
+            # property access still fails compile, like an unbound name.
+            spark = next(iter(self.g.nodes.values())).sparkSession
+            empty = spark.range(0).select(
+                F.col("id").alias(_pref(np.var, "id"))
+            )
+            return empty, label
         df = self.g.nodes[label]
         for k, v in np.props:
             df = df.filter(F.col(k) == F.lit(v))
@@ -142,13 +152,21 @@ class Compiler:
                     raise CypherCompileError("WITH/WHERE before any MATCH")
                 if m.where is not None:
                     df = df.filter(self._predicate(m.where, df))
-                if m.vars:  # project to the listed variables' columns
+                if m.vars or m.props:  # project to the listed items
                     missing = set(m.vars) - bound
                     if missing:
                         raise CypherCompileError(f"WITH references unbound {missing}")
-                    keep = [c for c in df.columns if c.split("__")[0] in set(m.vars)]
+                    keep = [F.col(c) for c in df.columns
+                            if c.split("__")[0] in set(m.vars)]
+                    for p, alias in m.props:
+                        col = self._col(p, df)
+                        # unaliased `WITH a.name` keeps the namespaced
+                        # column so `RETURN a.name` still resolves;
+                        # aliased becomes a plain bare-name column
+                        keep.append(col.alias(alias) if alias
+                                    else col.alias(_pref(p.var, p.key)))
                     df = df.select(*keep)
-                    bound = set(m.vars)
+                    bound = set(m.vars) | {p.var for p, a in m.props if a is None}
                 continue
             for path in m.paths:
                 pdf, pvars = self._compile_path(path)
@@ -267,8 +285,15 @@ class Compiler:
         else:
             cols = []
             for i in q.items:
-                if isinstance(i.expr, str):  # bare variable → its id column
-                    cols.append(F.col(_pref(i.expr, "id")).alias(i.alias or i.expr))
+                if isinstance(i.expr, str):
+                    # bare name: a node variable → its id column, or a
+                    # plain column created by `WITH ... AS alias`
+                    if _pref(i.expr, "id") in df.columns:
+                        cols.append(F.col(_pref(i.expr, "id")).alias(i.alias or i.expr))
+                    elif i.expr in df.columns:
+                        cols.append(F.col(i.expr).alias(i.alias or i.expr))
+                    else:
+                        raise CypherCompileError(f"unknown variable {i.expr!r}")
                 else:
                     cols.append(self._col(i.expr, df).alias(self._item_name(i)))
             out = df.select(*cols)

@@ -295,11 +295,24 @@ class _P:
                 matches.append(ast.WithClause(vars=(), where=self.or_expr()))
             elif self.kw("with"):
                 self.i += 1
-                wvars = [self.name()]
+                wvars: list = []
+                wprops: list = []
+
+                def _with_item():
+                    if self.peek(1) == ("op", "."):
+                        p = self.prop_ref()
+                        alias = self.name() if self.try_kw("as") else None
+                        wprops.append((p, alias))
+                    else:
+                        wvars.append(self.name())
+
+                _with_item()
                 while self.try_op(","):
-                    wvars.append(self.name())
+                    _with_item()
                 wwhere = self.or_expr() if self.try_kw("where") else None
-                matches.append(ast.WithClause(vars=tuple(wvars), where=wwhere))
+                matches.append(ast.WithClause(
+                    vars=tuple(wvars), where=wwhere, props=tuple(wprops)
+                ))
             elif self.kw("match") or self.kw("optional"):
                 optional = self.try_kw("optional")
                 matches.append(self.match_clause(anon, optional))
