@@ -146,6 +146,14 @@ class CreateStmt:
 
 
 @dataclass(frozen=True)
+class CreateRelStmt:
+    """CREATE (a:L {..})-[:T]->(b:L {..}) — create both endpoint nodes
+    AND the relationship (the reference's create-path form,
+    `tests/cypher_delete_test.rs:41-45`)."""
+    path: PatternPath
+
+
+@dataclass(frozen=True)
 class DeleteStmt:
     """MATCH ... DELETE var — cascades incident edges
     (`src/cypher/executor.rs:650-687`)."""

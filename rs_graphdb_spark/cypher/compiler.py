@@ -328,12 +328,26 @@ class Compiler:
             parts = [self.run_read(p) for p in stmt.parts]
             out = parts[0]
             for p in parts[1:]:
-                out = out.unionByName(p)
+                if set(p.columns) == set(out.columns):
+                    out = out.unionByName(p)
+                elif len(p.columns) == len(out.columns):
+                    # reference unions NODE results regardless of the
+                    # variable names each branch used
+                    # (`tests/union_test.rs:214-238` — RETURN f ∪ RETURN
+                    # u); positional union under the first branch's names
+                    out = out.union(p)
+                else:
+                    raise CypherCompileError(
+                        "UNION branches return different column counts: "
+                        f"{out.columns} vs {p.columns}"
+                    )
             # UNION dedups whole rows (standard SQL; reference dedups by
             # node id, `src/cypher/executor.rs:1669-1682`)
             return out if stmt.all else out.dropDuplicates()
         if isinstance(stmt, ast.CreateStmt):
             return self._run_create(stmt)
+        if isinstance(stmt, ast.CreateRelStmt):
+            return self._run_create_rel(stmt)
         if isinstance(stmt, ast.DeleteStmt):
             return self._run_delete(stmt)
         if isinstance(stmt, ast.SetStmt):
@@ -520,37 +534,98 @@ class Compiler:
         return out
 
     # -- DML (graph-rewrite semantics; returns the NEW node DataFrame) ---
+    def _create_node(self, g: PropertyGraph, np: ast.NodePattern) -> int:
+        """Append one node row from a pattern; opens a new label table
+        for a previously-unseen label. Returns the new id (mutates g's
+        node dict)."""
+        if np.label is None:
+            raise CypherCompileError("CREATE needs a label")
+        row = {k: v for k, v in np.props}
+        spark = (
+            next(iter(g.nodes.values())).sparkSession if g.nodes
+            else None
+        )
+        if np.label not in g.nodes:
+            if spark is None:
+                raise CypherCompileError(
+                    "CREATE on an empty graph needs a SparkSession-bearing "
+                    "table — load at least one label first"
+                )
+            import pandas as pd
+
+            new = (
+                spark.createDataFrame(pd.DataFrame([row])) if row
+                else spark.range(1).select()
+            ).withColumn("id", F.lit(1).cast("long"))
+            g.nodes[np.label] = new.select("id", *[c for c in new.columns
+                                                   if c != "id"])
+            return 1
+        nodes = g.nodes[np.label]
+        spark = nodes.sparkSession
+        max_id = int(nodes.agg(F.max("id")).first()[0] or 0)
+        if row:
+            # Arrow-path literal (see session.local_df): a pickled-list
+            # relation taxes every later action with a Python task
+            import pandas as pd
+
+            new = spark.createDataFrame(pd.DataFrame([row]))
+        else:
+            new = spark.range(1).select()
+        new = new.withColumn("id", F.lit(max_id + 1).cast("long"))
+        for c in new.columns:  # new property keys extend the table
+            if c not in nodes.columns:
+                nodes = nodes.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+        for c in nodes.columns:
+            if c not in new.columns:
+                new = new.withColumn(c, F.lit(None).cast(nodes.schema[c].dataType))
+        g.nodes[np.label] = nodes.unionByName(new.select(nodes.columns))
+        return max_id + 1
+
     def _run_create(self, stmt: ast.CreateStmt) -> PropertyGraph:
         """CREATE appends rows (`src/cypher/executor.rs:610-648`); id =
-        max(id)+row_number — dense-enough without a single writer
+        max(id)+1 per created node — dense-enough without a single writer
         (SURVEY.md §7 hard-point #4)."""
-        from pyspark.sql import Window
-
         g = PropertyGraph(nodes=dict(self.g.nodes), edges=dict(self.g.edges))
         for np in stmt.nodes:
-            if np.label is None:
-                raise CypherCompileError("CREATE needs a label")
-            nodes = g.nodes[np.label]
-            spark = nodes.sparkSession
-            max_id = nodes.agg(F.max("id")).first()[0] or 0
-            row = {k: v for k, v in np.props}
-            if row:
-                # Arrow-path literal (see session.local_df): a pickled-list
-                # relation taxes every later action with a Python task
-                import pandas as pd
+            self._create_node(g, np)
+        return g
 
-                new = spark.createDataFrame(pd.DataFrame([row]))
-            else:
-                new = spark.range(1)
-            w = Window.orderBy(F.lit(1))
-            new = new.withColumn("id", F.lit(max_id) + F.row_number().over(w))
-            for c in new.columns:  # new property keys extend the table
-                if c not in nodes.columns:
-                    nodes = nodes.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
-            for c in nodes.columns:
-                if c not in new.columns:
-                    new = new.withColumn(c, F.lit(None).cast(nodes.schema[c].dataType))
-            g.nodes[np.label] = nodes.unionByName(new.select(nodes.columns))
+    def _run_create_rel(self, stmt: ast.CreateRelStmt) -> PropertyGraph:
+        """CREATE (a:L {..})-[:T]->(b:L {..}): unconditionally create BOTH
+        endpoint nodes and the relationship (reference create-path form,
+        `tests/cypher_delete_test.rs:41-45`). A previously-unseen rel type
+        opens a new EdgeSet between the pattern labels."""
+        from rs_graphdb_spark.graph import EdgeSet
+        from rs_graphdb_spark.session import local_df
+
+        (rel, dst_node) = stmt.path.hops[0]
+        src_pat, dst_pat = stmt.path.start, dst_node
+        if rel.direction == "in":
+            src_pat, dst_pat = dst_pat, src_pat
+        g = PropertyGraph(nodes=dict(self.g.nodes), edges=dict(self.g.edges))
+        sid = self._create_node(g, src_pat)
+        did = self._create_node(g, dst_pat)
+        spark = next(iter(g.nodes.values())).sparkSession
+        if rel.rel_type in g.edges:
+            es = g.edges[rel.rel_type]
+            max_eid = int(es.df.agg(F.max("edge_id")).first()[0] or 0)
+            new = local_df(spark, [(max_eid + 1, sid, did)],
+                           "edge_id long, src long, dst long")
+            g.edges[rel.rel_type] = EdgeSet(
+                df=es.df.unionByName(new, allowMissingColumns=True),
+                src_label=es.src_label, dst_label=es.dst_label,
+            )
+        else:
+            if not (src_pat.label and dst_pat.label):
+                raise CypherCompileError(
+                    f"new relationship type {rel.rel_type!r} needs labeled "
+                    "endpoint patterns"
+                )
+            g.edges[rel.rel_type] = EdgeSet(
+                df=local_df(spark, [(1, sid, did)],
+                            "edge_id long, src long, dst long"),
+                src_label=src_pat.label, dst_label=dst_pat.label,
+            )
         return g
 
     def _match_victims(self, match: ast.MatchClause, where, var: str) -> tuple[DataFrame, str]:

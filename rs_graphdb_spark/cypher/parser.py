@@ -407,6 +407,15 @@ class _P:
             self.i += 1
             anon: list = []
             nodes = [self.node_pattern(anon)]
+            t, v = self.peek()
+            if t == "op" and v in ("-", "<-"):  # CREATE path form
+                rel = self.rel_pattern()
+                if rel.direction == "both":
+                    raise CypherSyntaxError("CREATE rejects undirected relationships")
+                dst = self.node_pattern(anon)
+                return ast.CreateRelStmt(
+                    path=ast.PatternPath(start=nodes[0], hops=((rel, dst),))
+                )
             while self.try_op(","):
                 nodes.append(self.node_pattern(anon))
             return ast.CreateStmt(nodes=tuple(nodes))
