@@ -479,13 +479,22 @@ class Compiler:
         (id // ID_STRIDE — graph.LABEL_INDEX)."""
         from rs_graphdb_spark.graph import ID_STRIDE, LABEL_INDEX
 
+        if not stmt.ids:  # FOREACH over [] is a no-op (foreach_test.rs:58)
+            return PropertyGraph(nodes=dict(self.g.nodes),
+                                 edges=dict(self.g.edges))
         idxs = {i // ID_STRIDE for i in stmt.ids}
         if len(idxs) != 1:
             raise CypherCompileError("FOREACH ids must share one label namespace")
         rev = {v: k for k, v in LABEL_INDEX.items()}
         label = rev.get(idxs.pop())
         if label is None or label not in self.g.nodes:
-            raise CypherCompileError("FOREACH ids resolve to no known label")
+            # raw dense ids (the reference's single-store model,
+            # `tests/foreach_test.rs`): unambiguous when the graph has
+            # exactly one node label
+            if len(self.g.nodes) == 1:
+                label = next(iter(self.g.nodes))
+            else:
+                raise CypherCompileError("FOREACH ids resolve to no known label")
         g = PropertyGraph(nodes=dict(self.g.nodes), edges=dict(self.g.edges))
         nodes = g.nodes[label]
         hit = F.col("id").isin(list(stmt.ids))
