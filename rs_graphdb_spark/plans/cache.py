@@ -68,6 +68,16 @@ class QueryCache:
         for k in list(self._entries):
             self._evict(k)
 
+    def cleanup(self) -> int:
+        """Evict TTL-expired entries; returns how many were removed (the
+        reference's `POST /cache/cleanup`, `src/server.rs:110`)."""
+        now = time.monotonic()
+        victims = [k for k, (_, born, _) in self._entries.items()
+                   if now - born > self.ttl]
+        for k in victims:
+            self._evict(k)
+        return len(victims)
+
     def _evict(self, key: str) -> None:
         df, _, _ = self._entries.pop(key)
         df.unpersist()

@@ -2,10 +2,12 @@
 axum server (`/root/reference/src/server.rs:83-111`):
 
 POST `/query` `/cypher` `/search` `/nodes` `/rels` `/batch/nodes`
-`/batch/rels` `/cache/clear`; GET `/` `/nodes` `/nodes/<id>`
-`/nodes/<id>/neighbors` `/rels` `/rels/<id>` `/stats` `/labels`
-`/rel-types` `/cache/stats`; PUT `/nodes/<id>` `/rels/<id>`;
-DELETE `/nodes/<id>` `/rels/<id>`.
+`/batch/rels` `/cache/clear` `/cache/cleanup`; GET `/` `/ui` `/nodes`
+`/nodes/<id>` `/nodes/<id>/neighbors` `/rels` `/rels/<id>` `/stats`
+`/labels` `/rel-types` `/cache/stats` `/sysinfo` `/queries` `/dbs`;
+PUT `/nodes/<id>` `/rels/<id>`; DELETE `/nodes/<id>` `/rels/<id>`;
+plus the three protobuf-over-HTTP RPCs under `/grpc/<Method>`
+(`sources/protowire.py`).
 
 Stdlib `ThreadingHTTPServer` only (no web framework in this environment);
 engine logic lives in `sources/json_api.py`, `cypher/`, `operators/dml.py`
@@ -80,6 +82,23 @@ class GraphHTTPServer:
 
             def _dispatch(self, method: str) -> None:
                 try:
+                    if method == "GET" and self.path == "/ui":
+                        # minimal HTML shell (the reference serves its Vue
+                        # bundle here, `src/server.rs:85`; the engine-side
+                        # data endpoints below are the actual surface)
+                        html = (
+                            "<!doctype html><html><head><title>rs-graphdb-"
+                            "spark</title></head><body><h1>rs-graphdb-spark"
+                            "</h1><p>JSON API: /nodes /rels /query /cypher "
+                            "/stats /labels /rel-types /search /sysinfo "
+                            "/dbs — protobuf: /grpc/*</p></body></html>"
+                        ).encode()
+                        self.send_response(200)
+                        self.send_header("Content-Type", "text/html")
+                        self.send_header("Content-Length", str(len(html)))
+                        self.end_headers()
+                        self.wfile.write(html)
+                        return
                     if self.path.startswith("/grpc/"):
                         n = int(self.headers.get("Content-Length", 0))
                         blob = outer._route_grpc(
@@ -116,6 +135,9 @@ class GraphHTTPServer:
             def do_DELETE(self):
                 self._dispatch("DELETE")
 
+        import time as _time
+
+        self._born = _time.monotonic()
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._thread: threading.Thread | None = None
@@ -215,6 +237,43 @@ class GraphHTTPServer:
                 }
             if path == "/cache/stats":
                 return {"stats": self._cache().stats()}
+            if path == "/sysinfo":
+                # reference `/sysinfo` (`src/server.rs:99`,
+                # `tests/server_api_test.rs:402-426`): runtime + store
+                # shape. kernel_version maps to the Spark version; uptime
+                # since server construction.
+                spark = next(iter(g.nodes.values())).sparkSession
+                node_count = sum(df.count() for df in g.nodes.values())
+                rel_count = sum(es.df.count() for es in g.edges.values())
+                up = int(__import__("time").monotonic() - self._born)
+                return {
+                    "kernel_version": f"spark-{spark.version}",
+                    "store_size": node_count + rel_count,
+                    "node_id_count": node_count,
+                    "rel_id_count": rel_count,
+                    "uptime": f"{up // 3600}h{(up % 3600) // 60}m",
+                    "databases": [{
+                        "name": "default",
+                        "node_count": node_count,
+                        "rel_count": rel_count,
+                    }],
+                }
+            if path == "/queries":
+                # reference returns [] (no query tracking,
+                # `tests/server_api_test.rs:429-437`); Spark actually HAS
+                # live job tracking — report the active jobs
+                spark = next(iter(g.nodes.values())).sparkSession
+                tracker = spark.sparkContext.statusTracker()
+                return {"queries": [
+                    {"job_id": int(jid), "status": "RUNNING"}
+                    for jid in tracker.getActiveJobsIds()
+                ]}
+            if path == "/dbs":
+                return {"databases": [{
+                    "name": "default",
+                    "node_count": sum(df.count() for df in g.nodes.values()),
+                    "rel_count": sum(es.df.count() for es in g.edges.values()),
+                }]}
             if m := _NODE_ID.match(path):
                 return {"rows": self._node_rows(int(m.group(1)))}
             if m := _NODE_NEIGHBORS.match(path):
@@ -265,6 +324,8 @@ class GraphHTTPServer:
             if path == "/cache/clear":
                 self._cache().clear()
                 return {"ok": True}
+            if path == "/cache/cleanup":
+                return {"ok": True, "evicted": self._cache().cleanup()}
             return None
         if method == "PUT":
             if m := _NODE_ID.match(path):

@@ -233,3 +233,38 @@ def test_grpc_create_node_and_relationship(server):
     assert status == 200
     rel = pw.decode_relationship(blob)
     assert rel["start"] == nid and rel["end"] == nid and rel["rel_type"] == "SELF"
+
+
+def _get(server, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}{path}") as r:
+        ct = r.headers.get("Content-Type", "")
+        raw = r.read()
+        return r.status, ct, raw
+
+
+def test_sysinfo_queries_dbs_routes(server):
+    """Reference routes /sysinfo /queries /dbs (server.rs:99-101)."""
+    status, _, raw = _get(server, "/sysinfo")
+    info = json.loads(raw)
+    assert status == 200
+    assert info["kernel_version"].startswith("spark-")
+    assert info["node_id_count"] > 0 and info["store_size"] >= info["node_id_count"]
+    assert "h" in info["uptime"] or "m" in info["uptime"]
+    assert info["databases"][0]["name"] == "default"
+
+    status, _, raw = _get(server, "/queries")
+    assert status == 200 and isinstance(json.loads(raw)["queries"], list)
+
+    status, _, raw = _get(server, "/dbs")
+    dbs = json.loads(raw)["databases"]
+    assert status == 200 and dbs[0]["name"] == "default" and dbs[0]["node_count"] > 0
+
+
+def test_ui_route_serves_html(server):
+    status, ct, raw = _get(server, "/ui")
+    assert status == 200 and "text/html" in ct and b"<html>" in raw
+
+
+def test_cache_cleanup_route(server):
+    status, out = _post(server, "/cache/cleanup", {})
+    assert status == 200 and out["ok"] is True and out["evicted"] >= 0
