@@ -204,6 +204,10 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     return (
         df.repartition(par, id_col)
         .select(F.col(id_col).alias("doc_id"), shingles(text_col, k).alias("sets"))
+        # content hash rides along in the one checkpointed pass — the
+        # exact-duplicate collapse in minhash_dedup_pairs reads it for
+        # free instead of re-hashing every set per dedup pass
+        .withColumn("_gh", F.md5(F.array_join("sets", "\x1f")))
         .localCheckpoint(eager=True)
     )
 
@@ -246,11 +250,14 @@ def minhash_dedup_pairs(
         # shingle arrays — and SKIP collapse when a cheap agg shows the
         # corpus has no exact-dup groups at all (the extra join/expansion
         # stages would be pure overhead)
-        # lazy: the no-dup (skip) case pays exactly one agg pass over the
-        # already-checkpointed sets frame; the collapse case recomputes
-        # the cheap md5 projection once more for the groupBy
-        gh = nonempty.select(
-            "doc_id", F.md5(F.array_join("sets", "\x1f")).alias("_gh")
+        # the content hash is precomputed in the shared shingle frame;
+        # derive it only for ad-hoc sets_df inputs without the column
+        gh = (
+            nonempty.select("doc_id", "_gh")
+            if "_gh" in nonempty.columns
+            else nonempty.select(
+                "doc_id", F.md5(F.array_join("sets", "\x1f")).alias("_gh")
+            )
         )
         stats = gh.agg(
             F.count("*").alias("n"), F.countDistinct("_gh").alias("d")
