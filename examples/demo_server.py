@@ -50,6 +50,22 @@ def main() -> None:
         call(server.port, "POST", "/nodes", {
             "labels": ["Demo"], "properties": {"id": 1, "name": "demo"}})
         print("created node:", call(server.port, "GET", "/nodes/1")["rows"])
+        print("sysinfo:", call(server.port, "GET", "/sysinfo")["uptime"],
+              call(server.port, "GET", "/dbs")["databases"][0]["name"])
+        # the reference's gRPC surface as protobuf-over-HTTP
+        import urllib.request
+
+        from rs_graphdb_spark.sources import protowire as pw
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/grpc/ExecuteCypher",
+            data=pw.encode_cypher_request(
+                "MATCH (n:Nation) RETURN n.n_name AS name LIMIT 2"),
+            headers={"Content-Type": "application/x-protobuf"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            print("grpc ExecuteCypher ->",
+                  pw.decode_cypher_response(resp.read()))
     finally:
         server.stop()
         spark.stop()

@@ -75,6 +75,20 @@ def main() -> None:
     packed.groupBy("shard", "bin").agg(
         F.count("*").alias("docs"), F.sum("sz").alias("tokens")
     ).orderBy("shard", "bin").show(10)
+
+    print("-- 8. multimodal: render docs into real BMP/PGM/PNG and decode")
+    from rs_graphdb_spark.functions.multimodal import (
+        documents_as_images,
+        extract_features,
+    )
+
+    media = documents_as_images(docs.limit(200), corrupt_every=97)
+    feats = extract_features(media)
+    feats.groupBy("media_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("width"), 1).alias("avg_w"),
+        F.round(F.avg("height"), 1).alias("avg_h"),
+    ).orderBy("media_type").show()
     spark.stop()
 
 
