@@ -268,3 +268,35 @@ def test_ui_route_serves_html(server):
 def test_cache_cleanup_route(server):
     status, out = _post(server, "/cache/cleanup", {})
     assert status == 200 and out["ok"] is True and out["evicted"] >= 0
+
+
+def test_invalid_json_body_is_client_error(server):
+    """Malformed JSON must 4xx, never crash the server (reference
+    test_invalid_json, server_api_test.rs:553-573)."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/nodes",
+        data=b"{invalid json}",
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected a client error")
+    except urllib.error.HTTPError as e:
+        assert 400 <= e.code < 500
+    # the server survives and still answers
+    status, _, _ = _get(server, "/labels")
+    assert status == 200
+
+
+def test_get_nonexistent_node_and_rel(server):
+    """Unknown ids 404 cleanly, never crash (reference
+    test_get_nonexistent_node/rel, server_api_test.rs:515-551)."""
+    for path in ("/nodes/999999999999", "/rels/999999999999"):
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}{path}")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    status, _, _ = _get(server, "/labels")  # server survives
+    assert status == 200
