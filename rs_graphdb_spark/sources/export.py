@@ -229,33 +229,48 @@ def export_dot(
 
 def graph_view(
     graph: PropertyGraph,
-    rel_types: list[str],
+    rel_types: list[str] | None = None,
     name_cols: dict[str, str] | None = None,
     max_nodes: int = 10_000,
+    node_ids: list[int] | None = None,
 ) -> dict:
     """Assemble a GraphView dict {nodes: [...], edges: [...]} for UI
     consumption (reference `GraphView`/`VisNode`/`VisEdge`,
     `/root/reference/src/visualization/mod.rs:27-180`). Driver-side,
-    size-guarded presentation output."""
+    size-guarded presentation output.
+
+    ``rel_types`` defaults to every edge set (`to_graph_view`);
+    ``node_ids`` restricts to a subgraph — nodes in the list plus the
+    edges whose BOTH endpoints are in it (`to_subgraph_view`,
+    `tests/visualization_test.rs:51-70`). Each node carries its labels
+    list and full property dict like the reference's ``VisNode``."""
     name_cols = name_cols or {}
+    keep = set(node_ids) if node_ids is not None else None
     edges_out = []
-    node_ids: set[int] = set()
-    for rt in rel_types:
+    seen_ids: set[int] = set()
+    for rt in (rel_types if rel_types is not None else sorted(graph.edges)):
         es = graph.edges[rt]
         for r in es.df.select("src", "dst").limit(max_nodes).collect():
-            edges_out.append({"source": r["src"], "target": r["dst"], "type": rt})
-            node_ids.add(r["src"])
-            node_ids.add(r["dst"])
-    if len(node_ids) > max_nodes:
+            if keep is not None and (r["src"] not in keep or r["dst"] not in keep):
+                continue
+            edges_out.append(
+                {"source": r["src"], "target": r["dst"],
+                 "type": rt, "rel_type": rt}
+            )
+            seen_ids.add(r["src"])
+            seen_ids.add(r["dst"])
+    wanted = keep if keep is not None else seen_ids
+    if len(wanted) > max_nodes:
         raise ValueError(f"subgraph exceeds {max_nodes} nodes; filter first")
     nodes_out = []
     for label, df in sorted(graph.nodes.items()):
         col = name_cols.get(label)
-        rows = df.filter(F.col("id").isin(list(node_ids)))
-        sel = ["id"] + ([col] if col else [])
-        for r in rows.select(*sel).collect():
+        rows = df.filter(F.col("id").isin(list(wanted)))
+        for r in rows.collect():
+            props = {k: v for k, v in r.asDict().items() if k != "id"}
             nodes_out.append({
-                "id": r["id"], "label": label,
+                "id": r["id"], "label": label, "labels": [label],
                 "name": r[col] if col else str(r["id"]),
+                "props": props,
             })
     return {"nodes": nodes_out, "edges": edges_out}
