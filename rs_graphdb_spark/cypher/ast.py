@@ -199,10 +199,20 @@ class MergeRelStmt:
     (`src/cypher/executor.rs:861-1023` single-rel path). Endpoint nodes
     that match nothing are created from their pattern (reference
     `tests/merge_comprehensive_test.rs:222-237`); `Both` direction is
-    rejected like reference CREATE (`src/cypher/executor.rs:610-648`)."""
+    rejected like reference CREATE (`src/cypher/executor.rs:610-648`).
+
+    Chained paths `(a)-[:T1]->(b)-[:T2]->(c)` carry every hop
+    (reference `tests/multi_rel_merge_exec_test.rs`): each node pattern
+    is matched-or-created, then each hop edge is created iff absent.
+    ``on_create_var``/``on_match_var`` record which pattern variable the
+    SET clause names — a node variable updates that node table; any
+    other variable targets the hop edges (single-hop form keeps its
+    original edge-targeted behavior)."""
     path: PatternPath
     on_create: tuple = ()
     on_match: tuple = ()
+    on_create_var: str | None = None
+    on_match_var: str | None = None
 
 
 @dataclass(frozen=True)

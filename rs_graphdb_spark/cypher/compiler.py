@@ -381,6 +381,8 @@ class Compiler:
 
         from rs_graphdb_spark.graph import EdgeSet
 
+        if len(stmt.path.hops) > 1:
+            return self._run_merge_path(stmt)
         (rel, dst_node) = stmt.path.hops[0]
         src_pat, dst_pat = stmt.path.start, dst_node
         if rel.direction == "in":
@@ -471,6 +473,99 @@ class Compiler:
             dst_label=es.dst_label,
         )
         return g
+
+    def _run_merge_path(self, stmt: ast.MergeRelStmt) -> PropertyGraph:
+        """Chained relationship MERGE
+        `MERGE (a:L {..})-[:T1]->(b:L {..})-[:T2]->(c:L {..})`
+        (reference `tests/multi_rel_merge_exec_test.rs:16-103`): every
+        node pattern is matched-or-created, every hop edge is created iff
+        absent — the reference creates the MISSING PARTS of the pattern
+        rather than all-or-nothing. ON CREATE SET fires when the full
+        path did not already exist (the create-path / partial-match
+        scenarios), ON MATCH SET when it did; a SET naming a node
+        variable updates that node's table, any other variable falls
+        through to the hop edges (matching the single-hop form)."""
+        pats = [stmt.path.start] + [dst for _, dst in stmt.path.hops]
+        for np in pats:
+            if np.label is None:
+                raise CypherCompileError(
+                    "chained MERGE needs labeled node patterns"
+                )
+        existed = self._path_exists(stmt.path)
+        g = self.g
+        for np in pats:
+            g = Compiler(g)._run_merge(ast.MergeStmt(node=np))
+        node_vars = {np.var for np in pats}
+        edge_oc = stmt.on_create if stmt.on_create_var not in node_vars else ()
+        edge_om = stmt.on_match if stmt.on_match_var not in node_vars else ()
+        src = stmt.path.start
+        for rel, dst in stmt.path.hops:
+            g = Compiler(g)._run_merge_rel(ast.MergeRelStmt(
+                path=ast.PatternPath(start=src, hops=((rel, dst),)),
+                on_create=edge_oc, on_match=edge_om,
+            ))
+            src = dst
+        var, updates = (
+            (stmt.on_match_var, stmt.on_match) if existed
+            else (stmt.on_create_var, stmt.on_create)
+        )
+        if updates and var in node_vars:
+            np = next(p for p in pats if p.var == var)
+            nodes = g.nodes[np.label]
+            cond = F.lit(True)
+            for k, v in np.props:
+                cond = cond & (
+                    (F.col(k) == F.lit(v)) if k in nodes.columns else F.lit(False)
+                )
+            for k, v in updates:
+                old = F.col(k) if k in nodes.columns else F.lit(None)
+                nodes = nodes.withColumn(
+                    k, F.when(cond, F.lit(v)).otherwise(old)
+                )
+            g = PropertyGraph(
+                nodes={**g.nodes, np.label: nodes}, edges=dict(g.edges)
+            )
+        return g
+
+    def _path_exists(self, path: ast.PatternPath) -> bool:
+        """Pre-mutation probe: does at least one binding of the FULL
+        pattern path exist? Chain of point-lookup joins — every frame is
+        a handful of ids, so this is a cheap driver action on the DML
+        path."""
+        g = self.g
+
+        def _ids(np: ast.NodePattern) -> DataFrame | None:
+            if np.label not in g.nodes:
+                return None
+            df = g.nodes[np.label]
+            for k, v in np.props:
+                df = (df.filter(F.col(k) == F.lit(v))
+                      if k in df.columns else df.limit(0))
+            return df.select("id")
+
+        cur = _ids(path.start)
+        if cur is None:
+            return False
+        cur = cur.withColumnRenamed("id", "n0")
+        for i, (rel, dst) in enumerate(path.hops):
+            if rel.rel_type not in g.edges:
+                return False
+            e = g.edges[rel.rel_type].df.select("src", "dst")
+            if rel.direction == "in":
+                e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            nxt = _ids(dst)
+            if nxt is None:
+                return False
+            cur = (
+                cur.join(
+                    e.withColumnRenamed("src", f"n{i}")
+                    .withColumnRenamed("dst", f"n{i + 1}"),
+                    f"n{i}",
+                )
+                .join(nxt.withColumnRenamed("id", f"n{i + 1}"),
+                      f"n{i + 1}", "left_semi")
+            )
+        return not cur.isEmpty()
 
     def _run_foreach(self, stmt: ast.ForeachStmt) -> PropertyGraph:
         """FOREACH over a literal node-id list + SET

@@ -425,25 +425,35 @@ class _P:
             node = self.node_pattern(anon)
             t, v = self.peek()
             if t == "op" and v in ("-", "<-"):  # relationship MERGE
-                rel = self.rel_pattern()
-                if rel.direction == "both":
-                    raise CypherSyntaxError("MERGE rejects undirected relationships")
-                dst = self.node_pattern(anon)
+                hops = []
+                while True:  # chained path: (a)-[:T1]->(b)-[:T2]->(c)...
+                    rel = self.rel_pattern()
+                    if rel.direction == "both":
+                        raise CypherSyntaxError(
+                            "MERGE rejects undirected relationships"
+                        )
+                    hops.append((rel, self.node_pattern(anon)))
+                    t, v = self.peek()
+                    if not (t == "op" and v in ("-", "<-")):
+                        break
                 rel_on_create: tuple = ()
                 rel_on_match: tuple = ()
+                rel_on_create_var = rel_on_match_var = None
                 while self.kw("on"):
                     self.i += 1
                     if self.try_kw("create"):
                         self.eat_kw("set")
-                        _, rel_on_create = self.set_updates()
+                        rel_on_create_var, rel_on_create = self.set_updates()
                     else:
                         self.eat_kw("match")
                         self.eat_kw("set")
-                        _, rel_on_match = self.set_updates()
+                        rel_on_match_var, rel_on_match = self.set_updates()
                 return ast.MergeRelStmt(
-                    path=ast.PatternPath(start=node, hops=((rel, dst),)),
+                    path=ast.PatternPath(start=node, hops=tuple(hops)),
                     on_create=rel_on_create,
                     on_match=rel_on_match,
+                    on_create_var=rel_on_create_var,
+                    on_match_var=rel_on_match_var,
                 )
             on_create: tuple = ()
             on_match: tuple = ()

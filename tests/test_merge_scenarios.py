@@ -228,3 +228,97 @@ def test_stress_merge_nodes(spark):
     for i in range(15):  # reference runs 10k; same loop shape
         g = execute_cypher(g, f"MERGE (n:User {{uid: {i}}})")
     assert g.nodes["User"].count() == 15
+
+
+# ============ multi-rel MERGE (multi_rel_merge_exec_test.rs:16-103) ========
+
+def _node_graph(spark, rows=(), links=()):
+    return PropertyGraph(
+        nodes={"Node": local_df(
+            spark, list(rows), "id long, nid string, value long")},
+        edges={"LINK": EdgeSet(
+            df=local_df(spark, list(links), "edge_id long, src long, dst long"),
+            src_label="Node", dst_label="Node")},
+    )
+
+
+CHAIN = ("MERGE (a:Node {nid: '1'})-[r1:LINK]->(b:Node {nid: '2'})"
+         "-[r2:LINK]->(c:Node {nid: '3'})")
+
+
+def test_multi_rel_merge_create_path(spark):
+    """Empty db → 3 nodes and 2 rels created (:16-31)."""
+    g = execute_cypher(_node_graph(spark), CHAIN)
+    assert g.nodes["Node"].count() == 3
+    assert g.edges["LINK"].df.count() == 2
+    nid = {r["nid"]: r["id"] for r in g.nodes["Node"].collect()}
+    links = {(r["src"], r["dst"]) for r in g.edges["LINK"].df.collect()}
+    assert links == {(nid["1"], nid["2"]), (nid["2"], nid["3"])}
+
+
+def test_multi_rel_merge_match_existing(spark):
+    """Full path already present → pure match, nothing mutated (:33-56)."""
+    g0 = _node_graph(
+        spark,
+        rows=[(1, "1", 10), (2, "2", 20), (3, "3", 30)],
+        links=[(1, 1, 2), (2, 2, 3)],
+    )
+    g = execute_cypher(g0, CHAIN)
+    assert g.nodes["Node"].count() == 3
+    assert g.edges["LINK"].df.count() == 2
+
+
+def test_multi_rel_merge_partial_match(spark):
+    """First two nodes + first rel exist → MERGE creates the missing
+    third node and second rel only (:58-81)."""
+    g0 = _node_graph(
+        spark, rows=[(1, "1", 10), (2, "2", 20)], links=[(1, 1, 2)]
+    )
+    g = execute_cypher(g0, CHAIN)
+    assert g.nodes["Node"].count() == 3
+    assert g.edges["LINK"].df.count() == 2
+    nid3 = g.nodes["Node"].filter(F.col("nid") == "3").first()["id"]
+    assert (2, nid3) in {
+        (r["src"], r["dst"]) for r in g.edges["LINK"].df.collect()
+    }
+
+
+def test_multi_rel_merge_on_create(spark):
+    """ON CREATE SET a.new = 1 fires on path creation and targets the
+    NODE bound to `a` (:83-103)."""
+    g = execute_cypher(_node_graph(spark), CHAIN + " ON CREATE SET a.new = 1")
+    row = g.nodes["Node"].filter(F.col("nid") == "1").first()
+    assert row["new"] == 1
+    others = g.nodes["Node"].filter(F.col("nid") != "1").collect()
+    assert all(r["new"] is None for r in others)
+    assert g.edges["LINK"].df.count() == 2
+
+
+def test_multi_rel_merge_on_create_skipped_on_full_match(spark):
+    """Existing full path → ON CREATE SET must NOT fire."""
+    g0 = _node_graph(
+        spark,
+        rows=[(1, "1", 10), (2, "2", 20), (3, "3", 30)],
+        links=[(1, 1, 2), (2, 2, 3)],
+    )
+    g = execute_cypher(g0, CHAIN + " ON CREATE SET a.new = 1")
+    assert "new" not in g.nodes["Node"].columns
+
+
+def test_multi_rel_merge_idempotent(spark):
+    """Running the chain MERGE twice leaves one copy of everything."""
+    g = execute_cypher(_node_graph(spark), CHAIN)
+    g = execute_cypher(g, CHAIN)
+    assert g.nodes["Node"].count() == 3
+    assert g.edges["LINK"].df.count() == 2
+
+
+def test_multi_rel_merge_four_node_chain_parses(spark):
+    """Parse forms from multi_rel_merge_test.rs:8-13 (incl. 3-hop)."""
+    for q in (
+        "MERGE (a)-[r1:REL1]->(b)-[r2:REL2]->(c)",
+        "MERGE (a:Person)-[r1:KNOWS]->(b:Person)-[r2:KNOWS]->(c:Person)",
+        "MERGE (a)-[r1:REL]->(b)-[r2:REL]->(c)-[r3:REL]->(d)",
+    ):
+        stmt = parse_cypher(q)
+        assert len(stmt.path.hops) in (2, 3)
