@@ -85,3 +85,69 @@ def test_percentile_and_stdev(q):
     assert samp > pop > 0
     p50 = q.from_label("Customer").percentile_cont("c_acctbal", 0.5).first()[0]
     assert p50 > 0
+
+
+# ============== SKIP/LIMIT battery (reference tests/skip_limit_test.rs) =====
+# Customer at sf0.001 has 150 rows — the reference's 1000-user fixture
+# scaled to the test data; every boundary from the Rust suite is kept.
+
+def test_skip_basic(q):
+    base = q.from_label("Customer").order_by("c_custkey")
+    assert base.skip(100).df.count() == 50
+    assert base.skip(149).df.count() == 1
+    assert base.skip(150).df.count() == 0          # skip all
+    assert base.skip(2000).df.count() == 0         # skip beyond total
+
+
+def test_limit_basic(q):
+    base = q.from_label("Customer")
+    assert base.limit(100).df.count() == 100
+    assert base.limit(0).df.count() == 0           # limit zero
+    assert base.limit(2000).df.count() == 150      # limit beyond total
+
+
+def test_skip_and_limit_combined(q):
+    base = q.from_label("Customer").order_by("c_custkey")
+    assert base.skip(50).limit(50).df.count() == 50
+    assert base.skip(100).limit(100).df.count() == 50   # clipped tail page
+    assert base.skip(150).limit(100).df.count() == 0    # fully past the end
+
+
+def test_paginate_vs_skip_limit_consistency(q):
+    base = q.from_label("Customer").order_by("c_custkey")
+    via_paginate = [r["c_custkey"] for r in
+                    base.paginate(25, 10).df.select("c_custkey").collect()]
+    via_skip_limit = [r["c_custkey"] for r in
+                      base.skip(25).limit(10).df.select("c_custkey").collect()]
+    assert via_paginate == via_skip_limit != []
+
+
+def test_paginate_edge_cases(q):
+    base = q.from_label("Customer").order_by("c_custkey")
+    assert base.paginate(150, 100).df.count() == 0   # offset past the end
+    assert base.paginate(0, 0).df.count() == 0       # zero page size
+    assert base.paginate(0, 10000).df.count() == 150  # oversized page
+
+
+def test_chained_pagination_covers_all_rows_once(q):
+    """Walking pages until empty yields every row exactly once
+    (skip_limit_test.rs:163-198)."""
+    base = q.from_label("Customer").order_by("c_custkey")
+    seen: list[int] = []
+    page = 0
+    while True:
+        rows = base.paginate(page * 40, 40).df.select("c_custkey").collect()
+        if not rows:
+            break
+        seen.extend(r["c_custkey"] for r in rows)
+        page += 1
+        assert page <= 5, "too many pages"
+    assert len(seen) == 150 and len(set(seen)) == 150
+
+
+def test_order_by_with_pagination_window_values(q):
+    """Sorted pagination returns exactly the expected key window
+    (skip_limit_test.rs:216-237, tightened to exact values)."""
+    rows = (q.from_label("Customer").order_by("c_custkey")
+            .paginate(100, 25).df.select("c_custkey").collect())
+    assert [r["c_custkey"] for r in rows] == list(range(100, 125))
