@@ -9,6 +9,7 @@ atomicity replaces the reference's op-log transactions, SURVEY.md §2.11).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from dataclasses import replace as dc_replace
 
 from pyspark.sql import Column, DataFrame
@@ -119,3 +120,120 @@ def unique_violations(df: DataFrame, cols: list[str]) -> DataFrame:
 def existence_violations(df: DataFrame, col_name: str) -> DataFrame:
     """EXISTS(label, prop) validation job: rows missing the property."""
     return df.filter(F.col(col_name).isNull())
+
+
+@dataclass(frozen=True)
+class Constraint:
+    """One declared constraint (`src/constraints/mod.rs:14-52`)."""
+
+    label: str
+    prop: str
+    kind: str  # "uniqueness" | "existence"
+
+    @classmethod
+    def uniqueness(cls, label: str, prop: str) -> "Constraint":
+        return cls(label=label, prop=prop, kind="uniqueness")
+
+    @classmethod
+    def existence(cls, label: str, prop: str) -> "Constraint":
+        return cls(label=label, prop=prop, kind="existence")
+
+
+class ConstraintRegistry:
+    """Declared-constraint catalog + validation jobs
+    (`src/constraints/mod.rs:54-213`, scenarios
+    `tests/constraints_test.rs`). The registry itself is driver-side
+    metadata (a handful of (label, prop, kind) rows — the reference
+    keeps the same in a HashMap); every validation is a Spark job over
+    the label table, so it holds at any table size.
+
+    Semantics pinned by the reference scenarios:
+    - duplicate ``add_constraint`` raises ("already exists");
+    - ``drop_constraint`` returns whether anything was removed;
+    - NULL values never violate uniqueness (two rows missing the
+      property are NOT duplicates — `tests/constraints_test.rs:341-365`,
+      ANSI-unique semantics) but DO violate existence;
+    - constraints only apply to their own label."""
+
+    def __init__(self) -> None:
+        self._constraints: list[Constraint] = []
+
+    def add_constraint(self, c: Constraint) -> None:
+        if c in self._constraints:
+            raise ValueError(
+                f"constraint {c.kind} on {c.label}.{c.prop} already exists"
+            )
+        self._constraints.append(c)
+
+    def drop_constraint(self, label: str, prop: str, kind: str) -> bool:
+        target = Constraint(label=label, prop=prop, kind=kind)
+        if target in self._constraints:
+            self._constraints.remove(target)
+            return True
+        return False
+
+    def count(self) -> int:
+        return len(self._constraints)
+
+    def get_all_constraints(self) -> tuple[Constraint, ...]:
+        return tuple(self._constraints)
+
+    def get_constraints_for_label(self, label: str) -> tuple[Constraint, ...]:
+        return tuple(c for c in self._constraints if c.label == label)
+
+    def validate_node(
+        self, graph: PropertyGraph, label: str, node_id: int
+    ) -> str | None:
+        """Validate ONE node against its label's constraints: None when
+        valid, else the first violation message (the reference's
+        ``ConstraintValidation::Violated { message }``,
+        `src/constraints/mod.rs:143-213`). Point lookups on the id —
+        cheap even on a large table (predicate-pushed scan)."""
+        if label not in graph.nodes:
+            return None
+        df = graph.nodes[label]
+        row = df.filter(F.col("id") == F.lit(node_id)).first()
+        if row is None:
+            return None
+        for c in self.get_constraints_for_label(label):
+            value = row[c.prop] if c.prop in df.columns else None
+            if c.kind == "existence":
+                if value is None:
+                    return (
+                        f"Existence constraint: node {node_id} is missing "
+                        f"required property '{c.prop}'"
+                    )
+            elif value is not None:  # uniqueness; NULLs never collide
+                n = (
+                    df.filter(F.col(c.prop) == F.lit(value))
+                    .limit(2)
+                    .count()
+                )
+                if n > 1:
+                    return (
+                        f"Uniqueness constraint violated: duplicate value "
+                        f"for '{c.prop}' on label '{c.label}'"
+                    )
+        return None
+
+    def validate_all(self, graph: PropertyGraph) -> dict[Constraint, int]:
+        """Set-at-a-time validation — the 100 TB shape: ONE aggregation
+        job per constraint over the full label table (reusing
+        :func:`unique_violations` / :func:`existence_violations`)
+        instead of a per-node loop. Returns violation counts per
+        constraint."""
+        out: dict[Constraint, int] = {}
+        for c in self._constraints:
+            if c.label not in graph.nodes:
+                out[c] = 0
+                continue
+            df = graph.nodes[c.label]
+            if c.prop not in df.columns:
+                out[c] = 0 if c.kind == "uniqueness" else df.count()
+            elif c.kind == "uniqueness":
+                out[c] = unique_violations(
+                    df.filter(F.col(c.prop).isNotNull()), [c.prop]
+                ).count()
+            else:
+                out[c] = existence_violations(df, c.prop).count()
+        return out
