@@ -190,6 +190,9 @@ class CallStmt:
     order_by: tuple = ()
     skip: int | None = None
     limit: int | None = None
+    #: `IN (v1, v2)` clause variables — recorded, executed as a no-op
+    #: exactly like the reference (`tests/call_enhanced_test.rs:49-74`)
+    input_vars: tuple = ()
 
 
 @dataclass(frozen=True)

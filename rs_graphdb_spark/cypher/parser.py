@@ -380,6 +380,42 @@ class _P:
         return self.read_tail(matches, anon)
 
     # -- statements ------------------------------------------------------
+    def _leading_with_literals(self):
+        """`WITH 30 AS min_age [, ...] MATCH ...` — literal parameter
+        bindings at statement start (reference
+        `tests/call_enhanced_test.rs:77-106`, where the scenario is
+        accepted-or-skipped; here it executes). Implemented as token
+        substitution: every later BARE use of a bound name becomes its
+        literal token, then the remaining statement parses normally.
+        Property refs (`x.name`), labels (`:x`), aliases (`AS x`) and
+        calls (`x(`) are never substituted."""
+        self.i += 1  # WITH
+        bindings: dict[str, tuple[str, str]] = {}
+        while True:
+            tok = self.peek()
+            if tok[0] not in ("int", "float", "string"):
+                raise CypherSyntaxError(
+                    "leading WITH binds scalar literals only"
+                )
+            self.i += 1
+            self.eat_kw("as")
+            bindings[self.name()] = tok
+            if not self.try_op(","):
+                break
+        for j in range(self.i, len(self.toks)):
+            t, v = self.toks[j]
+            if t != "name" or v not in bindings:
+                continue
+            prev = self.toks[j - 1]
+            nxt = self.toks[j + 1] if j + 1 < len(self.toks) else ("eof", "")
+            if prev in (("op", "."), ("op", ":")) or prev == ("name", "AS") \
+                    or prev[0] == "name" and prev[1].lower() == "as":
+                continue
+            if nxt[1] in (".", ":", "("):
+                continue
+            self.toks[j] = bindings[v]
+        return self.statement()
+
     def set_updates(self) -> tuple[str, tuple]:
         """`SET v.k = lit [, v.k2 = lit2]` → (var, ((k, lit), ...))."""
         var = None
@@ -397,6 +433,8 @@ class _P:
         return var, tuple(updates)
 
     def statement(self):
+        if self.kw("with") and self.peek(1)[0] in ("int", "float", "string"):
+            return self._leading_with_literals()
         for tx in ("begin", "commit", "rollback"):
             if self.kw(tx):
                 self.i += 1
@@ -492,6 +530,17 @@ class _P:
             if not isinstance(inner, ast.ReadQuery):
                 raise CypherSyntaxError("CALL subquery must be a read query")
             self.eat_op("}")
+            input_vars: tuple = ()
+            if self.try_kw("in"):
+                # CALL { ... } IN (v1, v2): recorded on the AST; the
+                # reference treats the clause as syntax-only too
+                # (`tests/call_enhanced_test.rs:49-51` "IN 子句只是语法支持")
+                self.eat_op("(")
+                vs = [self.name()]
+                while self.try_op(","):
+                    vs.append(self.name())
+                self.eat_op(")")
+                input_vars = tuple(vs)
             self.eat_kw("return")
             items = []
             while True:
@@ -518,7 +567,8 @@ class _P:
             skip = int(self.literal()) if self.try_kw("skip") else None
             limit = int(self.literal()) if self.try_kw("limit") else None
             return ast.CallStmt(inner=inner, items=tuple(items),
-                                order_by=tuple(order_by), skip=skip, limit=limit)
+                                order_by=tuple(order_by), skip=skip,
+                                limit=limit, input_vars=input_vars)
         if self.kw("match") or self.kw("optional"):
             # look ahead for DELETE / SET terminal
             anon = []
