@@ -106,6 +106,44 @@ def merge_nodes(
     return dc_replace(graph, nodes=nodes)
 
 
+def update_node_props(
+    graph: PropertyGraph, label: str, node_id: int, props: dict
+) -> tuple[PropertyGraph, bool]:
+    """Storage-layer update API (`src/storage/mem_store.rs:313-325` via
+    ``db.update_node_props``, scenarios
+    `tests/core_features_test.rs:91-135`): MERGE-not-replace the given
+    properties onto one node. Returns (new graph, whether the node
+    existed) — the reference returns ``bool``; updating a nonexistent id
+    is a no-op reporting False."""
+    if label not in graph.nodes:
+        return graph, False
+    df = graph.nodes[label]
+    cond = F.col("id") == F.lit(node_id)
+    if df.filter(cond).isEmpty():
+        return graph, False
+    updated = set_props(df, cond, {k: F.lit(v) for k, v in props.items()})
+    nodes = dict(graph.nodes)
+    nodes[label] = updated
+    return dc_replace(graph, nodes=nodes), True
+
+
+def update_rel_props(
+    graph: PropertyGraph, rel_type: str, edge_id: int, props: dict
+) -> tuple[PropertyGraph, bool]:
+    """Relationship twin of :func:`update_node_props`
+    (`tests/core_features_test.rs:131-170`)."""
+    if rel_type not in graph.edges:
+        return graph, False
+    es = graph.edges[rel_type]
+    cond = F.col("edge_id") == F.lit(edge_id)
+    if es.df.filter(cond).isEmpty():
+        return graph, False
+    updated = set_props(es.df, cond, {k: F.lit(v) for k, v in props.items()})
+    edges = dict(graph.edges)
+    edges[rel_type] = dc_replace(es, df=updated)
+    return dc_replace(graph, edges=edges), True
+
+
 # -- constraints (`src/constraints/mod.rs:14-52,143-213`) -------------------
 
 def unique_violations(df: DataFrame, cols: list[str]) -> DataFrame:
