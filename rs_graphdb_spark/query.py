@@ -293,13 +293,26 @@ class Query:
 @dataclass
 class PageResult:
     """One page of results (`QueryCursor` page shape,
-    `/root/reference/src/cypher/streaming.rs:28-60`)."""
+    `/root/reference/src/cypher/streaming.rs:28-60`). ``page`` is
+    1-based here (the reference's is 0-based — documented divergence,
+    pinned by the q10:cursor driver part)."""
 
     data: list
     page: int
     page_size: int
     total: int
     has_more: bool
+
+    def is_first_page(self) -> bool:
+        return self.page <= 1
+
+    def is_last_page(self) -> bool:
+        return not self.has_more
+
+    def total_pages(self) -> int:
+        if self.page_size <= 0:
+            return 0
+        return (self.total + self.page_size - 1) // self.page_size
 
 
 class QueryCursor:
@@ -321,8 +334,13 @@ class QueryCursor:
         self.total = self._df.count()
         self.page = 0
 
-    def next_page(self) -> PageResult:
+    def next_page(self) -> PageResult | None:
+        """The next page, or None once the cursor is exhausted (the
+        reference's ``Option`` protocol,
+        `src/cypher/streaming.rs:143-170`)."""
         offset = self.page * self.page_size
+        if offset >= self.total:
+            return None
         rows = self._df.offset(offset).limit(self.page_size).collect()
         self.page += 1
         return PageResult(
@@ -332,6 +350,18 @@ class QueryCursor:
             total=self.total,
             has_more=offset + len(rows) < self.total,
         )
+
+    def position(self) -> int:
+        """Rows consumed so far (`src/cypher/streaming.rs:172-175`)."""
+        return min(self.page * self.page_size, self.total)
+
+    def has_more(self) -> bool:
+        return self.page * self.page_size < self.total
+
+    def reset(self) -> None:
+        """Rewind to the first page over the SAME cached snapshot
+        (`src/cypher/streaming.rs:177-181`) — no recount, no re-sort."""
+        self.page = 0
 
     def close(self) -> None:
         self._df.unpersist()
