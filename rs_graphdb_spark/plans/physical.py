@@ -95,3 +95,93 @@ def salted_join(
     salted_small = small.crossJoin(F.broadcast(salts))
     out = salted_big.join(salted_small, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+class CompositeIndexCatalog:
+    """Declared composite indexes (`/root/reference/src/index_composite.rs`
+    ``create_composite_index`` / ``find_by_composite_index`` /
+    ``find_prefix`` / ``drop``; scenarios `tests/composite_index_test.rs`).
+
+    The catalog itself is driver-side metadata, as in the reference. The
+    PROBE is where Spark differs: an equality conjunction over the
+    indexed properties is pushed into the parquet scan, and when the
+    label table is written bucketed/partitioned by the leading column
+    (see `sources/export.save_graph_bucketed`) the probe is
+    partition-pruned — the q97 driver part asserts PartitionFilters on
+    exactly this shape. Rows missing ANY indexed property are never
+    matched (the reference skips them at index-build time,
+    `tests/composite_index_test.rs:190-218`; SQL's NULL-never-equal gives
+    the same result for free).
+    """
+
+    def __init__(self) -> None:
+        self._indexes: dict[str, tuple[str, tuple[str, ...]]] = {}
+
+    def create_composite_index(
+        self, name: str, label: str, props: list[str]
+    ) -> None:
+        if len(props) < 2:
+            raise ValueError("composite index needs at least two properties")
+        self._indexes[name] = (label, tuple(props))
+
+    def drop_composite_index(self, name: str) -> bool:
+        return self._indexes.pop(name, None) is not None
+
+    def index_for(self, label: str, props: list[str]) -> str | None:
+        """Name of a declared index exactly covering (label, props)."""
+        for name, (lb, ps) in self._indexes.items():
+            if lb == label and ps == tuple(props):
+                return name
+        return None
+
+    def index_stats(self, graph) -> tuple[int, int]:
+        """(index count, total indexed entries) — the entry count is the
+        rows with every indexed property present, computed set-at-a-time
+        (`db.index_stats`, composite_index_test.rs:17-36)."""
+        entries = 0
+        for label, props in self._indexes.values():
+            if label not in graph.nodes:
+                continue
+            df = graph.nodes[label]
+            if any(p not in df.columns for p in props):
+                continue
+            cond = F.lit(True)
+            for p in props:
+                cond = cond & F.col(p).isNotNull()
+            entries += df.filter(cond).count()
+        return len(self._indexes), entries
+
+    def find_by_composite_index(
+        self, graph, label: str, props: list[str], values: list
+    ) -> DataFrame:
+        """Equality probe on every indexed property — requires the exact
+        index to be declared, like the reference (which otherwise scans);
+        returns the matching rows' ids."""
+        if self.index_for(label, props) is None:
+            raise KeyError(f"no composite index on {label}{props}")
+        df = graph.nodes[label]
+        cond = F.lit(True)
+        for p, v in zip(props, values):
+            cond = cond & (
+                (F.col(p) == F.lit(v)) if p in df.columns else F.lit(False)
+            )
+        return df.filter(cond).select("id")
+
+    def find_prefix(
+        self, graph, label: str, props: list[str], prefix_values: list
+    ) -> DataFrame:
+        """Leading-column prefix probe
+        (`src/index_composite.rs:181-225`): equality on the first k
+        indexed properties only. On a bucketed-by-leading-column layout
+        this is the partition-pruned scan q97 asserts."""
+        if self.index_for(label, props) is None:
+            raise KeyError(f"no composite index on {label}{props}")
+        if not prefix_values or len(prefix_values) > len(props):
+            raise ValueError("prefix must cover 1..len(props) leading columns")
+        df = graph.nodes[label]
+        cond = F.lit(True)
+        for p, v in zip(props[: len(prefix_values)], prefix_values):
+            cond = cond & (
+                (F.col(p) == F.lit(v)) if p in df.columns else F.lit(False)
+            )
+        return df.filter(cond).select("id")
