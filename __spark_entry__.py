@@ -146,7 +146,8 @@ def q06_range_scan(spark, sf_dir):
 
 
 def q07_regex_match(spark, sf_dir):
-    """`=~` full-match regex (`src/cypher/executor.rs:1500-1509`)."""
+    """`=~` search-semantics regex (`src/cypher/executor.rs:1500-1509`:
+    Rust `Regex::is_match` matches anywhere in the string)."""
     return (
         _q(spark, sf_dir).from_label("Customer")
         .where_prop_regex("c_name", "Customer#0{6}1[0-9]{2}")
@@ -2896,7 +2897,7 @@ def _oracle_base() -> dict[str, str]:
         "q07_regex_match": f"""
             SELECT {CUSTOMER} + c_custkey AS id, c_name
             FROM customer
-            WHERE regexp_matches(c_name, '^(?:Customer#0{{6}}1[0-9]{{2}})$')
+            WHERE regexp_matches(c_name, 'Customer#0{{6}}1[0-9]{{2}}')
         """,
         "q08_in_list": f"""
             SELECT {ORDER} + o_orderkey AS id, o_orderpriority, o_totalprice

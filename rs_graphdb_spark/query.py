@@ -69,8 +69,14 @@ class Query:
 
     def where_prop_regex(self, key: str, pattern: str) -> "Query":
         """`=~` regex (`src/cypher/executor.rs:1500-1509`). The reference
-        does a FULL-match; pin that by anchoring here."""
-        return self.where(F.col(key).rlike(f"^(?:{pattern})$"))
+        uses Rust's ``Regex::is_match`` — SEARCH semantics (a match
+        anywhere in the string), pinned by its own scenario
+        `tests/enhanced_query_test.rs:57-79` where '[Aa].*[Ee]' matches
+        "Charlie". Spark's ``rlike`` is search semantics too, so the
+        pattern passes through unanchored (the Cypher `=~` path in
+        cypher/compiler.py already did this; r3 fixed this builder form,
+        which wrongly anchored)."""
+        return self.where(F.col(key).rlike(pattern))
 
     def where_prop_exists(self, key: str) -> "Query":
         """EXISTS(n.prop) (`src/cypher/executor.rs:1510-1513`)."""
