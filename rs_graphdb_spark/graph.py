@@ -55,8 +55,21 @@ LABEL_INDEX = {
 
 
 def label_base(label: str) -> int:
-    """Base offset of a label's node-id namespace."""
-    return LABEL_INDEX[label] * ID_STRIDE
+    """Base offset of a label's node-id namespace.
+
+    The TPC-H labels use the fixed LABEL_INDEX slots (part of the oracle
+    contract). Ad-hoc labels — the reference creates nodes under ANY
+    label (`src/storage/mem_store.rs:56-77`) — get a stable md5-derived
+    namespace above the reserved block, so ``create_nodes`` works for
+    arbitrary graphs while never colliding with a catalog label.
+    """
+    idx = LABEL_INDEX.get(label)
+    if idx is None:
+        import hashlib
+
+        digest = int(hashlib.md5(label.encode()).hexdigest()[:8], 16)
+        idx = 64 + digest % (1 << 20)
+    return idx * ID_STRIDE
 
 
 @dataclass

@@ -174,3 +174,55 @@ def test_update_with_transaction(spark):
     tx.commit_tx(h)
     g2, ok = update_node_props(g, "User", 1, {"age": 1})
     assert ok and g2.nodes["User"].first()["age"] == 1
+
+
+# ========== batch writes (batch_write_test.rs:12-151) ======================
+
+def test_batch_vs_single_create_consistency(spark):
+    """batch_write_test.rs:83-108: one batched create_nodes call yields
+    the same ids and properties as sequential single creates."""
+    from rs_graphdb_spark.operators.dml import create_nodes
+
+    empty = lambda: PropertyGraph(nodes={"User": local_df(
+        spark, [], "id long, uid long, name string")}, edges={})
+    g_single = empty()
+    for uid, name in [(1, "Test1"), (2, "Test2")]:
+        g_single = create_nodes(
+            g_single, "User",
+            local_df(spark, [(uid, name)], "uid long, name string"), "uid")
+    g_batch = create_nodes(
+        empty(), "User",
+        local_df(spark, [(1, "Test1"), (2, "Test2")], "uid long, name string"),
+        "uid")
+    rows_single = sorted(map(tuple, g_single.nodes["User"].collect()))
+    rows_batch = sorted(map(tuple, g_batch.nodes["User"].collect()))
+    assert rows_single == rows_batch and len(rows_batch) == 2
+
+
+def test_batch_large_dataset(spark):
+    """batch_write_test.rs:110-139: 1000 nodes in one batch, ids and
+    props verifiable."""
+    from rs_graphdb_spark.operators.dml import create_nodes
+    from rs_graphdb_spark.graph import label_base
+
+    g = PropertyGraph(nodes={"Node": local_df(
+        spark, [], "id long, nid long, name string")}, edges={})
+    rows = [(i, f"Node_{i}") for i in range(1000)]
+    g = create_nodes(g, "Node",
+                     local_df(spark, rows, "nid long, name string"), "nid")
+    assert g.nodes["Node"].count() == 1000
+    sample = {r["nid"]: (r["id"], r["name"])
+              for r in g.nodes["Node"].filter("nid < 10").collect()}
+    for i in range(10):
+        assert sample[i] == (label_base("Node") + i, f"Node_{i}")
+
+
+def test_batch_empty_dataset(spark):
+    """batch_write_test.rs:141-151: empty batches are no-ops."""
+    from rs_graphdb_spark.operators.dml import create_nodes
+
+    g = PropertyGraph(nodes={"User": local_df(
+        spark, [], "id long, uid long, name string")}, edges={})
+    g2 = create_nodes(g, "User", local_df(spark, [], "uid long, name string"),
+                      "uid")
+    assert g2.nodes["User"].count() == 0
