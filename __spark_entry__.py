@@ -2111,9 +2111,40 @@ def q100_stream_markers(spark, sf_dir):
     )
 
 
+def q101_stream_dedup(spark, sf_dir):
+    """Streaming exact-dedup as a real streaming job: the staged events
+    read TWICE (two file-source streams, unioned — every event arrives
+    exactly two times, the at-least-once delivery shape), then
+    ``dropDuplicatesWithinWatermark`` on event_id. Post-dedup per-type
+    counts and value sums must equal the single-copy batch aggregate."""
+    import uuid
+
+    from rs_graphdb_spark.streaming.ops import read_event_stream, stream_dedup
+
+    d = _staged_events_dir(sf_dir)
+    doubled = read_event_stream(spark, d).unionByName(read_event_stream(spark, d))
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_dedup(doubled, ["event_id"], watermark="30 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 def q33_stream_windows(spark, sf_dir):
     """Suite: real Structured-Streaming tumbling windows + hopping windows
-    (batch twin) + the foreachBatch append sink row-count/sum check."""
+    (batch twin) + the foreachBatch append sink row-count/sum check + the
+    duplicated-stream watermark-bounded dedup."""
     return _quads(
         _metric_quads(q69_stream_window(spark, sf_dir),
                       {"tumb_cnt": "n_events", "tumb_sum": "sum_value"},
@@ -2123,6 +2154,9 @@ def q33_stream_windows(spark, sf_dir):
                       k="win_start_us", s="event_type"),
         _metric_quads(q99_foreach_batch_sink(spark, sf_dir),
                       {"fb_rows": "fb_rows", "fb_sum": "fb_sum"}),
+        _metric_quads(q101_stream_dedup(spark, sf_dir),
+                      {"sd_cnt": "n_events", "sd_sum": "sum_value"},
+                      s="event_type"),
     )
 
 
@@ -2186,8 +2220,13 @@ def q35_sources(spark, sf_dir):
 
 def q36_text_features(spark, sf_dir):
     """Suite: language-ID counts, per-doc quality features, token stats,
-    within-doc repetition ratio, and the composite quality-filter verdict
-    (Gopher-rules shape)."""
+    within-doc repetition ratio, the composite quality-filter verdict
+    (Gopher-rules shape), and PII audit + scrub (the pre-train privacy
+    pass — counts per PII type and an md5 of the scrubbed text, over text
+    salted with deterministic per-doc PII spans so every rule actually
+    fires)."""
+    from rs_graphdb_spark.functions.cleaning import pii_counts, scrub_pii
+
     docs = _read(spark, sf_dir, "documents")
     rep = docs.select(
         "doc_id", TX.repetition_ratio("text").alias("rep")
@@ -2195,7 +2234,74 @@ def q36_text_features(spark, sf_dir):
     keep = docs.select(
         TX.quality_filter("text").alias("keep")
     ).groupBy("keep").agg(F.count("*").alias("cnt"))
+    # deterministic PII salt: the raw corpus contains no PII-shaped spans,
+    # so counts would be all-zero (a vacuous check); each doc gains one
+    # email, one IP and one phone derived from its id — the oracle builds
+    # the identical string
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.1 tel +1-415-555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("t2"),
+    )
+    pii = salted.select(
+        "doc_id",
+        pii_counts("t2").alias("p"),
+        F.md5(scrub_pii("t2")).alias("scrubbed"),
+    ).select("doc_id", F.col("p.*"), "scrubbed")
+    # URL hygiene over deterministically-salted URLs (corpus has no URL
+    # column): canonical form + registrable domain
+    from rs_graphdb_spark.functions.cleaning import (
+        extract_domain,
+        hashed_features,
+        make_hashed_weights,
+        url_normalize,
+    )
+
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://Sub"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".Example"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM:443/p/"), F.col("doc_id").cast("string"),
+            F.lit("?utm_source=x&b="), (F.col("doc_id") % 3).cast("string"),
+            F.lit("&a=1#f"),
+        ).alias("u"),
+    )
+    urlq = urls.select(
+        "doc_id",
+        url_normalize("u").alias("nu"),
+        extract_domain("u").alias("dom"),
+    )
+    # hashed-feature linear classifier (fasttext quality-filter shape):
+    # explode hashed n-grams → broadcast-join the weight table → doc-sum.
+    # The driver part aggregates integer MICRO-weights (exact, order-free);
+    # the sigmoid itself is pinned by unit test (float exp differs in last
+    # ulps across engines)
+    wts = make_hashed_weights(spark, 1 << 16, seed=0)
+    clf = docs.select("doc_id").join(
+        docs.select(
+            "doc_id", F.explode(hashed_features("text", 1 << 16)).alias("feature")
+        )
+        .join(F.broadcast(wts), "feature")
+        .groupBy("doc_id")
+        .agg(F.sum("weight_micro").alias("_zm")),
+        "doc_id",
+        "left",
+    ).select("doc_id", F.coalesce("_zm", F.lit(0)).cast("long").alias("zm"))
     return _quads(
+        _metric_quads(pii,
+                      {"pii_email": "email", "pii_ip": "ip",
+                       "pii_phone": "phone", "pii_num": "id_number"},
+                      k="doc_id", s="scrubbed"),
+        _quad("url_norm", urlq, k="doc_id", s="nu"),
+        _quad("url_dom", urlq, k="doc_id", s="dom"),
+        _quad("clf_z", clf, k="doc_id", v="zm"),
         _quad("lang", q50_lang_id(spark, sf_dir), v="cnt", s="lang_guess"),
         _metric_quads(q51_quality_scores(spark, sf_dir),
                       {"q_chars": "n_chars_m", "q_tokens": "n_tokens",
@@ -2231,7 +2337,35 @@ def q38_multimodal(spark, sf_dir):
 
 
 def q39_exact_dedup(spark, sf_dir):
-    return q43_exact_dedup(spark, sf_dir)
+    """Suite: md5-fingerprint exact dedup + line-granularity dedup
+    (RefinedWeb boilerplate removal across docs, MassiveText repeated-line
+    removal within docs). The corpus has no newlines, so ' a ' serves as
+    the line delimiter — same plan shape (positional explode → line-hash
+    df → ordered reconstruct), non-degenerate split (~10% of lines are
+    cross-doc duplicates at sf0.01)."""
+    from rs_graphdb_spark.functions.cleaning import (
+        dedup_lines,
+        dedup_lines_within,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    across = dedup_lines(docs, "doc_id", "text", delim=" a ", max_line_df=1)
+    within = dedup_lines_within(docs, "doc_id", "text", delim=" a ")
+    return _quads(
+        _quad("fp", q43_exact_dedup(spark, sf_dir), k="keeper", v="n_docs", s="fp"),
+        _metric_quads(
+            across.select("doc_id", "n_kept", "n_dropped",
+                          F.md5("text_clean").alias("h")),
+            {"ld_kept": "n_kept", "ld_dropped": "n_dropped"},
+            k="doc_id", s="h",
+        ),
+        _metric_quads(
+            within.select("doc_id", "n_kept", "n_dropped",
+                          F.md5("text_clean").alias("h")),
+            {"lw_kept": "n_kept", "lw_dropped": "n_dropped"},
+            k="doc_id", s="h",
+        ),
+    )
 
 
 def q40_minhash_dedup(spark, sf_dir):
@@ -2346,7 +2480,24 @@ def q48_splits(spark, sf_dir):
             train.select("doc_id"), "doc_id", "left_semi"
         ),
     )
+    # deterministic shuffle-shard: the training-data write layout — shard
+    # sizes and per-shard token sums pin both the md5 % n mapping and the
+    # sort-key derivation (min/max key per shard)
+    from rs_graphdb_spark.functions.cleaning import shuffle_shard
+
+    shards = (
+        shuffle_shard(docs, "doc_id", 8, seed=0)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(TX.token_count("text").cast("long")).alias("sum_tokens"),
+            F.min("sort_key").alias("first_key"),
+        )
+    )
     return _quads(
+        _metric_quads(shards,
+                      {"shard_docs": "n_docs", "shard_tokens": "sum_tokens"},
+                      k="shard", s="first_key"),
         _metric_quads(q83_deterministic_split(spark, sf_dir),
                       {"det_docs": "n_docs", "det_tokens": "sum_tokens"}, s="split"),
         _metric_quads(q84_group_aware_split(spark, sf_dir),
@@ -3933,6 +4084,172 @@ def oracle_sql() -> dict[str, str]:
         " THEN 0 ELSE 1 END) AS n"
     )
 
+    # PII audit/scrub twin: identical salt string, identical RE2-safe
+    # patterns (imported, not re-typed — one source of truth), identical
+    # replace chain ORDER (cleaning.PII_PATTERNS order is semantic)
+    from rs_graphdb_spark.functions.cleaning import PII_PATTERNS
+
+    pii_scrub_expr = "t2"
+    for _, _pat, _repl in PII_PATTERNS:
+        pii_scrub_expr = (
+            f"regexp_replace({pii_scrub_expr}, '{_pat}', '{_repl}', 'g')"
+        )
+    pii_count_cols = ",\n                   ".join(
+        f"CAST(length(regexp_extract_all(t2, '{_pat}')) AS BIGINT) AS {_name}"
+        for _name, _pat, _ in PII_PATTERNS
+    )
+    pii_sql = f"""
+        WITH t2 AS (
+            SELECT doc_id,
+                   text || ' user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com ip 10.'
+                        || CAST(doc_id % 200 AS VARCHAR)
+                        || '.0.1 tel +1-415-555-'
+                        || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t2
+            FROM documents
+        )
+        SELECT doc_id,
+               {pii_count_cols},
+               md5({pii_scrub_expr}) AS scrubbed
+        FROM t2
+    """
+
+    # line-dedup twins (delim ' a ', min_line_chars 1): positional
+    # explode → line df → ordered reconstruct, exactly the Spark plan
+    LINE_BASE = """
+        WITH raw AS (
+            SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line
+            FROM (SELECT doc_id, string_split(text, ' a ') AS l
+                  FROM documents)
+        ),
+        lf AS (SELECT * FROM raw WHERE length(line) >= 1)
+    """
+    lines_across_sql = LINE_BASE + """,
+        dfreq AS (SELECT line, count(DISTINCT doc_id) AS df
+                  FROM lf GROUP BY line),
+        kept AS (SELECT doc_id, pos, line
+                 FROM lf JOIN dfreq USING (line) WHERE df <= 1),
+        reb AS (SELECT doc_id,
+                       string_agg(line, ' a ' ORDER BY pos) AS text_clean,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, count(*) AS n_total FROM lf GROUP BY doc_id)
+        SELECT d.doc_id,
+               md5(coalesce(reb.text_clean, '')) AS h,
+               CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(coalesce(tot.n_total, 0) - coalesce(reb.n_kept, 0)
+                    AS BIGINT) AS n_dropped
+        FROM documents d
+        LEFT JOIN reb ON reb.doc_id = d.doc_id
+        LEFT JOIN tot ON tot.doc_id = d.doc_id
+    """
+    lines_within_sql = LINE_BASE + """,
+        firsts AS (SELECT doc_id, line, min(pos) AS pos, count(*) AS n
+                   FROM lf GROUP BY doc_id, line),
+        reb AS (SELECT doc_id,
+                       string_agg(line, ' a ' ORDER BY pos) AS text_clean,
+                       count(*) AS n_kept, sum(n) AS n_total
+                FROM firsts GROUP BY doc_id)
+        SELECT d.doc_id,
+               md5(coalesce(reb.text_clean, '')) AS h,
+               CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(coalesce(reb.n_total, 0) - coalesce(reb.n_kept, 0)
+                    AS BIGINT) AS n_dropped
+        FROM documents d LEFT JOIN reb ON reb.doc_id = d.doc_id
+    """
+
+    # URL hygiene twin: same salt build, same single parse regex (group
+    # indices), same normalize steps (lowercase scheme/host, default-port
+    # strip, utm_ filter, param sort)
+    URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?"
+    url_sql = f"""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://Sub' || CAST(doc_id % 50 AS VARCHAR)
+                   || '.Example' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.COM:443/p/' || CAST(doc_id AS VARCHAR)
+                   || '?utm_source=x&b=' || CAST(doc_id % 3 AS VARCHAR)
+                   || '&a=1#f' AS url
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id,
+                   lower(regexp_extract(url, '{URL_RE}', 1)) AS scheme,
+                   lower(regexp_extract(
+                       regexp_extract(url, '{URL_RE}', 2), '^([^:]*)', 1))
+                       AS host,
+                   regexp_extract(regexp_extract(url, '{URL_RE}', 2),
+                                  ':(\\d+)$', 1) AS port,
+                   regexp_extract(url, '{URL_RE}', 3) AS path,
+                   regexp_extract(url, '{URL_RE}', 4) AS query
+            FROM u
+        ),
+        n AS (
+            SELECT doc_id, scheme, host,
+                   CASE WHEN (scheme = 'http' AND port = '80')
+                          OR (scheme = 'https' AND port = '443')
+                          OR port = ''
+                        THEN '' ELSE ':' || port END AS port,
+                   CASE WHEN path = '' THEN '/' ELSE path END AS path,
+                   array_to_string(list_sort(list_filter(
+                       string_split(regexp_replace(query, '^\\?', ''), '&'),
+                       x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&')
+                       AS params
+            FROM p
+        )
+        SELECT doc_id,
+               scheme || '://' || host || port || path ||
+               CASE WHEN params = '' THEN '' ELSE '?' || params END AS nu,
+               regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS dom
+        FROM n
+    """
+
+    # hashed-feature classifier twin: distinct uni+bigram md5 features %
+    # 2^16, regenerated weight table, integer micro-weight sum (exact)
+    clf_sql = """
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, list_distinct(list_transform(
+                list_concat(tk,
+                    CASE WHEN len(tk) >= 2 THEN
+                        list_transform(range(len(tk) - 1),
+                                       i -> tk[i + 1] || ' ' || tk[i + 2])
+                    ELSE [] END),
+                s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % 65536)) AS fs
+            FROM t
+        ),
+        f AS (SELECT doc_id, unnest(fs) AS feature FROM g),
+        w AS (
+            SELECT r.range AS feature,
+                   ('0x' || substr(md5('0:' || CAST(r.range AS VARCHAR)), 1, 8))
+                       ::BIGINT % 2000001 - 1000000 AS wm
+            FROM range(65536) r
+        )
+        SELECT d.doc_id, CAST(coalesce(z.zm, 0) AS BIGINT) AS zm
+        FROM documents d LEFT JOIN (
+            SELECT f.doc_id, sum(wm) AS zm
+            FROM f JOIN w USING (feature) GROUP BY f.doc_id
+        ) z ON z.doc_id = d.doc_id
+    """
+
+    # shuffle-shard twin: md5('seed:id') drives both shard and sort key
+    shard_sql = f"""
+        WITH s AS (
+            SELECT md5('0:' || CAST(doc_id AS VARCHAR)) AS sk,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        AS BIGINT) AS sz
+            FROM documents
+        )
+        SELECT ('0x' || substr(sk, 1, 8))::BIGINT % 8 AS shard,
+               count(*) AS n_docs,
+               CAST(sum(sz) AS BIGINT) AS sum_tokens,
+               min(sk) AS first_key
+        FROM s GROUP BY 1
+    """
+
     return {
         "q01_scan_lookup": _sql_union(
             _sql_quad("label_scan", base["q01_label_scan"], k="id", v="c_acctbal", s="c_name"),
@@ -4372,6 +4689,18 @@ def oracle_sql() -> dict[str, str]:
                 """,
                 {"fb_rows": "fb_rows", "fb_sum": "fb_sum"},
             ),
+            # duplicated-stream dedup: post-dedup aggregate == single-copy
+            # batch aggregate (every event arrived exactly twice upstream)
+            _sql_metric_quads(
+                """
+                SELECT event_type, count(*) AS n_events,
+                       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                           AS sum_value
+                FROM events GROUP BY event_type
+                """,
+                {"sd_cnt": "n_events", "sd_sum": "sum_value"},
+                s="event_type",
+            ),
         ),
         "q34_stream_stateful": _sql_union(
             _sql_metric_quads(base["q70_stream_stateful"],
@@ -4460,6 +4789,13 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "q36_text_features": _sql_union(
+            _sql_metric_quads(pii_sql,
+                              {"pii_email": "email", "pii_ip": "ip",
+                               "pii_phone": "phone", "pii_num": "id_number"},
+                              k="doc_id", s="scrubbed"),
+            _sql_quad("url_norm", url_sql, k="doc_id", s="nu"),
+            _sql_quad("url_dom", url_sql, k="doc_id", s="dom"),
+            _sql_quad("clf_z", clf_sql, k="doc_id", v="zm"),
             _sql_quad("lang", base["q50_lang_id"], v="cnt", s="lang_guess"),
             _sql_metric_quads(base["q51_quality_scores"],
                               {"q_chars": "n_chars_m", "q_tokens": "n_tokens",
@@ -4540,7 +4876,16 @@ def oracle_sql() -> dict[str, str]:
             _sql_quad("frames", base["q54_frame_sample"], k="media_id",
                       v="frame_byte", s="frame_idx"),
         ),
-        "q39_exact_dedup": base["q43_exact_dedup"],
+        "q39_exact_dedup": _sql_union(
+            _sql_quad("fp", base["q43_exact_dedup"],
+                      k="keeper", v="n_docs", s="fp"),
+            _sql_metric_quads(lines_across_sql,
+                              {"ld_kept": "n_kept", "ld_dropped": "n_dropped"},
+                              k="doc_id", s="h"),
+            _sql_metric_quads(lines_within_sql,
+                              {"lw_kept": "n_kept", "lw_dropped": "n_dropped"},
+                              k="doc_id", s="h"),
+        ),
         "q40_minhash_dedup": _sql_union(
             _sql_quad("pairs", base["q44_minhash_lsh_dedup"], k="a", v="jaccard", s="b"),
             _sql_quad("cluster", base["q89_dedup_clusters"], k="doc_id", s="cluster"),
@@ -4570,6 +4915,10 @@ def oracle_sql() -> dict[str, str]:
         "q46_asof_join": base["q81_asof_join"],
         "q47_interval_join": base["q86_interval_join"],
         "q48_splits": _sql_union(
+            _sql_metric_quads(shard_sql,
+                              {"shard_docs": "n_docs",
+                               "shard_tokens": "sum_tokens"},
+                              k="shard", s="first_key"),
             _sql_metric_quads(base["q83_deterministic_split"],
                               {"det_docs": "n_docs", "det_tokens": "sum_tokens"},
                               s="split"),

@@ -1,0 +1,411 @@
+"""Corpus-cleaning operators for LLM training-data pipelines.
+
+PII scrubbing, cross-document line (boilerplate) dedup, within-document
+repeated-line removal, and deterministic shuffle-sharding — the cleaning
+stages that sit between raw crawl and the dedup/quality passes in
+:mod:`.dedup` / :mod:`.text` (RefinedWeb line-dedup, CCNet paragraph
+hashing, and the common scrub-before-train shape).
+
+Everything here is JVM-side built-in expressions (whole-stage codegen);
+no Python in any path. Determinism contract matches the rest of the
+package: only md5-derived hashes appear in result-visible values so the
+DuckDB oracle reproduces them bit-for-bit.
+
+Scale notes (100 TB):
+- PII scrubbing is a pure scan-stage projection — zero shuffles.
+- ``dedup_lines`` shuffles twice: once keyed by line (document-frequency
+  count, map-side partial-aggregated, so a viral boilerplate line costs
+  one long per partition, not a hot reduce key) and once keyed by doc id
+  (ordered reconstruction). The line-df frame carries ONLY (line-hash,
+  df), never line text, into the join.
+- ``shuffle_shard`` is a projection; the intended write is
+  ``repartition(n, "shard").sortWithinPartitions("sort_key")`` — one
+  exchange, no global sort.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "PII_PATTERNS",
+    "scrub_pii",
+    "pii_counts",
+    "dedup_lines",
+    "dedup_lines_within",
+    "shuffle_shard",
+    "url_parts",
+    "url_normalize",
+    "extract_domain",
+    "hashed_features",
+    "linear_text_classifier",
+    "make_hashed_weights",
+]
+
+#: (name, regex, replacement) applied IN ORDER — order is semantic: the
+#: email pattern must run before the bare-number pattern or the digits of
+#: a phone number inside an address-like token would be mangled first.
+#: Patterns are the RE2-compatible subset (no lookaround, no backrefs) so
+#: Java regex (Spark) and RE2 (DuckDB) agree character-for-character.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{1,3}[- .]\(?\d{2,4}\)?[- .]\d{3,4}([- .]?\d{3,4})?", "<PHONE>"),
+    ("id_number", r"\b\d{13,19}\b", "<NUM>"),
+]
+
+
+def scrub_pii(
+    col: Column | str,
+    patterns: Sequence[tuple[str, str, str]] | None = None,
+) -> Column:
+    """Replace PII spans with typed placeholder tokens.
+
+    A chained ``regexp_replace`` — one codegen'd projection, applied in
+    :data:`PII_PATTERNS` order (emails before bare digit runs). The same
+    chain in the same order is the oracle's DuckDB form, so scrubbed text
+    is bit-identical across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in patterns or PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(
+    col: Column | str,
+    patterns: Sequence[tuple[str, str, str]] | None = None,
+) -> Column:
+    """Struct of per-type PII match counts over the RAW text (each pattern
+    counts independently; overlaps between types are intentional — the
+    audit question is "how many spans would each rule hit", not "what
+    does the scrub chain leave")."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        *[
+            F.regexp_count(c, F.lit(pat)).cast("long").alias(name)
+            for name, pat, _ in (patterns or PII_PATTERNS)
+        ]
+    )
+
+
+def _lines(df: DataFrame, id_col: str, text_col: str, delim: str,
+           min_line_chars: int) -> DataFrame:
+    """(id, pos, line) — positional explode of the delimited text.
+
+    ``delim`` is a LITERAL delimiter (escaped before it reaches the regex
+    split), matching DuckDB's ``string_split``; 0-based ``pos`` drives
+    the ordered reconstruction."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), re.escape(delim))).alias(
+                "pos", "line"
+            ),
+        )
+        .filter(F.length("line") >= min_line_chars)
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = "\n",
+    max_line_df: int = 1,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Cross-document line dedup (RefinedWeb-style boilerplate removal):
+    drop every line that occurs in MORE than ``max_line_df`` distinct
+    documents, then reconstruct each document from its surviving lines in
+    original order.
+
+    Returns every input document: ``(id_col, text_clean, n_kept,
+    n_dropped)`` — ``text_clean`` is ``''`` (empty, not NULL, for stable
+    hashing) when all lines were boilerplate.
+
+    Plan: the document-frequency pass aggregates a LINE HASH (md5), not
+    the line text — the join back to the positional frame is
+    hash-to-hash, so the shuffled df frame is ~40 bytes/distinct-line
+    regardless of line length. Lines below ``min_line_chars`` are
+    dropped before any shuffle."""
+    lines = _lines(df, id_col, text_col, delim, min_line_chars).withColumn(
+        "_lh", F.md5("line")
+    )
+    dfreq = (
+        lines.select("_lh", id_col)
+        .groupBy("_lh")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") <= max_line_df)
+        .select("_lh", F.lit(True).alias("_keep"))
+    )
+    # LEFT join (not semi): dropped lines must still reach the doc-keyed
+    # aggregation so n_dropped comes out of the SAME single pass — the
+    # kept flag is folded into one collect_list + filter, one exchange
+    flagged = lines.join(dfreq, "_lh", "left")
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line", "_keep"))
+                    ),
+                    lambda x: x["_keep"].isNotNull(),
+                ),
+                lambda x: x["line"],
+            ),
+            delim,
+        ).alias("text_clean"),
+        F.count(F.col("_keep")).alias("n_kept"),
+        (F.count("*") - F.count(F.col("_keep"))).alias("n_dropped"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+def dedup_lines_within(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = "\n",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Within-document repeated-line removal: keep the FIRST occurrence of
+    each distinct line in a document, preserving order (the MassiveText
+    within-doc repetition scrub at line granularity).
+
+    Returns ``(id_col, text_clean, n_kept, n_dropped)``. One shuffle
+    (groupBy doc+line-hash folds first-occurrence and reconstruction into
+    the same doc-keyed exchange via a two-level agg)."""
+    lines = _lines(df, id_col, text_col, delim, min_line_chars).withColumn(
+        "_lh", F.md5("line")
+    )
+    firsts = (
+        lines.groupBy(id_col, "_lh")
+        .agg(
+            F.min("pos").alias("pos"),
+            F.first("line").alias("line"),
+            F.count("*").alias("_n"),
+        )
+    )
+    rebuilt = (
+        firsts.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda x: x["line"],
+                ),
+                delim,
+            ).alias("text_clean"),
+            F.count("*").alias("n_kept"),
+            F.sum("_n").alias("_n_total"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.coalesce("_n_total", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
+def shuffle_shard(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training-data
+    writes: ``shard`` in [0, n_shards) and a ``sort_key`` whose per-shard
+    ordering is the seeded pseudo-random training order.
+
+    Both derive from ``md5(seed || ':' || id)`` — engine-reproducible
+    (DuckDB: ``('0x'||substr(md5(...),1,8))::BIGINT``), stable across
+    runs and cluster sizes, and re-seedable per epoch. Write with
+    ``df.repartition(n_shards, "shard").sortWithinPartitions("sort_key")``
+    — one exchange; no global sort is ever needed because consumers read
+    shards independently."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    h = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    return df.withColumn(
+        "shard",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).alias(
+            "shard"
+        ),
+    ).withColumn("sort_key", h)
+
+
+# ---------------------------------------------------------------------------
+# URL hygiene (crawl-pipeline canonicalization)
+# ---------------------------------------------------------------------------
+
+#: capture groups: 1 scheme, 2 host[:port], 3 path, 4 ?query (incl. '?')
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?"
+
+
+def url_parts(col: Column | str) -> Column:
+    """Struct (scheme, host, port, path, query) parsed from a URL —
+    regex-group extraction only (no UDF), fragment excluded. Malformed
+    URLs (no scheme://) parse to empty strings, never NULL/error — a
+    crawl column is always partly garbage."""
+    c = F.col(col) if isinstance(col, str) else col
+    hostport = F.regexp_extract(c, _URL_RE, 2)
+    return F.struct(
+        F.lower(F.regexp_extract(c, _URL_RE, 1)).alias("scheme"),
+        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)).alias("host"),
+        F.regexp_extract(hostport, r":(\d+)$", 1).alias("port"),
+        F.regexp_extract(c, _URL_RE, 3).alias("path"),
+        F.regexp_extract(c, _URL_RE, 4).alias("query"),
+    )
+
+
+def url_normalize(col: Column | str, strip_params_prefix: str = "utm_") -> Column:
+    """Canonical URL: lowercase scheme+host, default ports stripped
+    (80/http, 443/https), empty path → '/', fragment dropped, tracking
+    params (``strip_params_prefix``) removed and the remainder SORTED so
+    parameter order never splits a dedup group. Pure codegen expressions;
+    the DuckDB twin applies the identical steps."""
+    p = url_parts(col)
+    port = F.when(
+        ((p["scheme"] == "http") & (p["port"] == "80"))
+        | ((p["scheme"] == "https") & (p["port"] == "443"))
+        | (p["port"] == ""),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), p["port"]))
+    path = F.when(p["path"] == "", F.lit("/")).otherwise(p["path"])
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_replace(p["query"], r"^\?", ""), "&"),
+                lambda kv: (kv != "") & ~kv.startswith(strip_params_prefix),
+            )
+        ),
+        "&",
+    )
+    query = F.when(params == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), params)
+    )
+    return F.when(
+        p["scheme"] == "", F.col(col) if isinstance(col, str) else col
+    ).otherwise(
+        F.concat(p["scheme"], F.lit("://"), p["host"], port, path, query)
+    )
+
+
+def extract_domain(col: Column | str) -> Column:
+    """Registrable-domain APPROXIMATION: the last two dot-labels of the
+    host (``docs.example.co.uk`` → ``co.uk`` — wrong for multi-label
+    public suffixes; a production pipeline substitutes the public-suffix
+    list as a broadcast-joined table, same plan shape). Good enough for
+    per-domain grouping/stats on ordinary TLDs."""
+    host = url_parts(col)["host"]
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear text classifier (the fasttext-style quality-filter
+# serving shape: explode → hash → broadcast-join weights → doc-sum → sigmoid)
+# ---------------------------------------------------------------------------
+
+
+def hashed_features(col: Column | str, dim: int = 1 << 16) -> Column:
+    """Word-unigram + bigram hashed feature ids (md5 → [0, dim)) — the
+    hashing-trick featurizer. Distinct per doc (binary features, the
+    fasttext default for classification)."""
+    from rs_graphdb_spark.functions.dedup import md5_long
+    from rs_graphdb_spark.functions.text import tokenize
+
+    toks = tokenize(col)
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(toks, bigrams)
+    return F.array_distinct(
+        F.transform(grams, lambda g: md5_long(g) % dim)
+    )
+
+
+def make_hashed_weights(
+    spark, dim: int = 1 << 16, seed: int = 0
+) -> DataFrame:
+    """Deterministic demo weight table ``(feature LONG, weight DOUBLE)`` in
+    [-1, 1) — the stand-in for a trained quality classifier's exported
+    weights (fasttext / logistic regression over hashed n-grams). A real
+    pipeline loads its table from parquet; everything downstream
+    (broadcast join, doc-sum, sigmoid) is identical. Weights derive from
+    md5(seed:feature) so the oracle regenerates them in SQL."""
+    ids = spark.range(0, dim).select(F.col("id").alias("feature"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("feature"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return ids.select(
+        "feature",
+        ((h % 2000001) / F.lit(1000000.0) - 1.0).alias("weight"),
+        # integer micro-units: summing DOUBLES is addition-order-dependent
+        # (Spark vs any oracle engine drifts in the last ulps); summing
+        # micro-LONGS is exact and order-free — use this column whenever
+        # the aggregate must be reproducible bit-for-bit across engines
+        ((h % 2000001) - 1000000).cast("long").alias("weight_micro"),
+    )
+
+
+def linear_text_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    dim: int = 1 << 16,
+    bias: float = 0.0,
+) -> DataFrame:
+    """Score documents with a linear model over hashed n-gram features:
+    ``sigmoid(bias + Σ weight[h(g)])`` for the doc's DISTINCT grams.
+
+    Returns ``(id_col, score DOUBLE)``. Plan: one scan-stage explode of
+    hashed feature ids, a broadcast hash join against the (≤ ``dim``-row)
+    weight table, and one doc-keyed partial-aggregated sum — the shape
+    that serves a fasttext-class quality filter over 100 TB without any
+    Python. Docs with zero features score ``sigmoid(bias)``."""
+    feats = df.select(
+        F.col(id_col), F.explode(hashed_features(text_col, dim)).alias("feature")
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "feature")
+        .groupBy(id_col)
+        .agg(F.sum("weight").alias("_z"))
+    )
+    z = F.coalesce(F.col("_z"), F.lit(0.0)) + F.lit(bias)
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(id_col, (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"))
+    )

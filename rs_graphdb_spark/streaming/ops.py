@@ -310,3 +310,29 @@ def append_edge_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup(
+    df: DataFrame,
+    keys: list[str],
+    watermark: str = "30 minutes",
+    streaming: bool = True,
+) -> DataFrame:
+    """Streaming exact-deduplication: drop events whose ``keys`` were
+    already seen within the watermark horizon — the at-least-once →
+    exactly-once repair stage in front of any streaming ingest (the
+    continuous twin of :func:`...functions.dedup.exact_dedup_groups`).
+
+    Uses ``dropDuplicatesWithinWatermark``: state holds one entry per
+    distinct key seen in the last ``watermark`` of event time and is
+    evicted as the watermark advances, so state size is bounded by key
+    arrival rate × horizon, never by stream length — the property that
+    keeps this runnable forever at 100 TB/day. (Plain ``dropDuplicates``
+    on a stream grows state without bound; batch mode falls back to it,
+    making the batch run the oracle for the streaming run.)"""
+    df = with_event_time(df)
+    if not streaming:
+        return df.dropDuplicates(keys)
+    return df.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -1,0 +1,254 @@
+"""Corpus-cleaning operators: PII scrub/audit, cross-doc line dedup,
+within-doc repeated-line removal, shuffle-sharding."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from rs_graphdb_spark.functions.cleaning import (
+    PII_PATTERNS,
+    dedup_lines,
+    dedup_lines_within,
+    pii_counts,
+    scrub_pii,
+    shuffle_shard,
+)
+
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    rows = [
+        (1, "mail me at alice.smith+spam@example.co.uk thanks"),
+        (2, "server 192.168.0.1 and backup 10.0.0.255 are up"),
+        (3, "call +1-415-555-0199 or 030 1234 5678 now"),
+        (4, "card 4111111111111111 acct 12345678901234567"),
+        (5, "clean text with no secrets at all"),
+        (6, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_scrub_pii_replaces_each_type(pii_df):
+    out = {
+        r["doc_id"]: r["c"]
+        for r in pii_df.select(
+            "doc_id", scrub_pii("text").alias("c")
+        ).collect()
+    }
+    assert out[1] == "mail me at <EMAIL> thanks"
+    assert out[2] == "server <IP> and backup <IP> are up"
+    assert out[3] == "call <PHONE> or <PHONE> now"
+    assert out[4] == "card <NUM> acct <NUM>"
+    assert out[5] == "clean text with no secrets at all"
+    assert out[6] is None
+
+
+def test_pii_counts_struct(pii_df):
+    rows = {
+        r["doc_id"]: r["p"].asDict()
+        for r in pii_df.filter(F.col("text").isNotNull())
+        .select("doc_id", pii_counts("text").alias("p"))
+        .collect()
+    }
+    assert rows[1]["email"] == 1 and rows[1]["phone"] == 0
+    assert rows[2]["ip"] == 2
+    assert rows[3]["phone"] == 2
+    assert rows[4]["id_number"] == 2
+    assert all(v == 0 for v in rows[5].values())
+
+
+def test_scrub_order_email_before_numbers(spark):
+    # digits inside an email must be consumed by the email rule, never
+    # left for the bare-number rule to mangle half of
+    df = spark.createDataFrame(
+        [(1, "x 12345678901234567@example.com y")], "i long, text string"
+    )
+    assert (
+        df.select(scrub_pii("text").alias("c")).first()["c"]
+        == "x <EMAIL> y"
+    )
+
+
+@pytest.fixture(scope="module")
+def lines_df(spark):
+    rows = [
+        # "header" is shared boilerplate across 3 docs; "footer" across 2
+        (1, "header\nunique one\nfooter"),
+        (2, "header\nunique two\nunique two b\nfooter"),
+        (3, "header\nunique three"),
+        (4, "all mine\nnothing shared"),
+        (5, "header"),  # only boilerplate -> empty after dedup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_lines_drops_boilerplate(lines_df):
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(lines_df, "doc_id", "text", max_line_df=1).collect()
+    }
+    assert out[1]["text_clean"] == "unique one"
+    assert out[1]["n_kept"] == 1 and out[1]["n_dropped"] == 2
+    assert out[2]["text_clean"] == "unique two\nunique two b"
+    assert out[3]["text_clean"] == "unique three"
+    assert out[4]["text_clean"] == "all mine\nnothing shared"
+    assert out[4]["n_dropped"] == 0
+    # doc 5 was pure boilerplate but must still be returned
+    assert out[5]["text_clean"] == "" and out[5]["n_kept"] == 0
+    assert out[5]["n_dropped"] == 1
+
+
+def test_dedup_lines_max_df_threshold(lines_df):
+    # max_line_df=2 keeps the footer (df=2) but still drops header (df=4)
+    out = {
+        r["doc_id"]: r["text_clean"]
+        for r in dedup_lines(lines_df, "doc_id", "text", max_line_df=2).collect()
+    }
+    assert out[1] == "unique one\nfooter"
+    assert out[2] == "unique two\nunique two b\nfooter"
+    assert out[5] == ""
+
+
+def test_dedup_lines_within(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb\na"),
+            (2, "x\nx\nx"),
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines_within(df, "doc_id", "text").collect()}
+    assert out[1]["text_clean"] == "a\nb\nc"
+    assert out[1]["n_kept"] == 3 and out[1]["n_dropped"] == 3
+    assert out[2]["text_clean"] == "x"
+    assert out[2]["n_dropped"] == 2
+    assert out[3]["text_clean"] == "solo" and out[3]["n_dropped"] == 0
+
+
+def test_dedup_lines_blank_lines_dropped(spark):
+    # min_line_chars=1 (default) removes empty lines produced by \n\n
+    df = spark.createDataFrame([(1, "a\n\nb\n\na")], "doc_id long, text string")
+    out = dedup_lines_within(df, "doc_id", "text").first()
+    assert out["text_clean"] == "a\nb"
+
+
+def test_shuffle_shard_deterministic_and_balanced(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = shuffle_shard(df, "doc_id", 8, seed=7)
+    b = shuffle_shard(df, "doc_id", 8, seed=7)
+    assert a.select("doc_id", "shard", "sort_key").exceptAll(
+        b.select("doc_id", "shard", "sort_key")
+    ).count() == 0
+    sizes = [r["c"] for r in a.groupBy("shard").agg(F.count("*").alias("c")).collect()]
+    assert len(sizes) == 8
+    # md5 is uniform: every shard within 2x of the mean on 2000 rows
+    assert min(sizes) > 2000 / 8 / 2 and max(sizes) < 2000 / 8 * 2
+    # a different seed produces a different permutation
+    c = shuffle_shard(df, "doc_id", 8, seed=8)
+    assert a.join(c, "doc_id").filter(
+        F.col("a.sort_key") if False else a["sort_key"] == c["sort_key"]
+    ).count() < 2000
+
+
+def test_shuffle_shard_matches_reference_hash(spark):
+    # pin the exact md5 derivation so the oracle twin can't drift
+    df = spark.createDataFrame([(42,)], "doc_id long")
+    row = shuffle_shard(df, "doc_id", 8, seed=0).first()
+    h = hashlib.md5(b"0:42").hexdigest()
+    assert row["sort_key"] == h
+    assert row["shard"] == int(h[:8], 16) % 8
+
+
+def test_shuffle_shard_rejects_bad_n(spark):
+    with pytest.raises(ValueError):
+        shuffle_shard(spark.range(1), "id", 0)
+
+
+# ---------------------------------------------------------------------------
+# URL hygiene
+# ---------------------------------------------------------------------------
+
+
+def test_url_normalize(spark):
+    from rs_graphdb_spark.functions.cleaning import url_normalize
+
+    rows = [
+        (1, "HTTP://Example.COM:80/Path/x?b=2&utm_source=tw&a=1#frag"),
+        (2, "https://example.com:443"),
+        (3, "https://example.com/a?utm_campaign=x"),
+        (4, "http://example.com:8080/x"),
+        (5, "not a url"),
+        (6, "https://example.com/a?z=1&y=2"),
+    ]
+    df = spark.createDataFrame(rows, "i long, u string")
+    out = {r["i"]: r["n"] for r in df.select("i", url_normalize("u").alias("n")).collect()}
+    assert out[1] == "http://example.com/Path/x?a=1&b=2"
+    assert out[2] == "https://example.com/"
+    assert out[3] == "https://example.com/a"
+    assert out[4] == "http://example.com:8080/x"
+    assert out[5] == "not a url"  # malformed: passed through untouched
+    assert out[6] == "https://example.com/a?y=2&z=1"
+
+
+def test_url_parts_and_domain(spark):
+    from rs_graphdb_spark.functions.cleaning import extract_domain, url_parts
+
+    df = spark.createDataFrame(
+        [(1, "https://docs.sub.example.com:8443/a/b?q=1#x")], "i long, u string"
+    )
+    p = df.select(url_parts("u").alias("p"), extract_domain("u").alias("d")).first()
+    assert p["p"]["scheme"] == "https"
+    assert p["p"]["host"] == "docs.sub.example.com"
+    assert p["p"]["port"] == "8443"
+    assert p["p"]["path"] == "/a/b"
+    assert p["p"]["query"] == "?q=1"
+    assert p["d"] == "example.com"
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear classifier
+# ---------------------------------------------------------------------------
+
+
+def test_linear_classifier_matches_manual_score(spark):
+    import hashlib
+
+    from rs_graphdb_spark.functions.cleaning import (
+        linear_text_classifier,
+        make_hashed_weights,
+    )
+
+    dim = 256
+    w = make_hashed_weights(spark, dim=dim, seed=3)
+    wmap = {r["feature"]: r["weight"] for r in w.collect()}
+    # weights are the pinned md5 derivation
+    h0 = int(hashlib.md5(b"3:7").hexdigest()[:8], 16)
+    assert abs(wmap[7] - (h0 % 2000001 / 1e6 - 1.0)) < 1e-12
+
+    df = spark.createDataFrame(
+        [(1, "good clean prose here"), (2, ""), (3, "good clean")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["score"]
+        for r in linear_text_classifier(df, "doc_id", "text", w, dim=dim).collect()
+    }
+
+    def manual(text):
+        toks = text.split()
+        grams = set(toks) | {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+        import math
+
+        z = sum(
+            wmap[int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % dim]
+            for g in grams
+        )
+        return 1.0 / (1.0 + math.exp(-z))
+
+    assert abs(out[1] - manual("good clean prose here")) < 1e-9
+    assert out[2] == 0.5  # empty doc -> sigmoid(0)
+    assert abs(out[3] - manual("good clean")) < 1e-9

@@ -224,3 +224,39 @@ def test_watermark_drops_late_data_across_restarts(spark, tmpdir):
         ).collect()
     }
     assert batch[late_win] == 1
+
+
+def test_stream_dedup_removes_duplicate_deliveries(spark, tmpdir):
+    from rs_graphdb_spark.streaming.ops import stream_dedup
+
+    events_dir = _events_dir(spark, tmpdir)
+    doubled = read_event_stream(spark, events_dir).unionByName(
+        read_event_stream(spark, events_dir)
+    )
+    name = f"sd_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_dedup(doubled, ["event_id"], watermark="30 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    n_src = spark.read.parquet(events_dir).count()
+    out = spark.table(name)
+    assert out.count() == n_src
+    assert out.select("event_id").distinct().count() == n_src
+    # state stayed bounded: entries never exceed the distinct-key count
+    peak = max(
+        (p["stateOperators"][0]["numRowsTotal"]
+         for p in q.recentProgress if p["stateOperators"]),
+        default=0,
+    )
+    assert 0 < peak <= n_src
+    # batch fallback (no watermark API in batch mode) agrees
+    batch = stream_dedup(
+        spark.read.parquet(events_dir).unionByName(
+            spark.read.parquet(events_dir)
+        ),
+        ["event_id"],
+        streaming=False,
+    )
+    assert batch.count() == n_src
