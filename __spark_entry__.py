@@ -2494,10 +2494,34 @@ def q48_splits(spark, sf_dir):
             F.min("sort_key").alias("first_key"),
         )
     )
+    # token-budget mixture: plan per-source keep-fractions to hit a target
+    # token mixture, apply via seeded hash threshold — plan fractions AND
+    # the sampled per-source aggregates are both oracle-pinned
+    from rs_graphdb_spark.functions.sampling import (
+        apply_token_mixture,
+        mixture_plan,
+    )
+
+    ntok = docs.select(
+        "doc_id", "source", TX.token_count("text").cast("long").alias("n_tok")
+    )
+    plan = mixture_plan(
+        ntok, "source", "n_tok", token_budget=20_000.0,
+        weights={"src0": 0.3, "src1": 0.2}, default_weight=0.02,
+    )
+    mixed = (
+        apply_token_mixture(ntok, "doc_id", "source", plan, seed=1)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("sum_tokens"))
+    )
     return _quads(
         _metric_quads(shards,
                       {"shard_docs": "n_docs", "shard_tokens": "sum_tokens"},
                       k="shard", s="first_key"),
+        _quad("mix_frac", plan, v="keep_frac", s="source"),
+        _metric_quads(mixed,
+                      {"mix_docs": "n_docs", "mix_tokens": "sum_tokens"},
+                      s="source"),
         _metric_quads(q83_deterministic_split(spark, sf_dir),
                       {"det_docs": "n_docs", "det_tokens": "sum_tokens"}, s="split"),
         _metric_quads(q84_group_aware_split(spark, sf_dir),
@@ -4235,6 +4259,48 @@ def oracle_sql() -> dict[str, str]:
         ) z ON z.doc_id = d.doc_id
     """
 
+    # token-mixture twin: identical double op order (coalesce(w, default)
+    # * budget, then least(1, target/total)) — every literal cast to
+    # DOUBLE or DuckDB would run the arithmetic in DECIMAL and drift
+    mix_plan_sql = """
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        tot AS (SELECT source, sum(n_tok) AS total_tokens
+                FROM t GROUP BY source),
+        w AS (SELECT * FROM (VALUES
+                ('src0', CAST(0.3 AS DOUBLE)),
+                ('src1', CAST(0.2 AS DOUBLE))) w(source, wt))
+        SELECT tot.source, tot.total_tokens,
+               coalesce(w.wt, CAST(0.02 AS DOUBLE))
+                   * CAST(20000 AS DOUBLE) AS target_tokens,
+               CASE WHEN tot.total_tokens <= 0 THEN CAST(0 AS DOUBLE)
+                    ELSE least(CAST(1 AS DOUBLE),
+                               (coalesce(w.wt, CAST(0.02 AS DOUBLE))
+                                * CAST(20000 AS DOUBLE)) / tot.total_tokens)
+               END AS keep_frac
+        FROM tot LEFT JOIN w USING (source)
+    """
+    mix_apply_sql = f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        plan AS ({mix_plan_sql})
+        SELECT t.source, count(*) AS n_docs,
+               CAST(sum(t.n_tok) AS BIGINT) AS sum_tokens
+        FROM t JOIN plan ON plan.source = t.source
+        WHERE ('0x' || substr(md5('1:' || CAST(t.doc_id AS VARCHAR)), 1, 8))
+                  ::BIGINT % 1000000
+              < CAST(floor(plan.keep_frac * 1000000) AS BIGINT)
+        GROUP BY t.source
+    """
+
     # shuffle-shard twin: md5('seed:id') drives both shard and sort key
     shard_sql = f"""
         WITH s AS (
@@ -4919,6 +4985,11 @@ def oracle_sql() -> dict[str, str]:
                               {"shard_docs": "n_docs",
                                "shard_tokens": "sum_tokens"},
                               k="shard", s="first_key"),
+            _sql_quad("mix_frac", mix_plan_sql, v="keep_frac", s="source"),
+            _sql_metric_quads(mix_apply_sql,
+                              {"mix_docs": "n_docs",
+                               "mix_tokens": "sum_tokens"},
+                              s="source"),
             _sql_metric_quads(base["q83_deterministic_split"],
                               {"det_docs": "n_docs", "det_tokens": "sum_tokens"},
                               s="split"),

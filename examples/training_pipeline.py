@@ -36,6 +36,32 @@ def main() -> None:
     scored.agg(*[F.round(F.avg(c), 3).alias(f"avg_{c}")
                  for c in scored.columns if c != "doc_id"]).show()
 
+    print("-- 2b. corpus cleaning: PII scrub + cross-doc line dedup")
+    from rs_graphdb_spark.functions.cleaning import (
+        dedup_lines,
+        pii_counts,
+        scrub_pii,
+    )
+
+    audited = docs.select("doc_id", pii_counts("text").alias("pii"))
+    audited.agg(*[F.sum(f"pii.{f}").alias(f)
+                  for f in ("email", "ip", "phone", "id_number")]).show()
+    docs = docs.withColumn("text", scrub_pii("text"))
+    lined = dedup_lines(docs, "doc_id", "text", delim=" a ", max_line_df=3)
+    lined.agg(F.sum("n_kept").alias("lines_kept"),
+              F.sum("n_dropped").alias("boilerplate_dropped")).show()
+
+    print("-- 2c. model-based quality scoring (hashed-feature classifier)")
+    from rs_graphdb_spark.functions.cleaning import (
+        linear_text_classifier,
+        make_hashed_weights,
+    )
+
+    wts = make_hashed_weights(spark, 1 << 16, seed=0)
+    linear_text_classifier(docs, "doc_id", "text", wts).agg(
+        F.round(F.avg("score"), 4).alias("avg_quality_score")
+    ).show()
+
     print("-- 3. near-dup clustering (MinHash/LSH -> CC -> keeper)")
     clusters = near_dup_clusters(docs, "doc_id", "text", threshold=0.8)
     clusters.groupBy("keep").count().show()
@@ -67,6 +93,20 @@ def main() -> None:
     )
     mixed.groupBy("lg").count().orderBy("lg").show()
 
+    print("-- 6b. token-budget mixture (src0 30%, src1 20%, rest shared)")
+    from rs_graphdb_spark.functions.sampling import (
+        apply_token_mixture,
+        mixture_plan,
+    )
+
+    ntok = split.withColumn("n_tok", token_count("text").cast("long"))
+    plan = mixture_plan(ntok, "source", "n_tok", token_budget=10_000.0,
+                        weights={"src0": 0.3, "src1": 0.2},
+                        default_weight=0.02)
+    plan.orderBy("source").show(5)
+    apply_token_mixture(ntok, "doc_id", "source", plan).groupBy("source") \
+        .agg(F.sum("n_tok").alias("tokens")).orderBy("source").show(5)
+
     print("-- 7. sequence packing (2048-token bins, 8 shards)")
     packed = pack_greedy(
         split.withColumn("sz", token_count("text").cast("long")),
@@ -75,6 +115,15 @@ def main() -> None:
     packed.groupBy("shard", "bin").agg(
         F.count("*").alias("docs"), F.sum("sz").alias("tokens")
     ).orderBy("shard", "bin").show(10)
+
+    print("-- 7b. shuffle-shard write layout (8 shards, seeded order)")
+    from rs_graphdb_spark.functions.cleaning import shuffle_shard
+
+    sharded = shuffle_shard(split, "doc_id", 8, seed=0)
+    sharded.groupBy("shard").count().orderBy("shard").show()
+    # production write: sharded.repartition(8, "shard")
+    #                          .sortWithinPartitions("sort_key")
+    #                          .write.partitionBy("shard").parquet(...)
 
     print("-- 8. multimodal: render docs into real BMP/PGM/PNG and decode")
     from rs_graphdb_spark.functions.multimodal import (

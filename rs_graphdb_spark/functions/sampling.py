@@ -24,6 +24,8 @@ __all__ = [
     "hash_sample",
     "stratified_hash_sample",
     "pack_greedy",
+    "mixture_plan",
+    "apply_token_mixture",
 ]
 
 
@@ -151,4 +153,97 @@ def pack_greedy(
     return (
         with_shard.withColumn("bin", F.floor(prefix / budget))
         .drop("_sz")
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    source_col: str,
+    token_count_col: Column | str,
+    token_budget: float,
+    weights: Mapping[str, float],
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Per-source sampling plan to hit a target token MIXTURE: for each
+    source, ``target = weight × token_budget`` and ``keep_frac =
+    min(1, target / total_tokens)`` (1.0 caps an over-asked source at
+    "take everything" — the standard under-supply behavior when a small
+    source can't fill its slice).
+
+    Returns ``(source, total_tokens, target_tokens, keep_frac)`` — one
+    row per source. Fully distributed: one partial-aggregated groupBy;
+    the weight table is a broadcast literal frame (sources are O(100) in
+    practice). Feed the plan to :func:`apply_token_mixture`."""
+    from rs_graphdb_spark.session import local_df
+
+    tc = F.col(token_count_col) if isinstance(token_count_col, str) else token_count_col
+    totals = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(tc.cast("long")).alias("total_tokens")
+    )
+    wdf = local_df(
+        df.sparkSession,
+        [(k, float(v)) for k, v in weights.items()],
+        "source string, w double",
+    )
+    return (
+        totals.join(F.broadcast(wdf), "source", "left")
+        .select(
+            "source",
+            "total_tokens",
+            (F.coalesce("w", F.lit(float(default_weight)))
+             * F.lit(float(token_budget))).alias("target_tokens"),
+        )
+        .withColumn(
+            "keep_frac",
+            F.when(F.col("total_tokens") <= 0, F.lit(0.0)).otherwise(
+                F.least(
+                    F.lit(1.0), F.col("target_tokens") / F.col("total_tokens")
+                )
+            ),
+        )
+    )
+
+
+def apply_token_mixture(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    plan: DataFrame,
+    seed: int = 0,
+) -> DataFrame:
+    """Apply a :func:`mixture_plan`: keep each document iff its seeded
+    hash bucket falls under its source's ``keep_frac`` — deterministic,
+    engine-reproducible (md5), re-seedable per epoch, and stable under
+    corpus growth within a source (existing docs never flip for a fixed
+    plan). One broadcast join against the O(#sources) plan; the filter is
+    an integer threshold compare (``floor(frac × 1e6)``), never a float
+    equality."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(str(seed)), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    p = plan.select(
+        F.col("source").alias("_mix_src"),
+        F.floor(F.col("keep_frac") * 1_000_000).cast("long").alias("_thr"),
+    )
+    return (
+        df.join(
+            F.broadcast(p),
+            F.col(source_col) == F.col("_mix_src"),
+            "left",
+        )
+        .filter(h < F.coalesce(F.col("_thr"), F.lit(0)))
+        .drop("_mix_src", "_thr")
     )

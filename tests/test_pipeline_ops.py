@@ -629,3 +629,41 @@ def test_minhash_signature_np_equals_sql_form(spark, monkeypatch):
     b = {r["doc_id"]: r["sig"] for r in np_form.collect()}
     assert a == b
     assert a[2] == [dd.MERSENNE_P] * dd.NUM_HASHES  # empty-set sentinel
+
+
+def test_token_mixture_plan_and_apply(spark):
+    from rs_graphdb_spark.functions.sampling import (
+        apply_token_mixture,
+        mixture_plan,
+    )
+    from rs_graphdb_spark.functions.text import token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.withColumn("n_tok", token_count("text").cast("long"))
+    plan = mixture_plan(
+        docs, "source", "n_tok", token_budget=2000,
+        weights={"src0": 0.5, "src1": 0.25}, default_weight=0.05,
+    )
+    rows = {r["source"]: r for r in plan.collect()}
+    # src0 asked for 1000 tokens; with ~150 tokens total it caps at 1.0
+    assert rows["src0"]["target_tokens"] == 1000.0
+    for r in rows.values():
+        assert 0.0 <= r["keep_frac"] <= 1.0
+        if r["target_tokens"] >= r["total_tokens"]:
+            assert r["keep_frac"] == 1.0
+    out = apply_token_mixture(docs, "doc_id", "source", plan, seed=1)
+    # capped sources keep every doc
+    full = {s for s, r in rows.items() if r["keep_frac"] == 1.0}
+    kept = {r["source"]: r["c"] for r in out.groupBy("source").count()
+            .withColumnRenamed("count", "c").collect()}
+    src_n = {r["source"]: r["c"] for r in docs.groupBy("source").count()
+             .withColumnRenamed("count", "c").collect()}
+    for s in full:
+        assert kept.get(s) == src_n[s]
+    # zero-weight default would drop; here default 0.05 keeps a fraction
+    assert sum(kept.values()) < sum(src_n.values())
+    # deterministic: same seed, same rows
+    out2 = apply_token_mixture(docs, "doc_id", "source", plan, seed=1)
+    assert out.select("doc_id").exceptAll(out2.select("doc_id")).count() == 0
+    # schema passthrough: no helper columns leak
+    assert set(out.columns) == set(docs.columns)
