@@ -2346,11 +2346,32 @@ def q39_exact_dedup(spark, sf_dir):
     from rs_graphdb_spark.functions.cleaning import (
         dedup_lines,
         dedup_lines_within,
+        snapshot_diff,
     )
 
     docs = _read(spark, sf_dir, "documents")
     across = dedup_lines(docs, "doc_id", "text", delim=" a ", max_line_df=1)
     within = dedup_lines_within(docs, "doc_id", "text", delim=" a ")
+    # snapshot diff over a deterministic "nightly refresh": every 13th doc
+    # removed, every 7th surviving doc edited, every 11th doc re-added
+    # under a fresh id — the incremental-pipeline classification input
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    new_snap = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + mx + 1).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    diff = snapshot_diff(docs, new_snap, "doc_id", "text")
     return _quads(
         _quad("fp", q43_exact_dedup(spark, sf_dir), k="keeper", v="n_docs", s="fp"),
         _metric_quads(
@@ -2365,6 +2386,7 @@ def q39_exact_dedup(spark, sf_dir):
             {"lw_kept": "n_kept", "lw_dropped": "n_dropped"},
             k="doc_id", s="h",
         ),
+        _quad("diff", diff, k="doc_id", s="status"),
     )
 
 
@@ -4182,6 +4204,31 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN reb ON reb.doc_id = d.doc_id
     """
 
+    # snapshot-diff twin: same synthetic nightly refresh, same normalized
+    # token fingerprint, full-outer status classification
+    FP = "md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' '))"
+    snap_diff_sql = f"""
+        WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        old AS (SELECT doc_id, {FP} AS fp FROM documents),
+        newt AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 13 <> 0
+            UNION ALL
+            SELECT doc_id + (SELECT m FROM mx) + 1 AS doc_id,
+                   'new ' || text AS text
+            FROM documents WHERE doc_id % 11 = 0
+        ),
+        new AS (SELECT doc_id, {FP} AS fp FROM newt)
+        SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+               CASE WHEN old.doc_id IS NULL THEN 'added'
+                    WHEN new.doc_id IS NULL THEN 'removed'
+                    WHEN old.fp <> new.fp THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """
+
     # URL hygiene twin: same salt build, same single parse regex (group
     # indices), same normalize steps (lowercase scheme/host, default-port
     # strip, utm_ filter, param sort)
@@ -4951,6 +4998,7 @@ def oracle_sql() -> dict[str, str]:
             _sql_metric_quads(lines_within_sql,
                               {"lw_kept": "n_kept", "lw_dropped": "n_dropped"},
                               k="doc_id", s="h"),
+            _sql_quad("diff", snap_diff_sql, k="doc_id", s="status"),
         ),
         "q40_minhash_dedup": _sql_union(
             _sql_quad("pairs", base["q44_minhash_lsh_dedup"], k="a", v="jaccard", s="b"),

@@ -44,6 +44,7 @@ __all__ = [
     "hashed_features",
     "linear_text_classifier",
     "make_hashed_weights",
+    "snapshot_diff",
 ]
 
 #: (name, regex, replacement) applied IN ORDER — order is semantic: the
@@ -408,4 +409,35 @@ def linear_text_classifier(
         df.select(id_col)
         .join(scored, id_col, "left")
         .select(id_col, (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"))
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Corpus snapshot diff for incremental pipeline runs: classify every
+    id across two snapshots as ``added`` / ``removed`` / ``changed`` /
+    ``unchanged`` by content fingerprint (normalized-token md5, the same
+    fingerprint exact-dedup keys on).
+
+    Returns ``(id_col, status)``. Plan: each side reduces to (id, fp) at
+    scan stage — the full-outer join shuffles two slim hash frames, never
+    text. Downstream incremental stages re-process ONLY
+    ``added``/``changed`` ids (e.g. feed them to ``minhash_probe``
+    against the standing index) — the 100 TB nightly-refresh shape where
+    re-running the whole corpus is the thing you cannot afford."""
+    from rs_graphdb_spark.functions.text import fingerprint
+
+    o = old.select(F.col(id_col), fingerprint(text_col).alias("_fp_old"))
+    n = new.select(F.col(id_col), fingerprint(text_col).alias("_fp_new"))
+    return o.join(n, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
     )

@@ -252,3 +252,59 @@ def test_linear_classifier_matches_manual_score(spark):
     assert abs(out[1] - manual("good clean prose here")) < 1e-9
     assert out[2] == 0.5  # empty doc -> sigmoid(0)
     assert abs(out[3] - manual("good clean")) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff + line-dedup properties
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_statuses(spark):
+    from rs_graphdb_spark.functions.cleaning import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, "delta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "ALPHA  beta!"),   # normalized-identical -> unchanged
+            (2, "gamma edited"),   # changed
+            (4, "brand new"),      # added
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"]
+           for r in snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_dedup_lines_identity_when_threshold_huge(spark):
+    from rs_graphdb_spark.functions.cleaning import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "shared\nmine"), (2, "shared\nyours")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           dedup_lines(df, "doc_id", "text", max_line_df=10_000).collect()}
+    assert out[1]["text_clean"] == "shared\nmine"
+    assert out[2]["text_clean"] == "shared\nyours"
+    assert all(r["n_dropped"] == 0 for r in out.values())
+
+
+def test_dedup_lines_within_idempotent(spark):
+    from rs_graphdb_spark.functions.cleaning import dedup_lines_within
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb"), (2, "x\ny\nx")], "doc_id long, text string"
+    )
+    once = dedup_lines_within(df, "doc_id", "text").select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    twice = dedup_lines_within(once, "doc_id", "text")
+    joined = once.join(
+        twice.select("doc_id", "text_clean", "n_dropped"), "doc_id"
+    ).collect()
+    for r in joined:
+        assert r["text_clean"] == r["text"]
+        assert r["n_dropped"] == 0
