@@ -102,3 +102,74 @@ def test_interval_join_shuffles_on_bucket_key(spark):
     # join key must include the derived time bucket, not just user_id —
     # that is what bounds the per-key fan-out under a hot key
     assert "_bucket" in plan
+
+
+def test_scrub_pii_stays_in_scan_stage(spark):
+    from rs_graphdb_spark.functions.cleaning import pii_counts, scrub_pii
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.select("doc_id", scrub_pii("text").alias("c"),
+                     pii_counts("text").alias("p"))
+    assert _n_exchanges(df) == 0, _plan(df)
+
+
+def test_dedup_lines_two_shuffles_no_text_in_df_pass(spark):
+    from rs_graphdb_spark.functions.cleaning import dedup_lines
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dedup_lines(docs, "doc_id", "text", delim=" a ")
+    # line-hash df exchange + doc-keyed reconstruct exchange; the final
+    # left join back to doc ids broadcasts or reuses, never adds a third
+    # full shuffle of line text
+    assert _n_exchanges(out) <= 3, _plan(out)
+
+
+def test_classifier_broadcasts_weights(spark):
+    from rs_graphdb_spark.functions.cleaning import (
+        linear_text_classifier,
+        make_hashed_weights,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    w = make_hashed_weights(spark, 1 << 12)
+    out = linear_text_classifier(docs, "doc_id", "text", w, dim=1 << 12)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    # one doc-keyed agg exchange; the weight side must NOT shuffle-join
+    assert _n_exchanges(out) <= 2, plan
+
+
+def test_shuffle_shard_is_pure_projection(spark):
+    from rs_graphdb_spark.functions.cleaning import shuffle_shard
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = shuffle_shard(docs, "doc_id", 8)
+    assert _n_exchanges(out) == 0, _plan(out)
+
+
+def test_mixture_apply_broadcasts_plan(spark):
+    from rs_graphdb_spark.functions.sampling import (
+        apply_token_mixture,
+        mixture_plan,
+    )
+    from rs_graphdb_spark.functions.text import token_count
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "n_tok", token_count("text").cast("long")
+    )
+    plan_df = mixture_plan(docs, "source", "n_tok", 1000.0, {"src0": 0.5})
+    out = apply_token_mixture(docs, "doc_id", "source", plan_df)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_snapshot_diff_shuffles_hashes_not_text(spark):
+    from rs_graphdb_spark.functions.cleaning import snapshot_diff
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = snapshot_diff(docs, docs, "doc_id", "text")
+    plan = _plan(out)
+    # full-outer join cannot broadcast: expect exactly the two side
+    # exchanges (and no more), and the shuffled schema is (id, fp) only
+    assert _n_exchanges(out) <= 2, plan
+    assert "text" not in plan.split("SortMergeJoin")[0].split("Exchange")[-1]

@@ -305,3 +305,64 @@ def test_dfs_preorder_equals_lexmin_path_rank():
         best = lexmin_paths(edges, start)
         lex_order = [v for v, _ in sorted(best.items(), key=lambda kv: kv[1])]
         assert order == lex_order, f"trial {trial}"
+
+
+@given(
+    st.lists(  # docs as lists of line-token ints (small alphabet -> real
+        st.lists(st.integers(0, 5), min_size=0, max_size=6),  # cross-doc dups)
+        min_size=1, max_size=8,
+    ),
+    st.integers(1, 3),
+)
+@settings(max_examples=12, deadline=None)
+def test_dedup_lines_matches_bruteforce(spark, docs, max_df):
+    from rs_graphdb_spark.functions.cleaning import dedup_lines
+
+    texts = [(i, "\n".join(f"L{t}" for t in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_dropped"])
+        for r in dedup_lines(df, "doc_id", "text", max_line_df=max_df).collect()
+    }
+
+    # brute force: df over non-empty lines, drop lines with df > max_df
+    from collections import Counter
+
+    dfreq = Counter()
+    for _, toks in enumerate(docs):
+        for ln in {f"L{t}" for t in toks}:
+            dfreq[ln] += 1
+    for i, toks in enumerate(docs):
+        lines = [f"L{t}" for t in toks]
+        kept = [ln for ln in lines if dfreq[ln] <= max_df]
+        want = ("\n".join(kept), len(kept), len(lines) - len(kept))
+        assert got[i] == want, (i, got[i], want)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 30), st.sampled_from(["a", "b", "c"])),
+             min_size=1, max_size=15, unique_by=lambda x: x[0]),
+    st.floats(0.0, 2.0),
+)
+@settings(max_examples=10, deadline=None)
+def test_mixture_respects_plan_thresholds(spark, rows, budget_scale):
+    import hashlib
+
+    from rs_graphdb_spark.functions.sampling import (
+        apply_token_mixture,
+        mixture_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s, 10) for i, s in rows], "doc_id long, source string, n_tok long"
+    )
+    budget = budget_scale * 10 * len(rows)
+    plan = mixture_plan(df, "source", "n_tok", budget,
+                        {"a": 0.6, "b": 0.3}, default_weight=0.1)
+    fracs = {r["source"]: r["keep_frac"] for r in plan.collect()}
+    kept = {r["doc_id"] for r in
+            apply_token_mixture(df, "doc_id", "source", plan, seed=5).collect()}
+    for i, s in rows:
+        h = int(hashlib.md5(f"5:{i}".encode()).hexdigest()[:8], 16) % 1_000_000
+        want = h < int(math.floor(fracs[s] * 1_000_000))
+        assert (i in kept) == want, (i, s, fracs[s], h)
