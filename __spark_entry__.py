@@ -2283,6 +2283,25 @@ def q36_text_features(spark, sf_dir):
     # The driver part aggregates integer MICRO-weights (exact, order-free);
     # the sigmoid itself is pinned by unit test (float exp differs in last
     # ulps across engines)
+    # Unicode hygiene: salt every doc with a DECOMPOSED sequence
+    # (e + combining acute) plus control/zero-width bytes; NFC + strip
+    # must produce the composed clean form (md5-pinned by the oracle's
+    # nfc_normalize twin)
+    from rs_graphdb_spark.functions.cleaning import (
+        normalize_text,
+        strip_control_chars,
+    )
+
+    uni = docs.select(
+        "doc_id",
+        F.md5(
+            normalize_text(
+                strip_control_chars(
+                    F.concat(F.col("text"), F.lit(" cafe\u0301\u200b\x07"))
+                )
+            )
+        ).alias("nm"),
+    )
     wts = make_hashed_weights(spark, 1 << 16, seed=0)
     clf = docs.select("doc_id").join(
         docs.select(
@@ -2302,6 +2321,7 @@ def q36_text_features(spark, sf_dir):
         _quad("url_norm", urlq, k="doc_id", s="nu"),
         _quad("url_dom", urlq, k="doc_id", s="dom"),
         _quad("clf_z", clf, k="doc_id", v="zm"),
+        _quad("uni_norm", uni, k="doc_id", s="nm"),
         _quad("lang", q50_lang_id(spark, sf_dir), v="cnt", s="lang_guess"),
         _metric_quads(q51_quality_scores(spark, sf_dir),
                       {"q_chars": "n_chars_m", "q_tokens": "n_tokens",
@@ -4348,6 +4368,18 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY t.source
     """
 
+    # Unicode-hygiene twin: same decomposed salt (chr() codepoints), same
+    # strip-then-NFC order; RE2 needs \x{hhhh} for the >0xFF codepoints
+    # (Java accepts that form too, but the Spark side uses \uhhhh)
+    uni_sql = r"""
+        SELECT doc_id,
+               md5(nfc_normalize(regexp_replace(
+                   text || ' cafe' || chr(769) || chr(8203) || chr(7),
+                   '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x{200b}\x{200c}\x{200d}\x{feff}]',
+                   '', 'g'))) AS nm
+        FROM documents
+    """
+
     # shuffle-shard twin: md5('seed:id') drives both shard and sort key
     shard_sql = f"""
         WITH s AS (
@@ -4909,6 +4941,7 @@ def oracle_sql() -> dict[str, str]:
             _sql_quad("url_norm", url_sql, k="doc_id", s="nu"),
             _sql_quad("url_dom", url_sql, k="doc_id", s="dom"),
             _sql_quad("clf_z", clf_sql, k="doc_id", v="zm"),
+            _sql_quad("uni_norm", uni_sql, k="doc_id", s="nm"),
             _sql_quad("lang", base["q50_lang_id"], v="cnt", s="lang_guess"),
             _sql_metric_quads(base["q51_quality_scores"],
                               {"q_chars": "n_chars_m", "q_tokens": "n_tokens",

@@ -6,8 +6,9 @@ stages that sit between raw crawl and the dedup/quality passes in
 :mod:`.dedup` / :mod:`.text` (RefinedWeb line-dedup, CCNet paragraph
 hashing, and the common scrub-before-train shape).
 
-Everything here is JVM-side built-in expressions (whole-stage codegen);
-no Python in any path. Determinism contract matches the rest of the
+Everything here is JVM-side built-in expressions (whole-stage codegen)
+except :func:`normalize_text` (Arrow-batched — Spark has no built-in
+Unicode normalizer); no row-at-a-time Python anywhere. Determinism contract matches the rest of the
 package: only md5-derived hashes appear in result-visible values so the
 DuckDB oracle reproduces them bit-for-bit.
 
@@ -28,6 +29,8 @@ from __future__ import annotations
 import re
 from typing import Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -45,6 +48,8 @@ __all__ = [
     "linear_text_classifier",
     "make_hashed_weights",
     "snapshot_diff",
+    "strip_control_chars",
+    "normalize_text",
 ]
 
 #: (name, regex, replacement) applied IN ORDER — order is semantic: the
@@ -441,3 +446,46 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode hygiene
+# ---------------------------------------------------------------------------
+
+#: C0 controls (minus \t\n\r), DEL, and zero-width characters (ZWSP,
+#: ZWNJ, ZWJ, BOM) — the bytes that break tokenizers and dedup keys
+_CONTROL_RE = (
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f"
+    "\\u200b\\u200c\\u200d\\ufeff]"
+)
+
+
+def strip_control_chars(col: Column | str) -> Column:
+    """Remove C0 control characters (keeping tab/newline/CR), DEL, and
+    zero-width characters — pure codegen'd ``regexp_replace``, zero
+    shuffles, identical RE2 form in the oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, _CONTROL_RE, "")
+
+
+def normalize_text(col: Column | str, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonicalization
+    step before any hashing/dedup pass (combining-mark sequences and
+    compatibility variants otherwise make visually-identical documents
+    hash apart).
+
+    Spark has no built-in normalizer, so this is the module's one
+    Arrow-batched Python stage (`pandas.Series.str.normalize`, vectorized
+    per batch — same tier as the multimodal codecs, never per-row
+    dispatch). The DuckDB oracle twin is ``nfc_normalize`` (verified
+    md5-identical output on composed/decomposed fixtures)."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _norm(c)

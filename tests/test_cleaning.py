@@ -308,3 +308,45 @@ def test_dedup_lines_within_idempotent(spark):
     for r in joined:
         assert r["text_clean"] == r["text"]
         assert r["n_dropped"] == 0
+
+
+# ---------------------------------------------------------------------------
+# unicode hygiene
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_nfc_and_nfkc(spark):
+    from rs_graphdb_spark.functions.cleaning import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "caf" + "é"),       # decomposed -> café
+            (2, "ﬁle"),               # ﬁ ligature (NFKC -> fi)
+            (3, "plain"),
+            (4, None),
+        ],
+        "i long, t string",
+    )
+    nfc = {r["i"]: r["c"] for r in df.select("i", normalize_text("t").alias("c")).collect()}
+    assert nfc[1] == "café" and nfc[2] == "ﬁle" and nfc[3] == "plain"
+    assert nfc[4] is None
+    nfkc = {r["i"]: r["c"] for r in
+            df.select("i", normalize_text("t", "NFKC").alias("c")).collect()}
+    assert nfkc[2] == "file"
+
+
+def test_normalize_text_rejects_bad_form(spark):
+    from rs_graphdb_spark.functions.cleaning import normalize_text
+
+    with pytest.raises(ValueError):
+        normalize_text("t", "NFX")
+
+
+def test_strip_control_chars(spark):
+    from rs_graphdb_spark.functions.cleaning import strip_control_chars
+
+    df = spark.createDataFrame(
+        [(1, "a\x00b​c\td\ne\x7ff")], "i long, t string"
+    )
+    out = df.select(strip_control_chars("t").alias("c")).first()["c"]
+    assert out == "abc\td\nef"  # tab/newline preserved, rest stripped
