@@ -2111,6 +2111,96 @@ def q100_stream_markers(spark, sf_dir):
     )
 
 
+def q102_pii_scrub(spark, sf_dir):
+    """Lean bench form: PII scrub + audit counts over the corpus."""
+    from rs_graphdb_spark.functions.cleaning import pii_counts, scrub_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", scrub_pii("text").alias("clean"), pii_counts("text").alias("pii")
+    )
+
+
+def q103_line_dedup(spark, sf_dir):
+    """Lean bench form: cross-doc line dedup (word-chunk lines)."""
+    from rs_graphdb_spark.functions.cleaning import dedup_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_lines(docs, "doc_id", "text", delim=" a ", max_line_df=1)
+
+
+def q104_quality_classifier(spark, sf_dir):
+    """Lean bench form: hashed-feature linear classifier scores."""
+    from rs_graphdb_spark.functions.cleaning import (
+        linear_text_classifier,
+        make_hashed_weights,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    w = make_hashed_weights(spark, 1 << 16, seed=0)
+    return linear_text_classifier(docs, "doc_id", "text", w)
+
+
+def q105_shuffle_shard(spark, sf_dir):
+    """Lean bench form: shard assignment + per-shard aggregates."""
+    from rs_graphdb_spark.functions.cleaning import shuffle_shard
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        shuffle_shard(docs, "doc_id", 32, seed=0)
+        .groupBy("shard").agg(F.count("*").alias("n"))
+    )
+
+
+def q106_token_mixture(spark, sf_dir):
+    """Lean bench form: mixture plan + apply + per-source aggregates."""
+    from rs_graphdb_spark.functions.sampling import (
+        apply_token_mixture,
+        mixture_plan,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    ntok = docs.select(
+        "doc_id", "source", TX.token_count("text").cast("long").alias("n_tok")
+    )
+    plan = mixture_plan(ntok, "source", "n_tok", 20_000.0,
+                        {"src0": 0.3, "src1": 0.2}, default_weight=0.02)
+    return (
+        apply_token_mixture(ntok, "doc_id", "source", plan)
+        .groupBy("source").agg(F.sum("n_tok").alias("tokens"))
+    )
+
+
+def q107_snapshot_diff(spark, sf_dir):
+    """Lean bench form: corpus-vs-shifted-corpus snapshot diff counts."""
+    from rs_graphdb_spark.functions.cleaning import snapshot_diff
+
+    docs = _read(spark, sf_dir, "documents")
+    new = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" rev2")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return (
+        snapshot_diff(docs, new, "doc_id", "text")
+        .groupBy("status").agg(F.count("*").alias("n"))
+    )
+
+
+def q108_normalize_text(spark, sf_dir):
+    """Lean bench form: Unicode strip + NFC normalize (Arrow-batched)."""
+    from rs_graphdb_spark.functions.cleaning import (
+        normalize_text,
+        strip_control_chars,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", normalize_text(strip_control_chars(F.col("text"))).alias("t")
+    )
+
+
 def q101_stream_dedup(spark, sf_dir):
     """Streaming exact-dedup as a real streaming job: the staged events
     read TWICE (two file-source streams, unioned — every event arrives
@@ -2258,7 +2348,7 @@ def q36_text_features(spark, sf_dir):
     # column): canonical form + registrable domain
     from rs_graphdb_spark.functions.cleaning import (
         extract_domain,
-        hashed_features,
+        hashed_feature_rows,
         make_hashed_weights,
         url_normalize,
     )
@@ -2304,9 +2394,7 @@ def q36_text_features(spark, sf_dir):
     )
     wts = make_hashed_weights(spark, 1 << 16, seed=0)
     clf = docs.select("doc_id").join(
-        docs.select(
-            "doc_id", F.explode(hashed_features("text", 1 << 16)).alias("feature")
-        )
+        hashed_feature_rows(docs, "doc_id", "text", 1 << 16)
         .join(F.broadcast(wts), "feature")
         .groupBy("doc_id")
         .agg(F.sum("weight_micro").alias("_zm")),
@@ -2742,6 +2830,13 @@ def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_adamic_adar": q95_adamic_adar,
         "q96_topk_per_group": q96_topk_per_group,
         "q97_kmeans": q97_kmeans,
+        "q102_pii_scrub": q102_pii_scrub,
+        "q103_line_dedup": q103_line_dedup,
+        "q104_quality_classifier": q104_quality_classifier,
+        "q105_shuffle_shard": q105_shuffle_shard,
+        "q106_token_mixture": q106_token_mixture,
+        "q107_snapshot_diff": q107_snapshot_diff,
+        "q108_normalize_text": q108_normalize_text,
     }
 
 

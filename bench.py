@@ -40,6 +40,19 @@ HEADLINE = [
     "q86_interval_join",    # bucket-banded range join
 ]
 
+# Measured and reported but NOT counted in the headline total — the
+# headline set is frozen for round-over-round / BASELINE.md
+# comparability; these are the round-3 cleaning-stage operators.
+EXTRA = [
+    "q102_pii_scrub",
+    "q103_line_dedup",
+    "q104_quality_classifier",
+    "q105_shuffle_shard",
+    "q106_token_mixture",
+    "q107_snapshot_diff",
+    "q108_normalize_text",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,12 +101,25 @@ def main() -> None:
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
 
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        if name not in qs:
+            continue
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        extra[name] = round(best, 3)
+
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "extra_queries": extra,
         "sf": sf,
     }))
 

@@ -45,6 +45,7 @@ __all__ = [
     "url_normalize",
     "extract_domain",
     "hashed_features",
+    "hashed_feature_rows",
     "linear_text_classifier",
     "make_hashed_weights",
     "snapshot_diff",
@@ -335,25 +336,58 @@ def extract_domain(col: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def hashed_features(col: Column | str, dim: int = 1 << 16) -> Column:
-    """Word-unigram + bigram hashed feature ids (md5 → [0, dim)) — the
-    hashing-trick featurizer. Distinct per doc (binary features, the
-    fasttext default for classification)."""
-    from rs_graphdb_spark.functions.dedup import md5_long
-    from rs_graphdb_spark.functions.text import tokenize
-
-    toks = tokenize(col)
-    n = F.size(toks)
+def _grams(tk: Column) -> Column:
+    """Unigram + bigram array from a TOKEN-ARRAY column."""
+    n = F.size(tk)
     bigrams = F.when(
         n >= 2,
         F.transform(
             F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+            lambda i: F.concat_ws(" ", tk[i], tk[i + 1]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(toks, bigrams)
+    return F.concat(tk, bigrams)
+
+
+def hashed_features(col: Column | str, dim: int = 1 << 16) -> Column:
+    """Word-unigram + bigram hashed feature ids (md5 → [0, dim)) — the
+    hashing-trick featurizer as a single Column expression. Distinct per
+    doc (binary features, the fasttext default for classification).
+
+    NB: as one expression the tokenizer regex gets inlined into every
+    element access (CollapseProject), so this form is for small frames /
+    composition convenience; the hot path is :func:`hashed_feature_rows`,
+    which stages the token array in its own projection first (measured
+    4× faster at sf0.1)."""
+    from rs_graphdb_spark.functions.dedup import md5_long
+    from rs_graphdb_spark.functions.text import tokenize
+
     return F.array_distinct(
-        F.transform(grams, lambda g: md5_long(g) % dim)
+        F.transform(_grams(tokenize(col)), lambda g: md5_long(g) % dim)
+    )
+
+
+def hashed_feature_rows(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 1 << 16
+) -> DataFrame:
+    """DISTINCT ``(id_col, feature)`` rows — the staged scale path of
+    :func:`hashed_features` (identical feature values).
+
+    The token array is materialized in ITS OWN projection before the
+    gram expressions touch it: expressed as one tree, CollapseProject
+    inlines the tokenizer regex into every element access and the
+    gram explode runs the regex hundreds of times per document
+    (measured 6.8 s → 1.7 s at sf0.1 for the classifier). The md5 →
+    feature hash runs codegen'd on the EXPLODED column, and per-doc
+    distinctness is a dropDuplicates on the slim (id, feature) pair."""
+    from rs_graphdb_spark.functions.dedup import md5_long
+    from rs_graphdb_spark.functions.text import tokenize
+
+    staged = df.select(F.col(id_col), tokenize(text_col).alias("_tk"))
+    return (
+        staged.select(F.col(id_col), F.explode(_grams(F.col("_tk"))).alias("_g"))
+        .select(F.col(id_col), (md5_long(F.col("_g")) % dim).alias("feature"))
+        .dropDuplicates([id_col, "feature"])
     )
 
 
@@ -401,9 +435,7 @@ def linear_text_classifier(
     weight table, and one doc-keyed partial-aggregated sum — the shape
     that serves a fasttext-class quality filter over 100 TB without any
     Python. Docs with zero features score ``sigmoid(bias)``."""
-    feats = df.select(
-        F.col(id_col), F.explode(hashed_features(text_col, dim)).alias("feature")
-    )
+    feats = hashed_feature_rows(df, id_col, text_col, dim)
     scored = (
         feats.join(F.broadcast(weights), "feature")
         .groupBy(id_col)

@@ -135,8 +135,9 @@ def test_classifier_broadcasts_weights(spark):
     out = linear_text_classifier(docs, "doc_id", "text", w, dim=1 << 12)
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan, plan
-    # one doc-keyed agg exchange; the weight side must NOT shuffle-join
-    assert _n_exchanges(out) <= 2, plan
+    # (id, feature) dedup exchange + doc-keyed agg exchange (+ the final
+    # doc left-join); the weight side must NOT shuffle-join
+    assert _n_exchanges(out) <= 4, plan
 
 
 def test_shuffle_shard_is_pure_projection(spark):
