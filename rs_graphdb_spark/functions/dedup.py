@@ -642,7 +642,14 @@ def minhash_probe(
         .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
     )
     cands = vs_corpus.unionByName(vs_new).dropDuplicates(["a", "b"])
-    all_sets = index_sets.unionByName(new_sets).dropDuplicates(["doc_id"])
+    # project both sides to the verification columns: a persisted index
+    # holds exactly (doc_id, sets) while a fresh shingle frame also
+    # carries the _gh content hash
+    all_sets = (
+        index_sets.select("doc_id", "sets")
+        .unionByName(new_sets.select("doc_id", "sets"))
+        .dropDuplicates(["doc_id"])
+    )
     verified = exact_jaccard(cands, all_sets, "doc_id", "sets")
     return _materialize_result(verified.filter(F.col("jaccard") >= threshold))
 

@@ -336,3 +336,92 @@ def stream_dedup(
     return df.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def dedup_ingest_sink(
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    threshold: float = 0.8,
+):
+    """Continuous near-duplicate ingest — the end-to-end 100 TB crawl
+    shape: every micro-batch is probed against the STANDING MinHash/LSH
+    index (``index_dir/banded`` + ``index_dir/sets`` parquet, as written
+    by :func:`...functions.dedup.minhash_index`), near-dups of the corpus
+    or of an earlier-id batch doc are dropped, survivors are appended to
+    ``out_dir`` AND their band/set frames extend the index — so each
+    batch costs O(batch), never O(corpus), and the corpus text is never
+    re-shingled.
+
+    Returns the StreamingQuery. Durability note: the three appends
+    (survivors, banded, sets) are per-epoch parquet appends driven by the
+    checkpointed source offsets — at-least-once on crash between appends;
+    a production deployment puts a transactional table format under
+    ``out_dir``/``index_dir`` (same plan, ACID commit)."""
+    import os
+
+    from rs_graphdb_spark.functions.dedup import minhash_index, minhash_probe
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        have_index = os.path.exists(os.path.join(index_dir, "banded"))
+        new_banded, new_sets = minhash_index(batch_df, id_col, text_col)
+        if have_index:
+            banded = spark.read.parquet(os.path.join(index_dir, "banded"))
+            sets = spark.read.parquet(os.path.join(index_dir, "sets"))
+            pairs = minhash_probe(
+                banded, sets, batch_df, id_col, text_col, threshold=threshold
+            ).localCheckpoint(eager=True)
+        else:
+            from rs_graphdb_spark.functions.dedup import minhash_dedup_pairs
+
+            pairs = minhash_dedup_pairs(
+                batch_df, id_col, text_col, threshold=threshold,
+                sets_df=new_sets,
+            ).localCheckpoint(eager=True)
+        # drop a batch doc when it duplicates ANY corpus doc (the corpus
+        # copy is already persisted — regardless of id order), or a
+        # smaller-id in-batch doc (pairs carry a < b, so for an in-batch
+        # pair the greater side b drops)
+        bids = batch_df.select(F.col(id_col).alias("_bid")).dropDuplicates()
+        a_in = pairs.join(
+            bids.withColumnRenamed("_bid", "a"), "a", "left_semi"
+        )
+        b_in = pairs.join(
+            bids.withColumnRenamed("_bid", "b"), "b", "left_semi"
+        )
+        both_in = a_in.join(
+            bids.withColumnRenamed("_bid", "b"), "b", "left_semi"
+        )
+        drop = (
+            # batch side of a batch↔corpus pair, whichever side it is
+            a_in.join(bids.withColumnRenamed("_bid", "b"), "b", "left_anti")
+            .select(F.col("a").alias(id_col))
+            .unionByName(
+                b_in.join(bids.withColumnRenamed("_bid", "a"), "a", "left_anti")
+                .select(F.col("b").alias(id_col))
+            )
+            # greater side of an in-batch pair
+            .unionByName(both_in.select(F.col("b").alias(id_col)))
+            .dropDuplicates()
+        )
+        survivors = batch_df.join(drop, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        survivors.write.mode("append").parquet(out_dir)
+        surv_banded, surv_sets = minhash_index(survivors, id_col, text_col)
+        surv_banded.write.mode("append").parquet(os.path.join(index_dir, "banded"))
+        surv_sets.select(F.col("doc_id"), "sets").write.mode("append").parquet(
+            os.path.join(index_dir, "sets")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -260,3 +260,66 @@ def test_stream_dedup_removes_duplicate_deliveries(spark, tmpdir):
         streaming=False,
     )
     assert batch.count() == n_src
+
+
+def test_dedup_ingest_sink_drops_corpus_and_batch_dups(spark, tmpdir):
+    from rs_graphdb_spark.functions.dedup import minhash_index
+    from rs_graphdb_spark.streaming.ops import dedup_ingest_sink
+
+    def doc(i, seed, extra=""):
+        base = " ".join(f"w{seed}x{j}" for j in range(40))
+        return (i, base + extra)
+
+    corpus = spark.createDataFrame(
+        [doc(1, 1), doc(2, 2), doc(3, 3)], "doc_id long, text string"
+    )
+    index_dir = str(tmpdir / "index")
+    banded, sets = minhash_index(corpus, "doc_id", "text")
+    banded.write.parquet(f"{index_dir}/banded")
+    sets.select("doc_id", "sets").write.parquet(f"{index_dir}/sets")
+
+    # batch: 10 = near-copy of corpus doc 1 (drop), 11 = novel (keep),
+    # 12/13 = in-batch near-dups (keep 12, drop 13)
+    batch = spark.createDataFrame(
+        [doc(10, 1, " tail"), doc(11, 9), doc(12, 5), doc(13, 5, " x")],
+        "doc_id long, text string",
+    )
+    src = str(tmpdir / "in")
+    batch.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = dedup_ingest_sink(
+        stream, "doc_id", "text",
+        out_dir=str(tmpdir / "out"), checkpoint_dir=str(tmpdir / "ckpt"),
+        index_dir=index_dir, threshold=0.8,
+    )
+    q.awaitTermination(300)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmpdir / "out")).collect()}
+    assert kept == {11, 12}
+    # the index grew by exactly the survivors
+    idx_docs = {r["doc"] for r in
+                spark.read.parquet(f"{index_dir}/banded").select("doc")
+                .dropDuplicates().collect()}
+    assert idx_docs == {1, 2, 3, 11, 12}
+
+    # a SECOND stream carrying a near-copy of survivor 11 must now drop it
+    batch2 = spark.createDataFrame(
+        [doc(20, 9, " y"), doc(21, 17)], "doc_id long, text string"
+    )
+    src2 = str(tmpdir / "in2")
+    batch2.coalesce(1).write.parquet(src2)
+    stream2 = (
+        spark.readStream.schema(batch2.schema).option("maxFilesPerTrigger", 1)
+        .parquet(src2)
+    )
+    q2 = dedup_ingest_sink(
+        stream2, "doc_id", "text",
+        out_dir=str(tmpdir / "out"), checkpoint_dir=str(tmpdir / "ckpt2"),
+        index_dir=index_dir, threshold=0.8,
+    )
+    q2.awaitTermination(300)
+    kept2 = {r["doc_id"] for r in spark.read.parquet(str(tmpdir / "out")).collect()}
+    assert kept2 == {11, 12, 21}
