@@ -2433,7 +2433,27 @@ def q37_tfidf(spark, sf_dir):
 
 def q38_multimodal(spark, sf_dir):
     """Suite: Arrow-batched REAL image decode (format carried in s, so a
-    misparsed header fails the hash) + frame-sampling fan-out."""
+    misparsed header fails the hash) + frame-sampling fan-out + REAL
+    nearest-neighbor resize (decode → resample → re-encode in the same
+    format; the re-decoded checksum of every resized payload must equal
+    the oracle's index-arithmetic prediction over the text bytes; corrupt
+    rows pass through still-corrupt)."""
+    from rs_graphdb_spark.functions.multimodal import (
+        documents_as_images,
+        extract_features,
+        resize_image,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    media = documents_as_images(
+        _read(spark, sf_dir, "documents").repartition(par), corrupt_every=97
+    )
+    rz = extract_features(resize_image(media, 8, 5)).select(
+        "media_id", "media_type", "n_bytes",
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        F.coalesce("checksum", F.lit(-1)).alias("checksum"),
+    )
     return _quads(
         _metric_quads(q53_multimodal_features(spark, sf_dir),
                       {"mm_bytes": "n_bytes", "mm_w": "width",
@@ -2441,6 +2461,10 @@ def q38_multimodal(spark, sf_dir):
                       k="media_id", s="media_type"),
         _quad("frames", q54_frame_sample(spark, sf_dir),
               k="media_id", v="frame_byte", s="frame_idx"),
+        _metric_quads(rz,
+                      {"rz_bytes": "n_bytes", "rz_w": "width",
+                       "rz_h": "height", "rz_ck": "checksum"},
+                      k="media_id", s="media_type"),
     )
 
 
@@ -5116,6 +5140,48 @@ def oracle_sql() -> dict[str, str]:
                               k="media_id", s="media_type"),
             _sql_quad("frames", base["q54_frame_sample"], k="media_id",
                       v="frame_byte", s="frame_idx"),
+            # resize twin: nearest-neighbor index arithmetic over the text
+            # bytes — resized pixel (y, x) = source pixel (y*h//5, x*w//8),
+            # source pixel (r, c) = byte r*w+c when < min(n, w*h) else the
+            # zero padding; corrupt payloads pass through (8 bytes, -1 dims)
+            _sql_metric_quads(
+                """
+                WITH d AS (
+                    SELECT doc_id, text,
+                           octet_length(encode(text)) AS n,
+                           octet_length(encode(text)) % 64 + 16 AS w,
+                           (octet_length(encode(text)) // 64) % 64 + 16 AS h,
+                           doc_id % 3 AS fmt,
+                           (doc_id % 97 = 0) AS corrupt
+                    FROM documents
+                )
+                SELECT doc_id AS media_id,
+                       CASE WHEN corrupt THEN 'unknown'
+                            WHEN fmt = 0 THEN 'bmp'
+                            WHEN fmt = 1 THEN 'pgm'
+                            ELSE 'png' END AS media_type,
+                       CAST(CASE WHEN corrupt THEN 8
+                            WHEN fmt = 0 THEN 1078 + 5 * 8
+                            WHEN fmt = 1 THEN 11 + 40
+                            ELSE 68 + 5 * 9 END AS BIGINT) AS n_bytes,
+                       CAST(CASE WHEN corrupt THEN -1 ELSE 8 END AS INTEGER)
+                           AS width,
+                       CAST(CASE WHEN corrupt THEN -1 ELSE 5 END AS INTEGER)
+                           AS height,
+                       CAST(CASE WHEN corrupt THEN -1 ELSE coalesce(
+                            list_sum(list_transform(range(0, 40),
+                                k -> CASE WHEN ((k // 8) * h // 5) * w
+                                          + ((k % 8) * w // 8) + 1
+                                          <= least(n, w * h)
+                                     THEN unicode(text[((k // 8) * h // 5) * w
+                                          + ((k % 8) * w // 8) + 1])
+                                     ELSE 0 END)), 0)
+                            END AS BIGINT) AS checksum
+                FROM d
+                """,
+                {"rz_bytes": "n_bytes", "rz_w": "width",
+                 "rz_h": "height", "rz_ck": "checksum"},
+                k="media_id", s="media_type"),
         ),
         "q39_exact_dedup": _sql_union(
             _sql_quad("fp", base["q43_exact_dedup"],

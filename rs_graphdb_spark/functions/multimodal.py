@@ -147,7 +147,7 @@ def encode_image(pixels: bytes, w: int, h: int, fmt: str) -> bytes:
 # Decoders (stdlib-only, real header/chunk parsing)
 # ---------------------------------------------------------------------------
 
-def _decode_bmp(payload: bytes) -> tuple[str, int, int, int]:
+def _pixels_bmp(payload: bytes) -> tuple[str, int, int, np.ndarray]:
     magic, _file_size, _r1, _r2, data_off = struct.unpack_from("<2sIHHI", payload, 0)
     if magic != b"BM":
         raise ValueError("not a BMP")
@@ -164,13 +164,18 @@ def _decode_bmp(payload: bytes) -> tuple[str, int, int, int]:
     if w <= 0 or h == 0 or end > len(payload):
         raise ValueError("truncated BMP pixel array")
     arr = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
-                        offset=data_off).reshape(h, stride)
-    # row order doesn't affect the sum; padding columns do — drop them
-    checksum = int(arr[:, :w].astype(np.int64).sum())
-    return ("bmp", w, h, checksum)
+                        offset=data_off).reshape(h, stride)[:, :w]
+    if h_signed > 0:  # positive height = bottom-up storage; canonicalize
+        arr = arr[::-1]
+    return ("bmp", w, h, arr)
 
 
-def _decode_pgm(payload: bytes) -> tuple[str, int, int, int]:
+def _decode_bmp(payload: bytes) -> tuple[str, int, int, int]:
+    fmt, w, h, arr = _pixels_bmp(payload)
+    return (fmt, w, h, int(arr.astype(np.int64).sum()))
+
+
+def _pixels_pgm(payload: bytes) -> tuple[str, int, int, np.ndarray]:
     if payload[:2] not in (b"P5", b"P6"):
         raise ValueError("not a binary PGM/PPM")
     fmt = "pgm" if payload[:2] == b"P5" else "ppm"
@@ -205,6 +210,12 @@ def _decode_pgm(payload: bytes) -> tuple[str, int, int, int]:
     if w <= 0 or h <= 0 or pos + n > len(payload):
         raise ValueError("truncated PNM pixel data")
     arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    shape = (h, w, 3) if fmt == "ppm" else (h, w)
+    return (fmt, w, h, arr.reshape(shape))
+
+
+def _decode_pgm(payload: bytes) -> tuple[str, int, int, int]:
+    fmt, w, h, arr = _pixels_pgm(payload)
     return (fmt, w, h, int(arr.astype(np.int64).sum()))
 
 
@@ -249,7 +260,7 @@ def _png_defilter(raw: bytes, w: int, h: int) -> np.ndarray:
     return out
 
 
-def _decode_png(payload: bytes) -> tuple[str, int, int, int]:
+def _pixels_png(payload: bytes) -> tuple[str, int, int, np.ndarray]:
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
@@ -279,7 +290,30 @@ def _decode_png(payload: bytes) -> tuple[str, int, int, int]:
         raise ValueError("PNG missing IHDR/IDAT")
     raw = zlib.decompress(bytes(idat))
     pixels = _png_defilter(raw, w, h)
-    return ("png", w, h, int(pixels.astype(np.int64).sum()))
+    return ("png", w, h, pixels)
+
+
+def _decode_png(payload: bytes) -> tuple[str, int, int, int]:
+    fmt, w, h, arr = _pixels_png(payload)
+    return (fmt, w, h, int(arr.astype(np.int64).sum()))
+
+
+def decode_pixels(
+    payload: bytes,
+) -> tuple[str | None, int | None, int | None, np.ndarray | None]:
+    """Parse a real image payload → (format, w, h, pixel ARRAY) — (h, w)
+    uint8 for bmp/pgm/png, (h, w, 3) for ppm; rows canonical top-down.
+    Unknown/corrupt payloads return all-None (per-row isolation)."""
+    try:
+        if payload[:2] == b"BM":
+            return _pixels_bmp(payload)
+        if payload[:2] in (b"P5", b"P6"):
+            return _pixels_pgm(payload)
+        if payload[:8] == _PNG_SIG:
+            return _pixels_png(payload)
+    except Exception:
+        pass
+    return (None, None, None, None)
 
 
 def decode_image(payload: bytes) -> tuple[str | None, int | None, int | None, int | None]:
@@ -330,18 +364,57 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
-def resize_stub(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize stage stub: passes payload through, records the target dims
-    in metadata. A real implementation decodes, resamples, re-encodes
-    inside the same mapInPandas batch loop."""
+def _encode_ppm(pixels: bytes, w: int, h: int) -> bytes:
+    """Binary PPM (P6), maxval 255: ASCII header + raw RGB samples."""
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels
+
+
+def resize_image(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """REAL resize stage: decode each payload (:func:`decode_pixels`),
+    nearest-neighbor resample to (target_w, target_h), re-encode in the
+    SAME format — all inside one Arrow-batched ``mapInPandas`` loop, no
+    shuffle. Corrupt/unknown payloads pass through byte-identical (per-row
+    isolation — the resize of a 100 TB media table must not die on one
+    bad file); successfully resized rows carry the new dims in ``meta``.
+
+    Nearest-neighbor is the deterministic, dependency-free resampler
+    (index map ``floor(i·src/target)``); swap the kernel for
+    area/bilinear in production — the plumbing (batching, per-row
+    isolation, format round-trip) is the part that carries to scale."""
+    if target_w <= 0 or target_h <= 0:
+        raise ValueError(f"bad target dims {target_w}x{target_h}")
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ri_cache: dict[tuple[int, int], np.ndarray] = {}
+
+        def idx(src: int, dst: int) -> np.ndarray:
+            key = (src, dst)
+            if key not in ri_cache:
+                ri_cache[key] = (np.arange(dst) * src // dst).astype(np.int64)
+            return ri_cache[key]
+
         for pdf in batches:
+            payloads, metas = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                m = meta if isinstance(meta, dict) else meta.asDict()
+                fmt, w, h, arr = decode_pixels(bytes(payload))
+                if fmt is None:
+                    payloads.append(bytes(payload))
+                    metas.append(m)
+                    continue
+                res = arr[idx(h, target_h)][:, idx(w, target_w)]
+                buf = res.tobytes()
+                if fmt == "ppm":
+                    out_bytes = _encode_ppm(buf, target_w, target_h)
+                else:
+                    out_bytes = encode_image(buf, target_w, target_h, fmt)
+                payloads.append(out_bytes)
+                metas.append(
+                    {**m, "declared_w": target_w, "declared_h": target_h}
+                )
             out = pdf.copy()
-            out["meta"] = out["meta"].map(
-                lambda m: {**(m if isinstance(m, dict) else m.asDict()),
-                           "declared_w": target_w, "declared_h": target_h}
-            )
+            out["payload"] = payloads
+            out["meta"] = metas
             yield out
 
     return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)

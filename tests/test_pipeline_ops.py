@@ -667,3 +667,70 @@ def test_token_mixture_plan_and_apply(spark):
     assert out.select("doc_id").exceptAll(out2.select("doc_id")).count() == 0
     # schema passthrough: no helper columns leak
     assert set(out.columns) == set(docs.columns)
+
+
+def test_resize_image_roundtrips_all_formats(spark):
+    import numpy as np
+
+    from rs_graphdb_spark.functions.multimodal import (
+        decode_image,
+        decode_pixels,
+        documents_as_images,
+        resize_image,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = documents_as_images(docs.limit(30), corrupt_every=7)
+    out = resize_image(media, 8, 5).collect()
+    assert len(out) == 30
+    n_ok = 0
+    for r in out:
+        fmt, w, h, _ = decode_image(bytes(r["payload"]))
+        if fmt is None:
+            continue  # corrupt rows pass through still-corrupt
+        n_ok += 1
+        assert (w, h) == (8, 5), (fmt, w, h)
+        assert r["meta"]["declared_w"] == 8 and r["meta"]["declared_h"] == 5
+    assert n_ok >= 20  # most rows decoded and resized
+
+    # pixel-level check: 2x2 gradient upscaled 4x4 via nearest neighbor
+    from rs_graphdb_spark.functions.multimodal import encode_image
+
+    px = bytes([0, 100, 200, 255])
+    payload = encode_image(px, 2, 2, "png")
+    row = spark.createDataFrame(
+        [(1, "image", bytearray(payload), ("t", 2, 2))],
+        "media_id long, media_type string, payload binary, "
+        "meta struct<source:string, declared_w:int, declared_h:int>",
+    )
+    res = resize_image(row, 4, 4).first()
+    fmt, w, h, arr = decode_pixels(bytes(res["payload"]))
+    assert (fmt, w, h) == ("png", 4, 4)
+    want = np.array([[0, 0, 100, 100], [0, 0, 100, 100],
+                     [200, 200, 255, 255], [200, 200, 255, 255]], dtype=np.uint8)
+    assert (arr == want).all()
+
+
+def test_resize_image_bmp_row_order_preserved(spark):
+    # bottom-up BMP storage must canonicalize: top row stays the top row
+    import numpy as np
+
+    from rs_graphdb_spark.functions.multimodal import (
+        decode_pixels,
+        encode_image,
+        resize_image,
+    )
+
+    px = bytes([10, 10, 240, 240])  # top row dark, bottom row bright
+    payload = encode_image(px, 2, 2, "bmp")
+    fmt, w, h, arr = decode_pixels(payload)
+    assert (arr == np.array([[10, 10], [240, 240]])).all()
+    row = spark.createDataFrame(
+        [(1, "image", bytearray(payload), ("t", 2, 2))],
+        "media_id long, media_type string, payload binary, "
+        "meta struct<source:string, declared_w:int, declared_h:int>",
+    )
+    res = resize_image(row, 2, 1).first()
+    fmt2, w2, h2, arr2 = decode_pixels(bytes(res["payload"]))
+    assert (fmt2, w2, h2) == ("bmp", 2, 1)
+    assert (arr2 == np.array([[10, 10]])).all()  # kept the TOP row
