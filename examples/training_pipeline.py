@@ -138,6 +138,13 @@ def main() -> None:
         F.round(F.avg("width"), 1).alias("avg_w"),
         F.round(F.avg("height"), 1).alias("avg_h"),
     ).orderBy("media_type").show()
+
+    print("-- 8b. real nearest-neighbor resize to 32x32 (same formats)")
+    from rs_graphdb_spark.functions.multimodal import resize_image
+
+    extract_features(resize_image(media, 32, 32)).groupBy(
+        "media_type", "width", "height"
+    ).count().orderBy("media_type").show()
     spark.stop()
 
 
