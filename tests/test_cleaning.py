@@ -350,3 +350,17 @@ def test_strip_control_chars(spark):
     )
     out = df.select(strip_control_chars("t").alias("c")).first()["c"]
     assert out == "abc\td\nef"  # tab/newline preserved, rest stripped
+
+
+def test_dedup_lines_null_text_survives(spark):
+    # a NULL text document must come back with empty text_clean, not
+    # vanish or kill the job (crawl columns are always partly garbage)
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}
+    assert out[2]["text_clean"] == "" and out[2]["n_kept"] == 0
+    within = {r["doc_id"]: r for r in
+              dedup_lines_within(df, "doc_id", "text").collect()}
+    assert within[2]["text_clean"] == ""
