@@ -211,7 +211,11 @@ def lsh_candidate_pairs(
     )
     buckets = (
         banded.groupBy("band", "bh")
-        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        # array_distinct: a duplicated input id would otherwise appear
+        # twice in a bucket list and self-pair (a, a) — upstream callers
+        # currently guarantee distinct ids, but the function stays safe
+        # under its own contract
+        .agg(F.array_distinct(F.sort_array(F.collect_list("doc"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
     return (
@@ -605,6 +609,9 @@ def minhash_probe(
     k: int = 3,
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    new_banded: DataFrame | None = None,
+    new_sets: DataFrame | None = None,
+    broadcast_new: bool = False,
 ) -> DataFrame:
     """Incremental near-dup pairs: NEW documents against an existing
     :func:`minhash_index` corpus, plus among the new documents themselves
@@ -615,12 +622,22 @@ def minhash_probe(
     (band, bh) against the bucketed index, so a probe reads only the
     colliding buckets (partition-pruned when the index is written
     bucketed by that key). This is how a continuously-ingesting 100 TB
-    pipeline runs dedup per arriving batch at batch-sized cost."""
-    new_banded, new_sets = minhash_index(
-        new_df, id_col, text_col, k, bands, rows
-    )
+    pipeline runs dedup per arriving batch at batch-sized cost.
+
+    ``new_banded``/``new_sets``: precomputed :func:`minhash_index` frames
+    for ``new_df`` — pass them when the caller already signed the batch
+    (the continuous ingest sink does) so the batch is signed exactly
+    once. ``broadcast_new=True`` broadcasts the (small) batch side of
+    the corpus join, so the standing index is scanned without an
+    Exchange — the probe then costs batch-work + pruned index I/O, with
+    zero corpus-sized shuffles."""
+    if new_banded is None or new_sets is None:
+        new_banded, new_sets = minhash_index(
+            new_df, id_col, text_col, k, bands, rows
+        )
+    probe_side = F.broadcast(new_banded) if broadcast_new else new_banded
     vs_corpus = (
-        new_banded.alias("n")
+        probe_side.alias("n")
         .join(
             index_banded.alias("i"),
             (F.col("n.band") == F.col("i.band")) & (F.col("n.bh") == F.col("i.bh")),
@@ -642,16 +659,109 @@ def minhash_probe(
         .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
     )
     cands = vs_corpus.unionByName(vs_new).dropDuplicates(["a", "b"])
+    index_side_sets = index_sets.select("doc_id", "sets")
+    if broadcast_new:
+        # candidate set is collision-bounded (≪ corpus); materialize it,
+        # then push the colliding doc ids down into the corpus sets scan
+        # so exact verification reads only colliding rows instead of the
+        # whole (doc_id, sets) table. With `sets` written sorted by
+        # doc_id, the In filter prunes row groups via min/max stats.
+        cands = _materialize_result(cands)
+        cand_ids = [
+            r[0]
+            for r in cands.select(F.explode(F.array("a", "b")).alias("d"))
+            .dropDuplicates()
+            .limit(100_001)
+            .collect()
+        ]
+        if len(cand_ids) <= 100_000:
+            index_side_sets = index_side_sets.filter(
+                F.col("doc_id").isin(cand_ids)
+            )
     # project both sides to the verification columns: a persisted index
     # holds exactly (doc_id, sets) while a fresh shingle frame also
     # carries the _gh content hash
     all_sets = (
-        index_sets.select("doc_id", "sets")
+        index_side_sets
         .unionByName(new_sets.select("doc_id", "sets"))
         .dropDuplicates(["doc_id"])
     )
     verified = exact_jaccard(cands, all_sets, "doc_id", "sets")
     return _materialize_result(verified.filter(F.col("jaccard") >= threshold))
+
+
+def write_minhash_index(
+    banded: DataFrame, sets_df: DataFrame, index_dir: str
+) -> None:
+    """Persist a :func:`minhash_index` in the STANDING-INDEX layout the
+    continuous ingest sink probes at O(batch) cost:
+
+    - ``banded/`` partitioned by ``bp = substring(bh, 1, 1)`` (16
+      directories) and sorted by ``bh`` within files — a probe filtered
+      to the batch's band-hash prefixes scans only colliding partitions
+      (visible as ``PartitionFilters`` in the plan) and the exact
+      ``bh IN (...)`` pushdown skips non-colliding row groups via
+      parquet min/max stats.
+    - ``sets/`` range-partitioned and sorted by ``doc_id`` so the
+      exact-verify stage's colliding-id pushdown prunes the same way.
+
+    At 100 TB the same layout holds (a bucketed table on ``bh`` is the
+    further step once batches grow past broadcast size); nothing here is
+    local-mode specific."""
+    import os
+
+    par = banded.sparkSession.sparkContext.defaultParallelism
+    (
+        banded.withColumn("bp", F.substring("bh", 1, 1))
+        .repartition(16, "bp")
+        .sortWithinPartitions("bh")
+        .write.partitionBy("bp")
+        .mode("overwrite")
+        .parquet(os.path.join(index_dir, "banded"))
+    )
+    (
+        sets_df.select("doc_id", "sets")
+        .repartitionByRange(max(2, par // 4), "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "sets"))
+    )
+
+
+def load_banded_pruned(
+    spark, banded_dir: str, probe_banded: DataFrame, max_pushdown: int = 20_000
+):
+    """Read a standing ``banded`` index directory scoped to the buckets a
+    probe batch can collide with. Returns the (possibly pruned) banded
+    DataFrame with columns (doc, band, bh).
+
+    Two pruning levels when the directory uses the
+    :func:`write_minhash_index` ``bp=`` partition layout: partition
+    pruning on the batch's bh prefixes, then an exact ``bh IN`` pushdown
+    (row-group skip) when the batch holds ≤ ``max_pushdown`` distinct
+    band hashes. A flat (unpartitioned) directory is read as-is —
+    compatibility with indexes written by plain ``.parquet()`` appends."""
+    import os
+
+    banded = spark.read.parquet(banded_dir)
+    if "bp" not in banded.columns:
+        return banded
+    prefixes = [
+        r[0]
+        for r in probe_banded.select(F.substring("bh", 1, 1).alias("bp"))
+        .dropDuplicates()
+        .collect()
+    ]
+    banded = banded.filter(F.col("bp").isin(prefixes)).drop("bp")
+    bhs = [
+        r[0]
+        for r in probe_banded.select("bh").dropDuplicates()
+        .limit(max_pushdown + 1)
+        .collect()
+    ]
+    if len(bhs) <= max_pushdown:
+        banded = banded.filter(F.col("bh").isin(bhs))
+    return banded
 
 
 def near_dup_clusters(

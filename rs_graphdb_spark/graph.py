@@ -67,9 +67,26 @@ def label_base(label: str) -> int:
     if idx is None:
         import hashlib
 
-        digest = int(hashlib.md5(label.encode()).hexdigest()[:8], 16)
-        idx = 64 + digest % (1 << 20)
+        digest = int(hashlib.md5(label.encode()).hexdigest()[:10], 16)
+        # ~2^22 slots of the headroom ID_STRIDE=2^40 leaves above the
+        # reserved block (2^63 / 2^40 ≈ 2^23 total namespaces)
+        idx = 64 + digest % (1 << 22)
+        # two ad-hoc labels hashing to one namespace would silently
+        # cross node ids — detect and fail loudly instead
+        owner = _ADHOC_NAMESPACES.setdefault(idx, label)
+        if owner != label:
+            raise ValueError(
+                f"label namespace collision: {label!r} and {owner!r} both "
+                f"hash to namespace {idx}; rename one label"
+            )
     return idx * ID_STRIDE
+
+
+#: driver-side registry of assigned ad-hoc namespace indexes → label, so a
+#: birthday collision between two md5 buckets raises instead of silently
+#: interleaving node ids (collision odds at 2^22 slots: ~0.012% for 1000
+#: distinct ad-hoc labels).
+_ADHOC_NAMESPACES: dict[int, str] = {}
 
 
 @dataclass

@@ -159,6 +159,14 @@ class CompositeIndexCatalog:
         returns the matching rows' ids."""
         if self.index_for(label, props) is None:
             raise KeyError(f"no composite index on {label}{props}")
+        if len(values) != len(props):
+            # zip would silently truncate, degrading a full-equality
+            # probe into a prefix probe — find_prefix is the intentional
+            # form for that
+            raise ValueError(
+                f"composite probe needs {len(props)} values, got "
+                f"{len(values)} (use find_prefix for a prefix probe)"
+            )
         df = graph.nodes[label]
         cond = F.lit(True)
         for p, v in zip(props, values):

@@ -53,6 +53,29 @@ def _rows(df: DataFrame, limit: int = MAX_ROWS) -> list[dict]:
     return [r.asDict(recursive=True) for r in df.limit(limit).collect()]
 
 
+def _catalog_counts(g: PropertyGraph) -> tuple[dict[str, int], dict[str, int]]:
+    """Per-label and per-rel-type row counts in ONE Spark job: union every
+    table's key-literal projection, one groupBy. The previous form ran
+    one ``count()`` job per catalog entry — catalog-bounded but a job
+    per label on the serving path."""
+    frames = [
+        df.select(F.lit(f"n\x1f{lb}").alias("k")) for lb, df in g.nodes.items()
+    ] + [
+        es.df.select(F.lit(f"r\x1f{rt}").alias("k"))
+        for rt, es in g.edges.items()
+    ]
+    nodes = {lb: 0 for lb in g.nodes}
+    rels = {rt: 0 for rt in g.edges}
+    if frames:
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        for r in u.groupBy("k").count().collect():
+            kind, name = r["k"].split("\x1f", 1)
+            (nodes if kind == "n" else rels)[name] = r["count"]
+    return dict(sorted(nodes.items())), dict(sorted(rels.items()))
+
+
 class GraphHTTPServer:
     """Serve a PropertyGraph over HTTP with the reference's REST surface."""
 
@@ -231,10 +254,8 @@ class GraphHTTPServer:
             if path == "/rel-types":
                 return {"rel_types": sorted(g.edges)}
             if path == "/stats":
-                return {
-                    "nodes": {lb: df.count() for lb, df in sorted(g.nodes.items())},
-                    "rels": {rt: es.df.count() for rt, es in sorted(g.edges.items())},
-                }
+                nodes, rels = _catalog_counts(g)
+                return {"nodes": nodes, "rels": rels}
             if path == "/cache/stats":
                 return {"stats": self._cache().stats()}
             if path == "/sysinfo":
@@ -243,8 +264,9 @@ class GraphHTTPServer:
                 # shape. kernel_version maps to the Spark version; uptime
                 # since server construction.
                 spark = next(iter(g.nodes.values())).sparkSession
-                node_count = sum(df.count() for df in g.nodes.values())
-                rel_count = sum(es.df.count() for es in g.edges.values())
+                nodes, rels = _catalog_counts(g)
+                node_count = sum(nodes.values())
+                rel_count = sum(rels.values())
                 up = int(__import__("time").monotonic() - self._born)
                 return {
                     "kernel_version": f"spark-{spark.version}",

@@ -338,6 +338,66 @@ def stream_dedup(
     )
 
 
+def _append_epoch(
+    df: DataFrame,
+    dest_dir: str,
+    epoch_id: int,
+    partition_col: str | None = None,
+    sort_col: str | None = None,
+    run_id: str = "",
+) -> None:
+    """Idempotently append one micro-batch epoch's rows to a parquet
+    directory: write to a ``_staging`` subdir (underscore-prefixed —
+    invisible to Spark reads), then move the files into place under
+    DETERMINISTIC epoch-tagged names. A crash-replay of the same epoch
+    first removes any files an interrupted attempt already moved, so the
+    sink's three appends are each exactly-once under foreachBatch's
+    at-least-once replay. Local/HDFS rename is atomic; on S3 a
+    transactional table format replaces this (same plan, ACID commit).
+
+    ``run_id`` scopes the tag to one streaming query (epoch ids restart
+    at 0 per checkpoint location) — the sink derives it from the
+    checkpoint dir so a crash-RESTART of the same query replays
+    idempotently while a different query appending to the same directory
+    never collides."""
+    import glob
+    import os
+    import shutil
+
+    tag = f"epoch-{run_id}{epoch_id:012d}"
+    os.makedirs(dest_dir, exist_ok=True)
+    # replay repair: drop whatever a previous attempt of this epoch moved
+    for old in glob.glob(
+        os.path.join(dest_dir, f"{tag}-*.parquet")
+    ) + glob.glob(os.path.join(dest_dir, "*", f"{tag}-*.parquet")):
+        os.remove(old)
+    staging = os.path.join(dest_dir, f"_staging-{tag}")
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    w = df
+    if partition_col is not None:
+        w = w.repartition(16, partition_col)
+    if sort_col is not None:
+        w = w.sortWithinPartitions(sort_col)
+    writer = w.write.mode("overwrite")
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(staging)
+    for i, src in enumerate(
+        sorted(
+            glob.glob(os.path.join(staging, "*.parquet"))
+            + glob.glob(os.path.join(staging, "*", "*.parquet"))
+        )
+    ):
+        rel_dir = os.path.relpath(os.path.dirname(src), staging)
+        dest_sub = (
+            dest_dir if rel_dir == "." else os.path.join(dest_dir, rel_dir)
+        )
+        os.makedirs(dest_sub, exist_ok=True)
+        os.replace(src, os.path.join(dest_sub, f"{tag}-{i:05d}.parquet"))
+    shutil.rmtree(staging)
+
+
 def dedup_ingest_sink(
     stream_df: DataFrame,
     id_col: str,
@@ -349,40 +409,63 @@ def dedup_ingest_sink(
 ):
     """Continuous near-duplicate ingest — the end-to-end 100 TB crawl
     shape: every micro-batch is probed against the STANDING MinHash/LSH
-    index (``index_dir/banded`` + ``index_dir/sets`` parquet, as written
-    by :func:`...functions.dedup.minhash_index`), near-dups of the corpus
-    or of an earlier-id batch doc are dropped, survivors are appended to
-    ``out_dir`` AND their band/set frames extend the index — so each
-    batch costs O(batch), never O(corpus), and the corpus text is never
-    re-shingled.
+    index (``index_dir/banded`` + ``index_dir/sets``), near-dups of the
+    corpus or of an earlier-id batch doc are dropped, survivors are
+    appended to ``out_dir`` AND their band/set frames extend the index.
 
-    Returns the StreamingQuery. Durability note: the three appends
-    (survivors, banded, sets) are per-epoch parquet appends driven by the
-    checkpointed source offsets — at-least-once on crash between appends;
-    a production deployment puts a transactional table format under
-    ``out_dir``/``index_dir`` (same plan, ACID commit)."""
+    O(batch) mechanics (the AsyncStorage ingest actor this replaces is
+    `/root/reference/src/storage/async_store.rs:51-107`):
+
+    - the batch is shingled/signed EXACTLY ONCE (``minhash_index``); the
+      same frames feed the probe and, semi-joined to survivors, the
+      index append — no re-signing anywhere.
+    - the batch side of the probe join is broadcast, so the standing
+      index is never shuffled.
+    - when the index uses the :func:`write_minhash_index` ``bp=``
+      partition layout (the sink's own bootstrap creates it), the index
+      scan is partition-pruned to the batch's band-hash prefixes and
+      row-group-pruned by an exact ``bh IN`` pushdown; the exact-verify
+      ``sets`` scan is pruned to colliding doc ids the same way. A flat
+      pre-existing index keeps working (unpruned scan, same results).
+    - each epoch's three appends go through :func:`_append_epoch` —
+      staged, deterministically named, crash-replay idempotent."""
     import os
 
-    from rs_graphdb_spark.functions.dedup import minhash_index, minhash_probe
+    from rs_graphdb_spark.functions.dedup import (
+        load_banded_pruned,
+        minhash_index,
+        minhash_probe,
+    )
+
+    import hashlib
+
+    banded_dir = os.path.join(index_dir, "banded")
+    sets_dir = os.path.join(index_dir, "sets")
+    run_id = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:8] + "-"
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)
-        have_index = os.path.exists(os.path.join(index_dir, "banded"))
+        have_index = os.path.exists(banded_dir)
+        partitioned_layout = not have_index or any(
+            e.startswith("bp=") for e in os.listdir(banded_dir)
+        )
+        # sign the batch ONCE; probe and survivor-append reuse the frames
         new_banded, new_sets = minhash_index(batch_df, id_col, text_col)
         if have_index:
-            banded = spark.read.parquet(os.path.join(index_dir, "banded"))
-            sets = spark.read.parquet(os.path.join(index_dir, "sets"))
-            pairs = minhash_probe(
-                banded, sets, batch_df, id_col, text_col, threshold=threshold
-            ).localCheckpoint(eager=True)
+            banded = load_banded_pruned(spark, banded_dir, new_banded)
+            sets = spark.read.parquet(sets_dir)
         else:
-            from rs_graphdb_spark.functions.dedup import minhash_dedup_pairs
-
-            pairs = minhash_dedup_pairs(
-                batch_df, id_col, text_col, threshold=threshold,
-                sets_df=new_sets,
-            ).localCheckpoint(eager=True)
+            # bootstrap: probe against empty index frames — reduces to
+            # the in-batch near-dup join on the already-built frames
+            banded = new_banded.limit(0)
+            sets = new_sets.select("doc_id", "sets").limit(0)
+        pairs = minhash_probe(
+            banded, sets, batch_df, id_col, text_col, threshold=threshold,
+            new_banded=new_banded, new_sets=new_sets, broadcast_new=True,
+        )
         # drop a batch doc when it duplicates ANY corpus doc (the corpus
         # copy is already persisted — regardless of id order), or a
         # smaller-id in-batch doc (pairs carry a < b, so for an in-batch
@@ -412,12 +495,25 @@ def dedup_ingest_sink(
         survivors = batch_df.join(drop, id_col, "left_anti").localCheckpoint(
             eager=True
         )
-        survivors.write.mode("append").parquet(out_dir)
-        surv_banded, surv_sets = minhash_index(survivors, id_col, text_col)
-        surv_banded.write.mode("append").parquet(os.path.join(index_dir, "banded"))
-        surv_sets.select(F.col("doc_id"), "sets").write.mode("append").parquet(
-            os.path.join(index_dir, "sets")
+        _append_epoch(survivors, out_dir, epoch_id, run_id=run_id)
+        # survivors' index rows come from the ALREADY-BUILT batch frames
+        # (a semi-join, not a third signing pass)
+        surv_ids = survivors.select(F.col(id_col).alias("doc")).dropDuplicates()
+        surv_banded = new_banded.join(surv_ids, "doc", "left_semi")
+        surv_sets = new_sets.select("doc_id", "sets").join(
+            surv_ids.withColumnRenamed("doc", "doc_id"), "doc_id", "left_semi"
         )
+        if partitioned_layout:
+            _append_epoch(
+                surv_banded.withColumn("bp", F.substring("bh", 1, 1)),
+                banded_dir, epoch_id, partition_col="bp", sort_col="bh",
+                run_id=run_id,
+            )
+        else:
+            _append_epoch(surv_banded, banded_dir, epoch_id, sort_col="bh",
+                          run_id=run_id)
+        _append_epoch(surv_sets, sets_dir, epoch_id, sort_col="doc_id",
+                      run_id=run_id)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

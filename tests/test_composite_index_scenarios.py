@@ -162,3 +162,16 @@ def test_find_prefix_leading_column(spark):
                                 ["Alice", 30])) == [1]
     with pytest.raises(ValueError):
         cat.find_prefix(g, "User", ["name", "age"], [])
+
+
+def test_find_by_composite_index_rejects_arity_mismatch(spark):
+    """An under-supplied values list must raise, not silently degrade to
+    a prefix probe (find_prefix is the intentional form for that)."""
+    cat = CompositeIndexCatalog()
+    cat.create_composite_index("user_name_age", "User", ["name", "age"])
+    g = _users(spark, [(1, "Alice", 30, "a@x.com"), (2, "Alice", 25, "b@x.com")])
+    with pytest.raises(ValueError):
+        cat.find_by_composite_index(g, "User", ["name", "age"], ["Alice"])
+    with pytest.raises(ValueError):
+        cat.find_by_composite_index(g, "User", ["name", "age"],
+                                    ["Alice", 30, 99])

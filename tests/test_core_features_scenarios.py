@@ -226,3 +226,24 @@ def test_batch_empty_dataset(spark):
     g2 = create_nodes(g, "User", local_df(spark, [], "uid long, name string"),
                       "uid")
     assert g2.nodes["User"].count() == 0
+
+
+def test_adhoc_label_namespace_collision_raises():
+    """Two ad-hoc labels hashing to one namespace index must fail loudly
+    instead of silently interleaving node ids."""
+    from rs_graphdb_spark import graph as G
+
+    base = G.label_base("SomeAdhocLabel")
+    assert base >= 64 * G.ID_STRIDE
+    # same label re-registers fine
+    assert G.label_base("SomeAdhocLabel") == base
+    # force a synthetic collision through the registry
+    idx = base // G.ID_STRIDE
+    G._ADHOC_NAMESPACES[idx] = "OtherLabel"
+    try:
+        import pytest
+
+        with pytest.raises(ValueError, match="namespace collision"):
+            G.label_base("SomeAdhocLabel")
+    finally:
+        G._ADHOC_NAMESPACES[idx] = "SomeAdhocLabel"

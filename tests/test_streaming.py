@@ -323,3 +323,123 @@ def test_dedup_ingest_sink_drops_corpus_and_batch_dups(spark, tmpdir):
     q2.awaitTermination(300)
     kept2 = {r["doc_id"] for r in spark.read.parquet(str(tmpdir / "out")).collect()}
     assert kept2 == {11, 12, 21}
+
+
+def test_append_epoch_replay_idempotent(spark, tmpdir):
+    """Crash-replay of the same epoch must not duplicate rows (VERDICT r3
+    item #8): _append_epoch's deterministic epoch-tagged filenames make a
+    re-run of the same (run_id, epoch) replace, never append."""
+    from rs_graphdb_spark.streaming.ops import _append_epoch
+
+    df = spark.range(10).withColumnRenamed("id", "doc")
+    dest = str(tmpdir / "tbl")
+    _append_epoch(df, dest, 0, run_id="runA-")
+    assert spark.read.parquet(dest).count() == 10
+    # replay epoch 0 → replaced, not appended
+    _append_epoch(df, dest, 0, run_id="runA-")
+    assert spark.read.parquet(dest).count() == 10
+    # next epoch appends
+    _append_epoch(df, dest, 1, run_id="runA-")
+    assert spark.read.parquet(dest).count() == 20
+    # a DIFFERENT query (run_id) re-using epoch 0 never collides
+    _append_epoch(df, dest, 0, run_id="runB-")
+    assert spark.read.parquet(dest).count() == 30
+    # partitioned variant: replay is idempotent per partition dir too
+    pdf = df.withColumn("bp", (F.col("doc") % 4).cast("string"))
+    pdest = str(tmpdir / "ptbl")
+    _append_epoch(pdf, pdest, 0, partition_col="bp", sort_col="doc",
+                  run_id="runA-")
+    _append_epoch(pdf, pdest, 0, partition_col="bp", sort_col="doc",
+                  run_id="runA-")
+    got = spark.read.parquet(pdest)
+    assert got.count() == 10 and "bp" in got.columns
+
+
+def test_standing_index_probe_is_pruned(spark, tmpdir):
+    """The standing-index probe scan must be partition-pruned to the
+    batch's band-hash prefixes and carry the exact bh IN pushdown
+    (VERDICT r3 item #1b): assert at the PLAN level, then check results
+    equal an unpruned probe."""
+    from rs_graphdb_spark.functions.dedup import (
+        load_banded_pruned, minhash_index, minhash_probe,
+        write_minhash_index,
+    )
+
+    def doc(i, seed, extra=""):
+        base = " ".join(f"w{seed}x{j}" for j in range(40))
+        return (i, base + extra)
+
+    corpus = spark.createDataFrame(
+        [doc(i, i) for i in range(1, 9)], "doc_id long, text string"
+    )
+    index_dir = str(tmpdir / "index")
+    banded, sets = minhash_index(corpus, "doc_id", "text")
+    write_minhash_index(banded, sets, index_dir)
+
+    batch = spark.createDataFrame(
+        [doc(20, 3, " tail"), doc(21, 99)], "doc_id long, text string"
+    )
+    new_banded, new_sets = minhash_index(batch, "doc_id", "text")
+    pruned = load_banded_pruned(spark, f"{index_dir}/banded", new_banded)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition pruning on bp AND row-group pushdown on bh, both at scan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "bp" in pf[0].split("PartitionFilters", 1)[1][:200]
+    assert any("PushedFilters" in ln and "bh" in ln.split("PushedFilters", 1)[1][:400]
+               for ln in plan.splitlines())
+    # pruned probe ≡ unpruned probe
+    flat = spark.read.parquet(f"{index_dir}/banded").drop("bp")
+    sets_read = spark.read.parquet(f"{index_dir}/sets")
+    want = {(r["a"], r["b"]) for r in minhash_probe(
+        flat, sets_read, batch, "doc_id", "text", threshold=0.8).collect()}
+    got = {(r["a"], r["b"]) for r in minhash_probe(
+        pruned, sets_read, batch, "doc_id", "text", threshold=0.8,
+        new_banded=new_banded, new_sets=new_sets, broadcast_new=True,
+    ).collect()}
+    assert got == want and (3, 20) in got
+
+
+def test_ingest_sink_bootstrap_creates_pruned_layout(spark, tmpdir):
+    """A sink bootstrapped with NO pre-existing index must create the
+    bp-partitioned standing layout and keep probing it correctly on a
+    later stream."""
+    from rs_graphdb_spark.streaming.ops import dedup_ingest_sink
+    import os
+
+    def doc(i, seed, extra=""):
+        base = " ".join(f"w{seed}x{j}" for j in range(40))
+        return (i, base + extra)
+
+    index_dir = str(tmpdir / "index")
+    b1 = spark.createDataFrame(
+        [doc(1, 1), doc(2, 2), doc(3, 2, " x")], "doc_id long, text string"
+    )
+    src = str(tmpdir / "in"); b1.coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = dedup_ingest_sink(
+        stream, "doc_id", "text", out_dir=str(tmpdir / "out"),
+        checkpoint_dir=str(tmpdir / "ckpt"), index_dir=index_dir,
+        threshold=0.8,
+    )
+    q.awaitTermination(300)
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(str(tmpdir / "out")).collect()}
+    assert kept == {1, 2}  # 3 near-dups 2, greater id drops
+    # standing layout is bp-partitioned
+    assert any(e.startswith("bp=") for e in os.listdir(f"{index_dir}/banded"))
+    # second stream probes the pruned layout: near-copy of 1 drops
+    b2 = spark.createDataFrame([doc(10, 1, " y"), doc(11, 7)],
+                               "doc_id long, text string")
+    src2 = str(tmpdir / "in2"); b2.coalesce(1).write.parquet(src2)
+    stream2 = (spark.readStream.schema(b2.schema)
+               .option("maxFilesPerTrigger", 1).parquet(src2))
+    q2 = dedup_ingest_sink(
+        stream2, "doc_id", "text", out_dir=str(tmpdir / "out"),
+        checkpoint_dir=str(tmpdir / "ckpt2"), index_dir=index_dir,
+        threshold=0.8,
+    )
+    q2.awaitTermination(300)
+    kept2 = {r["doc_id"] for r in
+             spark.read.parquet(str(tmpdir / "out")).collect()}
+    assert kept2 == {1, 2, 11}
