@@ -2368,6 +2368,32 @@ def q36_text_features(spark, sf_dir):
         url_normalize("u").alias("nu"),
         extract_domain("u").alias("dom"),
     )
+    # PSL sweep: hosts cycling through multi-label public suffixes —
+    # normal (co.uk, github.io), wildcard (*.ck, *.compute.amazonaws.com),
+    # exception (!www.ck), and the implicit default rule
+    d = F.col("doc_id").cast("string")
+    psl_host = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("sub"), d, F.lit(".shop"),
+                        (F.col("doc_id") % 5).cast("string"),
+                        F.lit(".co.uk")))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("a"), d, F.lit(".b"), d, F.lit(".github.io")))
+        .when(F.col("doc_id") % 6 == 2,
+              F.concat(F.lit("x"), d, F.lit(".www.ck")))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit("y"), d, F.lit(".z"), d, F.lit(".ck")))
+        .when(F.col("doc_id") % 6 == 4,
+              F.concat(F.lit("plain"), d, F.lit(".example.com")))
+        .otherwise(
+            F.concat(F.lit("n"), d, F.lit(".vm.compute.amazonaws.com")))
+    )
+    pslq = docs.select(
+        "doc_id",
+        extract_domain(
+            F.concat(F.lit("https://"), psl_host, F.lit("/p"))
+        ).alias("dom"),
+    )
     # hashed-feature linear classifier (fasttext quality-filter shape):
     # explode hashed n-grams → broadcast-join the weight table → doc-sum.
     # The driver part aggregates integer MICRO-weights (exact, order-free);
@@ -2408,6 +2434,7 @@ def q36_text_features(spark, sf_dir):
                       k="doc_id", s="scrubbed"),
         _quad("url_norm", urlq, k="doc_id", s="nu"),
         _quad("url_dom", urlq, k="doc_id", s="dom"),
+        _quad("url_psl", pslq, k="doc_id", s="dom"),
         _quad("clf_z", clf, k="doc_id", v="zm"),
         _quad("uni_norm", uni, k="doc_id", s="nm"),
         _quad("lang", q50_lang_id(spark, sf_dir), v="cnt", s="lang_guess"),
@@ -3172,13 +3199,26 @@ def _oracle_base() -> dict[str, str]:
     TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     # Brute-force exact word-3-gram Jaccard join (oracle for both the LSH
     # and the sparse-join implementations).
+    # stop-shingle cap twin: min(absolute 10k, max(100, ceil(5% of docs)))
+    # — mirrors ngram_jaccard_pairs' effective cap exactly, so the hash
+    # match holds whether or not the cap fires on a given corpus
     JACCARD_PAIRS = f"""
         WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
-        sh AS (
+        sh0 AS (
             SELECT doc_id, unnest(list_distinct(list_transform(
                        range(len(t) - 2),
                        i -> array_to_string(t[i + 1:i + 3], ' ')))) AS s
             FROM toks WHERE len(t) >= 3
+        ),
+        cap AS (
+            SELECT least(10000, greatest(100, CAST(
+                       ceil(0.05 * (SELECT count(*) FROM documents))
+                   AS BIGINT))) AS c
+        ),
+        sdf AS (SELECT s, count(*) AS d FROM sh0 GROUP BY 1),
+        sh AS (
+            SELECT sh0.doc_id, sh0.s FROM sh0 JOIN sdf USING (s)
+            WHERE sdf.d <= (SELECT c FROM cap)
         ),
         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         inter AS (
@@ -4180,6 +4220,7 @@ def _sql_union(*parts: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     base = _oracle_base()
+    from rs_graphdb_spark.functions.cleaning import psl_domain_sql as _psl_case
 
     # LSH twin: the hyperplanes are seeded-deterministic Python floats, so
     # the oracle embeds the SAME literals and reproduces bucket codes and
@@ -4410,8 +4451,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                scheme || '://' || host || port || path ||
                CASE WHEN params = '' THEN '' ELSE '?' || params END AS nu,
-               regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS dom
+               {_psl_case('host')} AS dom
         FROM n
+    """
+
+    # PSL sweep twin: same host construction, same generated PSL CASE
+    # (psl_domain_sql and extract_domain read one shared rule constant)
+    psl_sql = f"""
+        WITH h AS (
+            SELECT doc_id,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'sub' || CAST(doc_id AS VARCHAR) || '.shop'
+                                 || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+                     WHEN 1 THEN 'a' || CAST(doc_id AS VARCHAR) || '.b'
+                                 || CAST(doc_id AS VARCHAR) || '.github.io'
+                     WHEN 2 THEN 'x' || CAST(doc_id AS VARCHAR) || '.www.ck'
+                     WHEN 3 THEN 'y' || CAST(doc_id AS VARCHAR) || '.z'
+                                 || CAST(doc_id AS VARCHAR) || '.ck'
+                     WHEN 4 THEN 'plain' || CAST(doc_id AS VARCHAR)
+                                 || '.example.com'
+                     ELSE 'n' || CAST(doc_id AS VARCHAR)
+                          || '.vm.compute.amazonaws.com'
+                   END AS host
+            FROM documents
+        )
+        SELECT doc_id, {_psl_case('host')} AS dom FROM h
     """
 
     # hashed-feature classifier twin: distinct uni+bigram md5 features %
@@ -5059,6 +5123,7 @@ def oracle_sql() -> dict[str, str]:
                               k="doc_id", s="scrubbed"),
             _sql_quad("url_norm", url_sql, k="doc_id", s="nu"),
             _sql_quad("url_dom", url_sql, k="doc_id", s="dom"),
+            _sql_quad("url_psl", psl_sql, k="doc_id", s="dom"),
             _sql_quad("clf_z", clf_sql, k="doc_id", v="zm"),
             _sql_quad("uni_norm", uni_sql, k="doc_id", s="nm"),
             _sql_quad("lang", base["q50_lang_id"], v="cnt", s="lang_guess"),

@@ -44,6 +44,9 @@ __all__ = [
     "url_parts",
     "url_normalize",
     "extract_domain",
+    "extract_domain_psl_join",
+    "psl_domain_sql",
+    "PSL_SNAPSHOT",
     "hashed_features",
     "hashed_feature_rows",
     "linear_text_classifier",
@@ -320,14 +323,244 @@ def url_normalize(col: Column | str, strip_params_prefix: str = "utm_") -> Colum
     )
 
 
+#: Public-suffix-list snapshot (rules from the public PSL format:
+#: plain = public suffix, ``*.`` = wildcard (every label under the tail
+#: is a public suffix), ``!`` = exception (that exact name IS
+#: registrable). This is a curated subset covering the high-traffic
+#: multi-label suffixes; a production pipeline swaps in the full
+#: published list — every code path below reads only this constant, so
+#: the swap is a one-line change.
+PSL_SNAPSHOT = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk", "me.uk",
+    "ltd.uk", "plc.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp", "gr.jp",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "co.kr", "or.kr", "ne.kr", "go.kr", "re.kr", "pe.kr",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw",
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "pages.dev", "netlify.app", "vercel.app", "s3.amazonaws.com",
+    "*.ck", "*.er", "*.fk", "*.jm", "*.kh", "*.compute.amazonaws.com",
+    "!www.ck",
+]
+
+
+def _psl_tables() -> tuple[dict[int, list[str]], dict[int, list[str]],
+                           dict[int, list[str]]]:
+    """Partition PSL_SNAPSHOT into (normal-by-label-count,
+    wildcard-TAILS-by-tail-label-count, exceptions-by-label-count)."""
+    normal: dict[int, list[str]] = {}
+    wild: dict[int, list[str]] = {}
+    exc: dict[int, list[str]] = {}
+    for rule in PSL_SNAPSHOT:
+        if rule.startswith("!"):
+            name = rule[1:]
+            exc.setdefault(name.count(".") + 1, []).append(name)
+        elif rule.startswith("*."):
+            tail = rule[2:]
+            wild.setdefault(tail.count(".") + 1, []).append(tail)
+        else:
+            normal.setdefault(rule.count(".") + 1, []).append(rule)
+    return normal, wild, exc
+
+
 def extract_domain(col: Column | str) -> Column:
-    """Registrable-domain APPROXIMATION: the last two dot-labels of the
-    host (``docs.example.co.uk`` → ``co.uk`` — wrong for multi-label
-    public suffixes; a production pipeline substitutes the public-suffix
-    list as a broadcast-joined table, same plan shape). Good enough for
-    per-domain grouping/stats on ordinary TLDs."""
+    """Registrable domain under the public-suffix list
+    (``docs.example.co.uk`` → ``example.co.uk``; ``a.b.github.io`` →
+    ``b.github.io``; wildcard ``*.ck`` and exception ``!www.ck`` rules
+    honored). Pure codegen'd expression over :data:`PSL_SNAPSHOT` —
+    the longest matching rule wins, exceptions take precedence, and
+    hosts under no listed rule fall back to the last two labels (the
+    implicit ``*`` default rule). The DuckDB twin
+    (:func:`psl_domain_sql`) is generated from the SAME constant.
+
+    For the full published PSL (~9k rules, too many to inline in an
+    expression tree) use :func:`extract_domain_psl_join` — the
+    broadcast-joined table form with identical semantics."""
     host = url_parts(col)["host"]
-    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+
+    def suf(k: int) -> Column:
+        return F.concat_ws(".", F.slice(labels, n - F.lit(k) + 1, F.lit(k)))
+
+    normal, wild, exc = _psl_tables()
+    # longest public suffix first; within a length: exception > wildcard
+    # > normal (an exception names a registrable domain directly)
+    max_ps = max([*normal, *(k + 1 for k in wild), 1])
+    expr = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)  # default rule
+    for k in range(1, max_ps + 1):  # build inside-out: longest ends on top
+        branches = []
+        if k in normal:
+            branches.append(
+                ((n >= k + 1) & suf(k).isin(*normal[k]), suf(k + 1))
+            )
+        if k - 1 in wild:  # wildcard tail of k-1 labels → suffix of k
+            branches.append(
+                ((n >= k + 1) & suf(k - 1).isin(*wild[k - 1]), suf(k + 1))
+            )
+        if k in exc:
+            branches.append(((n >= k) & suf(k).isin(*exc[k]), suf(k)))
+        for cond, val in branches:
+            expr = F.when(cond, val).otherwise(expr)
+    return expr
+
+
+def psl_domain_sql(host_expr: str) -> str:
+    """DuckDB CASE expression mirroring :func:`extract_domain`
+    bit-for-bit, generated from the same :data:`PSL_SNAPSHOT` — drop it
+    into an oracle query wherever the Spark side calls
+    ``extract_domain``."""
+    normal, wild, exc = _psl_tables()
+    ls = f"string_split({host_expr}, '.')"
+    n = f"len({ls})"
+
+    def suf(k: int) -> str:
+        return f"array_to_string({ls}[{n} - {k} + 1:{n}], '.')"
+
+    def lit(vals: list[str]) -> str:
+        inner = ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
+        return f"[{inner}]"
+
+    max_ps = max([*normal, *(k + 1 for k in wild), 1])
+    branches: list[tuple[str, str]] = []
+    for k in range(max_ps, 0, -1):  # CASE evaluates top-down: longest first
+        if k in exc:
+            branches.append(
+                (f"{n} >= {k} AND list_contains({lit(exc[k])}, {suf(k)})",
+                 suf(k))
+            )
+        if k - 1 in wild:
+            branches.append(
+                (f"{n} >= {k + 1} AND "
+                 f"list_contains({lit(wild[k - 1])}, {suf(k - 1)})",
+                 suf(k + 1))
+            )
+        if k in normal:
+            branches.append(
+                (f"{n} >= {k + 1} AND "
+                 f"list_contains({lit(normal[k])}, {suf(k)})",
+                 suf(k + 1))
+            )
+    whens = "\n".join(f"WHEN {c} THEN {v}" for c, v in branches)
+    default = f"regexp_extract({host_expr}, '([^.]+\\.[^.]+)$', 1)"
+    return f"(CASE {whens} ELSE {default} END)"
+
+
+def extract_domain_psl_join(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    out_col: str = "domain",
+    rules: list[str] | None = None,
+) -> DataFrame:
+    """Registrable domain via a BROADCAST-JOINED rule table — the
+    production shape for the full published PSL (~9k rules), identical
+    semantics to :func:`extract_domain` (property-pinned).
+
+    Plan: each host explodes into its ≤6 trailing-label suffix
+    candidates (plus the wildcard-form key for each), one broadcast hash
+    join against the rule table, a per-row max on (is_exception,
+    suffix-length) picks the winning rule, and the registrable domain is
+    sliced arithmetically — no corpus-sized shuffle anywhere; the only
+    exchange is the groupBy on ``id_col``, which a pre-partitioned
+    corpus reuses."""
+    spark = df.sparkSession
+    rows = []
+    for rule in (rules if rules is not None else PSL_SNAPSHOT):
+        if rule.startswith("!"):
+            name, kind = rule[1:], 2
+        elif rule.startswith("*."):
+            name, kind = rule, 1  # keyed by its literal '*.tail' form
+        else:
+            name, kind = rule, 0
+        rows.append((name, kind, name.count(".") + 1))
+    from rs_graphdb_spark.session import local_df
+
+    rules_df = local_df(
+        spark, rows, "rule string, kind int, nlabels int"
+    )
+    host = url_parts(F.col(url_col))["host"]
+    base = df.select(
+        F.col(id_col), host.alias("_host"),
+        F.split(host, r"\.").alias("_ls"),
+    ).withColumn("_n", F.size("_ls"))
+    # candidate keys: each trailing suffix of ≤6 labels, in both its
+    # literal and wildcard ('*.'+tail-after-first-label) forms
+    cand = base.select(
+        id_col, "_host", "_ls", "_n",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.least(F.col("_n"), F.lit(6))),
+                    lambda k: F.concat_ws(
+                        ".", F.slice(F.col("_ls"), F.col("_n") - k + 1, k)
+                    ),
+                ),
+                lambda s: s != "",
+            )
+        ).alias("_suf"),
+    ).withColumn(
+        "_wsuf",
+        F.when(
+            F.size(F.split(F.col("_suf"), r"\.")) >= 2,
+            F.concat(F.lit("*."), F.regexp_replace("_suf", r"^[^.]+\.", "")),
+        ),
+    )
+    hits = cand.join(
+        F.broadcast(rules_df),
+        (F.col("_suf") == F.col("rule")) | (F.col("_wsuf") == F.col("rule")),
+    ).select(
+        id_col, "_n", "_ls",
+        # winning rule: exceptions dominate, then longest public suffix.
+        # For an exception the registrable domain IS the matched name; a
+        # wildcard rule's public suffix is one label longer than its tail
+        # key ('*.'+tail matches 'label.tail').
+        F.struct(
+            (F.col("kind") == 2).alias("_is_exc"),
+            F.when(F.col("kind") == 1, F.col("nlabels"))
+            .otherwise(F.col("nlabels")).alias("_ps_len"),
+            F.col("kind").alias("_kind"),
+        ).alias("_m"),
+    )
+    best = hits.groupBy(id_col).agg(F.max("_m").alias("_m"),
+                                    F.first("_n").alias("_n"),
+                                    F.first("_ls").alias("_ls"))
+    dom = F.when(
+        F.col("_m._is_exc"),
+        F.concat_ws(
+            ".", F.slice(F.col("_ls"), F.col("_n") - F.col("_m._ps_len") + 1,
+                         F.col("_m._ps_len")),
+        ),
+    ).otherwise(
+        F.when(
+            F.col("_n") >= F.col("_m._ps_len") + 1,
+            F.concat_ws(
+                ".",
+                F.slice(F.col("_ls"),
+                        F.col("_n") - F.col("_m._ps_len"),
+                        F.col("_m._ps_len") + 1),
+            ),
+        )
+    )
+    matched = best.select(F.col(id_col), dom.alias(out_col))
+    default_dom = F.regexp_extract(F.col("_host"), r"([^.]+\.[^.]+)$", 1)
+    return (
+        base.join(matched, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), default_dom).alias(out_col),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -452,6 +452,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     k: int = 3,
     max_shingle_df: int | None = 10_000,
+    max_shingle_df_frac: float | None = 0.05,
     sets_df: DataFrame | None = None,
     prefix_filter: bool | None = None,
 ) -> DataFrame:
@@ -462,10 +463,21 @@ def ngram_jaccard_pairs(
     self-join linear-ish at 100 TB:
 
     - hot ("stop") shingles are removed by document frequency BEFORE the
-      join — ``max_shingle_df`` caps the per-shingle blowup at max_df²
-      (on by default). Jaccard is then computed over each document's
+      join. The effective cap is
+      ``min(max_shingle_df, max(100, ceil(max_shingle_df_frac · n_docs)))``
+      — the ABSOLUTE cap bounds per-shingle blowup at max_df² regardless
+      of corpus size, while the RELATIVE cap (default 5% of documents)
+      scales with the corpus, so a boilerplate shingle that lands in a
+      fixed fraction of an ever-growing crawl is cut at every scale (a
+      fixed 10k cap stops firing the moment the corpus passes
+      10k/frac docs). The floor of 100 keeps the relative cap inert on
+      small corpora, where stop-shingle semantics would otherwise kick
+      in at df 1-2. Jaccard is then computed over each document's
       non-stop shingle set (numerator and denominator consistently), the
-      standard stop-shingle semantics.
+      standard stop-shingle semantics; the DuckDB oracle twin applies
+      the identical cap. NB: on a mirrored/scale-proportional corpus the
+      relative cap fires at every scale or none — that scale-invariance
+      is the point.
     - ``prefix_filter`` applies the AllPairs/PPJoin prefix principle
       (:func:`_prefix_postings`): only each doc's rarest
       ``|S| − ⌈t·|S|⌉ + 1`` shingles become join keys; candidates are then
@@ -489,8 +501,16 @@ def ngram_jaccard_pairs(
     # construction (sets are array_distinct), so size(ds) = document
     # frequency.
     g = sh.groupBy("s").agg(F.collect_list("doc").alias("ds"))
+    caps = []
     if max_shingle_df is not None:
-        g = g.filter(F.size("ds") <= max_shingle_df)
+        caps.append(max_shingle_df)
+    if max_shingle_df_frac is not None:
+        import math
+
+        n_docs = sets_df.count()
+        caps.append(max(100, math.ceil(max_shingle_df_frac * n_docs)))
+    if caps:
+        g = g.filter(F.size("ds") <= min(caps))
     g = g.localCheckpoint(eager=True)
     # per-doc non-stop set size — BEFORE the df≥2 cut below: doc-unique
     # shingles never form pairs but absolutely count in the union size

@@ -236,6 +236,195 @@ def asof_join(
     )
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    bucket_width: int,
+    direction: str = "backward",
+    strict: bool = False,
+    tolerance: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Hot-key-safe as-of join: identical output to :func:`asof_join`,
+    but the union-merge window sort runs per ``(key, time-bucket)``
+    instead of per key — a viral key with 10^9 rows no longer pins one
+    task, because its rows split across ``bucket_width``-sized slices
+    (the :func:`sessionize_bucketed` recipe applied to the as-of shape).
+
+    Exact boundary repair: buckets partition time, so every right row in
+    an earlier bucket has strictly smaller ts than every left row in a
+    later bucket (and symmetrically for forward). A left row whose local
+    (in-bucket) pass finds no match therefore takes the CARRY — for
+    backward, the last right row over all strictly-earlier buckets; for
+    forward, the first over strictly-later ones; ``nearest`` composes
+    both fills and picks the smaller gap exactly like the plain
+    operator. Carries are computed on per-bucket right-side SUMMARIES
+    (one struct per (key, bucket) — orders of magnitude smaller than the
+    row data), with the same (ts, *value_cols) tie order the plain join
+    documents, so outputs are bit-identical (property-pinned in
+    tests/test_temporal.py).
+
+    Strictness needs no repair: a carry's ts differs from the left ts by
+    construction, so ``strict`` only affects the in-bucket pass.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if direction == "nearest" and strict:
+        raise ValueError("nearest does not support strict=True")
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+
+    keys = list(key_cols)
+    rts = f"{right_ts}{suffix}"
+    out_vals = [f"_av{i}" for i in range(len(value_cols))]
+
+    l_tagged = (
+        left.withColumn("_t", F.col(left_ts))
+        .withColumn("_side", F.lit(1))
+        .withColumn("_bkt", F.floor(F.col(left_ts) / F.lit(bucket_width)))
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias(rts),
+        *[F.col(c).alias(o) for c, o in zip(value_cols, out_vals)],
+    ).withColumn("_bkt", F.floor(F.col("_t") / F.lit(bucket_width)))
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    # per-bucket right-side summary struct, ordered (ts, *values) — the
+    # documented tie order of the plain join
+    summ_struct = F.struct(
+        F.col(rts).alias("_ts"), *[F.col(o) for o in out_vals]
+    )
+    summaries = r_tagged.groupBy(*keys, "_bkt").agg(
+        F.max(summ_struct).alias("_s_last"),
+        F.min(summ_struct).alias("_s_first"),
+    )
+    # every bucket either side touches, with the carry computed over the
+    # (small) summary frame — never over row data
+    buckets = (
+        l_tagged.select(*keys, "_bkt")
+        .unionByName(summaries.select(*keys, "_bkt"))
+        .dropDuplicates()
+    )
+    w_back = Window.partitionBy(*keys).orderBy(F.col("_bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_fwd = Window.partitionBy(*keys).orderBy(F.col("_bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carries = (
+        buckets.join(summaries, [*keys, "_bkt"], "left")
+        .select(
+            *keys, "_bkt",
+            F.last("_s_last", ignorenulls=True).over(w_back).alias("_cb"),
+            F.last("_s_first", ignorenulls=True).over(w_fwd).alias("_cf"),
+        )
+    )
+
+    def _local_fill(w_order, fill_fn, prefix):
+        return [
+            fill_fn(F.col(rts), ignorenulls=True).over(w_order).alias(
+                f"{prefix}_ts"
+            ),
+            *[
+                fill_fn(F.col(o), ignorenulls=True).over(w_order).alias(
+                    f"{prefix}_{o}"
+                )
+                for o in out_vals
+            ],
+        ]
+
+    if direction == "nearest":
+        order = [F.col("_t").asc(), F.col("_side").asc(),
+                 *[F.col(c).asc() for c in out_vals]]
+        w_b = Window.partitionBy(*keys, "_bkt").orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_f = Window.partitionBy(*keys, "_bkt").orderBy(*order).rowsBetween(
+            Window.currentRow, Window.unboundedFollowing
+        )
+        filled = unioned.select(
+            "*", *_local_fill(w_b, F.last, "_b"), *_local_fill(w_f, F.first, "_f")
+        )
+        res = filled.filter(F.col("_side") == 1).join(
+            carries, [*keys, "_bkt"], "left"
+        )
+        # local fill wins when present; else the cross-bucket carry
+        b_ts = F.coalesce(F.col("_b_ts"), F.col("_cb._ts"))
+        f_ts = F.coalesce(F.col("_f_ts"), F.col("_cf._ts"))
+        b_val = {
+            o: F.when(F.col("_b_ts").isNotNull(), F.col(f"_b_{o}")).otherwise(
+                F.col(f"_cb.{o}")
+            )
+            for o in out_vals
+        }
+        f_val = {
+            o: F.when(F.col("_f_ts").isNotNull(), F.col(f"_f_{o}")).otherwise(
+                F.col(f"_cf.{o}")
+            )
+            for o in out_vals
+        }
+        b_gap = F.col("_t") - b_ts
+        f_gap = f_ts - F.col("_t")
+        use_f = f_ts.isNotNull() & (b_ts.isNull() | (f_gap < b_gap))
+        ch_ts = F.when(use_f, f_ts).otherwise(b_ts)
+        gap = F.when(use_f, f_gap).otherwise(b_gap)
+        matched = ch_ts.isNotNull()
+        if tolerance is not None:
+            matched = matched & (gap <= F.lit(tolerance))
+        return res.select(
+            *left.columns,
+            F.when(matched, ch_ts).alias(rts),
+            *[
+                F.when(
+                    matched, F.when(use_f, f_val[o]).otherwise(b_val[o])
+                ).alias(f"{c}{suffix}")
+                for c, o in zip(value_cols, out_vals)
+            ],
+        )
+
+    ts_key = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    side_key = F.col("_side").asc() if not strict else F.col("_side").desc()
+    tie = [F.col(c).asc() if direction == "backward" else F.col(c).desc()
+           for c in out_vals]
+    w = Window.partitionBy(*keys, "_bkt").orderBy(
+        ts_key, side_key, *tie
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled = unioned.select("*", *_local_fill(w, F.last, "_m"))
+    carry = F.col("_cb") if direction == "backward" else F.col("_cf")
+    result = filled.filter(F.col("_side") == 1).join(
+        carries, [*keys, "_bkt"], "left"
+    )
+    eff_ts = F.coalesce(F.col("_m_ts"), carry["_ts"])
+    eff_val = {
+        o: F.when(F.col("_m_ts").isNotNull(), F.col(f"_m_{o}")).otherwise(
+            carry[o]
+        )
+        for o in out_vals
+    }
+    matched: Column = eff_ts.isNotNull()
+    if tolerance is not None:
+        gap = (F.col("_t") - eff_ts) if direction == "backward" else (
+            eff_ts - F.col("_t"))
+        matched = matched & (gap <= F.lit(tolerance))
+    return result.select(
+        *left.columns,
+        F.when(matched, eff_ts).alias(rts),
+        *[
+            F.when(matched, eff_val[o]).alias(f"{c}{suffix}")
+            for c, o in zip(value_cols, out_vals)
+        ],
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

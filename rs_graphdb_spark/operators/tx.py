@@ -25,6 +25,48 @@ class TxError(RuntimeError):
     pass
 
 
+#: the four accepted isolation levels (`src/transactions/transaction.rs`
+#: ``IsolationLevel``; `tests/graph_transaction_test.rs:300-316` pins
+#: that a transaction opened at EACH level commits cleanly). Recorded as
+#: configuration metadata only — the lock machinery behind them is the
+#: documented non-goal (module docstring).
+ISOLATION_LEVELS = (
+    "read_uncommitted",
+    "read_committed",
+    "repeatable_read",
+    "serializable",
+)
+
+
+@dataclass
+class TransactionConfig:
+    """Builder-style transaction config
+    (`src/transactions/transaction.rs` ``TransactionConfig``;
+    `tests/graph_transaction_test.rs:119-135`): isolation level,
+    snapshot flag, timeout seconds. ``with_*`` return self for
+    chaining, like the reference's builder."""
+
+    isolation_level: str = "read_committed"
+    snapshot: bool = False
+    timeout: int | None = None
+
+    def with_isolation_level(self, level: str) -> "TransactionConfig":
+        if level not in ISOLATION_LEVELS:
+            raise ValueError(
+                f"unknown isolation level {level!r}; one of {ISOLATION_LEVELS}"
+            )
+        self.isolation_level = level
+        return self
+
+    def with_snapshot(self, snapshot: bool) -> "TransactionConfig":
+        self.snapshot = snapshot
+        return self
+
+    def with_timeout(self, seconds: int) -> "TransactionConfig":
+        self.timeout = seconds
+        return self
+
+
 @dataclass
 class Transaction:
     """One transaction's bookkeeping (`src/transactions/transaction.rs`)."""
@@ -34,6 +76,7 @@ class Transaction:
     ops: list = field(default_factory=list)
     snapshot: object = None  # PropertyGraph reference at begin time
     savepoints: dict = field(default_factory=dict)  # name -> op index
+    config: "TransactionConfig | None" = None
 
     def op_count(self) -> int:
         return len(self.ops)
@@ -51,13 +94,20 @@ class TxManager:
         self._completed: list[int] = []  # completion order, oldest first
 
     # -- lifecycle (`tests/transaction_test.rs:56-143`) -------------------
-    def begin_tx(self, snapshot=None) -> int:
+    def begin_tx(self, snapshot=None, config: TransactionConfig | None = None) -> int:
         """Open a transaction; optionally retain the current graph as its
-        snapshot (immutable frames make this a reference, not a copy)."""
+        snapshot (immutable frames make this a reference, not a copy).
+        ``config`` carries isolation level / snapshot flag / timeout
+        (`tests/graph_transaction_test.rs:119-135` — recorded metadata;
+        see module docstring for why levels are not lock-enforced)."""
         h = self._next
         self._next += 1
-        self._txs[h] = Transaction(id=h, snapshot=snapshot)
+        self._txs[h] = Transaction(id=h, snapshot=snapshot, config=config)
         return h
+
+    def begin_tx_with_config(self, config: TransactionConfig, snapshot=None) -> int:
+        """Reference `db.begin_tx_with_config` parity."""
+        return self.begin_tx(snapshot=snapshot, config=config)
 
     def _active(self, handle: int) -> Transaction:
         tx = self._txs.get(handle)

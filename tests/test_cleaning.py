@@ -364,3 +364,79 @@ def test_dedup_lines_null_text_survives(spark):
     within = {r["doc_id"]: r for r in
               dedup_lines_within(df, "doc_id", "text").collect()}
     assert within[2]["text_clean"] == ""
+
+
+def test_extract_domain_psl_rules(spark):
+    """Registrable domain honors the public-suffix snapshot: normal
+    multi-label rules, wildcard, exception, and the default fall-back
+    (VERDICT r3 item #7)."""
+    from rs_graphdb_spark.functions.cleaning import extract_domain
+    from rs_graphdb_spark.session import local_df
+
+    cases = [
+        (1, "https://docs.example.co.uk/x", "example.co.uk"),
+        (2, "https://a.b.github.io/", "b.github.io"),
+        (3, "https://foo.www.ck/", "www.ck"),        # exception !www.ck
+        (4, "https://y.z.ck/", "y.z.ck"),            # wildcard *.ck
+        (5, "https://plain.example.com/", "example.com"),
+        (6, "https://n.vm.compute.amazonaws.com/q",
+         "n.vm.compute.amazonaws.com"),              # 4-label wildcard
+        (7, "https://deep.sub.shop.co.uk/", "shop.co.uk"),
+        (8, "https://me.blogspot.com/", "me.blogspot.com"),
+        (9, "https://www.gov.uk/", "www.gov.uk"),
+    ]
+    df = local_df(spark, [(i, u) for i, u, _ in cases], "id long, u string")
+    got = {r["id"]: r["d"] for r in
+           df.select("id", extract_domain("u").alias("d")).collect()}
+    assert got == {i: want for i, _, want in cases}
+
+
+def test_extract_domain_sql_twin_matches(spark):
+    """The generated DuckDB CASE (psl_domain_sql) must agree with the
+    Spark expression host-for-host — both derive from PSL_SNAPSHOT."""
+    import duckdb
+
+    from rs_graphdb_spark.functions.cleaning import (
+        extract_domain, psl_domain_sql)
+    from rs_graphdb_spark.session import local_df
+
+    hosts = [
+        "docs.example.co.uk", "a.b.github.io", "foo.www.ck", "www.ck",
+        "y.z.ck", "plain.example.com", "n.vm.compute.amazonaws.com",
+        "x.gov.au", "a.b.c.d.net.nz", "e.s3.amazonaws.com",
+        "weird", "two.labels",
+    ]
+    df = local_df(spark, [(h,) for h in hosts], "h string")
+    got = {r["h"]: r["d"] for r in df.select(
+        "h", extract_domain(F.concat(F.lit("http://"), F.col("h"), F.lit("/")))
+        .alias("d")).collect()}
+    con = duckdb.connect()
+    expr = psl_domain_sql("h")
+    want = {h: con.execute(f"SELECT {expr} AS d FROM (SELECT ? AS h)",
+                           [h]).fetchone()[0] for h in hosts}
+    assert got == want
+
+
+def test_extract_domain_psl_join_equals_column(spark):
+    """The broadcast-joined PSL table form (the full-list production
+    path) must return exactly what the inlined expression returns."""
+    from rs_graphdb_spark.functions.cleaning import (
+        extract_domain, extract_domain_psl_join)
+    from rs_graphdb_spark.session import local_df
+
+    hosts = [
+        "docs.example.co.uk", "a.b.github.io", "foo.www.ck", "www.ck",
+        "y.z.ck", "plain.example.com", "n.vm.compute.amazonaws.com",
+        "x.gov.au", "a.b.c.d.net.nz", "e.s3.amazonaws.com",
+        "me.blogspot.com", "unknown.example.org", "two.labels",
+    ]
+    df = local_df(
+        spark,
+        [(i, f"https://{h}/p") for i, h in enumerate(hosts)],
+        "id long, u string",
+    )
+    want = {r["id"]: r["d"] for r in
+            df.select("id", extract_domain("u").alias("d")).collect()}
+    got = {r["id"]: r["domain"] for r in
+           extract_domain_psl_join(df, "u", "id").collect()}
+    assert got == want

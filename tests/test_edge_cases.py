@@ -241,3 +241,38 @@ def test_ngram_stop_shingle_cap_bounds_candidates(spark):
     )
     assert capped.count() < uncapped.count()
     assert uncapped.count() == 30 * 29 / 2  # hot shingle pairs everything
+
+
+def test_ngram_relative_stop_cap_fires_at_corpus_scale(spark):
+    """The RELATIVE df cap (max_shingle_df_frac) must cut a shingle that
+    lands in a fixed fraction of the corpus once ceil(frac*n) clears the
+    small-corpus floor of 100 — equivalently to the absolute cap at the
+    same effective value."""
+    from rs_graphdb_spark.functions.dedup import ngram_jaccard_pairs
+
+    # 150 docs all sharing one hot header; effective frac cap =
+    # max(100, ceil(0.5 * 150)) = 100 < df(hot)=150 → fires
+    rows = [(i, f"the common header unique{i} tail{i} word{i} more{i}")
+            for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+    rel = ngram_jaccard_pairs(
+        df, "doc_id", "body", threshold=0.0,
+        max_shingle_df=None, max_shingle_df_frac=0.5,
+    )
+    abs_equiv = ngram_jaccard_pairs(
+        df, "doc_id", "body", threshold=0.0,
+        max_shingle_df=100, max_shingle_df_frac=None,
+    )
+    got = {(r["a"], r["b"], r["jaccard"]) for r in rel.collect()}
+    want = {(r["a"], r["b"], r["jaccard"]) for r in abs_equiv.collect()}
+    assert got == want
+    # the hot header is cut: no all-pairs blowup
+    assert len(got) < 150 * 149 / 2
+    # below the floor the relative cap is inert: same corpus truncated to
+    # 30 docs → cap = max(100, 15) = 100 → nothing cut
+    small = df.filter(F.col("doc_id") < 30)
+    inert = ngram_jaccard_pairs(
+        small, "doc_id", "body", threshold=0.0,
+        max_shingle_df=None, max_shingle_df_frac=0.5,
+    )
+    assert inert.count() == 30 * 29 / 2

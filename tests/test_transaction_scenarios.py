@@ -232,3 +232,45 @@ def test_savepoint_multiple():
     tm.rollback_to_savepoint(h, "sp1")
     assert tx.op_count() == 1
     assert "sp1" in tx.savepoints and "sp2" not in tx.savepoints
+
+
+def test_transaction_with_config():
+    """graph_transaction_test.rs:119-135: builder config (isolation
+    level, snapshot flag, timeout) rides the transaction."""
+    from rs_graphdb_spark.operators.tx import TransactionConfig, TxManager
+
+    mgr = TxManager()
+    cfg = (TransactionConfig()
+           .with_isolation_level("serializable")
+           .with_snapshot(True)
+           .with_timeout(60))
+    h = mgr.begin_tx_with_config(cfg)
+    assert mgr.open_count() == 1
+    tx = mgr.get_transaction(h)
+    assert tx.config.isolation_level == "serializable"
+    assert tx.config.snapshot is True and tx.config.timeout == 60
+    mgr.commit_tx(h)
+    assert mgr.open_count() == 0
+
+
+def test_transaction_all_isolation_levels():
+    """graph_transaction_test.rs:300-316: a transaction opened at each of
+    the four isolation levels commits cleanly."""
+    from rs_graphdb_spark.operators.tx import (
+        ISOLATION_LEVELS, TransactionConfig, TxManager)
+
+    mgr = TxManager()
+    for level in ISOLATION_LEVELS:
+        h = mgr.begin_tx_with_config(
+            TransactionConfig().with_isolation_level(level))
+        mgr.commit_tx(h)
+    assert mgr.completed_count() == 4
+
+
+def test_transaction_config_rejects_unknown_level():
+    from rs_graphdb_spark.operators.tx import TransactionConfig
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        TransactionConfig().with_isolation_level("chaos")
