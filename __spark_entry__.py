@@ -2531,6 +2531,28 @@ def q39_exact_dedup(spark, sf_dir):
         )
     )
     diff = snapshot_diff(docs, new_snap, "doc_id", "text")
+    # incremental decontamination stage (the nightly-refresh shape): only
+    # the added/changed docs of the diff are probed against the STANDING
+    # LSH index of the old corpus — the corpus text is never re-shingled
+    # and the probe costs O(delta). Delta ids ride at a +10*(mx+1) offset
+    # so a changed doc can pair with its own previous version.
+    from rs_graphdb_spark.functions.dedup import minhash_index, minhash_probe
+
+    off = 10 * (mx + 1)
+    delta = (
+        new_snap.join(
+            diff.filter(F.col("status").isin("added", "changed"))
+            .select("doc_id"),
+            "doc_id", "left_semi",
+        )
+        .select((F.col("doc_id") + off).alias("doc_id"), "text")
+    )
+    banded, sets = minhash_index(
+        docs, "doc_id", "text", sets_df=_shingle_sets(spark, sf_dir)
+    )
+    dp = minhash_probe(
+        banded, sets, delta, "doc_id", "text", threshold=0.8
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     return _quads(
         _quad("fp", q43_exact_dedup(spark, sf_dir), k="keeper", v="n_docs", s="fp"),
         _metric_quads(
@@ -2546,6 +2568,7 @@ def q39_exact_dedup(spark, sf_dir):
             k="doc_id", s="h",
         ),
         _quad("diff", diff, k="doc_id", s="status"),
+        _quad("diff_probe", dp, k="a", v="jaccard", s="b"),
     )
 
 
@@ -4409,6 +4432,58 @@ def oracle_sql() -> dict[str, str]:
         FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
     """
 
+    # incremental-decontamination twin: rebuild the SAME nightly refresh,
+    # classify the delta by fingerprint, re-key it at +10*(mx+1), and take
+    # exact-Jaccard≥0.8 pairs over (old corpus ∪ delta) restricted to
+    # pairs whose greater side is a delta doc — exact ≡ the verified LSH
+    # probe at this threshold (the q40/q44 twin relies on the same
+    # identity)
+    _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    diff_probe_sql = f"""
+        WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        newt AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 13 <> 0
+            UNION ALL
+            SELECT doc_id + (SELECT m FROM mx) + 1 AS doc_id,
+                   'new ' || text AS text
+            FROM documents WHERE doc_id % 11 = 0
+        ),
+        oldfp AS (SELECT doc_id, {FP} AS fp FROM documents),
+        newfp AS (SELECT doc_id, {FP} AS fp, text FROM newt),
+        delta AS (
+            SELECT n.doc_id + 10 * ((SELECT m FROM mx) + 1) AS doc_id,
+                   n.text
+            FROM newfp n LEFT JOIN oldfp o ON n.doc_id = o.doc_id
+            WHERE o.doc_id IS NULL OR o.fp <> n.fp
+        ),
+        corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id, text FROM delta
+        ),
+        toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(len(t) - 2),
+                       i -> array_to_string(t[i + 1:i + 3], ' ')))) AS s
+            FROM toks WHERE len(t) >= 3
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT da AS a, db AS b,
+               round(i / (x.n + y.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+        WHERE i / (x.n + y.n - i) >= 0.8
+          AND db >= 10 * ((SELECT m FROM mx) + 1)
+    """
+
     # URL hygiene twin: same salt build, same single parse regex (group
     # indices), same normalize steps (lowercase scheme/host, default-port
     # strip, utm_ filter, param sort)
@@ -5258,6 +5333,7 @@ def oracle_sql() -> dict[str, str]:
                               {"lw_kept": "n_kept", "lw_dropped": "n_dropped"},
                               k="doc_id", s="h"),
             _sql_quad("diff", snap_diff_sql, k="doc_id", s="status"),
+            _sql_quad("diff_probe", diff_probe_sql, k="a", v="jaccard", s="b"),
         ),
         "q40_minhash_dedup": _sql_union(
             _sql_quad("pairs", base["q44_minhash_lsh_dedup"], k="a", v="jaccard", s="b"),

@@ -77,6 +77,42 @@ def main() -> None:
                           "doc_id", "text", threshold=0.8)
     print(f"   new-batch near-dup pairs: {probe.count()}")
 
+    print("-- 4b. nightly refresh: snapshot diff -> probe ONLY the delta")
+    # the incremental-decontamination stage: classify the refreshed
+    # snapshot against yesterday's, then probe only added/changed docs
+    # against the standing index + the benchmark shingles — never
+    # re-shingling the unchanged 99% of the corpus (driver part
+    # q39:diff_probe pins the pair set against a DuckDB twin)
+    from rs_graphdb_spark.functions.cleaning import snapshot_diff
+    from rs_graphdb_spark.functions.dedup import ngram_contamination
+
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    refreshed = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select("doc_id",
+                F.when(F.col("doc_id") % 7 == 0,
+                       F.concat(F.col("text"), F.lit(" rev2")))
+                .otherwise(F.col("text")).alias("text"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + mx + 1).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("text")).alias("text")))
+    )
+    diff = snapshot_diff(docs, refreshed, "doc_id", "text")
+    diff.groupBy("status").count().orderBy("status").show()
+    delta = refreshed.join(
+        diff.filter(F.col("status").isin("added", "changed"))
+        .select("doc_id"), "doc_id", "left_semi")
+    banded_all, sets_all = minhash_index(docs, "doc_id", "text")
+    delta_dups = minhash_probe(
+        banded_all, sets_all,
+        delta.select((F.col("doc_id") + 10 * (mx + 1)).alias("doc_id"), "text"),
+        "doc_id", "text", threshold=0.8)
+    evalset = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id", "text")
+    contam = ngram_contamination(delta, evalset, "doc_id", "text")
+    print(f"   delta docs: {delta.count()}, near-dups of corpus: "
+          f"{delta_dups.count()}, benchmark-contaminated: {contam.count()}")
+
     print("-- 5. contamination-safe split (keyed on dup fingerprint)")
     kept = docs.join(clusters.filter("keep"), docs.doc_id == clusters.doc_id
                      ).select(docs["*"])

@@ -343,16 +343,22 @@ def asof_join_bucketed(
         ]
 
     if direction == "nearest":
-        order = [F.col("_t").asc(), F.col("_side").asc(),
-                 *[F.col(c).asc() for c in out_vals]]
-        w_b = Window.partitionBy(*keys, "_bkt").orderBy(*order).rowsBetween(
+        # forward fill = last-non-null over DESCENDING order with an
+        # expanding-preceding frame (same trick as the plain impl: a
+        # (currentRow, unboundedFollowing) ignore-nulls frame is O(n²)
+        # per partition in Spark's window exec)
+        order_b = [F.col("_t").asc(), F.col("_side").asc(),
+                   *[F.col(c).asc() for c in out_vals]]
+        order_f = [F.col("_t").desc(), F.col("_side").desc(),
+                   *[F.col(c).desc() for c in out_vals]]
+        w_b = Window.partitionBy(*keys, "_bkt").orderBy(*order_b).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        w_f = Window.partitionBy(*keys, "_bkt").orderBy(*order).rowsBetween(
-            Window.currentRow, Window.unboundedFollowing
+        w_f = Window.partitionBy(*keys, "_bkt").orderBy(*order_f).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
         )
         filled = unioned.select(
-            "*", *_local_fill(w_b, F.last, "_b"), *_local_fill(w_f, F.first, "_f")
+            "*", *_local_fill(w_b, F.last, "_b"), *_local_fill(w_f, F.last, "_f")
         )
         res = filled.filter(F.col("_side") == 1).join(
             carries, [*keys, "_bkt"], "left"
@@ -506,25 +512,33 @@ def _asof_join_impl(
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
     if direction == "nearest":
-        # both fills over ONE sorted partition: last-non-null looking back,
-        # first-non-null looking forward; equal-ts right rows sort before
-        # the left row, so they land in the backward fill with gap 0 (the
-        # minimum — 'nearest' picks them regardless of which side saw them)
-        order = [F.col("_t").asc(), F.col("_side").asc(),
-                 *[F.col(c).asc() for c in out_vals]]
-        w_b = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        # two EXPANDING-preceding fills: last-non-null in ascending order
+        # (backward) and last-non-null in DESCENDING order (≡ the
+        # first-non-null forward fill). Never a (currentRow,
+        # unboundedFollowing) ignore-nulls frame — Spark evaluates that
+        # frame by rescanning the remainder of the partition per row,
+        # O(n²) on a hot key (measured: infeasible at 2.5M rows on one
+        # key, where this two-sort form is a plain O(n log n) sort).
+        # Equal-ts right rows sort before the left row in BOTH orders
+        # (side asc ↔ side desc), so they land in the backward fill with
+        # gap 0 and stay out of the forward frame — same tie semantics.
+        order_b = [F.col("_t").asc(), F.col("_side").asc(),
+                   *[F.col(c).asc() for c in out_vals]]
+        order_f = [F.col("_t").desc(), F.col("_side").desc(),
+                   *[F.col(c).desc() for c in out_vals]]
+        w_b = Window.partitionBy(*keys).orderBy(*order_b).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        w_f = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
-            Window.currentRow, Window.unboundedFollowing
+        w_f = Window.partitionBy(*keys).orderBy(*order_f).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
         )
         filled = unioned.select(
             "*",
             F.last(F.col(rts), ignorenulls=True).over(w_b).alias("_b_ts"),
             *[F.last(F.col(o), ignorenulls=True).over(w_b).alias(f"_b_{o}")
               for o in out_vals],
-            F.first(F.col(rts), ignorenulls=True).over(w_f).alias("_f_ts"),
-            *[F.first(F.col(o), ignorenulls=True).over(w_f).alias(f"_f_{o}")
+            F.last(F.col(rts), ignorenulls=True).over(w_f).alias("_f_ts"),
+            *[F.last(F.col(o), ignorenulls=True).over(w_f).alias(f"_f_{o}")
               for o in out_vals],
         )
         res = filled.filter(F.col("_side") == 1)
