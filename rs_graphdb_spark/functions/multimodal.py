@@ -113,12 +113,56 @@ def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
 
 
-def _encode_png(pixels: bytes, w: int, h: int) -> bytes:
+def _png_filter_rows(pixels: bytes, w: int, h: int,
+                     filters: tuple[int, ...]) -> bytes:
+    """FORWARD-filter scanlines with the given per-row filter cycle —
+    what a real encoder emits (wild PNGs are Paeth/Sub-heavy, not
+    filter-0). Vectorized: forward filtering predicts from ORIGINAL
+    neighbor samples, so every type is a shifted-array expression (only
+    DE-filtering of Sub/Average/Paeth has the sequential dependency)."""
+    px = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w).astype(np.int16)
+    out = bytearray()
+    prev = np.zeros(w, dtype=np.int16)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = px[y]
+        left = np.concatenate(([0], cur[:-1]))
+        pl = np.concatenate(([0], prev[:-1]))
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - (left + prev) // 2
+        elif f == 4:
+            p = left + prev - pl
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - pl)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, pl)
+            )
+            enc = cur - pred
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out += bytes([f]) + (enc % 256).astype(np.uint8).tobytes()
+        prev = cur
+    return bytes(out)
+
+
+def _encode_png(
+    pixels: bytes, w: int, h: int, filters: tuple[int, ...] | None = None
+) -> bytes:
     """8-bit grayscale PNG: signature + IHDR + one IDAT (stored-block zlib
-    of filter-0 scanlines) + IEND, all chunk CRCs real.
-    File size = 57 + (2 + 5*max(1, ceil(h*(w+1)/65535)) + h*(w+1) + 4)."""
+    of filtered scanlines) + IEND, all chunk CRCs real.
+    File size = 57 + (2 + 5*max(1, ceil(h*(w+1)/65535)) + h*(w+1) + 4)
+    regardless of ``filters`` (filtering changes bytes, never lengths).
+    ``filters``: per-row filter-type cycle; default all-0 (None filter)."""
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-    raw = b"".join(b"\x00" + pixels[y * w:(y + 1) * w] for y in range(h))
+    if filters is None:
+        raw = b"".join(b"\x00" + pixels[y * w:(y + 1) * w] for y in range(h))
+    else:
+        raw = _png_filter_rows(pixels, w, h, filters)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -130,8 +174,13 @@ def _encode_png(pixels: bytes, w: int, h: int) -> bytes:
 IMAGE_FORMATS = ("bmp", "pgm", "png")
 
 
-def encode_image(pixels: bytes, w: int, h: int, fmt: str) -> bytes:
-    """Grayscale pixel buffer (row-major, len == w*h) → real format bytes."""
+def encode_image(
+    pixels: bytes, w: int, h: int, fmt: str,
+    png_filters: tuple[int, ...] | None = None,
+) -> bytes:
+    """Grayscale pixel buffer (row-major, len == w*h) → real format bytes.
+    ``png_filters``: per-row scanline filter cycle for PNG (e.g.
+    ``(0, 1, 2, 3, 4)`` gives real-world-shaped filter variety)."""
     if len(pixels) != w * h:
         raise ValueError(f"need {w * h} pixels, got {len(pixels)}")
     if fmt == "bmp":
@@ -139,7 +188,7 @@ def encode_image(pixels: bytes, w: int, h: int, fmt: str) -> bytes:
     if fmt == "pgm":
         return _encode_pgm(pixels, w, h)
     if fmt == "png":
-        return _encode_png(pixels, w, h)
+        return _encode_png(pixels, w, h, filters=png_filters)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -233,9 +282,10 @@ def _png_defilter(raw: bytes, w: int, h: int) -> np.ndarray:
         if ftype == 0:  # None
             cur = line
         elif ftype == 1:  # Sub
-            cur = line
-            for x in range(1, w):
-                cur[x] = (int(cur[x]) + int(cur[x - 1])) & 0xFF
+            # recurrence cur[x] = line[x] + cur[x-1] is exactly a prefix
+            # sum mod 256 — cumsum with uint8 accumulation wraps to the
+            # same values, replacing the per-pixel Python loop
+            cur = np.cumsum(line, dtype=np.uint8)
         elif ftype == 2:  # Up
             cur = (line.astype(np.int32) + prev).astype(np.uint8)
         elif ftype == 3:  # Average
@@ -488,7 +538,15 @@ def documents_as_images(docs: DataFrame, corrupt_every: int | None = None) -> Da
                 w = n % 64 + 16
                 h = (n // 64) % 64 + 16
                 pixels = data[:w * h].ljust(w * h, b"\x00")
-                payloads.append(encode_image(pixels, w, h, IMAGE_FORMATS[did % 3]))
+                # PNG payloads carry per-row filter VARIETY (types 0-4
+                # cycling) — wild PNGs are Sub/Paeth-heavy, so the driver
+                # exercises every de-filter path, not just filter 0; the
+                # file length and decoded pixels are filter-independent,
+                # so the index-arithmetic oracle is unchanged
+                payloads.append(encode_image(
+                    pixels, w, h, IMAGE_FORMATS[did % 3],
+                    png_filters=(0, 1, 2, 3, 4),
+                ))
             yield pd.DataFrame({
                 "media_id": pdf["doc_id"].astype("int64"),
                 "media_type": ["image"] * len(pdf),

@@ -734,3 +734,40 @@ def test_resize_image_bmp_row_order_preserved(spark):
     fmt2, w2, h2, arr2 = decode_pixels(bytes(res["payload"]))
     assert (fmt2, w2, h2) == ("bmp", 2, 1)
     assert (arr2 == np.array([[10, 10]])).all()  # kept the TOP row
+
+
+def test_png_filter_variety_roundtrip():
+    """PNGs encoded with per-row filter variety (types 0-4, the shape of
+    wild PNGs) must decode to the original pixels — exercising the
+    Sub/Up/Average/Paeth de-filter paths, incl. the vectorized Sub
+    (VERDICT r3 item #4)."""
+    import numpy as np
+
+    from rs_graphdb_spark.functions.multimodal import (
+        _pixels_png, encode_image)
+
+    rng = np.random.RandomState(7)
+    for w, h in ((16, 16), (61, 23), (1, 9), (40, 1)):
+        px = rng.randint(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        for filters in ((0, 1, 2, 3, 4), (4,), (1,), (3,), (2, 4, 1)):
+            blob = encode_image(px, w, h, "png", png_filters=filters)
+            fmt, gw, gh, arr = _pixels_png(blob)
+            assert (fmt, gw, gh) == ("png", w, h)
+            assert arr.tobytes() == px, f"filters={filters} {w}x{h}"
+        # filter choice never changes the file length (oracle contract)
+        assert len(encode_image(px, w, h, "png")) == len(
+            encode_image(px, w, h, "png", png_filters=(4,)))
+
+
+def test_png_defilter_sub_vectorized_wraps():
+    """The cumsum Sub de-filter must wrap mod 256 exactly like the
+    per-pixel loop (values that overflow uint8)."""
+    import numpy as np
+
+    from rs_graphdb_spark.functions.multimodal import (
+        _pixels_png, encode_image)
+
+    # pixels chosen so Sub deltas overflow repeatedly
+    px = bytes([250, 251, 252, 3, 7, 200, 199, 1] * 4)
+    blob = encode_image(px, 8, 4, "png", png_filters=(1,))
+    assert _pixels_png(blob)[3].tobytes() == px
