@@ -2637,11 +2637,60 @@ def q44_knn_ann(spark, sf_dir):
 
 
 def q45_sessionize(spark, sf_dir):
-    return q80_sessionize(spark, sf_dir)
+    """Suite: gaps-and-islands sessionize PLUS the hot-key-safe bucketed
+    variant (per-(key, time-bucket) local pass + summary-level repair,
+    operators/temporal.py:134) — both parts share ONE oracle, so the
+    driver itself pins bucketed ≡ plain."""
+    from rs_graphdb_spark.operators.temporal import sessionize_bucketed
+
+    GAP_US = 6 * 3600 * 1_000_000
+    ev = _events_projected(spark, sf_dir)
+    bucketed = sessionize_bucketed(
+        ev, "user_id", "t_us", GAP_US, bucket_width=GAP_US * 4,
+        order_cols=["event_id"],
+    ).groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("t_us").alias("start_us"),
+        F.max("t_us").alias("end_us"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    sk = F.concat_ws(":", "session_id", "n_events", "start_us", "end_us")
+    return _quads(
+        _quad("plain", q80_sessionize(spark, sf_dir),
+              k="user_id", v="sum_value", s=sk),
+        _quad("bucketed", bucketed, k="user_id", v="sum_value", s=sk),
+    )
 
 
 def q46_asof_join(spark, sf_dir):
-    return q81_asof_join(spark, sf_dir)
+    """Suite: union-merge as-of join PLUS the hot-key-safe bucketed
+    variant (local pass + cross-bucket carry repair,
+    operators/temporal.py `asof_join_bucketed`) — one oracle pins both."""
+    from rs_graphdb_spark.operators.temporal import asof_join_bucketed
+
+    ev = _events_projected(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t_us", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    DAY_US = 86_400 * 1_000_000
+    joined = asof_join_bucketed(
+        purchases, clicks,
+        key_cols=["user_id"], left_ts="t_us", right_ts="t_us",
+        value_cols=["event_id"], bucket_width=DAY_US,
+        direction="backward", suffix="_click",
+    )
+    bucketed = joined.filter(F.col("event_id_click").isNotNull()).select(
+        "event_id",
+        F.col("event_id_click").alias("click_event_id"),
+        F.expr("(t_us - t_us_click) div 1000000").alias("lag_s"),
+    )
+    return _quads(
+        _quad("plain", q81_asof_join(spark, sf_dir),
+              k="event_id", v="lag_s", s="click_event_id"),
+        _quad("bucketed", bucketed,
+              k="event_id", v="lag_s", s="click_event_id"),
+    )
 
 
 def q47_interval_join(spark, sf_dir):
@@ -5360,8 +5409,22 @@ def oracle_sql() -> dict[str, str]:
             _sql_quad("lsh", lsh_sql, k="query_id", v="cos", s="neighbor_id"),
             _sql_quad("ivf", base["q78_knn_ivf"], k="query_id", v="cos", s="neighbor_id"),
         ),
-        "q45_sessionize": base["q80_sessionize"],
-        "q46_asof_join": base["q81_asof_join"],
+        "q45_sessionize": _sql_union(
+            _sql_quad("plain", base["q80_sessionize"], k="user_id",
+                      v="sum_value",
+                      s="session_id || ':' || n_events || ':' || start_us"
+                        " || ':' || end_us"),
+            _sql_quad("bucketed", base["q80_sessionize"], k="user_id",
+                      v="sum_value",
+                      s="session_id || ':' || n_events || ':' || start_us"
+                        " || ':' || end_us"),
+        ),
+        "q46_asof_join": _sql_union(
+            _sql_quad("plain", base["q81_asof_join"], k="event_id",
+                      v="lag_s", s="click_event_id"),
+            _sql_quad("bucketed", base["q81_asof_join"], k="event_id",
+                      v="lag_s", s="click_event_id"),
+        ),
         "q47_interval_join": base["q86_interval_join"],
         "q48_splits": _sql_union(
             _sql_metric_quads(shard_sql,
