@@ -3273,7 +3273,12 @@ def _oracle_base() -> dict[str, str]:
     # and the sparse-join implementations).
     # stop-shingle cap twin: min(absolute 10k, max(100, ceil(5% of docs)))
     # — mirrors ngram_jaccard_pairs' effective cap exactly, so the hash
-    # match holds whether or not the cap fires on a given corpus
+    # match holds whether or not the cap fires on a given corpus.
+    # NB: this template also serves as the q44 MINHASH twin (exact ≡
+    # verified-LSH at the driver thresholds); minhash_dedup_pairs has no
+    # df cap, which is consistent because the cap provably never fires on
+    # the driver corpora (max shingle DF is 1.4% of docs at sf0.01 and
+    # 0.5% at sf0.1/sf1 — measured; the floor of 100 covers the rest)
     JACCARD_PAIRS = f"""
         WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
         sh0 AS (

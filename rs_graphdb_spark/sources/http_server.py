@@ -106,16 +106,14 @@ class GraphHTTPServer:
             def _dispatch(self, method: str) -> None:
                 try:
                     if method == "GET" and self.path == "/ui":
-                        # minimal HTML shell (the reference serves its Vue
-                        # bundle here, `src/server.rs:85`; the engine-side
-                        # data endpoints below are the actual surface)
-                        html = (
-                            "<!doctype html><html><head><title>rs-graphdb-"
-                            "spark</title></head><body><h1>rs-graphdb-spark"
-                            "</h1><p>JSON API: /nodes /rels /query /cypher "
-                            "/stats /labels /rel-types /search /sysinfo "
-                            "/dbs — protobuf: /grpc/*</p></body></html>"
-                        ).encode()
+                        # single-file UI (the reference serves its Vue
+                        # bundle here, `src/server.rs:85`; ours is a
+                        # vanilla-JS console over the SAME data routes —
+                        # stats header, Cypher console, graph view, node
+                        # details, export; see sources/ui.py)
+                        from rs_graphdb_spark.sources.ui import UI_HTML
+
+                        html = UI_HTML.encode()
                         self.send_response(200)
                         self.send_header("Content-Type", "text/html")
                         self.send_header("Content-Length", str(len(html)))

@@ -263,6 +263,13 @@ def test_sysinfo_queries_dbs_routes(server):
 def test_ui_route_serves_html(server):
     status, ct, raw = _get(server, "/ui")
     assert status == 200 and "text/html" in ct and b"<html>" in raw
+    # the UI is a real console over the reference-parity data routes:
+    # it must reference each endpoint it consumes
+    for route in (b"/stats", b"/cypher", b"/nodes", b"/rels"):
+        assert route in raw
+    # and carry the console + graph view + details panels
+    for marker in (b"Cypher console", b"Graph view", b"Node details"):
+        assert marker in raw
 
 
 def test_cache_cleanup_route(server):
