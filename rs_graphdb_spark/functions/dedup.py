@@ -748,6 +748,42 @@ def write_minhash_index(
     )
 
 
+def compact_minhash_index(spark, index_dir: str) -> None:
+    """Rewrite an append-grown standing index into the canonical
+    :func:`write_minhash_index` layout in one pass — the maintenance
+    job a long-running ingest schedules periodically (every epoch adds
+    a handful of small files per partition; compaction restores one
+    sorted file per ``bp=`` dir and tight row-group stats, keeping
+    probe pruning effective as the stream ages).
+
+    Swap is staged-then-rename per directory: a crash mid-swap leaves
+    either the old or the new layout (never a mix inside one dir); run
+    it from the single maintenance owner, not concurrently with the
+    ingest sink's foreachBatch (same single-writer assumption the sink
+    itself documents)."""
+    import os
+    import shutil
+    import uuid
+
+    banded_dir = os.path.join(index_dir, "banded")
+    sets_dir = os.path.join(index_dir, "sets")
+    banded = spark.read.parquet(banded_dir)
+    if "bp" in banded.columns:
+        banded = banded.drop("bp")
+    banded = banded.select("doc", "band", "bh")
+    sets_df = spark.read.parquet(sets_dir).select("doc_id", "sets")
+    staging = os.path.join(index_dir, f"_compact-{uuid.uuid4().hex[:8]}")
+    write_minhash_index(banded, sets_df, staging)
+    for name in ("banded", "sets"):
+        old = os.path.join(index_dir, name)
+        retired = os.path.join(index_dir, f"_old-{name}")
+        shutil.rmtree(retired, ignore_errors=True)
+        os.replace(old, retired)
+        os.replace(os.path.join(staging, name), old)
+        shutil.rmtree(retired, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def load_banded_pruned(
     spark, banded_dir: str, probe_banded: DataFrame, max_pushdown: int = 20_000
 ):

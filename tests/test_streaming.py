@@ -443,3 +443,57 @@ def test_ingest_sink_bootstrap_creates_pruned_layout(spark, tmpdir):
     kept2 = {r["doc_id"] for r in
              spark.read.parquet(str(tmpdir / "out")).collect()}
     assert kept2 == {1, 2, 11}
+
+
+def test_compact_minhash_index_preserves_probe(spark, tmpdir):
+    """Compaction of an append-grown standing index must shrink file
+    counts back to the canonical layout and leave probe results
+    bit-identical."""
+    import glob
+    import os
+
+    from rs_graphdb_spark.functions.dedup import (
+        compact_minhash_index, load_banded_pruned, minhash_index,
+        minhash_probe)
+    from rs_graphdb_spark.streaming.ops import dedup_ingest_sink
+
+    def doc(i, seed, extra=""):
+        base = " ".join(f"w{seed}x{j}" for j in range(40))
+        return (i, base + extra)
+
+    index_dir = str(tmpdir / "index")
+    # grow the index through the sink across 3 micro-batches
+    batches = spark.createDataFrame(
+        [doc(i, i) for i in range(1, 10)], "doc_id long, text string"
+    )
+    src = str(tmpdir / "in")
+    batches.repartition(3).write.parquet(src)
+    q = dedup_ingest_sink(
+        (spark.readStream.schema(batches.schema)
+         .option("maxFilesPerTrigger", 1).parquet(src)),
+        "doc_id", "text", out_dir=str(tmpdir / "out"),
+        checkpoint_dir=str(tmpdir / "ckpt"), index_dir=index_dir,
+        threshold=0.8,
+    )
+    q.awaitTermination(300)
+
+    probe = spark.createDataFrame([doc(50, 4, " tail"), doc(51, 77)],
+                                  "doc_id long, text string")
+    new_banded, new_sets = minhash_index(probe, "doc_id", "text")
+
+    def run_probe():
+        pruned = load_banded_pruned(spark, f"{index_dir}/banded", new_banded)
+        return {(r["a"], r["b"]) for r in minhash_probe(
+            pruned, spark.read.parquet(f"{index_dir}/sets"), probe,
+            "doc_id", "text", threshold=0.8,
+            new_banded=new_banded, new_sets=new_sets, broadcast_new=True,
+        ).collect()}
+
+    before = run_probe()
+    files_before = len(glob.glob(f"{index_dir}/banded/*/*.parquet"))
+    compact_minhash_index(spark, index_dir)
+    files_after = len(glob.glob(f"{index_dir}/banded/*/*.parquet"))
+    assert files_after < files_before
+    assert not [e for e in os.listdir(index_dir) if e.startswith("_")]
+    after = run_probe()
+    assert after == before and (4, 50) in after
