@@ -2604,7 +2604,19 @@ def q41_simhash(spark, sf_dir):
 
 
 def q42_ngram_jaccard(spark, sf_dir):
-    return q46_ngram_jaccard(spark, sf_dir)
+    """Suite: exact n-gram Jaccard pairs PLUS long-duplicate-span pairs
+    (the MassiveText / Lee-et-al exact-substring family: documents
+    sharing any identical 50-token span — boilerplate/quotation dedup
+    that whole-document similarity misses)."""
+    from rs_graphdb_spark.functions.dedup import duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, "doc_id", "text", k=50)
+    return _quads(
+        _quad("pairs", q46_ngram_jaccard(spark, sf_dir),
+              k="a", v="jaccard", s="b"),
+        _quad("spans", spans, k="a", v="n_spans", s="b"),
+    )
 
 
 def q43_embedding_dedup(spark, sf_dir):
@@ -5404,7 +5416,35 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "q41_simhash": base["q45_simhash_neardup"],
-        "q42_ngram_jaccard": base["q46_ngram_jaccard"],
+        "q42_ngram_jaccard": _sql_union(
+            _sql_quad("pairs", base["q46_ngram_jaccard"],
+                      k="a", v="jaccard", s="b"),
+            # duplicate-span twin: distinct shared 50-token spans per doc
+            # pair (string equality — md5_long on the Spark side is
+            # collision-free at these cardinalities by construction)
+            _sql_quad(
+                "spans",
+                """
+                WITH toks AS (
+                    SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                    FROM documents
+                ),
+                sh AS (
+                    SELECT doc_id, unnest(list_distinct(list_transform(
+                               range(len(t) - 49),
+                               i -> array_to_string(t[i + 1:i + 50], ' '))))
+                           AS s
+                    FROM toks WHERE len(t) >= 50
+                )
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_spans
+                FROM sh a JOIN sh b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+                """,
+                k="a", v="n_spans", s="b",
+            ),
+        ),
         "q43_embedding_dedup": _sql_union(
             _sql_quad("exact", base["q47_embedding_neardup"], k="a", v="cos", s="b"),
             _sql_quad("lsh", lsh_pairs_sql, k="a", v="cos", s="b"),

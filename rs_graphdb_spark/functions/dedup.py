@@ -862,6 +862,54 @@ def near_dup_clusters(
     return out
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    max_span_df: int | None = 10_000,
+) -> DataFrame:
+    """Long-duplicate-span detection (the MassiveText / "Deduplicating
+    Training Data Makes Language Models Better" family): two documents
+    sharing ANY identical k-token span (k=50 tokens by convention) are
+    near-certainly sharing boilerplate or quoted text even when their
+    global Jaccard is low — the complement of whole-document near-dup.
+
+    Returns ``(a, b, n_spans)`` with a < b: the number of DISTINCT
+    shared k-token spans per document pair. Scale shape: spans hash to
+    one md5 long each at scan (never shuffling span text), one groupBy
+    builds posting lists, co-posting pairs stream from the bounded
+    emitter (:func:`_posting_pairs`); ``max_span_df`` cuts degenerate
+    boilerplate spans the same way the Jaccard join cuts stop shingles.
+    The full suffix-array construction the paper uses finds partially
+    overlapping spans too; the k-gram grid here is the standard
+    distributed approximation (a duplicated run of length L ≥ k shares
+    ⌈L−k+1⌉ grid spans, so any duplication ≥ k tokens is caught)."""
+    # 60-bit span hash (15 md5 hex chars — the 32-bit md5_long used for
+    # minhash seeds birthday-collides already at ~20k distinct spans;
+    # found as a false pair in the driver diff). At 60 bits a collision
+    # costs one spurious pair, never a missed one.
+    spans = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(
+                shingles(text_col, k),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                .cast("long"),
+            )
+        ).alias("h"),
+    )
+    g = spans.groupBy("h").agg(
+        F.array_distinct(F.sort_array(F.collect_list("doc"))).alias("ds")
+    ).filter(F.size("ds") >= 2)
+    if max_span_df is not None:
+        g = g.filter(F.size("ds") <= max_span_df)
+    pairs = _posting_pairs(g.select("ds"))
+    return _materialize_result(
+        pairs.groupBy("a", "b").agg(F.count("*").alias("n_spans"))
+    )
+
+
 def ngram_contamination(
     train_df: DataFrame,
     bench_df: DataFrame,

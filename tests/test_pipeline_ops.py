@@ -771,3 +771,24 @@ def test_png_defilter_sub_vectorized_wraps():
     px = bytes([250, 251, 252, 3, 7, 200, 199, 1] * 4)
     blob = encode_image(px, 8, 4, "png", png_filters=(1,))
     assert _pixels_png(blob)[3].tobytes() == px
+
+
+def test_duplicate_spans_detects_long_shared_runs(spark):
+    """Documents sharing an identical k-token run must pair with the
+    right DISTINCT-span count; globally-similar docs with no k-run must
+    not (the MassiveText exact-substring family)."""
+    from rs_graphdb_spark.functions.dedup import duplicate_spans
+    from rs_graphdb_spark.session import local_df
+
+    run = " ".join(f"tok{i}" for i in range(12))  # 12-token shared run
+    docs = local_df(spark, [
+        (1, "alpha " + run + " omega"),
+        (2, "beta gamma " + run),
+        # same vocabulary, shuffled order: high Jaccard, no shared run
+        (3, "alpha omega " + " ".join(f"tok{i}" for i in range(11, -1, -1))),
+        (4, "unrelated words entirely different content here now"),
+    ], "doc_id long, text string")
+    got = {(r["a"], r["b"]): r["n_spans"]
+           for r in duplicate_spans(docs, "doc_id", "text", k=10).collect()}
+    # a 12-token run shares 12-10+1 = 3 distinct 10-grams
+    assert got == {(1, 2): 3}
