@@ -2231,11 +2231,58 @@ def q101_stream_dedup(spark, sf_dir):
     )
 
 
+def q102_ingest_sink(spark, sf_dir):
+    """Continuous near-dup ingest END-TO-END as a real two-micro-batch
+    streaming job: batch 1 = the documents corpus (bootstrap — in-batch
+    near-dups dropped, standing index created in the pruned layout),
+    batch 2 = salted near-copies of every 9th doc (each must drop iff
+    its source SURVIVED batch 1 — dropped docs are never indexed — or it
+    near-dups a smaller-id batch-2 doc). Returns the survivor set
+    (doc_id, md5(text)); the oracle composes the same two-stage greedy
+    drop rule from exact-Jaccard pairs."""
+    import shutil
+    import tempfile
+    import time
+
+    from rs_graphdb_spark.streaming.ops import dedup_ingest_sink
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    b2 = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + mx + 1).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" ingesttail")).alias("text"),
+    )
+    work = tempfile.mkdtemp(prefix="ingest-suite-")
+    src = f"{work}/in"
+    docs.coalesce(1).write.parquet(src)
+    time.sleep(1.1)  # file-source ordering is by modification time
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = dedup_ingest_sink(
+        stream, "doc_id", "text", out_dir=f"{work}/out",
+        checkpoint_dir=f"{work}/ckpt", index_dir=f"{work}/idx",
+        threshold=0.8,
+    )
+    q.awaitTermination(600)
+    surv = (
+        spark.read.parquet(f"{work}/out")
+        .select("doc_id", F.md5("text").alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return surv
+
+
 def q33_stream_windows(spark, sf_dir):
     """Suite: real Structured-Streaming tumbling windows + hopping windows
     (batch twin) + the foreachBatch append sink row-count/sum check + the
-    duplicated-stream watermark-bounded dedup."""
+    duplicated-stream watermark-bounded dedup + the continuous near-dup
+    ingest sink run end-to-end (two micro-batches vs composed oracle)."""
     return _quads(
+        _quad("ing", q102_ingest_sink(spark, sf_dir), k="doc_id", s="h"),
         _metric_quads(q69_stream_window(spark, sf_dir),
                       {"tumb_cnt": "n_events", "tumb_sum": "sum_value"},
                       k="win_start", s="event_type"),
@@ -5141,6 +5188,74 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "q33_stream_windows": _sql_union(
+            # continuous-ingest twin: the two-micro-batch greedy drop rule
+            # composed from exact-Jaccard pairs over (corpus ∪ salted
+            # batch-2). Batch 1 is the bootstrap: greater side of any
+            # in-corpus pair drops. Batch 2 probes the STANDING index,
+            # which holds batch-1 SURVIVORS only — so a batch-2 doc drops
+            # iff it pairs with a surviving corpus doc, or with a
+            # smaller-id batch-2 doc.
+            _sql_quad(
+                "ing",
+                f"""
+                WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+                b2 AS (
+                    SELECT doc_id + (SELECT m FROM mx) + 1 AS doc_id,
+                           text || ' ingesttail' AS text
+                    FROM documents WHERE doc_id % 9 = 0
+                ),
+                corpus AS (
+                    SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id, text FROM b2
+                ),
+                toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+                sh AS (
+                    SELECT doc_id, unnest(list_distinct(list_transform(
+                               range(len(t) - 2),
+                               i -> array_to_string(t[i + 1:i + 3], ' '))))
+                           AS s
+                    FROM toks WHERE len(t) >= 3
+                ),
+                sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+                inter AS (
+                    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                    FROM sh a JOIN sh b
+                      ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2
+                ),
+                pairs AS (
+                    SELECT da AS a, db AS b FROM inter
+                    JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+                    WHERE i / (x.n + y.n - i) >= 0.8
+                ),
+                surv1 AS (
+                    SELECT d.doc_id, d.text FROM documents d
+                    WHERE NOT EXISTS (
+                        SELECT 1 FROM pairs p WHERE p.b = d.doc_id
+                    )
+                ),
+                drop2 AS (
+                    SELECT x.doc_id FROM b2 x
+                    WHERE EXISTS (
+                        SELECT 1 FROM pairs p JOIN surv1 s
+                          ON p.a = s.doc_id
+                        WHERE p.b = x.doc_id
+                    ) OR EXISTS (
+                        SELECT 1 FROM pairs p
+                        WHERE p.b = x.doc_id
+                          AND p.a > (SELECT m FROM mx)
+                    )
+                ),
+                allsurv AS (
+                    SELECT doc_id, text FROM surv1
+                    UNION ALL
+                    SELECT doc_id, text FROM b2
+                    WHERE doc_id NOT IN (SELECT doc_id FROM drop2)
+                )
+                SELECT doc_id, md5(text) AS h FROM allsurv
+                """,
+                k="doc_id", s="h",
+            ),
             _sql_metric_quads(base["q69_stream_window"],
                               {"tumb_cnt": "n_events", "tumb_sum": "sum_value"},
                               k="win_start", s="event_type"),
