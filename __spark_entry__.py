@@ -2766,6 +2766,16 @@ def q48_splits(spark, sf_dir):
     )
 
     docs = _read(spark, sf_dir, "documents")
+    # score-weighted importance sample: keep-probability = score/200 with
+    # score = min(token_count, 200) — pure integer accept test, the
+    # quality-upsampling stage of a corpus-selection pipeline
+    from rs_graphdb_spark.functions.sampling import score_weighted_sample
+
+    sw_scored = docs.select(
+        "doc_id",
+        F.least(TX.token_count("text").cast("long"), F.lit(200)).alias("score"),
+    )
+    sw_kept = score_weighted_sample(sw_scored, "doc_id", "score", 200)
     samp = hash_sample(docs, "doc_id", 0.1).agg(
         F.count("*").alias("n_docs"),
         F.sum(TX.token_count("text").cast("long")).alias("sum_tokens"),
@@ -2839,6 +2849,7 @@ def q48_splits(spark, sf_dir):
         _metric_quads(q84_group_aware_split(spark, sf_dir),
                       {"grp_docs": "n_docs", "grp_groups": "n_groups"}, s="split"),
         _metric_quads(samp, {"sample_docs": "n_docs", "sample_tokens": "sum_tokens"}),
+        _quad("sw", sw_kept, k="doc_id", v="score"),
         _quad("strat", strat, v="cnt", s="lg"),
         _metric_quads(contam, {"contam_hits": "n_hits", "contam_ratio": "hit_ratio"},
                       k="doc_id"),
@@ -5615,6 +5626,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM b WHERE bucket < 100000
                 """,
                 {"sample_docs": "n_docs", "sample_tokens": "sum_tokens"},
+            ),
+            # score-weighted (importance) sample twin: same md5 bucket,
+            # same integer accept inequality bucket*max < score*buckets
+            _sql_quad(
+                "sw",
+                """
+                WITH s AS (
+                    SELECT doc_id,
+                           least(CAST(len(regexp_extract_all(lower(text),
+                                     '[a-z0-9]+')) AS BIGINT), 200) AS score
+                    FROM documents
+                )
+                SELECT doc_id, score FROM s
+                WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 1000000) * 200 < score * 1000000
+                """,
+                k="doc_id", v="score",
             ),
             _sql_quad(
                 "strat",

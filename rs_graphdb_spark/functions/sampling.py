@@ -22,6 +22,7 @@ __all__ = [
     "deterministic_split",
     "group_aware_split",
     "hash_sample",
+    "score_weighted_sample",
     "stratified_hash_sample",
     "pack_greedy",
     "mixture_plan",
@@ -96,6 +97,35 @@ def hash_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     return df.filter(hash_bucket(id_col, buckets) < int(round(fraction * buckets)))
+
+
+def score_weighted_sample(
+    df: DataFrame,
+    id_col: Column | str,
+    score_col: Column | str,
+    max_score: int,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic IMPORTANCE sampling by a per-document quality score:
+    keep a row with probability ``score / max_score`` (score an INTEGER
+    column, e.g. the micro-unit output of the hashed-feature classifier
+    — integer so the accept threshold is engine-exact, never a float
+    comparison that could flip on the last ulp). The acceptance test is
+    ``hash_bucket(id) * max_score < score * buckets`` — pure integer
+    arithmetic over the same md5 bucket hash_sample uses, so a kept row
+    stays kept as the corpus grows, across runs AND engines.
+
+    This is the standard quality-weighted corpus selection stage
+    (upsample high-quality documents, downsample boilerplate) expressed
+    as a pure scan-stage projection — no RNG, no shuffle, 100 TB-safe.
+    Scores below 0 drop always; above max_score keep always."""
+    if max_score <= 0:
+        raise ValueError(f"max_score must be positive, got {max_score}")
+    sc = F.col(score_col) if isinstance(score_col, str) else score_col
+    return df.filter(
+        hash_bucket(id_col, buckets) * F.lit(int(max_score))
+        < sc.cast("long") * F.lit(buckets)
+    )
 
 
 def stratified_hash_sample(

@@ -792,3 +792,28 @@ def test_duplicate_spans_detects_long_shared_runs(spark):
            for r in duplicate_spans(docs, "doc_id", "text", k=10).collect()}
     # a 12-token run shares 12-10+1 = 3 distinct 10-grams
     assert got == {(1, 2): 3}
+
+
+def test_score_weighted_sample_deterministic_and_proportional(spark):
+    """score_weighted_sample keeps rows with probability score/max —
+    deterministically (same set twice), monotonically (score 0 never,
+    score >= max always), and roughly proportionally."""
+    from rs_graphdb_spark.functions.sampling import score_weighted_sample
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 101).alias("score")
+    )
+    kept1 = {r["doc_id"] for r in
+             score_weighted_sample(df, "doc_id", "score", 100).collect()}
+    kept2 = {r["doc_id"] for r in
+             score_weighted_sample(df, "doc_id", "score", 100).collect()}
+    assert kept1 == kept2
+    zero = {r["doc_id"] for r in df.filter("score = 0").collect()}
+    full = {r["doc_id"] for r in df.filter("score >= 100").collect()}
+    assert not (kept1 & zero) and full <= kept1
+    # overall keep rate ≈ E[score]/100 = 50/100
+    assert 0.40 < len(kept1) / 4000 < 0.60
+    import pytest
+
+    with pytest.raises(ValueError):
+        score_weighted_sample(df, "doc_id", "score", 0)
