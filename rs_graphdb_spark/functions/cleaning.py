@@ -391,7 +391,14 @@ def extract_domain(col: Column | str) -> Column:
     n = F.size(labels)
 
     def suf(k: int) -> Column:
-        return F.concat_ws(".", F.slice(labels, n - F.lit(k) + 1, F.lit(k)))
+        # self-guarding: slice with start 0 (host of exactly k-1 labels)
+        # is a runtime error; today every use sits behind an `n >= …`
+        # conjunct that short-circuits, but the guard must not depend on
+        # callers keeping that operand order
+        return F.when(
+            n >= k,
+            F.concat_ws(".", F.slice(labels, n - F.lit(k) + 1, F.lit(k))),
+        ).otherwise(F.lit(""))
 
     normal, wild, exc = _psl_tables()
     # longest public suffix first; within a length: exception > wildcard
