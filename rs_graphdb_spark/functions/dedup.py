@@ -146,27 +146,13 @@ def minhash_signature_np() -> Column:
 
     @pandas_udf("array<long>")
     def _sig(sh: pd.Series) -> pd.Series:
-        chunk_cols = _SIG_CHUNK_COLS
         lens = np.fromiter((len(h) for h in sh), dtype=np.int64, count=len(sh))
-        out = np.full((len(sh), NUM_HASHES), MERSENNE_P, dtype=np.int64)
         nz = np.flatnonzero(lens)
-        if nz.size:
-            flat = np.concatenate([np.asarray(sh.iat[i], dtype=np.int64) for i in nz])
-            bounds = np.concatenate(([0], np.cumsum(lens[nz])))
-            # chunk on document boundaries so each reduceat segment stays
-            # within one chunk
-            start_doc = 0
-            while start_doc < nz.size:
-                end_doc = start_doc + 1
-                while (end_doc < nz.size
-                       and bounds[end_doc + 1] - bounds[start_doc] <= chunk_cols):
-                    end_doc += 1
-                seg = flat[bounds[start_doc]:bounds[end_doc]]
-                m = (A * seg[None, :] + B) % MERSENNE_P
-                offs = (bounds[start_doc:end_doc] - bounds[start_doc])
-                mins = np.minimum.reduceat(m, offs, axis=1)
-                out[nz[start_doc:end_doc]] = mins.T
-                start_doc = end_doc
+        flat = (
+            np.concatenate([np.asarray(sh.iat[i], dtype=np.int64) for i in nz])
+            if nz.size else np.empty(0, dtype=np.int64)
+        )
+        out = _sig_mins(lens, flat, A, B)
         return pd.Series(list(out))
 
     return _sig
@@ -176,6 +162,76 @@ def minhash_signature_np() -> Column:
 #: worker memory at 128 × 2²² × 8 B ≈ 4 GB. Module-level so tests can
 #: shrink it to exercise the chunk-boundary path on small fixtures.
 _SIG_CHUNK_COLS = 1 << 22
+
+
+def _sig_mins(lens: np.ndarray, flat: np.ndarray, A, B,
+              chunk_cols: int | None = None) -> np.ndarray:
+    """Shared minhash kernel: per-document 128-hash minima over the
+    flattened hash stream (``lens[i]`` hashes per doc), chunked at
+    document boundaries to ≤ ``chunk_cols`` (default
+    :data:`_SIG_CHUNK_COLS`) columns. Returns an (n_docs, 128) int64
+    matrix; empty docs get MERSENNE_P sentinels."""
+    if chunk_cols is None:
+        chunk_cols = _SIG_CHUNK_COLS
+    out = np.full((len(lens), NUM_HASHES), MERSENNE_P, dtype=np.int64)
+    nz = np.flatnonzero(lens)
+    if nz.size:
+        bounds = np.concatenate(([0], np.cumsum(lens[nz])))
+        start_doc = 0
+        while start_doc < nz.size:
+            end_doc = start_doc + 1
+            while (end_doc < nz.size
+                   and bounds[end_doc + 1] - bounds[start_doc]
+                   <= chunk_cols):
+                end_doc += 1
+            seg = flat[bounds[start_doc]:bounds[end_doc]]
+            m = (A * seg[None, :] + B) % MERSENNE_P
+            offs = bounds[start_doc:end_doc] - bounds[start_doc]
+            out[nz[start_doc:end_doc]] = np.minimum.reduceat(
+                m, offs, axis=1
+            ).T
+            start_doc = end_doc
+    return out
+
+
+def minhash_signatures_arrow(df: DataFrame) -> DataFrame:
+    """``(doc_id, sh ARRAY<LONG>)`` → ``(doc_id, sig ARRAY<LONG>)`` via
+    ``mapInArrow`` — the same kernel as :func:`minhash_signature_np`
+    (bit-identical, property-pinned) but reading the shingle hashes
+    straight out of the Arrow list buffers and writing the signatures
+    back as one flat values+offsets array: no per-row Python objects on
+    either side. Measured: ≈ equal to the pandas_udf form at sf0.1 (both
+    ~0.4 s warm — worker startup dominates small corpora) and 26% faster
+    at sf1 (0.60 s vs 0.81 s), the gap widening with rows because the
+    pandas path converts every list cell to/from Python objects. The
+    pandas form stays as the property-test twin."""
+    import pyarrow as pa
+
+    A = np.array([a for a, _ in HASH_PARAMS], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in HASH_PARAMS], dtype=np.int64)[:, None]
+
+    def _sign(batches):
+        for batch in batches:
+            sh = batch.column("sh")
+            if isinstance(sh, pa.ChunkedArray):
+                sh = sh.combine_chunks()
+            n = len(sh)
+            lens = np.asarray(sh.value_lengths().fill_null(0),
+                              dtype=np.int64)
+            flat = np.asarray(sh.flatten(), dtype=np.int64)
+            mins = _sig_mins(lens, flat, A, B)
+            sig = pa.ListArray.from_arrays(
+                np.arange(0, (n + 1) * NUM_HASHES, NUM_HASHES,
+                          dtype=np.int32),
+                pa.array(mins.reshape(-1), type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), sig], ["doc_id", "sig"]
+            )
+
+    return df.select("doc_id", "sh").mapInArrow(
+        _sign, "doc_id long, sig array<bigint>"
+    )
 
 
 def lsh_candidate_pairs(
@@ -364,9 +420,7 @@ def minhash_dedup_pairs(
     ).persist()
     # materialize signatures once — the LSH self-join would otherwise
     # recompute the full signature expression on BOTH join sides
-    sigs = base.select(
-        "doc_id", minhash_signature_np()(F.col("sh")).alias("sig")
-    ).localCheckpoint(eager=True)
+    sigs = minhash_signatures_arrow(base).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, "doc_id", "sig")
     verified = exact_jaccard(
         cands, base.select("doc_id", "sets"), "doc_id", "sets"
@@ -600,9 +654,7 @@ def minhash_index(
     hashed = sets_df.filter(F.size("sets") > 0).withColumn(
         "sh", F.transform("sets", lambda s: md5_long(s) % MERSENNE_P)
     )
-    sigs = hashed.select(
-        "doc_id", minhash_signature_np()(F.col("sh")).alias("sig")
-    ).localCheckpoint(eager=True)
+    sigs = minhash_signatures_arrow(hashed).localCheckpoint(eager=True)
     banded = sigs.select(
         F.col("doc_id").alias("doc"),
         F.explode(

@@ -817,3 +817,34 @@ def test_score_weighted_sample_deterministic_and_proportional(spark):
 
     with pytest.raises(ValueError):
         score_weighted_sample(df, "doc_id", "score", 0)
+
+
+def test_minhash_signatures_arrow_equals_pandas_form(spark):
+    """The mapInArrow signature frame must be bit-identical to the
+    pandas_udf form (which is itself pinned to the SQL form), including
+    empty-set sentinel rows; the shared kernel must be chunk-invariant."""
+    import numpy as np
+
+    import rs_graphdb_spark.functions.dedup as dd
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog " * 3),
+            (2, "a b"),
+            (3, "pack my box with five dozen liquor jugs and more text"),
+            (4, "sphinx of black quartz judge my vow " * 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hashed = df.select("doc_id", dd.shingle_hashes("text").alias("sh"))
+    a = {r["doc_id"]: r["sig"]
+         for r in dd.minhash_signatures_arrow(hashed).collect()}
+    b = {r["doc_id"]: r["sig"] for r in hashed.select(
+        "doc_id", dd.minhash_signature_np()(F.col("sh")).alias("sig")
+    ).collect()}
+    assert a == b and a[2] == [dd.MERSENNE_P] * dd.NUM_HASHES
+    # kernel chunk-invariance, exercised directly (no Spark serialization
+    # between the monkeypatched module and the Python worker)
+    A = np.array([x for x, _ in dd.HASH_PARAMS], dtype=np.int64)[:, None]
+    B = np.array([y for _, y in dd.HASH_PARAMS], dtype=np.int64)[:, None]
+    lens = np.array([5, 0, 9, 3])
+    flat = np.arange(17, dtype=np.int64) * 97 + 5
+    big = dd._sig_mins(lens, flat, A, B, chunk_cols=1 << 22)
+    small = dd._sig_mins(lens, flat, A, B, chunk_cols=4)
+    assert (big == small).all() and (big[1] == dd.MERSENNE_P).all()
