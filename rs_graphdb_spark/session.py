@@ -48,6 +48,11 @@ def get_spark(app_name: str = "rs-graphdb-spark") -> SparkSession:
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # push medium-sized IN lists down to parquet as real dictionary
+        # filters instead of a min-max range (the default threshold of 10
+        # turns the standing-index probe's `bh IN (batch hashes)` into a
+        # full-keyspace range on uniform hashes — no row-group skipping)
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "2048")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
