@@ -2513,21 +2513,29 @@ def q38_multimodal(spark, sf_dir):
     the oracle's index-arithmetic prediction over the text bytes; corrupt
     rows pass through still-corrupt)."""
     from rs_graphdb_spark.functions.multimodal import (
+        audio_features,
+        documents_as_audio,
         documents_as_images,
         extract_features,
+        resample_audio,
         resize_image,
     )
 
     par = spark.sparkContext.defaultParallelism
-    media = documents_as_images(
-        _read(spark, sf_dir, "documents").repartition(par), corrupt_every=97
-    )
+    docs_par = _read(spark, sf_dir, "documents").repartition(par)
+    media = documents_as_images(docs_par, corrupt_every=97)
     rz = extract_features(resize_image(media, 8, 5)).select(
         "media_id", "media_type", "n_bytes",
         F.coalesce("width", F.lit(-1)).alias("width"),
         F.coalesce("height", F.lit(-1)).alias("height"),
         F.coalesce("checksum", F.lit(-1)).alias("checksum"),
     )
+    # REAL WAV audio path: encode → chunk-walk decode → exact integer
+    # features; and a nearest-neighbor resample re-decoded at the target
+    # rate (corrupt rows isolate / pass through, as for images)
+    wav = documents_as_audio(docs_par, corrupt_every=89)
+    au = audio_features(wav)
+    au_rs = audio_features(resample_audio(wav, 4000))
     return _quads(
         _metric_quads(q53_multimodal_features(spark, sf_dir),
                       {"mm_bytes": "n_bytes", "mm_w": "width",
@@ -2538,6 +2546,14 @@ def q38_multimodal(spark, sf_dir):
         _metric_quads(rz,
                       {"rz_bytes": "n_bytes", "rz_w": "width",
                        "rz_h": "height", "rz_ck": "checksum"},
+                      k="media_id", s="media_type"),
+        _metric_quads(au,
+                      {"au_sr": "sample_rate", "au_n": "n_samples",
+                       "au_sum": "sum_abs", "au_peak": "peak"},
+                      k="media_id", s="media_type"),
+        _metric_quads(au_rs,
+                      {"ar_sr": "sample_rate", "ar_n": "n_samples",
+                       "ar_sum": "sum_abs"},
                       k="media_id", s="media_type"),
     )
 
@@ -5513,6 +5529,71 @@ def oracle_sql() -> dict[str, str]:
                 """,
                 {"rz_bytes": "n_bytes", "rz_w": "width",
                  "rz_h": "height", "rz_ck": "checksum"},
+                k="media_id", s="media_type"),
+            # WAV audio twin: sample[i] = code(text[i]) - 96 by the
+            # fixture layout; exact integer Σ|s| and peak |s| — decode
+            # must recover them from real RIFF/PCM16 bytes
+            _sql_metric_quads(
+                """
+                WITH d AS (
+                    SELECT doc_id, text,
+                           least(octet_length(encode(text)), 4000) AS ns,
+                           8000 + (doc_id % 5) * 1000 AS rate,
+                           (doc_id % 89 = 0) AS corrupt
+                    FROM documents
+                )
+                SELECT doc_id AS media_id,
+                       CASE WHEN corrupt THEN 'unknown' ELSE 'audio' END
+                           AS media_type,
+                       CAST(CASE WHEN corrupt THEN -1 ELSE rate END
+                           AS INTEGER) AS sample_rate,
+                       CAST(CASE WHEN corrupt THEN -1 ELSE ns END
+                           AS BIGINT) AS n_samples,
+                       CAST(CASE WHEN corrupt THEN -1 ELSE coalesce(
+                            list_sum(list_transform(range(1, ns + 1),
+                                i -> abs(unicode(text[i]) - 96))), 0)
+                            END AS BIGINT) AS sum_abs,
+                       CAST(CASE WHEN corrupt THEN -1 ELSE coalesce(
+                            list_max(list_transform(range(1, ns + 1),
+                                i -> abs(unicode(text[i]) - 96))), 0)
+                            END AS INTEGER) AS peak
+                FROM d
+                """,
+                {"au_sr": "sample_rate", "au_n": "n_samples",
+                 "au_sum": "sum_abs", "au_peak": "peak"},
+                k="media_id", s="media_type"),
+            # resample twin: m = max(1, ns*4000//rate) nearest-neighbor
+            # indices j*ns//m — re-decoded at the target rate
+            _sql_metric_quads(
+                """
+                WITH d AS (
+                    SELECT doc_id, text,
+                           least(octet_length(encode(text)), 4000) AS ns,
+                           8000 + (doc_id % 5) * 1000 AS rate,
+                           (doc_id % 89 = 0) AS corrupt
+                    FROM documents
+                ),
+                mm AS (
+                    SELECT *, CASE WHEN ns = 0 THEN 0
+                              ELSE greatest(1, ns * 4000 // rate) END AS m
+                    FROM d
+                )
+                SELECT doc_id AS media_id,
+                       CASE WHEN corrupt THEN 'unknown' ELSE 'audio' END
+                           AS media_type,
+                       CAST(CASE WHEN corrupt THEN -1 ELSE 4000 END
+                           AS INTEGER) AS sample_rate,
+                       CAST(CASE WHEN corrupt THEN -1 ELSE m END
+                           AS BIGINT) AS n_samples,
+                       CAST(CASE WHEN corrupt THEN -1 ELSE coalesce(
+                            list_sum(list_transform(range(0, m),
+                                j -> abs(unicode(text[(j * ns // m) + 1])
+                                         - 96))), 0)
+                            END AS BIGINT) AS sum_abs
+                FROM mm
+                """,
+                {"ar_sr": "sample_rate", "ar_n": "n_samples",
+                 "ar_sum": "sum_abs"},
                 k="media_id", s="media_type"),
         ),
         "q39_exact_dedup": _sql_union(

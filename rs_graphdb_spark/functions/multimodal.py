@@ -557,3 +557,168 @@ def documents_as_images(docs: DataFrame, corrupt_every: int | None = None) -> Da
             })
 
     return docs.select("doc_id", "text").mapInPandas(_encode, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: REAL stdlib WAV (RIFF / PCM16 mono) codec — the audio member of
+# the multimodal family, same contract as the image path: encode builds
+# true format bytes, decode is a genuine chunk walk (magic, fmt, sizes
+# all validated), features/resample run as Arrow-batched mapInPandas
+# with per-row corrupt isolation.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    # integer aggregates so the DuckDB oracle reproduces them exactly —
+    # never float RMS across engines
+    T.StructField("sum_abs", T.LongType()),
+    T.StructField("peak", T.IntegerType()),
+])
+
+
+def encode_wav(samples: "np.ndarray", rate: int) -> bytes:
+    """int16 sample vector → a real RIFF/WAVE file (PCM, mono, 16-bit):
+    RIFF size, fmt chunk (block align, byte rate), data chunk."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """RIFF chunk walk → (sample_rate, int16 sample vector). Raises on
+    anything malformed: wrong magic, truncated chunks, non-PCM, width
+    ≠ 16-bit, >1 channel, or a data chunk before fmt."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size + 8 > len(payload):
+        raise ValueError("truncated RIFF payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("short fmt chunk")
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV variant fmt={audio_fmt} ch={channels} "
+                    f"bits={bits}"
+                )
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("data chunk before fmt")
+            if clen % 2:
+                raise ValueError("odd PCM16 data length")
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return int(rate), samples
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode every audio payload and emit exact integer features
+    (sample count, Σ|sample|, peak |sample|). Corrupt payloads isolate
+    to a (-1, …) row — one bad file never kills the batch."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, s = decode_wav(bytes(payload))
+                    a = np.abs(s.astype(np.int64))
+                    out.append((int(mid), "audio", len(payload), rate,
+                                len(s), int(a.sum()),
+                                int(a.max()) if len(s) else 0))
+                except Exception:
+                    out.append((int(mid), "unknown", len(payload), -1,
+                                -1, -1, -1))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "media_type", "n_bytes", "sample_rate",
+                "n_samples", "sum_abs", "peak",
+            ])
+
+    return media.select("media_id", "payload").mapInPandas(
+        _feat, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
+    """Nearest-neighbor resample to ``target_rate``: decode → index-map
+    (``src_j = j * n // m`` with ``m = max(1, n * target // rate)``) →
+    re-encode as a real WAV at the target rate. Corrupt payloads pass
+    through byte-identical (the image resize contract)."""
+
+    def _rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                try:
+                    rate, s = decode_wav(bytes(payload))
+                    n = len(s)
+                    m = max(1, n * target_rate // rate) if n else 0
+                    idx = (np.arange(m, dtype=np.int64) * n) // m if m else []
+                    payloads.append(encode_wav(s[idx], target_rate))
+                except Exception:
+                    payloads.append(bytes(payload))
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    return media.mapInPandas(_rs, schema=MEDIA_SCHEMA)
+
+
+def documents_as_audio(
+    docs: DataFrame, corrupt_every: int | None = None
+) -> DataFrame:
+    """Fixture/ingest adapter: real WAV payloads whose samples derive
+    from the document's codepoints — deterministic layout mirrored by
+    the DuckDB oracle via index arithmetic:
+
+      n = len(text); rate = 8000 + (doc_id % 5) * 1000;
+      n_samples = min(n, 4000); sample[i] = code(text[i]) - 96
+      (negative for digits/punctuation — signed PCM is exercised).
+
+    ``corrupt_every``: every divisible doc_id gets garbage bytes — the
+    per-row isolation fixture."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, rates = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                rate = 8000 + (did % 5) * 1000
+                rates.append(rate)
+                if corrupt_every is not None and did % corrupt_every == 0:
+                    payloads.append(b"CORRUPTAUDIO")
+                    continue
+                codes = np.frombuffer(
+                    text.encode("utf-8")[:4000], dtype=np.uint8
+                ).astype(np.int16) - 96
+                payloads.append(encode_wav(codes, rate))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "media_type": ["audio"] * len(pdf),
+                "payload": payloads,
+                "meta": [
+                    {"source": "synthetic", "declared_w": 0, "declared_h": 0}
+                ] * len(pdf),
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(_encode, schema=MEDIA_SCHEMA)

@@ -848,3 +848,61 @@ def test_minhash_signatures_arrow_equals_pandas_form(spark):
     big = dd._sig_mins(lens, flat, A, B, chunk_cols=1 << 22)
     small = dd._sig_mins(lens, flat, A, B, chunk_cols=4)
     assert (big == small).all() and (big[1] == dd.MERSENNE_P).all()
+
+
+def test_wav_codec_roundtrip_and_negative_paths():
+    """encode_wav/decode_wav: exact PCM16 roundtrip, chunk-walk
+    validation failures on malformed inputs."""
+    import numpy as np
+    import pytest
+
+    from rs_graphdb_spark.functions.multimodal import decode_wav, encode_wav
+
+    s = (np.arange(500) % 509 - 250).astype(np.int16)
+    blob = encode_wav(s, 22050)
+    rate, got = decode_wav(blob)
+    assert rate == 22050 and (got == s).all()
+    # empty stream roundtrips
+    rate0, got0 = decode_wav(encode_wav(np.array([], dtype=np.int16), 8000))
+    assert rate0 == 8000 and len(got0) == 0
+    for bad in (b"", b"RIFFxxxx", b"RIFF\x00\x00\x00\x00WAVE",
+                blob[:30], blob[:12] + blob[20:]):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+    # data-before-fmt ordering must be rejected
+    import struct
+    pcm = b"\x01\x00\x02\x00"
+    body = b"WAVE" + b"data" + struct.pack("<I", len(pcm)) + pcm
+    with pytest.raises(ValueError, match="before fmt"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_audio_features_and_resample(spark):
+    """The WAV pipeline end-to-end on Spark: features recover the exact
+    integer aggregates, corrupt rows isolate, resample preserves the
+    nearest-neighbor arithmetic and re-encodes a decodable WAV."""
+    from rs_graphdb_spark.functions.multimodal import (
+        audio_features, documents_as_audio, resample_audio)
+    from rs_graphdb_spark.session import local_df
+
+    docs = local_df(spark, [
+        (0, "abcdefgh"),          # corrupt (0 % 3 == 0 with corrupt_every=3)
+        (1, "hello world"),
+        (2, "x" * 5000),          # clipped to 4000 samples
+    ], "doc_id long, text string")
+    wav = documents_as_audio(docs, corrupt_every=3)
+    feats = {r["media_id"]: r for r in audio_features(wav).collect()}
+    assert feats[0]["media_type"] == "unknown" and feats[0]["n_samples"] == -1
+    exp1 = [abs(ord(c) - 96) for c in "hello world"]
+    assert feats[1]["n_samples"] == 11
+    assert feats[1]["sum_abs"] == sum(exp1) and feats[1]["peak"] == max(exp1)
+    assert feats[2]["n_samples"] == 4000
+    assert feats[2]["sample_rate"] == 8000 + 2 * 1000
+    rs = {r["media_id"]: r for r in
+          audio_features(resample_audio(wav, 4000)).collect()}
+    assert rs[0]["media_type"] == "unknown"          # corrupt passthrough
+    ns, rate = 11, 9000
+    m = max(1, ns * 4000 // rate)
+    assert rs[1]["n_samples"] == m and rs[1]["sample_rate"] == 4000
+    assert rs[1]["sum_abs"] == sum(
+        abs(ord("hello world"[j * ns // m]) - 96) for j in range(m))
