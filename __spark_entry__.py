@@ -2536,7 +2536,18 @@ def q38_multimodal(spark, sf_dir):
     wav = documents_as_audio(docs_par, corrupt_every=89)
     au = audio_features(wav)
     au_rs = audio_features(resample_audio(wav, 4000))
+    # REAL AVI video path: container parse (RIFF hdrl/movi walk) →
+    # every-2nd-frame sampling with per-frame pixel checksums
+    from rs_graphdb_spark.functions.multimodal import (
+        documents_as_video,
+        sample_video_frames,
+    )
+
+    vid = documents_as_video(docs_par, corrupt_every=83)
+    vf = sample_video_frames(vid, every_n=2)
     return _quads(
+        _metric_quads(vf, {"vf_w": "width", "vf_ck": "checksum"},
+                      k="media_id", s="frame_idx"),
         _metric_quads(q53_multimodal_features(spark, sf_dir),
                       {"mm_bytes": "n_bytes", "mm_w": "width",
                        "mm_h": "height", "mm_ck": "checksum"},
@@ -5595,6 +5606,34 @@ def oracle_sql() -> dict[str, str]:
                 {"ar_sr": "sample_rate", "ar_n": "n_samples",
                  "ar_sum": "sum_abs"},
                 k="media_id", s="media_type"),
+            # AVI frame-sampling twin: frames tile the text bytes 48 px at
+            # a time (nf = clamp(n//48, 1, 8)); kept frames are every 2nd;
+            # checksum = Σ codes over the frame's in-range byte window
+            # (zero padding contributes 0); corrupt rows → one (-1,…) row
+            _sql_metric_quads(
+                """
+                WITH d AS (
+                    SELECT doc_id, text, octet_length(encode(text)) AS n,
+                           (doc_id % 83 = 0) AS corrupt
+                    FROM documents
+                ),
+                f AS (
+                    SELECT *, least(greatest(n // 48, 1), 8) AS nf FROM d
+                )
+                SELECT doc_id AS media_id, CAST(u.i AS INTEGER) AS frame_idx,
+                       CAST(8 AS INTEGER) AS width,
+                       CAST(coalesce(list_sum(list_transform(
+                            range(u.i * 48 + 1,
+                                  least((u.i + 1) * 48, n) + 1),
+                            k -> unicode(text[k]))), 0) AS BIGINT)
+                           AS checksum
+                FROM f, (SELECT unnest(range(0, 8)) AS i) u
+                WHERE NOT corrupt AND u.i % 2 = 0 AND u.i < nf
+                UNION ALL
+                SELECT doc_id, -1, -1, -1 FROM d WHERE corrupt
+                """,
+                {"vf_w": "width", "vf_ck": "checksum"},
+                k="media_id", s="frame_idx"),
         ),
         "q39_exact_dedup": _sql_union(
             _sql_quad("fp", base["q43_exact_dedup"],

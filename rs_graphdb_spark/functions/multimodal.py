@@ -10,11 +10,12 @@ Beyond-reference surface (the reference carries only four scalar types,
 - decode / feature-extract / resize / frame-sample run as Arrow-batched
   ``mapInPandas`` stages: whole partitions stream through Python in
   columnar batches, never row-at-a-time.
-- the decode step is REAL: :func:`decode_image` parses genuine image
-  formats with the stdlib only — BMP (BITMAPFILEHEADER/BITMAPINFOHEADER
-  struct walk), binary PGM/PPM (P5/P6 header grammar), and PNG (signature,
-  chunk walk with CRC-32 verification, zlib inflate, scanline de-filtering
-  for all five filter types). No image libraries required.
+- the decode step is REAL for every modality, stdlib-only: images via
+  :func:`decode_image` (BMP struct walk, binary PGM/PPM grammar, PNG
+  chunk walk with CRC-32 verification, zlib inflate, scanline
+  de-filtering for all five filter types), audio via :func:`decode_wav`
+  (RIFF/PCM16 chunk walk), video via :func:`decode_avi` (nested RIFF
+  hdrl/movi lists, 8-bit DIB frames). No media libraries required.
 - decode errors are isolated PER ROW: a corrupt payload yields NULL
   features (``media_type='unknown'``), never a failed task — one bad file
   in a 100 TB scan must not kill the job.
@@ -471,9 +472,10 @@ def resize_image(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 256) -> DataFrame:
-    """Frame-sampling stub for video payloads: emits one row per sampled
-    "frame" (every_n_bytes stride through the payload). Demonstrates the
-    1→N row fan-out shape of real frame extraction."""
+    """Format-agnostic BYTE-stride sampler: one row per every_n_bytes
+    offset of any payload (the quick-look fan-out that needs no codec).
+    For real container-aware frame extraction use
+    :func:`sample_video_frames`, which parses the AVI structure."""
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
@@ -718,6 +720,204 @@ def documents_as_audio(
                 "payload": payloads,
                 "meta": [
                     {"source": "synthetic", "declared_w": 0, "declared_h": 0}
+                ] * len(pdf),
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(_encode, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: REAL uncompressed-AVI (RIFF) codec — 8-bit grayscale DIB frames
+# in a 'movi' list, full header structure (avih + strl/strh/strf). The
+# same nested-chunk grammar real AVI tooling reads; frame sampling is a
+# genuine container parse, not a byte stride.
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("checksum", T.LongType()),  # Σ pixel values of the frame
+])
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return cid + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(ltype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", ltype + body)
+
+
+def encode_avi(frames: list[bytes], w: int, h: int, fps: int = 10) -> bytes:
+    """Grayscale frame buffers (row-major, len == w*h each) → a real
+    uncompressed AVI: RIFF('AVI ') { LIST hdrl { avih, LIST strl { strh,
+    strf(BITMAPINFOHEADER + 256-gray palette) } }, LIST movi { '00db'
+    bottom-up stride-padded DIB frames } }."""
+    if any(len(f) != w * h for f in frames):
+        raise ValueError("every frame must be w*h bytes")
+    stride = (w + 3) // 4 * 4
+    frame_size = stride * h
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<14I", usec, frame_size * fps, 0, 0x10, len(frames), 0, 1,
+        frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames),
+            frame_size, 0, 0xFFFFFFFF,
+        ) + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, frame_size, 2835, 2835, 256, 0
+    ) + b"".join(struct.pack("<BBBB", i, i, i, 0) for i in range(256))
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                     + _riff_chunk(b"strf", strf)),
+    )
+    pad = b"\x00" * (stride - w)
+    movi_body = b"".join(
+        _riff_chunk(
+            b"00db",
+            b"".join(f[y * w:(y + 1) * w] + pad
+                     for y in range(h - 1, -1, -1)),
+        )
+        for f in frames
+    )
+    movi = _riff_list(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[int, int, list["np.ndarray"]]:
+    """Validating RIFF walk → (w, h, frames as (h, w) uint8 arrays).
+    Checks magic, header presence/order, 8-bit DIB format, declared
+    frame count vs movi chunks, and per-frame sizes."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size + 8 > len(payload):
+        raise ValueError("truncated RIFF payload")
+
+    def walk(buf: bytes):
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos:pos + 4]
+            (clen,) = struct.unpack_from("<I", buf, pos + 4)
+            body = buf[pos + 8:pos + 8 + clen]
+            if len(body) != clen:
+                raise ValueError(f"truncated {cid!r} chunk")
+            yield cid, body
+            pos += 8 + clen + (clen % 2)
+
+    w = h = declared = bits = None
+    raw_frames: list[bytes] = []
+    for cid, body in walk(payload[12:]):
+        if cid != b"LIST":
+            continue
+        ltype, inner = body[:4], body[4:]
+        if ltype == b"hdrl":
+            for c2, b2 in walk(inner):
+                if c2 == b"avih":
+                    if len(b2) < 56:
+                        raise ValueError("short avih")
+                    vals = struct.unpack_from("<14I", b2, 0)
+                    declared, w, h = vals[4], vals[8], vals[9]
+                elif c2 == b"LIST" and b2[:4] == b"strl":
+                    for c3, b3 in walk(b2[4:]):
+                        if c3 == b"strf":
+                            if len(b3) < 40:
+                                raise ValueError("short strf")
+                            bits = struct.unpack_from("<H", b3, 14)[0]
+        elif ltype == b"movi":
+            if w is None:
+                raise ValueError("movi before hdrl")
+            for c2, b2 in walk(inner):
+                if c2.endswith(b"db") or c2.endswith(b"dc"):
+                    raw_frames.append(b2)
+    if w is None or h is None or not w or not h:
+        raise ValueError("missing avih dimensions")
+    if bits != 8:
+        raise ValueError(f"unsupported AVI bit depth {bits}")
+    if declared != len(raw_frames):
+        raise ValueError(
+            f"declared {declared} frames, found {len(raw_frames)}"
+        )
+    stride = (w + 3) // 4 * 4
+    frames = []
+    for raw in raw_frames:
+        if len(raw) != stride * h:
+            raise ValueError("frame size mismatch")
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)[:, :w]
+        frames.append(arr[::-1])  # bottom-up DIB → top-down
+    return w, h, frames
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame sampling: parse each AVI container and emit one row per
+    kept frame (index 0, every_n, 2·every_n, …) with its pixel-sum
+    checksum — the 1→N fan-out of frame extraction with genuine decode
+    behind it. Corrupt payloads isolate to a single (-1, …) row."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, frames = decode_avi(bytes(payload))
+                    for idx in range(0, len(frames), every_n):
+                        rows.append((
+                            int(mid), idx, w, h,
+                            int(frames[idx].astype(np.int64).sum()),
+                        ))
+                except Exception:
+                    rows.append((int(mid), -1, -1, -1, -1))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "width", "height", "checksum",
+            ])
+
+    return media.select("media_id", "payload").mapInPandas(
+        _frames, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
+def documents_as_video(
+    docs: DataFrame, corrupt_every: int | None = None
+) -> DataFrame:
+    """Fixture/ingest adapter: real AVI payloads whose frames tile the
+    document's bytes — deterministic layout mirrored by the oracle:
+
+      n = len(utf8(text)); w = 8, h = 6 (48 px/frame);
+      n_frames = min(max(n // 48, 1), 8);
+      frame f pixels = bytes [f*48, (f+1)*48) of the text, zero-padded
+      → frame checksum = Σ code(byte) over the in-range indices."""
+    W, H, PX, MAXF = 8, 6, 48, 8
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if corrupt_every is not None and did % corrupt_every == 0:
+                    payloads.append(b"NOTAVI!!")
+                    continue
+                data = text.encode("utf-8")
+                nf = min(max(len(data) // PX, 1), MAXF)
+                frames = [
+                    data[f * PX:(f + 1) * PX].ljust(PX, b"\x00")
+                    for f in range(nf)
+                ]
+                payloads.append(encode_avi(frames, W, H))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "media_type": ["video"] * len(pdf),
+                "payload": payloads,
+                "meta": [
+                    {"source": "synthetic", "declared_w": W, "declared_h": H}
                 ] * len(pdf),
             })
 

@@ -906,3 +906,52 @@ def test_audio_features_and_resample(spark):
     assert rs[1]["n_samples"] == m and rs[1]["sample_rate"] == 4000
     assert rs[1]["sum_abs"] == sum(
         abs(ord("hello world"[j * ns // m]) - 96) for j in range(m))
+
+
+def test_avi_codec_roundtrip_and_negative_paths():
+    """encode_avi/decode_avi: exact frame roundtrip (incl. stride
+    padding for non-multiple-of-4 widths), validating walk rejects
+    malformed containers."""
+    import numpy as np
+    import pytest
+
+    from rs_graphdb_spark.functions.multimodal import decode_avi, encode_avi
+
+    frames = [((np.arange(48) * (i + 1)) % 256).astype(np.uint8).tobytes()
+              for i in range(3)]
+    blob = encode_avi(frames, 8, 6)
+    w, h, got = decode_avi(blob)
+    assert (w, h, len(got)) == (8, 6, 3)
+    assert all(g.reshape(-1).tobytes() == f for g, f in zip(got, frames))
+    w2, _, g2 = decode_avi(encode_avi([bytes(range(30))] * 2, 5, 6))
+    assert w2 == 5 and g2[0].reshape(-1).tobytes() == bytes(range(30))
+    for bad in (b"NOTAVI!!", blob[:40], blob[:-20]):
+        with pytest.raises(ValueError):
+            decode_avi(bad)
+    # declared-vs-found frame count mismatch must be caught
+    tampered = blob.replace(b"00db", b"zzzz", 1)
+    with pytest.raises(ValueError, match="declared"):
+        decode_avi(tampered)
+
+
+def test_sample_video_frames_real_parse(spark):
+    """sample_video_frames must parse the AVI container and emit every
+    2nd frame with its exact pixel checksum; corrupt payloads isolate."""
+    from rs_graphdb_spark.functions.multimodal import (
+        documents_as_video, sample_video_frames)
+    from rs_graphdb_spark.session import local_df
+
+    text = "".join(chr(97 + (i % 26)) for i in range(200))  # 200 chars
+    docs = local_df(spark, [(0, "bad"), (1, text)], "doc_id long, text string")
+    vid = documents_as_video(docs, corrupt_every=7)  # 0 corrupt, 1 good
+    rows = sample_video_frames(vid, every_n=2).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["media_id"], []).append(r)
+    assert by[0][0]["frame_idx"] == -1            # corrupt isolation
+    nf = min(max(200 // 48, 1), 8)                # 4 frames → keep 0, 2
+    kept = sorted(r["frame_idx"] for r in by[1])
+    assert kept == [i for i in range(0, nf, 2)]
+    f0 = next(r for r in by[1] if r["frame_idx"] == 0)
+    assert f0["checksum"] == sum(ord(c) for c in text[:48])
+    assert (f0["width"], f0["height"]) == (8, 6)
