@@ -2231,7 +2231,7 @@ def q101_stream_dedup(spark, sf_dir):
     )
 
 
-def q102_ingest_sink(spark, sf_dir):
+def q109_ingest_sink(spark, sf_dir):
     """Continuous near-dup ingest END-TO-END as a real two-micro-batch
     streaming job: batch 1 = the documents corpus (bootstrap — in-batch
     near-dups dropped, standing index created in the pruned layout),
@@ -2282,7 +2282,7 @@ def q33_stream_windows(spark, sf_dir):
     duplicated-stream watermark-bounded dedup + the continuous near-dup
     ingest sink run end-to-end (two micro-batches vs composed oracle)."""
     return _quads(
-        _quad("ing", q102_ingest_sink(spark, sf_dir), k="doc_id", s="h"),
+        _quad("ing", q109_ingest_sink(spark, sf_dir), k="doc_id", s="h"),
         _metric_quads(q69_stream_window(spark, sf_dir),
                       {"tumb_cnt": "n_events", "tumb_sum": "sum_value"},
                       k="win_start", s="event_type"),
@@ -2950,6 +2950,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def q110_duplicate_spans(spark, sf_dir):
+    """Long-duplicate-span pairs (identical 50-token runs) — the
+    exact-substring dedup family; one posting shuffle."""
+    from rs_graphdb_spark.functions.dedup import duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", k=50)
+
+
+def q111_audio_pipeline(spark, sf_dir):
+    """WAV encode → chunk-walk decode → exact integer features →
+    nearest-neighbor resample, end-to-end over the documents corpus."""
+    from rs_graphdb_spark.functions.multimodal import (
+        audio_features, documents_as_audio, resample_audio)
+
+    par = spark.sparkContext.defaultParallelism
+    wav = documents_as_audio(
+        _read(spark, sf_dir, "documents").repartition(par), corrupt_every=89)
+    return audio_features(resample_audio(wav, 4000))
+
+
+def q112_video_frames(spark, sf_dir):
+    """AVI encode → container parse → every-2nd-frame sampling with
+    pixel checksums."""
+    from rs_graphdb_spark.functions.multimodal import (
+        documents_as_video, sample_video_frames)
+
+    par = spark.sparkContext.defaultParallelism
+    vid = documents_as_video(
+        _read(spark, sf_dir, "documents").repartition(par), corrupt_every=83)
+    return sample_video_frames(vid, every_n=2)
+
+
+def q113_url_psl(spark, sf_dir):
+    """PSL-correct registrable-domain extraction over salted multi-label
+    hosts (pure codegen CASE)."""
+    from rs_graphdb_spark.functions.cleaning import extract_domain
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("sub"), d, F.lit(".shop"),
+                    (F.col("doc_id") % 50).cast("string"), F.lit(".co.uk"))
+    return docs.select(
+        "doc_id",
+        extract_domain(F.concat(F.lit("https://"), host, F.lit("/p")))
+        .alias("dom"),
+    )
+
+
+def q114_score_sample(spark, sf_dir):
+    """Score-weighted importance sample (integer accept inequality)."""
+    from rs_graphdb_spark.functions.sampling import score_weighted_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.least(TX.token_count("text").cast("long"), F.lit(200)).alias("score"),
+    )
+    return score_weighted_sample(scored, "doc_id", "score", 200)
+
+
 def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Pre-fold per-operator registry (kept for bench.py and tests)."""
     return {
@@ -3057,6 +3118,11 @@ def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_token_mixture": q106_token_mixture,
         "q107_snapshot_diff": q107_snapshot_diff,
         "q108_normalize_text": q108_normalize_text,
+        "q110_duplicate_spans": q110_duplicate_spans,
+        "q111_audio_pipeline": q111_audio_pipeline,
+        "q112_video_frames": q112_video_frames,
+        "q113_url_psl": q113_url_psl,
+        "q114_score_sample": q114_score_sample,
     }
 
 

@@ -51,6 +51,11 @@ EXTRA = [
     "q106_token_mixture",
     "q107_snapshot_diff",
     "q108_normalize_text",
+    "q110_duplicate_spans",
+    "q111_audio_pipeline",
+    "q112_video_frames",
+    "q113_url_psl",
+    "q114_score_sample",
 ]
 
 
