@@ -181,6 +181,23 @@ def main() -> None:
     extract_features(resize_image(media, 32, 32)).groupBy(
         "media_type", "width", "height"
     ).count().orderBy("media_type").show()
+
+    print("-- 8c. audio (real WAV) + video (real AVI) feature passes")
+    from rs_graphdb_spark.functions.multimodal import (
+        audio_features,
+        documents_as_audio,
+        documents_as_video,
+        resample_audio,
+        sample_video_frames,
+    )
+
+    wav = documents_as_audio(docs, corrupt_every=89)
+    audio_features(resample_audio(wav, 4000)).groupBy(
+        "media_type", "sample_rate"
+    ).count().orderBy("media_type").show()
+    sample_video_frames(
+        documents_as_video(docs, corrupt_every=83), every_n=2
+    ).groupBy("width").count().orderBy("width").show()
     spark.stop()
 
 
