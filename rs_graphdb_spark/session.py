@@ -48,11 +48,14 @@ def get_spark(app_name: str = "rs-graphdb-spark") -> SparkSession:
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # push medium-sized IN lists down to parquet as real dictionary
-        # filters instead of a min-max range (the default threshold of 10
-        # turns the standing-index probe's `bh IN (batch hashes)` into a
-        # full-keyspace range on uniform hashes — no row-group skipping)
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "2048")
+        # push medium-sized IN lists down to parquet as real value filters
+        # instead of a min-max range (the default threshold of 10 turns
+        # the standing-index probe's `bh IN (batch hashes)` into a
+        # full-keyspace range on uniform hashes — no row-group skipping).
+        # CAPPED AT 100: Spark lowers the IN to a left-deep Or tree in the
+        # parquet predicate, and ~2k-deep trees StackOverflow the executor
+        # (measured — this is why the upstream default is so small)
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "100")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
