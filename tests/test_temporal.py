@@ -323,12 +323,15 @@ def test_asof_join_bucketed_equals_plain_under_skew(spark):
                 left, right, ["user_id"], "ts", "ts",
                 value_cols=["event_id"], direction=direction, tolerance=tol,
             ))
-            got = snap(asof_join_bucketed(
-                left, right, ["user_id"], "ts", "ts",
-                value_cols=["event_id"], bucket_width=100_000,
-                direction=direction, tolerance=tol,
-            ))
-            assert got == want, f"direction={direction} tol={tol}"
+            # 100k = normal slicing; 499 = pathological (most buckets hold
+            # 0-1 rows, so the cross-bucket CARRY path does all the work)
+            for width in (100_000, 499):
+                got = snap(asof_join_bucketed(
+                    left, right, ["user_id"], "ts", "ts",
+                    value_cols=["event_id"], bucket_width=width,
+                    direction=direction, tolerance=tol,
+                ))
+                assert got == want, f"dir={direction} tol={tol} w={width}"
     # strict variant (backward/forward only)
     for direction in ("backward", "forward"):
         want = snap(asof_join(
