@@ -402,8 +402,10 @@ def extract_domain(col: Column | str) -> Column:
 
     normal, wild, exc = _psl_tables()
     # longest public suffix first; within a length: exception > wildcard
-    # > normal (an exception names a registrable domain directly)
-    max_ps = max([*normal, *(k + 1 for k in wild), 1])
+    # > normal (an exception names a registrable domain directly).
+    # exception lengths count too: an exception longer than every
+    # normal/wildcard suffix must still get a branch (advisor r4)
+    max_ps = max([*normal, *(k + 1 for k in wild), *exc, 1])
     expr = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)  # default rule
     for k in range(1, max_ps + 1):  # build inside-out: longest ends on top
         branches = []
@@ -438,7 +440,7 @@ def psl_domain_sql(host_expr: str) -> str:
         inner = ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
         return f"[{inner}]"
 
-    max_ps = max([*normal, *(k + 1 for k in wild), 1])
+    max_ps = max([*normal, *(k + 1 for k in wild), *exc, 1])
     branches: list[tuple[str, str]] = []
     for k in range(max_ps, 0, -1):  # CASE evaluates top-down: longest first
         if k in exc:
@@ -534,8 +536,10 @@ def extract_domain_psl_join(
         # key ('*.'+tail matches 'label.tail').
         F.struct(
             (F.col("kind") == 2).alias("_is_exc"),
-            F.when(F.col("kind") == 1, F.col("nlabels"))
-            .otherwise(F.col("nlabels")).alias("_ps_len"),
+            # a '*.'-form key's label count IS the matched public-suffix
+            # length ('*.tail' has tail-labels + 1 == suffix labels), so
+            # every kind uses nlabels directly
+            F.col("nlabels").alias("_ps_len"),
             F.col("kind").alias("_kind"),
         ).alias("_m"),
     )

@@ -837,7 +837,8 @@ def compact_minhash_index(spark, index_dir: str) -> None:
 
 
 def load_banded_pruned(
-    spark, banded_dir: str, probe_banded: DataFrame, max_pushdown: int = 20_000
+    spark, banded_dir: str, probe_banded: DataFrame,
+    max_pushdown: int | None = None,
 ):
     """Read a standing ``banded`` index directory scoped to the buckets a
     probe batch can collide with. Returns the (possibly pruned) banded
@@ -847,10 +848,23 @@ def load_banded_pruned(
     :func:`write_minhash_index` ``bp=`` partition layout: partition
     pruning on the batch's bh prefixes, then an exact ``bh IN`` pushdown
     (row-group skip) when the batch holds ≤ ``max_pushdown`` distinct
-    band hashes. A flat (unpartitioned) directory is read as-is —
-    compatibility with indexes written by plain ``.parquet()`` appends."""
+    band hashes. ``max_pushdown`` defaults to the session's
+    ``spark.sql.parquet.pushdown.inFilterThreshold`` (100 in
+    :mod:`rs_graphdb_spark.session` — capped there because larger IN
+    lists StackOverflow the parquet filter converter): above the
+    threshold the scan converts the IN to a min/max range that skips no
+    row groups over uniform hashes, so collecting more values buys
+    nothing — row-group pruning genuinely applies only to very small
+    batches (~3 docs at 32 bands/doc); bigger batches rely on the
+    ``bp=`` partition pruning alone. A flat (unpartitioned) directory is
+    read as-is — compatibility with indexes written by plain
+    ``.parquet()`` appends."""
     import os
 
+    if max_pushdown is None:
+        max_pushdown = int(
+            spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold", "100")
+        )
     banded = spark.read.parquet(banded_dir)
     if "bp" not in banded.columns:
         return banded

@@ -62,6 +62,15 @@ def label_base(label: str) -> int:
     label (`src/storage/mem_store.rs:56-77`) — get a stable md5-derived
     namespace above the reserved block, so ``create_nodes`` works for
     arbitrary graphs while never colliding with a catalog label.
+
+    .. note:: **Id-mapping history.** Builds before round 4 derived the
+       ad-hoc index as ``md5[:8] mod 2^20``; it is now
+       ``md5[:10] mod 2^22`` (4× the collision headroom). Node-id
+       namespaces of ad-hoc labels in catalogs PERSISTED by a pre-r4
+       build therefore differ from ids the current build would assign —
+       re-derive persisted ad-hoc catalogs rather than mixing eras (the
+       fixed LABEL_INDEX slots are unaffected). See also
+       :func:`reset_adhoc_namespaces`.
     """
     idx = LABEL_INDEX.get(label)
     if idx is None:
@@ -85,8 +94,22 @@ def label_base(label: str) -> int:
 #: driver-side registry of assigned ad-hoc namespace indexes → label, so a
 #: birthday collision between two md5 buckets raises instead of silently
 #: interleaving node ids (collision odds at 2^22 slots: ~0.012% for 1000
-#: distinct ad-hoc labels).
+#: distinct ad-hoc labels). Process-global by design: the md5-derived
+#: mapping is deterministic, so entries from unrelated graphs in one
+#: process are never WRONG (same label → same index always) — the registry
+#: only widens collision DETECTION across them. Long-lived multi-tenant
+#: processes can clear it between independent catalogs.
 _ADHOC_NAMESPACES: dict[int, str] = {}
+
+
+def reset_adhoc_namespaces() -> None:
+    """Clear the ad-hoc label→namespace collision registry.
+
+    Call between INDEPENDENT catalogs in one long-lived process if a
+    collision raise against an earlier, unrelated graph's label is
+    unwanted. Never needed for correctness within one catalog — the
+    md5 mapping itself is deterministic and registry-independent."""
+    _ADHOC_NAMESPACES.clear()
 
 
 @dataclass

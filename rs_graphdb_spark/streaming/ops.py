@@ -406,6 +406,7 @@ def dedup_ingest_sink(
     checkpoint_dir: str,
     index_dir: str,
     threshold: float = 0.8,
+    broadcast_max_batch_docs: int = 8_000,
 ):
     """Continuous near-duplicate ingest — the end-to-end 100 TB crawl
     shape: every micro-batch is probed against the STANDING MinHash/LSH
@@ -420,7 +421,13 @@ def dedup_ingest_sink(
       same frames feed the probe and, semi-joined to survivors, the
       index append — no re-signing anywhere.
     - the batch side of the probe join is broadcast, so the standing
-      index is never shuffled.
+      index is never shuffled — gated on the batch staying under
+      ``broadcast_max_batch_docs`` rows (default 8k docs ≈ 10 MB of
+      banded frame at 32 bands/doc). ``F.broadcast`` is a FORCED hint
+      that ignores ``autoBroadcastJoinThreshold``, so an ungated
+      bootstrap epoch that feeds the whole initial corpus as batch 1
+      would materialize a corpus-sized banded frame on the driver;
+      oversized batches fall back to a shuffle join instead.
     - when the index uses the :func:`write_minhash_index` ``bp=``
       partition layout (the sink's own bootstrap creates it), the index
       scan is partition-pruned to the batch's band-hash prefixes and
@@ -462,9 +469,13 @@ def dedup_ingest_sink(
             # the in-batch near-dup join on the already-built frames
             banded = new_banded.limit(0)
             sets = new_sets.select("doc_id", "sets").limit(0)
+        # the count is one cheap job over the checkpointed batch; it
+        # gates the forced-broadcast hint (see docstring)
+        small_batch = batch_df.count() <= broadcast_max_batch_docs
         pairs = minhash_probe(
             banded, sets, batch_df, id_col, text_col, threshold=threshold,
-            new_banded=new_banded, new_sets=new_sets, broadcast_new=True,
+            new_banded=new_banded, new_sets=new_sets,
+            broadcast_new=small_batch,
         )
         # drop a batch doc when it duplicates ANY corpus doc (the corpus
         # copy is already persisted — regardless of id order), or a
