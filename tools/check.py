@@ -122,18 +122,24 @@ def main() -> int:
             print(f"{name:28s} SPARK ERROR\n{traceback.format_exc()}")
             failed.append(name)
             continue
+        t_spark = time.time() - t0
         if name not in oracles:
-            print(f"{name:28s} rows-only: {len(sdf)} rows  [{time.time()-t0:.1f}s]")
+            print(f"{name:28s} rows-only: {len(sdf)} rows  [{t_spark:.1f}s]")
             continue
+        t1 = time.time()
         try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception:
             print(f"{name:28s} ORACLE ERROR\n{traceback.format_exc()}")
             failed.append(name)
             continue
+        t_duck = time.time() - t1
         verdict = compare(name, sdf, ddf)
         flag = "" if verdict == "OK" else " <<<<"
-        print(f"{name:28s} {verdict} ({len(sdf)} rows) [{time.time()-t0:.1f}s]{flag}")
+        print(
+            f"{name:28s} {verdict} ({len(sdf)} rows) "
+            f"[spark {t_spark:.1f}s / duck {t_duck:.1f}s]{flag}"
+        )
         if verdict != "OK":
             failed.append(name)
     print(f"\n{len(failed)} failing: {failed}" if failed else "\nALL OK")

@@ -62,24 +62,33 @@ def main() -> None:
     new_banded = new_banded.localCheckpoint(eager=True)
     new_sets = new_sets.localCheckpoint(eager=True)
 
-    for scale, n in (("1x", n_small), ("10x", n_small * 10)):
+    from rs_graphdb_spark.functions.dedup import release_lazy_pins
+
+    scales = [("1x", n_small), ("10x", n_small * 10),
+              ("100x", n_small * 100)]
+    for scale, n in scales:
         idx_dir = f"{work}/index-{scale}"
         banded, sets = minhash_index(corpus(n), "doc_id", "text")
         write_minhash_index(banded, sets, idx_dir)
+        banded.unpersist()
         best = float("inf")
         n_pairs = 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
+            # eager=False: the continuous sink's actual micro-batch path
+            # (lazy persist pins, no per-stage checkpoint jobs)
             pruned = load_banded_pruned(spark, f"{idx_dir}/banded", new_banded)
             pairs = minhash_probe(
                 pruned, spark.read.parquet(f"{idx_dir}/sets"), batch,
                 "doc_id", "text", threshold=0.8,
                 new_banded=new_banded, new_sets=new_sets, broadcast_new=True,
+                eager=False,
             )
             n_pairs = pairs.count()
             best = min(best, time.time() - t0)
+            release_lazy_pins()
         print(f"| standing index {scale} ({n} docs) | probe batch={batch_n} "
-              f"| {best:.2f} s | {n_pairs} pairs |")
+              f"| {best:.2f} s | {n_pairs} pairs |", flush=True)
     shutil.rmtree(work, ignore_errors=True)
 
 
