@@ -2516,6 +2516,7 @@ def q38_multimodal(spark, sf_dir):
         audio_features,
         documents_as_audio,
         documents_as_images,
+        documents_as_jpegs,
         extract_features,
         resample_audio,
         resize_image,
@@ -2524,6 +2525,19 @@ def q38_multimodal(spark, sf_dir):
     par = spark.sparkContext.defaultParallelism
     docs_par = _read(spark, sf_dir, "documents").repartition(par)
     media = documents_as_images(docs_par, corrupt_every=97)
+    # REAL baseline-JFIF path: flat even-valued 8x8 blocks round-trip
+    # bit-exactly through the lossy codec (DC quant step 16 divides
+    # 8*(even-128)), so the full Huffman+IDCT decode is value-checked by
+    # the twin's index arithmetic; corrupt rows (JPEG magic, garbage
+    # body) isolate per-row
+    jp = extract_features(
+        documents_as_jpegs(docs_par, corrupt_every=101)
+    ).select(
+        "media_id", "media_type",
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        F.coalesce("checksum", F.lit(-1)).alias("checksum"),
+    )
     rz = extract_features(resize_image(media, 8, 5)).select(
         "media_id", "media_type", "n_bytes",
         F.coalesce("width", F.lit(-1)).alias("width"),
@@ -2557,6 +2571,10 @@ def q38_multimodal(spark, sf_dir):
         _metric_quads(rz,
                       {"rz_bytes": "n_bytes", "rz_w": "width",
                        "rz_h": "height", "rz_ck": "checksum"},
+                      k="media_id", s="media_type"),
+        _metric_quads(jp,
+                      {"jp_w": "width", "jp_h": "height",
+                       "jp_ck": "checksum"},
                       k="media_id", s="media_type"),
         _metric_quads(au,
                       {"au_sr": "sample_rate", "au_n": "n_samples",
@@ -5606,6 +5624,39 @@ def oracle_sql() -> dict[str, str]:
                 """,
                 {"rz_bytes": "n_bytes", "rz_w": "width",
                  "rz_h": "height", "rz_ck": "checksum"},
+                k="media_id", s="media_type"),
+            # JPEG twin: wb = n%6+2, hb = (n//6)%6+2 blocks of 8x8; block
+            # j carries the even-truncated byte j (0-padded past the
+            # text), and flat even blocks decode BIT-EXACTLY (see
+            # documents_as_jpegs) -> checksum = 64 * sum of even bytes
+            _sql_metric_quads(
+                """
+                WITH d AS (
+                    SELECT doc_id, text,
+                           octet_length(encode(text)) AS n,
+                           (doc_id % 101 = 0) AS corrupt
+                    FROM documents
+                ),
+                m AS (
+                    SELECT *, n % 6 + 2 AS wb, (n // 6) % 6 + 2 AS hb
+                    FROM d
+                )
+                SELECT doc_id AS media_id,
+                       CASE WHEN corrupt THEN 'unknown' ELSE 'jpeg' END
+                           AS media_type,
+                       CAST(CASE WHEN corrupt THEN -1 ELSE wb * 8 END
+                           AS INTEGER) AS width,
+                       CAST(CASE WHEN corrupt THEN -1 ELSE hb * 8 END
+                           AS INTEGER) AS height,
+                       CAST(CASE WHEN corrupt THEN -1 ELSE 64 * coalesce(
+                            list_sum(list_transform(
+                                range(1, least(n, wb * hb) + 1),
+                                j -> unicode(text[j]) - unicode(text[j]) % 2
+                            )), 0)
+                            END AS BIGINT) AS checksum
+                FROM m
+                """,
+                {"jp_w": "width", "jp_h": "height", "jp_ck": "checksum"},
                 k="media_id", s="media_type"),
             # WAV audio twin: sample[i] = code(text[i]) - 96 by the
             # fixture layout; exact integer Σ|s| and peak |s| — decode

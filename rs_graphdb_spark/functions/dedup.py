@@ -158,10 +158,14 @@ def minhash_signature_np() -> Column:
     return _sig
 
 
-#: numpy-signature chunk width (hash columns per matmul block): caps peak
-#: worker memory at 128 × 2²² × 8 B ≈ 4 GB. Module-level so tests can
-#: shrink it to exercise the chunk-boundary path on small fixtures.
-_SIG_CHUNK_COLS = 1 << 22
+#: numpy-signature chunk width (hash columns per broadcast block). The
+#: (128, chunk) intermediate must fit CPU cache, not just RAM: measured
+#: sweep on 10k-doc/600k-hash batches — 1<<22 (4 GB block) 2.40 s,
+#: 1<<16 0.76 s, 1<<14 (16 MB block) 0.41 s, 1<<12 0.50 s. The old 4 GB
+#: "cap" was also a fleet-killer at 32 concurrent workers (128 GB of
+#: transient numpy per job — the r5 sf-500k superlinear bend). Module-
+#: level so tests can shrink it to exercise the chunk-boundary path.
+_SIG_CHUNK_COLS = 1 << 14
 
 
 def _sig_mins(lens: np.ndarray, flat: np.ndarray, A, B,

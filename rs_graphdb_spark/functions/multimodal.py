@@ -190,6 +190,8 @@ def encode_image(
         return _encode_pgm(pixels, w, h)
     if fmt == "png":
         return _encode_png(pixels, w, h, filters=png_filters)
+    if fmt == "jpeg":
+        return encode_jpeg(pixels, w, h)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -362,6 +364,8 @@ def decode_pixels(
             return _pixels_pgm(payload)
         if payload[:8] == _PNG_SIG:
             return _pixels_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            return _pixels_jpeg(payload)
     except Exception:
         pass
     return (None, None, None, None)
@@ -378,6 +382,8 @@ def decode_image(payload: bytes) -> tuple[str | None, int | None, int | None, in
             return _decode_pgm(payload)
         if payload[:8] == _PNG_SIG:
             return _decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            return _decode_jpeg_features(payload)
     except Exception:
         pass
     return (None, None, None, None)
@@ -918,6 +924,457 @@ def documents_as_video(
                 "payload": payloads,
                 "meta": [
                     {"source": "synthetic", "declared_w": W, "declared_h": H}
+                ] * len(pdf),
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(_encode, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG: REAL baseline JFIF (SOI/APP0/DQT/SOF0/DHT/SOS/EOI) grayscale codec,
+# stdlib+numpy only — the dominant wild image format. The decoder is a
+# genuine marker walk + Huffman entropy decode + dequantize + batched
+# numpy IDCT; it reads quant/Huffman tables FROM THE FILE (so it decodes
+# any spec-conforming baseline grayscale JPEG, not just our encoder's
+# output) and honors restart intervals (DRI/RSTn). The encoder emits the
+# spec's Annex-K example luminance tables. Progressive (SOF2), chroma
+# subsampling, and arithmetic coding are documented native-codec
+# territory, same posture as H.264/MP3.
+#
+# Exactness note for oracle fixtures: JPEG is lossy in general, but a
+# block that is CONSTANT has only a DC coefficient 8*(v-128); with the
+# Annex-K DC quant step 16 (quality 50), any even v round-trips
+# BIT-EXACTLY — :func:`documents_as_jpegs` builds fixtures from such
+# blocks so the DuckDB twin can predict decoded checksums by index
+# arithmetic, while pytest covers general (lossy) content via an
+# independent O(N^4) direct-DCT reference.
+# ---------------------------------------------------------------------------
+
+#: Annex K Table K.1 luminance quantization matrix (row-major).
+_JPEG_QUANT = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int64)
+
+#: Annex K luminance DC Huffman spec: counts per code length 1..16 + symbols.
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+#: Annex K luminance AC Huffman spec.
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """The 64 (row, col) positions in JPEG zigzag scan order, generated
+    from the anti-diagonal rule (odd diagonals run col-descending)."""
+    out: list[tuple[int, int]] = []
+    for s in range(15):
+        cols = range(max(0, s - 7), min(s, 7) + 1)
+        diag = [(s - c, c) for c in cols]
+        out.extend(reversed(diag) if s % 2 else diag)
+    return out
+
+
+_ZIGZAG = _zigzag_order()
+_ZZ_ROWS = np.array([r for r, _ in _ZIGZAG])
+_ZZ_COLS = np.array([c for _, c in _ZIGZAG])
+
+
+def _dct8() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix C (forward F = C @ B @ C.T)."""
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    c[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return c
+
+
+_DCT8 = _dct8()
+
+
+def _huff_codes(bits: tuple[int, ...], vals: tuple[int, ...]) -> dict:
+    """Canonical JPEG Huffman assignment: symbol -> (length, code)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _scaled_quant(quality: int) -> np.ndarray:
+    """libjpeg-convention quality scaling of the Annex-K table (50 = the
+    table verbatim — the setting the exact-fixture math relies on)."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((_JPEG_QUANT * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self._n -= 8
+            self._acc &= (1 << self._n) - 1
+
+    def finish(self) -> bytes:
+        if self._n:
+            self.put(0x7F, 8 - self._n)  # 1-fill pad to byte boundary
+        return bytes(self.buf)
+
+
+def _jpeg_segment(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def encode_jpeg(pixels: bytes, w: int, h: int, quality: int = 50) -> bytes:
+    """8-bit grayscale baseline JFIF bytes from a row-major pixel buffer.
+
+    Real pipeline: edge-replicated pad to 8x8 MCUs, batched numpy FDCT,
+    Annex-K quantization (quality-scaled), zigzag, DC-differential +
+    AC run-length Huffman coding with the Annex-K luminance tables,
+    0xFF byte stuffing."""
+    if len(pixels) != w * h:
+        raise ValueError(f"need {w * h} pixels, got {len(pixels)}")
+    q = _scaled_quant(quality)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
+    pad = np.pad(arr, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    blocks = (
+        pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8).astype(np.float64) - 128.0
+    )
+    coef = np.einsum("ux,nxy,vy->nuv", _DCT8, blocks, _DCT8)
+    quant = np.round(coef / q).astype(np.int64)
+    zz = quant[:, _ZZ_ROWS, _ZZ_COLS]  # (n_blocks, 64) in zigzag order
+
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    out = _BitWriter()
+    prev_dc = 0
+    for blk in zz:
+        diff = int(blk[0]) - prev_dc
+        prev_dc = int(blk[0])
+        size = abs(diff).bit_length()
+        ln, code = dc_codes[size]
+        out.put(code, ln)
+        if size:
+            out.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(blk[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[0xF0]  # ZRL
+                out.put(code, ln)
+                run -= 16
+            size = abs(v).bit_length()
+            ln, code = ac_codes[(run << 4) | size]
+            out.put(code, ln)
+            out.put(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last < 63:
+            ln, code = ac_codes[0x00]  # EOB
+            out.put(code, ln)
+
+    app0 = b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    dqt = bytes([0x00]) + bytes(int(v) for v in q[_ZZ_ROWS, _ZZ_COLS])
+    sof0 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _jpeg_segment(0xE0, app0)
+        + _jpeg_segment(0xDB, dqt)
+        + _jpeg_segment(0xC0, sof0)
+        + _jpeg_segment(0xC4, dht_dc)
+        + _jpeg_segment(0xC4, dht_ac)
+        + _jpeg_segment(0xDA, sos)
+        + out.finish()
+        + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """MSB-first scan-data reader: un-stuffs 0xFF00, stops (and reports)
+    at any real marker, byte-aligns across RSTn."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                self.marker = nxt
+                raise _ScanEnd()
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume the RSTn marker at a restart boundary."""
+        self._acc = 0
+        self._n = 0
+        if self.marker is None:
+            if (self.data[self.pos] != 0xFF
+                    or not 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+                raise ValueError("missing restart marker")
+            self.pos += 2
+        self.marker = None
+
+
+class _ScanEnd(Exception):
+    pass
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 17:
+        code = (code << 1) | reader.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG EXTEND: map `size` raw bits to the signed coefficient."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse baseline grayscale JFIF bytes -> (w, h, (h, w) uint8 pixels).
+
+    Genuine decode: marker walk (tables read FROM the stream), Huffman
+    entropy decode with restart-interval support, dequantize, de-zigzag,
+    one batched numpy IDCT over all blocks. Raises on anything that is
+    not baseline (SOF0) single-component 8-bit."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    w = h = None
+    comp_q = 0
+    restart = 0
+    pos = 2
+    scan_at = None
+    dc_id = ac_id = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4:pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(body):
+                prec, tid = body[p] >> 4, body[p] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros((8, 8), dtype=np.int64)
+                vals = body[p + 1:p + 65]
+                if len(vals) != 64:
+                    raise ValueError("short DQT")
+                tbl[_ZZ_ROWS, _ZZ_COLS] = np.frombuffer(vals, dtype=np.uint8)
+                quant[tid] = tbl
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 0x0F
+                bits = tuple(body[p + 1:p + 17])
+                n = sum(bits)
+                vals = tuple(body[p + 17:p + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("short DHT")
+                fwd = _huff_codes(bits, vals)
+                huff[(cls, tid)] = {(ln, c): s for s, (ln, c) in fwd.items()}
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit grayscale baseline supported")
+            comp_q = body[8]  # component spec: id, sampling, quant-table id
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if body[0] != 1:
+                raise ValueError("multi-component scan unsupported")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            scan_at = pos + 2 + seglen
+            break
+        # APPn / COM / anything else: skip
+        pos += 2 + seglen
+    if scan_at is None or w is None or comp_q not in quant:
+        raise ValueError("JPEG missing SOF/SOS/DQT")
+    dc_tbl = huff.get((0, dc_id))
+    ac_tbl = huff.get((1, ac_id))
+    if dc_tbl is None or ac_tbl is None:
+        raise ValueError("JPEG missing DHT")
+
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    n_blocks = bw * bh
+    zz = np.zeros((n_blocks, 64), dtype=np.int64)
+    reader = _BitReader(payload, scan_at)
+    prev_dc = 0
+    try:
+        for b in range(n_blocks):
+            if restart and b and b % restart == 0:
+                reader.sync_restart()
+                prev_dc = 0
+            size = _huff_decode(reader, dc_tbl)
+            diff = _extend(reader.bits(size), size) if size else 0
+            prev_dc += diff
+            zz[b, 0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _huff_decode(reader, ac_tbl)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("bad AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[b, k] = _extend(reader.bits(size), size)
+                k += 1
+    except _ScanEnd as exc:  # marker inside entropy data = truncated scan
+        if b < n_blocks - 1 or reader.marker != 0xD9:
+            raise ValueError("truncated JPEG scan") from exc
+
+    coef = np.zeros((n_blocks, 8, 8), dtype=np.float64)
+    coef[:, _ZZ_ROWS, _ZZ_COLS] = zz
+    coef *= quant[comp_q]
+    spat = np.einsum("xu,nuv,yv->nxy", _DCT8.T, coef, _DCT8.T)
+    pix = np.clip(np.round(spat + 128.0), 0, 255).astype(np.uint8)
+    full = (
+        pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    )
+    return w, h, full[:h, :w]
+
+
+def _pixels_jpeg(payload: bytes) -> tuple[str, int, int, np.ndarray]:
+    w, h, arr = decode_jpeg(payload)
+    return ("jpeg", w, h, arr)
+
+
+def _decode_jpeg_features(payload: bytes) -> tuple[str, int, int, int]:
+    w, h, arr = decode_jpeg(payload)
+    return ("jpeg", w, h, int(arr.astype(np.int64).sum()))
+
+
+def documents_as_jpegs(
+    docs: DataFrame, corrupt_every: int | None = None
+) -> DataFrame:
+    """Fixture/ingest adapter: REAL baseline-JFIF payloads whose decoded
+    pixels are BIT-EXACT predictable (flat even-valued 8x8 blocks — see
+    the module-section note), so the DuckDB twin checks the full decode
+    by index arithmetic:
+
+      n = len(utf8(text)); wb = n%6+2; hb = (n//6)%6+2 (blocks);
+      w = 8*wb; h = 8*hb; block j (row-major, j < wb*hb) is the constant
+      value code(text[j]) - code(text[j])%2 for j < min(n, wb*hb), else 0
+      → decoded checksum = 64 * Σ_{j < min(n, wb*hb)} even(code(text[j]))."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if corrupt_every is not None and did % corrupt_every == 0:
+                    payloads.append(b"\xff\xd8NOTJPEG")
+                    continue
+                data = text.encode("utf-8")
+                n = len(data)
+                wb, hb = n % 6 + 2, (n // 6) % 6 + 2
+                vals = np.zeros(wb * hb, dtype=np.uint8)
+                m = min(n, wb * hb)
+                src = np.frombuffer(data[:m], dtype=np.uint8)
+                vals[:m] = src - (src % 2)
+                pixels = np.repeat(
+                    np.repeat(vals.reshape(hb, wb), 8, axis=0), 8, axis=1
+                ).tobytes()
+                payloads.append(encode_jpeg(pixels, wb * 8, hb * 8))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "media_type": ["image"] * len(pdf),
+                "payload": payloads,
+                "meta": [
+                    {"source": "synthetic", "declared_w": 0, "declared_h": 0}
                 ] * len(pdf),
             })
 

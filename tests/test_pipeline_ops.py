@@ -955,3 +955,196 @@ def test_sample_video_frames_real_parse(spark):
     f0 = next(r for r in by[1] if r["frame_idx"] == 0)
     assert f0["checksum"] == sum(ord(c) for c in text[:48])
     assert (f0["width"], f0["height"]) == (8, 6)
+
+
+def test_jpeg_flat_even_blocks_roundtrip_exact():
+    """Flat 8x8 blocks with EVEN values survive baseline JPEG bit-exactly
+    (DC = 8*(v-128) is divisible by the Annex-K DC quant step 16) — the
+    property the driver fixture's index-arithmetic oracle rests on."""
+    import numpy as np
+
+    from rs_graphdb_spark.functions.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(11)
+    for wb, hb in ((2, 2), (7, 3), (1, 1), (6, 7)):
+        vals = (rng.randint(0, 128, size=(hb, wb)) * 2).astype(np.uint8)
+        pix = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+        blob = encode_jpeg(pix.tobytes(), wb * 8, hb * 8)
+        w, h, out = decode_jpeg(blob)
+        assert (w, h) == (wb * 8, hb * 8)
+        assert np.array_equal(out, pix)
+
+
+def test_jpeg_decode_matches_direct_dct_reference():
+    """Decoder dequant+IDCT must equal an independent O(N^4) direct-DCT
+    evaluation of the spec formulas (not the decoder's vectorized path)."""
+    import numpy as np
+
+    from rs_graphdb_spark.functions import multimodal as mm
+
+    rng = np.random.RandomState(3)
+    blk = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+    blob = mm.encode_jpeg(blk.tobytes(), 8, 8, quality=50)
+    _, _, out = mm.decode_jpeg(blob)
+    q = mm._scaled_quant(50)
+    B = blk.astype(float) - 128
+
+    def c(u):
+        return 1 / np.sqrt(2) if u == 0 else 1.0
+
+    Fc = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            Fc[u, v] = 0.25 * c(u) * c(v) * sum(
+                B[x, y]
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                * np.cos((2 * y + 1) * v * np.pi / 16)
+                for x in range(8) for y in range(8))
+    qf = np.round(Fc / q) * q
+    R = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            R[x, y] = 0.25 * sum(
+                c(u) * c(v) * qf[u, v]
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                * np.cos((2 * y + 1) * v * np.pi / 16)
+                for u in range(8) for v in range(8))
+    exp = np.clip(np.round(R + 128), 0, 255).astype(np.uint8)
+    assert np.array_equal(out, exp)
+
+
+def test_jpeg_lossy_error_bounds_and_dispatch():
+    import numpy as np
+
+    from rs_graphdb_spark.functions.multimodal import (
+        decode_image, decode_jpeg, decode_pixels, encode_jpeg)
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(24, 17)).astype(np.uint8)  # non-mult-of-8
+    blob = encode_jpeg(img.tobytes(), 17, 24, quality=90)
+    w, h, out = decode_jpeg(blob)
+    assert (w, h) == (17, 24)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 40 and err.mean() < 12  # worst case: white noise
+    yy, xx = np.mgrid[0:40, 0:40]
+    smooth = ((np.sin(yy / 9) + np.cos(xx / 11)) * 50 + 128).astype(np.uint8)
+    blob = encode_jpeg(smooth.tobytes(), 40, 40, quality=90)
+    _, _, out = decode_jpeg(blob)
+    assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 6
+    fmt, w2, h2, ck = decode_image(blob)
+    assert fmt == "jpeg" and (w2, h2) == (40, 40)
+    assert ck == int(out.astype(np.int64).sum())
+    fmt, _, _, arr = decode_pixels(blob)
+    assert fmt == "jpeg" and arr.shape == (40, 40)
+
+
+def test_jpeg_corrupt_and_unsupported_isolation():
+    from rs_graphdb_spark.functions.multimodal import decode_image, encode_jpeg
+
+    good = encode_jpeg(bytes(range(64)), 8, 8)
+    assert decode_image(b"\xff\xd8NOTJPEG") == (None, None, None, None)
+    assert decode_image(good[:40]) == (None, None, None, None)  # truncated
+    # progressive marker (SOF2) must refuse, isolated as unknown
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_image(prog) == (None, None, None, None)
+    assert decode_image(good)[0] == "jpeg"
+
+
+def test_jpeg_restart_interval_decode():
+    """The decoder must honor DRI: byte-aligned RSTn every MCU with the DC
+    predictor reset — hand-built stream (our encoder never emits DRI)."""
+    import struct
+
+    import numpy as np
+
+    from rs_graphdb_spark.functions import multimodal as mm
+
+    vals = [60, 130, 200]  # three flat even-valued MCUs
+    dc_codes = mm._huff_codes(mm._JPEG_DC_BITS, mm._JPEG_DC_VALS)
+    ac_codes = mm._huff_codes(mm._JPEG_AC_BITS, mm._JPEG_AC_VALS)
+    scan = bytearray()
+    for i, v in enumerate(vals):
+        bw = mm._BitWriter()
+        diff = (v - 128) // 2  # quantized DC, predictor reset each restart
+        size = abs(diff).bit_length()
+        ln, code = dc_codes[size]
+        bw.put(code, ln)
+        if size:
+            bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        ln, code = ac_codes[0x00]
+        bw.put(code, ln)
+        scan += bw.finish()
+        if i < len(vals) - 1:
+            scan += bytes([0xFF, 0xD0 + i])
+    q = mm._scaled_quant(50)
+    dqt = bytes([0]) + bytes(int(x) for x in q[mm._ZZ_ROWS, mm._ZZ_COLS])
+    sof = struct.pack(">BHHB", 8, 8, 24, 1) + bytes([1, 0x11, 0])
+    blob = (
+        b"\xff\xd8"
+        + mm._jpeg_segment(0xDB, dqt)
+        + mm._jpeg_segment(0xC0, sof)
+        + mm._jpeg_segment(0xC4, bytes([0x00]) + bytes(mm._JPEG_DC_BITS)
+                           + bytes(mm._JPEG_DC_VALS))
+        + mm._jpeg_segment(0xC4, bytes([0x10]) + bytes(mm._JPEG_AC_BITS)
+                           + bytes(mm._JPEG_AC_VALS))
+        + mm._jpeg_segment(0xDD, struct.pack(">H", 1))
+        + mm._jpeg_segment(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(scan)
+        + b"\xff\xd9"
+    )
+    w, h, out = mm.decode_jpeg(blob)
+    assert (w, h) == (24, 8)
+    want = np.repeat(np.repeat(np.array([vals], dtype=np.uint8), 8, 0), 8, 1)
+    assert np.array_equal(out, want)
+
+
+def test_documents_as_jpegs_oracle_layout(spark):
+    """Fixture layout contract: decoded checksum == 64 * sum of
+    even-truncated text bytes (the DuckDB twin's index arithmetic)."""
+    from rs_graphdb_spark.functions.multimodal import (
+        documents_as_jpegs, extract_features)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    feats = {
+        r["media_id"]: r
+        for r in extract_features(
+            documents_as_jpegs(docs.limit(40), corrupt_every=7)
+        ).collect()
+    }
+    for row in docs.limit(40).collect():
+        did, data = row["doc_id"], row["text"].encode("utf-8")
+        f = feats[did]
+        if did % 7 == 0:
+            assert f["media_type"] == "unknown" and f["checksum"] is None
+            continue
+        n = len(data)
+        wb, hb = n % 6 + 2, (n // 6) % 6 + 2
+        assert (f["media_type"], f["width"], f["height"]) == (
+            "jpeg", wb * 8, hb * 8)
+        want = 64 * sum(b - b % 2 for b in data[:min(n, wb * hb)])
+        assert f["checksum"] == want, did
+
+
+def test_resize_image_jpeg_roundtrip(spark):
+    import numpy as np
+
+    from rs_graphdb_spark.functions.multimodal import (
+        decode_pixels, encode_jpeg, resize_image)
+
+    rng = np.random.RandomState(9)
+    src = rng.randint(0, 256, size=(32, 32)).astype(np.uint8)
+    payload = encode_jpeg(src.tobytes(), 32, 32, quality=90)
+    row = spark.createDataFrame(
+        [(1, "image", bytearray(payload), ("t", 32, 32))],
+        "media_id long, media_type string, payload binary, "
+        "meta struct<source:string, declared_w:int, declared_h:int>",
+    )
+    res = resize_image(row, 16, 16).first()
+    fmt, w, h, arr = decode_pixels(bytes(res["payload"]))
+    assert (fmt, w, h) == ("jpeg", 16, 16)
+    # NN-resample of the DECODED source, then one more lossy generation:
+    # bound the drift rather than demand equality
+    _, _, _, dec = decode_pixels(payload)
+    idx = np.arange(16) * 32 // 16
+    want = dec[idx][:, idx].astype(int)
+    assert np.abs(arr.astype(int) - want).mean() < 16
