@@ -407,6 +407,7 @@ def dedup_ingest_sink(
     index_dir: str,
     threshold: float = 0.8,
     broadcast_max_batch_docs: int = 8_000,
+    compact_every_epochs: int | None = None,
 ):
     """Continuous near-duplicate ingest — the end-to-end 100 TB crawl
     shape: every micro-batch is probed against the STANDING MinHash/LSH
@@ -435,10 +436,22 @@ def dedup_ingest_sink(
       ``sets`` scan is pruned to colliding doc ids the same way. A flat
       pre-existing index keeps working (unpruned scan, same results).
     - each epoch's three appends go through :func:`_append_epoch` —
-      staged, deterministically named, crash-replay idempotent."""
+      staged, deterministically named, crash-replay idempotent.
+    - ``compact_every_epochs``: every N epochs the sink runs
+      :func:`compact_minhash_index` in-line (it IS the single writer),
+      restoring one sorted file per ``bp=`` dir so probe-side file I/O
+      stays flat as the stream ages. Compaction swallows the epoch tags
+      the replay repair keys on, so the sink records a per-run
+      high-water mark (``index_dir/epochs.json``, staged+renamed) after
+      each epoch's appends land; a crash-replay of an epoch at or below
+      the mark short-circuits — its writes are all durable (the mark is
+      written AFTER the appends, and out_dir tags survive compaction
+      untouched) — instead of re-appending rows compaction absorbed."""
+    import json
     import os
 
     from rs_graphdb_spark.functions.dedup import (
+        compact_minhash_index,
         load_banded_pruned,
         minhash_index,
         minhash_probe,
@@ -449,12 +462,42 @@ def dedup_ingest_sink(
 
     banded_dir = os.path.join(index_dir, "banded")
     sets_dir = os.path.join(index_dir, "sets")
+    marker_path = os.path.join(index_dir, "epochs.json")
     run_id = hashlib.md5(
         os.path.abspath(checkpoint_dir).encode()
     ).hexdigest()[:8] + "-"
 
+    def _read_marker() -> dict:
+        try:
+            with open(marker_path) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {}
+
+    def _write_marker(epoch_id: int) -> None:
+        mark = _read_marker()
+        mark[run_id] = max(int(epoch_id), int(mark.get(run_id, -1)))
+        tmp = marker_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(mark, fh)
+        os.replace(tmp, marker_path)
+
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if (
+            compact_every_epochs
+            and int(_read_marker().get(run_id, -1)) >= epoch_id
+        ):
+            # crash-replay of a fully-appended epoch (only the stream
+            # checkpoint commit was lost): every write is already
+            # durable, and the epoch's index rows may since have been
+            # absorbed by compaction — re-appending would duplicate them.
+            # Only armed when compaction is on; otherwise the epoch-tag
+            # repair in _append_epoch alone is exact (r4 semantics).
+            # NB: with compaction on, deleting a checkpoint dir and
+            # reusing its PATH against the same index needs its run
+            # entry cleared from epochs.json (epoch ids restart at 0).
+            return
         # one job counts the batch AND materializes its cache; the count
         # gates both the forced-broadcast hint (see docstring) and the
         # lazy micro-batch path (small batches skip every eager
@@ -542,6 +585,11 @@ def dedup_ingest_sink(
         survivors.unpersist()
         batch_df.unpersist()
         release_lazy_pins()
+        if compact_every_epochs:
+            _write_marker(epoch_id)
+            if ((epoch_id + 1) % compact_every_epochs == 0
+                    and os.path.exists(banded_dir)):
+                compact_minhash_index(spark, index_dir)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -237,3 +237,112 @@ def test_bucketed_roundtrip_joins_without_exchange(spark, g):
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
         shutil.rmtree(loc, ignore_errors=True)
+
+
+def _tree_digest(root):
+    """{relative parquet path: md5} over a table dir (ignores _SUCCESS)."""
+    import glob
+    import hashlib
+    import os
+
+    out = {}
+    for p in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True):
+        with open(p, "rb") as fh:
+            out[os.path.relpath(p, root)] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+def test_partitioned_delete_touches_only_victim_buckets(spark, graph, tmpdir):
+    """delete_nodes_partitioned must (a) equal the lineage DML result,
+    (b) leave every untouched bucket's files byte-identical, (c) cascade
+    to src- and dst-side edges with the same bucket scoping."""
+    from pyspark.sql import functions as F
+
+    from rs_graphdb_spark.operators.dml import delete_nodes
+    from rs_graphdb_spark.sources.partitioned_dml import (
+        delete_nodes_partitioned,
+        load_graph_partitioned,
+        save_graph_partitioned,
+    )
+
+    path = str(tmpdir / "pg")
+    save_graph_partitioned(graph, path, id_buckets=8)
+    node_dir = f"{path}/nodes/Customer"
+    before = {
+        t: _tree_digest(f"{path}/{t}")
+        for t in ("nodes/Customer", "edges/PLACED", "edges/KNOWS")
+    }
+
+    cond = F.col("c_custkey") % 97 == 0
+    victims = graph.nodes["Customer"].filter(cond).select("id")
+    vb = {r[0] for r in victims.select(F.pmod("id", F.lit(8))).collect()}
+    assert 0 < len(vb) < 8, vb  # the fixture must leave untouched buckets
+
+    n = delete_nodes_partitioned(spark, path, "Customer", cond)
+    assert n == victims.count() > 0
+
+    # (a) equality with the lineage DML on every affected table
+    expect = delete_nodes(graph, "Customer", cond)
+    got = load_graph_partitioned(spark, path)
+    assert sorted(r["id"] for r in got.nodes["Customer"].collect()) == sorted(
+        r["id"] for r in expect.nodes["Customer"].collect())
+    for rel in ("PLACED", "KNOWS"):
+        assert got.edges[rel].df.count() == expect.edges[rel].df.count()
+        assert got.edges[rel].df.join(
+            expect.edges[rel].df, ["src", "dst"], "left_anti").isEmpty()
+
+    # (b) untouched node buckets byte-identical, victim buckets rewritten
+    after = _tree_digest(node_dir)
+    for rel_path, digest in before["nodes/Customer"].items():
+        bucket = int(rel_path.split("=")[1].split("/")[0])
+        if bucket in vb:
+            assert after.get(rel_path) != digest, rel_path
+        else:
+            assert after[rel_path] == digest, rel_path
+
+    # (c) PLACED is Customer-src: untouched buckets stay byte-identical
+    # (KNOWS is Customer-dst: its rewrite set is discovered by scan)
+    after_e = _tree_digest(f"{path}/edges/PLACED")
+    for rel_path, digest in before["edges/PLACED"].items():
+        bucket = int(rel_path.split("=")[1].split("/")[0])
+        if bucket not in vb:
+            assert after_e[rel_path] == digest, rel_path
+
+
+def test_partitioned_set_props_scoped_rewrite(spark, graph, tmpdir):
+    from pyspark.sql import functions as F
+
+    from rs_graphdb_spark.sources.partitioned_dml import (
+        load_graph_partitioned,
+        save_graph_partitioned,
+        set_props_partitioned,
+    )
+
+    path = str(tmpdir / "pg2")
+    save_graph_partitioned(graph, path, id_buckets=8)
+    before = _tree_digest(f"{path}/nodes/Customer")
+
+    one = graph.nodes["Customer"].select("id").orderBy("id").first()["id"]
+    n = set_props_partitioned(
+        spark, path, "Customer", F.col("id") == one,
+        {"c_comment": F.lit("edited"), "new_flag": F.lit(7)},
+    )
+    assert n == 1
+    got = load_graph_partitioned(spark, path).nodes["Customer"]
+    row = got.filter(F.col("id") == one).first()
+    assert row["c_comment"] == "edited" and row["new_flag"] == 7
+    # merge-not-replace: every other row keeps its comment, NULL new_flag
+    assert got.filter(F.col("id") != one).filter(
+        F.col("new_flag").isNotNull()).isEmpty()
+
+    after = _tree_digest(f"{path}/nodes/Customer")
+    touched = int(one) % 8
+    for rel_path, digest in before.items():
+        bucket = int(rel_path.split("=")[1].split("/")[0])
+        if bucket != touched:
+            assert after[rel_path] == digest, rel_path
+    # no staging/retired leftovers
+    import os
+
+    assert not [e for e in os.listdir(f"{path}/nodes/Customer")
+                if e.startswith("_staging") or e.startswith("_old")]

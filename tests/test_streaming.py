@@ -497,3 +497,85 @@ def test_compact_minhash_index_preserves_probe(spark, tmpdir):
     assert not [e for e in os.listdir(index_dir) if e.startswith("_")]
     after = run_probe()
     assert after == before and (4, 50) in after
+
+
+def test_ingest_sink_auto_compaction(spark, tmpdir):
+    """compact_every_epochs: the sink compacts its own standing index on
+    schedule — same survivors and probe pairs as the uncompacted sink,
+    fewer index files, and a durable per-run epoch high-water mark."""
+    import glob
+    import json
+
+    from rs_graphdb_spark.functions.dedup import (
+        load_banded_pruned, minhash_index, minhash_probe)
+    from rs_graphdb_spark.streaming.ops import dedup_ingest_sink
+
+    def doc(i, seed, extra=""):
+        base = " ".join(f"w{seed}x{j}" for j in range(40))
+        return (i, base + extra)
+
+    rows = [doc(1, 1), doc(2, 2), doc(3, 2, " x"), doc(4, 4),
+            doc(5, 5), doc(6, 1, " y")]
+    batches = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmpdir / "in")
+    batches.repartition(6).write.parquet(src)
+
+    outs = {}
+    for name, every in (("plain", None), ("auto", 2)):
+        q = dedup_ingest_sink(
+            (spark.readStream.schema(batches.schema)
+             .option("maxFilesPerTrigger", 1).parquet(src)),
+            "doc_id", "text", out_dir=str(tmpdir / f"out-{name}"),
+            checkpoint_dir=str(tmpdir / f"ckpt-{name}"),
+            index_dir=str(tmpdir / f"index-{name}"),
+            threshold=0.8, compact_every_epochs=every,
+        )
+        q.awaitTermination(300)
+        outs[name] = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmpdir / f"out-{name}")).collect()
+        }
+    assert outs["auto"] == outs["plain"]
+
+    files = {
+        name: len(glob.glob(str(tmpdir / f"index-{name}" / "banded" / "*" / "*.parquet")))
+        for name in ("plain", "auto")
+    }
+    assert files["auto"] < files["plain"], files
+
+    mark = json.load(open(str(tmpdir / "index-auto" / "epochs.json")))
+    vals = list(mark.values())
+    # one run entry, high-water = last epoch (≥2 so compaction fired)
+    assert len(vals) == 1 and vals[0] >= 2
+
+    # compacted index probes identically to the uncompacted one
+    probe = spark.createDataFrame([doc(50, 4, " tail"), doc(51, 77)],
+                                  "doc_id long, text string")
+    nb, ns = minhash_index(probe, "doc_id", "text")
+    pairs = {}
+    for name in ("plain", "auto"):
+        idx = str(tmpdir / f"index-{name}")
+        pruned = load_banded_pruned(spark, f"{idx}/banded", nb)
+        pairs[name] = {(r["a"], r["b"]) for r in minhash_probe(
+            pruned, spark.read.parquet(f"{idx}/sets"), probe,
+            "doc_id", "text", threshold=0.8,
+            new_banded=nb, new_sets=ns, broadcast_new=True,
+        ).collect()}
+    assert pairs["auto"] == pairs["plain"]
+    assert any(a == 4 for a, _ in pairs["auto"])
+
+    # restart with the SAME checkpoint (all epochs committed): nothing
+    # reprocessed, marker and outputs unchanged
+    q2 = dedup_ingest_sink(
+        (spark.readStream.schema(batches.schema)
+         .option("maxFilesPerTrigger", 1).parquet(src)),
+        "doc_id", "text", out_dir=str(tmpdir / "out-auto"),
+        checkpoint_dir=str(tmpdir / "ckpt-auto"),
+        index_dir=str(tmpdir / "index-auto"),
+        threshold=0.8, compact_every_epochs=2,
+    )
+    q2.awaitTermination(300)
+    assert {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmpdir / "out-auto")).collect()
+    } == outs["plain"]
