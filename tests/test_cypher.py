@@ -326,3 +326,210 @@ def test_transaction_statements_are_noops(g):
         out = execute_cypher(g, stmt)
         assert isinstance(out, PropertyGraph)
         assert out.nodes.keys() == g.nodes.keys()
+
+
+# ---------------------------------------------------------------------------
+# Grammar fuzzer (r4 VERDICT item #9): a seeded generator emits valid
+# statements across the whole statement grammar; every one must parse to
+# the INTENDED statement class (no keyword-sniffing misdispatch — quirk
+# #9 stays fixed), read queries must also compile; token-level mutants
+# must either still parse or fail with CypherSyntaxError — NEVER leak an
+# IndexError/KeyError/AttributeError out of the parser.
+# (Upgraded analog of the reference's printf-style parser-debug
+# scaffolds, `tests/parser_debug_test.rs`.)
+# ---------------------------------------------------------------------------
+
+
+def _gen_statement(rng):
+    """Return (text, expected AST class name) for one random statement."""
+    # label-appropriate props so valid parses are also semantically valid
+    # (compile-able against the TPC-H test graph)
+    # prop -> ANSI-safe literal kind (int props never get string
+    # literals: Spark ANSI mode rejects the implicit cast)
+    schema = {
+        "Customer": {"c_custkey": "int", "c_acctbal": "num", "c_name": "str"},
+        "Order": {"o_orderkey": "int", "o_totalprice": "num"},
+        "Nation": {"n_nationkey": "int", "n_name": "str"},
+        "Part": {"p_partkey": "int", "p_size": "int"},
+    }
+    labels = list(schema)
+    kind = rng.randrange(8)
+    # hops use KNOWS (Customer->Customer) and the compiler enforces edge
+    # endpoint labels, so hop-bearing statements pin lab = Customer
+    lab = "Customer" if kind == 1 else rng.choice(labels)
+    props = list(schema[lab])
+
+    def lit(p=None):
+        kind_ = schema[lab].get(p, rng.choice(["int", "str", "num"]))
+        if kind_ == "int":
+            return str(rng.randrange(0, 500))
+        if kind_ == "num":
+            return str(rng.uniform(0, 9))[:6]
+        return f"'{rng.choice(['ae', 'b c', 'x', 'GERMANY'])}'"
+
+    def props_inline():
+        if rng.random() < 0.5:
+            return ""
+        ps = rng.sample(props, rng.randrange(1, min(3, len(props) + 1)))
+        return " {" + ", ".join(f"{p}: {lit(p)}" for p in ps) + "}"
+
+    def node(var="n"):
+        # one label per statement keeps inline props semantically valid
+        return f"({var}:{lab}{props_inline()})"
+
+    def varlen():
+        return rng.choice(["", "*", "*2", "*1..3", "*..2", "*2.."])
+
+    def rel(direction=None):
+        d = direction or rng.choice(["->", "<-", "--"])
+        # the reference grammar requires the [:TYPE] body (rel_pattern
+        # eats '[' unconditionally — bare --> is rejected)
+        body = f"[:KNOWS{varlen()}]"
+        if d == "->":
+            return f"-{body}->"
+        if d == "<-":
+            return f"<-{body}-"
+        return f"-{body}-"
+
+    def cond(var="n"):
+        pn = rng.choice(props)
+        p = f"{var}.{pn}"
+        c = rng.choice([
+            f"{p} = {lit(pn)}", f"{p} <> {lit(pn)}", f"{p} > {lit(pn)}",
+            f"{p} <= {lit(pn)}", f"{p} IS NULL", f"{p} IS NOT NULL",
+            f"EXISTS({p})", f"{p} =~ 'a.*'",
+            f"{p} IN [{lit(pn)}, {lit(pn)}]",
+        ])
+        if rng.random() < 0.3:
+            pn2 = rng.choice(props)
+            c += f" {rng.choice(['AND', 'OR'])} {var}.{pn2} < {lit(pn2)}"
+        return c
+
+    if kind == 0:  # read query, optional hops/where/order/skip/limit
+        q = f"MATCH {node('a')}"
+        if rng.random() < 0.5 and lab == "Customer":
+            q += f"{rel()}{node('b')}"
+        if rng.random() < 0.6:
+            q += f" WHERE {cond('a')}"
+        # aggregates take * or a prop ref (reference grammar: count(*),
+        # sum(n.prop) — never a bare variable)
+        p0 = props[0]
+        ret = rng.choice(["a", f"a.{p0}", f"a.{p0} AS k",
+                          "count(*)", f"count(a.{p0})",
+                          "a, b" if "(b" in q else "a"])
+        q += f" RETURN {ret}"
+        if "AS k" in q and rng.random() < 0.5:
+            q += " ORDER BY k" + rng.choice(["", " DESC", " ASC"])
+        if rng.random() < 0.3:
+            q += f" SKIP {rng.randrange(3)}"
+        if rng.random() < 0.3:
+            q += f" LIMIT {rng.randrange(1, 9)}"
+        return q, "ReadQuery"
+    if kind == 1:  # OPTIONAL MATCH read
+        # reused variables repeat their label (the compiler does not
+        # carry label bindings into a later clause's bare variable)
+        q = (f"MATCH {node('a')} OPTIONAL MATCH (a:{lab}){rel('->')}"
+             f"{node('b')} RETURN a, b")
+        return q, "ReadQuery"
+    if kind == 2:  # CREATE chain or rel
+        if rng.random() < 0.5:
+            nodes = ", ".join(
+                f"(x{i}:Thing{props_inline()})"
+                for i in range(rng.randrange(1, 4)))
+            return f"CREATE {nodes}", "CreateStmt"
+        return (f"CREATE (a:Thing {{kind: 1}})-[:REL]->(b:Thing {{kind: 2}})",
+                "CreateRelStmt")
+    if kind == 3:  # MERGE node (+ ON CREATE/ON MATCH)
+        q = f"MERGE (m:Thing {{kind: {rng.randrange(5)}}})"
+        if rng.random() < 0.5:
+            q += f" ON CREATE SET m.flag = {rng.randrange(9)}"
+        if rng.random() < 0.5:
+            q += f" ON MATCH SET m.flag = {rng.randrange(9)}"
+        return q, "MergeStmt"
+    if kind == 4:  # MERGE rel chain
+        hops = "".join(
+            f"-[:R{i}]->(n{i}:Thing)" for i in range(rng.randrange(1, 3)))
+        return f"MERGE (a:Thing {{kind: 0}}){hops}", "MergeRelStmt"
+    if kind == 5:  # FOREACH
+        ids = ", ".join(str(rng.randrange(50)) for _ in range(rng.randrange(1, 4)))
+        return (f"FOREACH (v IN [{ids}] | SET v.flag = {rng.randrange(9)})",
+                "ForeachStmt")
+    if kind == 6:  # CALL subquery
+        return (f"CALL {{ MATCH {node('c')} RETURN c }} RETURN c"
+                + (" LIMIT 5" if rng.random() < 0.5 else ""), "CallStmt")
+    # transactions / DELETE / SET statements
+    return rng.choice([
+        ("BEGIN", "TransactionStmt"), ("COMMIT", "TransactionStmt"),
+        ("ROLLBACK", "TransactionStmt"),
+        (f"MATCH (n:Thing) WHERE n.kind = {rng.randrange(5)} DELETE n",
+         "DeleteStmt"),
+        (f"MATCH (n:Thing) SET n.flag = {rng.randrange(9)}", "SetStmt"),
+    ])
+
+
+def test_cypher_grammar_fuzz_valid_statements_parse_to_intent():
+    import random
+
+    from rs_graphdb_spark.cypher.parser import parse_cypher
+
+    rng = random.Random(20260815)
+    for i in range(1200):
+        text, want = _gen_statement(rng)
+        stmt = parse_cypher(text)
+        got = type(stmt).__name__
+        assert got == want, f"{text!r} -> {got}, wanted {want}"
+
+
+def test_cypher_grammar_fuzz_read_queries_compile(graph):
+    import random
+
+    from rs_graphdb_spark.cypher.compiler import Compiler
+    from rs_graphdb_spark.cypher.parser import parse_cypher
+
+    rng = random.Random(77)
+    n_compiled = 0
+    while n_compiled < 60:
+        text, want = _gen_statement(rng)
+        if want != "ReadQuery" or ":Thing" in text:
+            continue
+        df = Compiler(graph).run(parse_cypher(text))
+        assert df.columns, text  # a real (lazy) DataFrame plan
+        n_compiled += 1
+
+
+def test_cypher_grammar_fuzz_mutants_fail_cleanly():
+    """Token-level mutations (delete/duplicate/swap/garbage-insert) must
+    either still parse or raise CypherSyntaxError — never an internal
+    exception class escaping the parser."""
+    import random
+    import re
+
+    from rs_graphdb_spark.cypher.parser import CypherSyntaxError, parse_cypher
+
+    rng = random.Random(4242)
+    n_rejected = n_accepted = 0
+    for i in range(1200):
+        text, _ = _gen_statement(rng)
+        toks = re.findall(r"\w+|[^\w\s]", text)
+        if len(toks) < 2:
+            continue
+        op = rng.randrange(4)
+        j = rng.randrange(len(toks))
+        if op == 0:
+            del toks[j]
+        elif op == 1:
+            toks.insert(j, toks[j])
+        elif op == 2:
+            k = rng.randrange(len(toks))
+            toks[j], toks[k] = toks[k], toks[j]
+        else:
+            toks.insert(j, rng.choice(["%", "@@", ")", "(", "WHERE", "42"]))
+        mutant = " ".join(toks)
+        try:
+            parse_cypher(mutant)
+            n_accepted += 1
+        except CypherSyntaxError:
+            n_rejected += 1
+        # any other exception type propagates and fails the test
+    # the mutator must actually exercise the error paths
+    assert n_rejected > 300, (n_rejected, n_accepted)
