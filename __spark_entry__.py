@@ -1942,11 +1942,58 @@ def q25_graph_ranking(spark, sf_dir):
 
 
 def q26_dml_delete_set(spark, sf_dir):
-    """Suite: DELETE with edge cascade + SET under predicate."""
+    """Suite: DELETE with edge cascade + SET under predicate, each in TWO
+    physical forms pinned equal by one oracle: the lineage rewrite
+    (operators/dml.py) and the partition-scoped store rewrite
+    (sources/partitioned_dml.py — only victim `pb=` buckets rewritten;
+    untouched buckets byte-identical, pinned by pytest)."""
+    import shutil
+    import uuid
+
+    from rs_graphdb_spark.graph import PropertyGraph
+    from rs_graphdb_spark.sources.partitioned_dml import (
+        delete_nodes_partitioned,
+        load_graph_partitioned,
+        save_graph_partitioned,
+        set_props_partitioned,
+    )
+
+    g = _graph(spark, sf_dir)
+    sub = PropertyGraph(
+        nodes={"Customer": g.nodes["Customer"]},
+        edges={"PLACED": g.edges["PLACED"]},
+    )
+    rows = []
+    for op in ("del", "set"):
+        path = f".tmp/pdml-{uuid.uuid4().hex[:8]}"
+        save_graph_partitioned(sub, path, id_buckets=8)
+        if op == "del":
+            delete_nodes_partitioned(
+                spark, path, "Customer", F.col("c_acctbal") < 500.0
+            )
+            g2 = load_graph_partitioned(spark, path)
+            rows.append((
+                g2.nodes["Customer"].count(), g2.edges["PLACED"].df.count()
+            ))
+        else:
+            set_props_partitioned(
+                spark, path, "Customer", F.col("c_acctbal") > 9000.0,
+                {"c_mktsegment": F.lit("PREMIUM")},
+            )
+            pset = (
+                load_graph_partitioned(spark, path).nodes["Customer"]
+                .groupBy("c_mktsegment").agg(F.count("*").alias("cnt"))
+                .localCheckpoint(eager=True)  # counts survive the rmtree
+            )
+        shutil.rmtree(path, ignore_errors=True)
+    pdel = _ldf(spark, rows, "n_customers long, n_placed long")
     return _quads(
         _metric_quads(q38_delete_cascade(spark, sf_dir),
                       {"del_cust": "n_customers", "del_placed": "n_placed"}),
         _quad("set", q39_set_update(spark, sf_dir), v="cnt", s="c_mktsegment"),
+        _metric_quads(pdel, {"pdel_cust": "n_customers",
+                             "pdel_placed": "n_placed"}),
+        _quad("pset", pset, v="cnt", s="c_mktsegment"),
     )
 
 
@@ -5275,6 +5322,13 @@ def oracle_sql() -> dict[str, str]:
             _sql_metric_quads(base["q38_delete_cascade"],
                               {"del_cust": "n_customers", "del_placed": "n_placed"}),
             _sql_quad("set", base["q39_set_update"], v="cnt", s="c_mktsegment"),
+            # the partition-scoped store rewrites must land on the SAME
+            # values as the lineage DML — identical twins, new part tags
+            _sql_metric_quads(base["q38_delete_cascade"],
+                              {"pdel_cust": "n_customers",
+                               "pdel_placed": "n_placed"}),
+            _sql_quad("pset", base["q39_set_update"], v="cnt",
+                      s="c_mktsegment"),
         ),
         "q27_constraints": _sql_union(
             _sql_quad("unique", base["q41_constraint_unique"], v="n_dup", s="c_mktsegment"),

@@ -85,12 +85,16 @@ def load_graph_partitioned(spark: SparkSession, path: str) -> PropertyGraph:
     """Reopen a partitioned graph; the ``pb`` partition column is dropped
     so query surfaces see the exact saved schema."""
     meta = json.loads(spark.read.json(f"{path}/_meta").first()["meta"])
+    # mergeSchema: a SET that adds a new column rewrites only victim
+    # buckets, so bucket schemas can legitimately differ by added
+    # (NULL-elsewhere) columns
+    rd = spark.read.option("mergeSchema", "true")
     g = PropertyGraph()
     for label in meta["nodes"]:
-        g.nodes[label] = spark.read.parquet(f"{path}/nodes/{label}").drop(PB)
+        g.nodes[label] = rd.parquet(f"{path}/nodes/{label}").drop(PB)
     for rt, info in meta["edges"].items():
         g.edges[rt] = EdgeSet(
-            df=spark.read.parquet(f"{path}/edges/{rt}").drop(PB),
+            df=rd.parquet(f"{path}/edges/{rt}").drop(PB),
             src_label=info["src_label"],
             dst_label=info["dst_label"],
         )
@@ -107,28 +111,38 @@ def _rewrite_buckets(
     buckets: list[int],
     transform,
 ) -> None:
-    """Rewrite ONLY the named ``pb=k`` dirs of one table: read each
-    bucket's rows (partition-pruned scan), apply ``transform``
-    (DataFrame -> DataFrame), stage the result, atomically swap the dir.
-    A bucket whose rows all vanish becomes an empty dir swap (the
-    partition disappears from the dataset, which parquet readers treat
-    as simply absent)."""
+    """Rewrite ONLY the named ``pb=k`` dirs of one table in ONE Spark job:
+    a partition-pruned scan of exactly those buckets, ``transform``
+    (DataFrame -> DataFrame, PB rides along), one ``partitionBy(PB)``
+    write to a staging dir, then an atomic ``os.replace`` swap per
+    touched dir (sequential per-bucket jobs would serialize work that is
+    embarrassingly parallel across buckets). A bucket whose rows all
+    vanish has no staged dir — its old dir is removed (the partition
+    disappears from the dataset, which parquet readers treat as simply
+    absent)."""
+    buckets = [
+        k for k in buckets if os.path.exists(f"{table_dir}/{PB}={k}")
+    ]
     if not buckets:
         return
     staging = f"{table_dir}/_staging-{uuid.uuid4().hex[:8]}"
-    os.makedirs(staging)
     try:
+        scoped = spark.read.parquet(table_dir).filter(
+            F.col(PB).isin(buckets)
+        )
+        out = transform(scoped)
+        (
+            out.repartition(len(buckets), PB)
+            .write.mode("overwrite").partitionBy(PB).parquet(staging)
+        )
         for k in sorted(buckets):
             src_dir = f"{table_dir}/{PB}={k}"
-            if not os.path.exists(src_dir):
-                continue
-            out = transform(spark.read.parquet(src_dir))
             stage_k = f"{staging}/{PB}={k}"
-            out.write.mode("overwrite").parquet(stage_k)
             retired = f"{table_dir}/_old-{PB}={k}"
             shutil.rmtree(retired, ignore_errors=True)
             os.replace(src_dir, retired)
-            os.replace(stage_k, src_dir)
+            if os.path.exists(stage_k):
+                os.replace(stage_k, src_dir)
             shutil.rmtree(retired, ignore_errors=True)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
