@@ -2949,7 +2949,26 @@ def q48_splits(spark, sf_dir):
 
 
 def q49_pack_sequences(spark, sf_dir):
-    return q85_pack_sequences(spark, sf_dir)
+    """Suite: greedy sequence packing (per-shard window cumsum) +
+    context-window chunking (whitespace-token chunks of 40 with an
+    8-token overlap; chunk text value-checked via md5, so slice bounds
+    and the overlap carry are pinned exactly)."""
+    from rs_graphdb_spark.functions.text import chunk_documents
+
+    ch = chunk_documents(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        max_tokens=40, overlap=8,
+    )
+    return _quads(
+        _metric_quads(q85_pack_sequences(spark, sf_dir),
+                      {"pk_docs": "n_docs", "pk_tok": "sum_tokens"},
+                      k=F.col("shard") * 100_000 + F.col("bin")),
+        _quad("chunk",
+              ch.select("doc_id", "chunk_idx", "n_tokens",
+                        F.md5("chunk_text").alias("h")),
+              k=F.col("doc_id") * 1000 + F.col("chunk_idx"),
+              v="n_tokens", s="h"),
+    )
 
 
 def q50_kmeans(spark, sf_dir):
@@ -6009,6 +6028,35 @@ def oracle_sql() -> dict[str, str]:
                 k="doc_id",
             ),
         ),
-        "q49_pack_sequences": base["q85_pack_sequences"],
+        "q49_pack_sequences": _sql_union(
+            _sql_metric_quads(base["q85_pack_sequences"],
+                              {"pk_docs": "n_docs", "pk_tok": "sum_tokens"},
+                              k="shard * 100000 + bin"),
+            # chunk twin: same whitespace split, stride 32, width 40;
+            # DuckDB list slicing is 1-based inclusive like F.slice
+            _sql_quad(
+                "chunk",
+                """
+                WITH d AS (
+                    SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents
+                ),
+                c AS (
+                    SELECT doc_id, t,
+                           greatest(1, CAST(ceil((len(t) - 8) / 32.0)
+                                       AS BIGINT)) AS nc
+                    FROM d
+                )
+                SELECT doc_id, u.i AS chunk_idx,
+                       len(list_slice(t, u.i * 32 + 1, u.i * 32 + 40))
+                           AS n_tokens,
+                       md5(array_to_string(
+                           list_slice(t, u.i * 32 + 1, u.i * 32 + 40), ' '))
+                           AS h
+                FROM c, (SELECT unnest(range(0, 1000)) AS i) u
+                WHERE u.i < nc
+                """,
+                k="doc_id * 1000 + chunk_idx", v="n_tokens", s="h"),
+        ),
         "q50_kmeans": base["q97_kmeans"],
     }

@@ -16,7 +16,7 @@ Everything in this module is pure `pyspark.sql.functions` — no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: token = maximal run of lowercase alphanumerics (reference tokenizer:
@@ -232,5 +232,50 @@ def tfidf(df, id_col: str, text_col: str):
             (F.col("tf")
              * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0)
              ).alias("tfidf"),
+        )
+    )
+
+
+def chunk_documents(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 128,
+    overlap: int = 16,
+) -> "DataFrame":
+    """Context-window chunking (training/RAG prep): split each document
+    into whitespace-token chunks of ``max_tokens`` with ``overlap``
+    tokens carried between consecutive chunks (stride = max_tokens −
+    overlap). Returns (id_col, chunk_idx, chunk_text, n_tokens); every
+    document yields ≥1 chunk (a short doc is its own single chunk).
+
+    Scale shape: pure codegen — split + sequence + posexplode + slice,
+    no shuffle, no Python; chunks inherit the document scan's
+    partitioning, so chunking a 100 TB corpus is one embarrassingly
+    parallel scan-stage. The whitespace tokenizer is deliberate (the
+    DuckDB twin reproduces it verbatim); swap `tokenize()` or a BPE
+    counter upstream if chunk budgets must be model-exact."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}")
+    stride = max_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(float(stride))),
+    ).cast("int")
+    chunk = lambda i: F.slice(F.col("_t"), i * stride + 1, max_tokens)  # noqa: E731
+    return (
+        df.select(F.col(id_col), toks.alias("_t"), n_chunks.alias("_nc"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(F.sequence(F.lit(0), F.col("_nc") - 1), chunk)
+            ).alias("chunk_idx", "_c"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join("_c", " ").alias("chunk_text"),
+            F.size("_c").alias("n_tokens"),
         )
     )
