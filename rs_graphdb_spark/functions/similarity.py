@@ -154,6 +154,35 @@ def banded_hyperplane_codes(
     ]
 
 
+def lsh_params_for(
+    n_vectors: int,
+    threshold: float = 0.95,
+    target_recall: float = 0.999,
+    target_bucket: int = 16,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """Size (tables, planes_per_table) for :func:`embedding_near_dup_lsh`
+    to the CORPUS, not a constant: with p planes a table has 2^p buckets,
+    so any FIXED p leaves average bucket size n/2^p growing linearly and
+    candidate mass O(n²/2^p) — quadratic at scale (measured: the r5 ANN
+    probe's 100k rung with the old fixed (8, 4) = 16 buckets/table built
+    ~2.5G candidate pairs and OOM'd the JVM). Scaling p ≈ log2(n /
+    target_bucket) pins the average bucket (and therefore candidates per
+    table ≈ n·bucket/2) LINEAR in n; tables then restore recall, growing
+    only ~n^0.15 for cosine thresholds near 1 (hyperplane collision
+    q = (1 − acos(t)/π)^p, recall = 1 − (1−q)^T)."""
+    import math
+
+    p = max(4, math.ceil(math.log2(max(2, n_vectors) / target_bucket)))
+    q = (1.0 - math.acos(threshold) / math.pi) ** p
+    t = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - q)))
+    # candidate mass ≈ T · n · (bucket−1)/2 — the verify-stage budget the
+    # caller pays; target_bucket=16 keeps it ≈ 8·T·n rows (measured at
+    # the 1M rung: bucket 61 → 855M candidates spilled 24 GB and died,
+    # bucket ~15 → ~250M verifies fine)
+    return min(t, max_tables), p
+
+
 def embedding_near_dup_lsh(
     df: DataFrame,
     id_col: str,
@@ -175,6 +204,13 @@ def embedding_near_dup_lsh(
 
     Deterministic (seeded planes) → exactly reproducible by a SQL twin
     embedding the same plane literals.
+
+    SIZE (tables, planes_per_table) TO THE CORPUS via
+    :func:`lsh_params_for` — the defaults suit the ≤50k-vector driver
+    fixtures (and stay fixed there because the oracle twin embeds these
+    exact plane literals); a fixed plane count at 100× the corpus makes
+    candidate generation quadratic (see lsh_params_for's docstring for
+    the measured failure).
 
     Exact-duplicate collapse (on by default): real corpora carry many
     bit-identical embeddings (mirrored shards, re-crawls), and k copies
@@ -208,30 +244,68 @@ def embedding_near_dup_lsh(
             ])
         ).alias("e"),
     ).select("id", "e.tbl", "e.code")
+    # BUCKET-LOCAL verification: shuffle each representative's VECTOR to
+    # its T buckets once (traffic = T·n·~520 B — the inherent LSH cost),
+    # then score every co-bucket pair with a blockwise numpy GEMM inside
+    # applyInPandas and emit ONLY pairs ≥ threshold. The earlier design
+    # (emit all candidate pairs, then join vectors on for an exact-cosine
+    # verify) attached a 512-byte vector to EVERY candidate pair — ~130
+    # GB of shuffle at the 1M-vector probe rung (T=35, avg bucket 16 →
+    # 250M candidates), which filled the disk; survivors here are
+    # corpus-sized, not candidate-sized. Cosine per pair is order-
+    # deterministic (fixed dimension order) so cross-table duplicates
+    # carry identical values and one dropDuplicates canonicalizes.
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def _verify(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        k = len(pdf)
+        if k < 2:
+            return pd.DataFrame({"ra": [], "rb": [], "cos": []}).astype(
+                {"ra": "int64", "rb": "int64", "cos": "float64"})
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.asarray(list(pdf["v"].to_numpy()[order]), dtype=np.float64)
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        ras, rbs, cs = [], [], []
+        # blockwise rows: a hot bucket's k×k Gram matrix never
+        # materializes whole — peak memory is block×k doubles
+        block = 1024
+        for s in range(0, k, block):
+            e = min(s + block, k)
+            G = V[s:e] @ V.T  # (block, k)
+            bi, bj = np.nonzero(G >= thr)
+            keep = (bi + s) < bj  # upper triangle only (ra < rb)
+            ras.append(ids[bi[keep] + s])
+            rbs.append(ids[bj[keep]])
+            cs.append(G[bi[keep], bj[keep]])
+        return pd.DataFrame({
+            "ra": np.concatenate(ras), "rb": np.concatenate(rbs),
+            "cos": np.concatenate(cs),
+        })
+
     par = df.sparkSession.sparkContext.defaultParallelism
-    c = c.repartition(par, "tbl", "code").localCheckpoint(eager=True)
-    rep_pairs = (
-        c.alias("x")
-        .join(
-            c.alias("y"),
-            (F.col("x.tbl") == F.col("y.tbl"))
-            & (F.col("x.code") == F.col("y.code"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(F.col("x.id").alias("ra"), F.col("y.id").alias("rb"))
+    members = c.join(
+        groups.select("id", "v").hint("shuffle_hash"), "id"
+    )
+    survivor_pairs = (
+        members.repartition(par, "tbl", "code")
+        .groupBy("tbl", "code")
+        .applyInPandas(_verify, "ra long, rb long, cos double")
         .dropDuplicates(["ra", "rb"])
     )
-    # verify at the REPRESENTATIVE level — every member pair of a rep pair
-    # shares the exact same cosine (identical vector bits), so the k²
-    # expansion happens only for pairs that already passed the threshold
-    ga = groups.select(F.col("id").alias("ra"), F.col("members").alias("_ms_a"),
-                       F.col("v").alias("_va"))
-    gb = groups.select(F.col("id").alias("rb"), F.col("members").alias("_ms_b"),
-                       F.col("v").alias("_vb"))
+    # member-list expansion only for pairs that already passed the
+    # threshold (shuffle_hash: the group frame is a localCheckpoint leaf
+    # Catalyst cannot size — an AQE runtime broadcast of the 1-GB vector
+    # frame blew spark.driver.maxResultSize at the probe rung)
+    ga = groups.select(F.col("id").alias("ra"), F.col("members").alias("_ms_a"))
+    gb = groups.select(F.col("id").alias("rb"), F.col("members").alias("_ms_b"))
     survivors = (
-        rep_pairs.join(ga, "ra").join(gb, "rb")
-        .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
-        .filter(F.col("cos") >= threshold)
+        survivor_pairs.join(ga.hint("shuffle_hash"), "ra")
+        .join(gb.hint("shuffle_hash"), "rb")
     )
     cross = (
         survivors

@@ -58,7 +58,13 @@ def get_spark(app_name: str = "rs-graphdb-spark") -> SparkSession:
         .config("spark.sql.parquet.pushdown.inFilterThreshold", "100")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[32] puts all 32 executor threads in the DRIVER JVM: the
+        # heap must be sized like 32 cores of cluster executors (4-8 GB
+        # per 4-5 cores), not like a thin coordinator. 8g GC-thrashed and
+        # OOM'd 32-way collect_list/sort stages at the r5 1M-row probe
+        # rungs; 24g matches the 128 GiB box while leaving room for 32
+        # Python workers + OS cache.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

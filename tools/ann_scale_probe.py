@@ -76,6 +76,7 @@ def main() -> None:
         embedding_near_dup_lsh,
         knn_bruteforce,
         knn_lsh,
+        lsh_params_for,
     )
     from rs_graphdb_spark.session import get_spark
 
@@ -103,10 +104,14 @@ def main() -> None:
         rows.append((f"knn_lsh(multi_probe) {n//1000}k", w, f"{c} rows"))
         print(rows[-1], flush=True)
 
+        # size (tables, planes) to the corpus — a fixed plane count is
+        # O(n²/2^p) candidates (the bend this probe originally caught)
+        tables, planes = lsh_params_for(n, threshold=0.95)
         w, c = timed(lambda: embedding_near_dup_lsh(
-            nd, "vec_id", "embedding", threshold=0.95).count(), runs)
-        rows.append((f"embedding_near_dup_lsh {n//1000}k", w,
-                     f"{c} pairs (true {n//2})"))
+            nd, "vec_id", "embedding", threshold=0.95,
+            tables=tables, planes_per_table=planes).count(), runs)
+        rows.append((f"embedding_near_dup_lsh {n//1000}k (T={tables},p={planes})",
+                     w, f"{c} pairs (true {n//2})"))
         print(rows[-1], flush=True)
 
     print("\n| operator / rung | wall (s) | result |")
