@@ -2415,6 +2415,46 @@ def q36_text_features(spark, sf_dir):
     rep = docs.select(
         "doc_id", TX.repetition_ratio("text").alias("rep")
     )
+    # Gopher repetition signals (dup-line / top-2gram / dup-5gram char
+    # shares) over deterministically salted text: the raw corpus is
+    # single-line with few natural 5-gram repeats, so each doc gains two
+    # 'footer line' lines (one conditional), its own 40-char prefix as a
+    # line, and an 80-char echo so every rule actually fires. The oracle
+    # builds the identical string.
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\nfooter line\n"),
+            F.substring("text", 1, 40),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\nfooter line"))
+            .otherwise(F.lit("")),
+            F.lit(" "), F.substring("text", 1, 80),
+        ).alias("t3"),
+    )
+    rsig = lined.select(
+        "doc_id", TX.repetition_signals("t3").alias("r")
+    ).select("doc_id", "r.*")
+    # WET-style HTML→text extraction over a deterministic per-doc page
+    # wrapper (script/style bodies, a comment, entities, block structure)
+    # — the oracle builds the identical page and runs the generated
+    # DuckDB twin of the SAME pattern chain (cleaning.html_to_text_sql)
+    from rs_graphdb_spark.functions.cleaning import html_to_text
+
+    ds = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit('<html><head><title>Doc</title><style>p{color:red}</style>'
+              '<script>if (1 < 2 && true) { x("a&b"); }</script></head>'
+              '<body><!-- c'), ds, F.lit(' --><h1>Doc '), ds,
+        F.lit('</h1><p>'), F.col("text"),
+        F.lit('</p><ul><li>a &amp;amp; b</li><li>&lt;'), ds,
+        F.lit('&gt;&nbsp;&quot;q&quot;&#39;s&#39;</li></ul><div>tail '),
+        ds, F.lit('</div></body></html>'),
+    )
+    html = docs.select(
+        "doc_id",
+        F.md5(html_to_text(page)).alias("hm"),
+        F.length(html_to_text(page)).cast("long").alias("hl"),
+    )
     keep = docs.select(
         TX.quality_filter("text").alias("keep")
     ).groupBy("keep").agg(F.count("*").alias("cnt"))
@@ -2540,6 +2580,13 @@ def q36_text_features(spark, sf_dir):
         _metric_quads(q52_token_stats(spark, sf_dir),
                       {"tok_alnum": "n_tokens", "tok_bpe": "n_bpe"}, k="doc_id"),
         _quad("repetition", rep, k="doc_id", v="rep"),
+        _metric_quads(rsig,
+                      {"rep_dline": "dup_line_frac",
+                       "rep_dlchar": "dup_line_char_frac",
+                       "rep_top2": "top_ngram_char_frac",
+                       "rep_dup5": "dup_ngram_char_frac"},
+                      k="doc_id"),
+        _quad("html_text", html, k="doc_id", v="hl", s="hm"),
         _quad("filter_keep", keep, v="cnt", s="keep"),
     )
 
@@ -4939,6 +4986,115 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
+    # Gopher repetition-signals twin: identical line/echo salt, explode
+    # n-grams to rows (the SQL-natural form of the Spark side's per-row
+    # array expressions), window for the deterministic (cnt, len, gram)
+    # top pick, occurrence-char normalization
+    rsig_sql = """
+        WITH t AS (
+            SELECT doc_id,
+                   text || chr(10) || 'footer line' || chr(10)
+                   || substr(text, 1, 40)
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN chr(10) || 'footer line' ELSE '' END
+                   || ' ' || substr(text, 1, 80) AS tx
+            FROM documents
+        ),
+        ln AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(string_split(tx, chr(10)),
+                                      l -> trim(l)),
+                       l -> l <> '') AS ls
+            FROM t
+        ),
+        lm AS (
+            SELECT doc_id,
+                   round(CASE WHEN len(ls) > 0
+                         THEN 1.0 - len(list_distinct(ls)) * 1.0 / len(ls)
+                         ELSE 0.0 END, 6) AS dup_line_frac,
+                   round(CASE WHEN length(array_to_string(ls, '')) > 0
+                         THEN 1.0
+                              - length(array_to_string(list_distinct(ls), ''))
+                                * 1.0 / length(array_to_string(ls, ''))
+                         ELSE 0.0 END, 6) AS dup_line_char_frac
+            FROM ln
+        ),
+        tk AS (
+            SELECT doc_id, regexp_extract_all(lower(tx), '[a-z0-9]+') AS tk
+            FROM t
+        ),
+        g2 AS (
+            SELECT doc_id, unnest(CASE WHEN len(tk) >= 2 THEN
+                list_transform(range(len(tk) - 1),
+                               i -> array_to_string(tk[i + 1:i + 2], ' '))
+                ELSE [] END) AS g
+            FROM tk
+        ),
+        c2 AS (
+            SELECT doc_id, g, count(*) AS cnt, length(g) - 1 AS glen
+            FROM g2 GROUP BY doc_id, g
+        ),
+        r2 AS (
+            SELECT doc_id, cnt, glen,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, glen DESC, g DESC)
+                       AS rn,
+                   sum(cnt * glen) OVER (PARTITION BY doc_id) AS allc
+            FROM c2
+        ),
+        t2 AS (
+            SELECT doc_id, round(cnt * glen * 1.0 / allc, 6) AS topf
+            FROM r2 WHERE rn = 1 AND allc > 0
+        ),
+        g5 AS (
+            SELECT doc_id, unnest(CASE WHEN len(tk) >= 5 THEN
+                list_transform(range(len(tk) - 4),
+                               i -> array_to_string(tk[i + 1:i + 5], ' '))
+                ELSE [] END) AS g
+            FROM tk
+        ),
+        c5 AS (
+            SELECT doc_id, g, count(*) AS cnt, length(g) - 4 AS glen
+            FROM g5 GROUP BY doc_id, g
+        ),
+        d5 AS (
+            SELECT doc_id,
+                   round(sum(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END)
+                         * 1.0 / sum(cnt * glen), 6) AS dupf
+            FROM c5 GROUP BY doc_id HAVING sum(cnt * glen) > 0
+        )
+        SELECT lm.doc_id,
+               lm.dup_line_frac,
+               lm.dup_line_char_frac,
+               coalesce(t2.topf, 0.0) AS top_ngram_char_frac,
+               coalesce(d5.dupf, 0.0) AS dup_ngram_char_frac
+        FROM lm
+        LEFT JOIN t2 USING (doc_id)
+        LEFT JOIN d5 USING (doc_id)
+    """
+
+    # HTML→text twin: identical page wrapper, extraction chain generated
+    # from the SAME pattern tables (cleaning.html_to_text_sql)
+    from rs_graphdb_spark.functions.cleaning import html_to_text_sql
+
+    _page_sql = (
+        "'<html><head><title>Doc</title><style>p{color:red}</style>"
+        '<script>if (1 < 2 && true) { x("a&b"); }</script></head>'
+        "<body><!-- c' || CAST(doc_id AS VARCHAR) || ' --><h1>Doc '"
+        " || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||"
+        " '</p><ul><li>a &amp;amp; b</li><li>&lt;'"
+        " || CAST(doc_id AS VARCHAR) ||"
+        " '&gt;&nbsp;&quot;q&quot;&#39;s&#39;</li></ul><div>tail '"
+        " || CAST(doc_id AS VARCHAR) || '</div></body></html>'"
+    )
+    html_sql = f"""
+        WITH h AS (SELECT doc_id, {_page_sql} AS page FROM documents),
+        x AS (SELECT doc_id, {html_to_text_sql('page')} AS xt FROM h)
+        SELECT doc_id, md5(xt) AS hm, CAST(length(xt) AS BIGINT) AS hl
+        FROM x
+    """
+
     # shuffle-shard twin: md5('seed:id') drives both shard and sort key
     shard_sql = f"""
         WITH s AS (
@@ -5609,6 +5765,13 @@ def oracle_sql() -> dict[str, str]:
                 """,
                 k="doc_id", v="rep",
             ),
+            _sql_metric_quads(rsig_sql,
+                              {"rep_dline": "dup_line_frac",
+                               "rep_dlchar": "dup_line_char_frac",
+                               "rep_top2": "top_ngram_char_frac",
+                               "rep_dup5": "dup_ngram_char_frac"},
+                              k="doc_id"),
+            _sql_quad("html_text", html_sql, k="doc_id", v="hl", s="hm"),
             _sql_quad(
                 "filter_keep",
                 """

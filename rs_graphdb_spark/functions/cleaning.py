@@ -54,6 +54,10 @@ __all__ = [
     "snapshot_diff",
     "strip_control_chars",
     "normalize_text",
+    "HTML_STRIP_PATTERNS",
+    "HTML_ENTITIES",
+    "html_to_text",
+    "html_to_text_sql",
 ]
 
 #: (name, regex, replacement) applied IN ORDER — order is semantic: the
@@ -765,3 +769,103 @@ def normalize_text(col: Column | str, form: str = "NFC") -> Column:
 
     c = F.col(col) if isinstance(col, str) else col
     return _norm(c)
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (WET-style)
+# ---------------------------------------------------------------------------
+
+#: (regex, replacement) applied IN ORDER — order is semantic: script/
+#: style/noscript blocks must go (content included) before the generic
+#: tag rule or their bodies would leak as text; block-level closers turn
+#: into newlines BEFORE remaining tags collapse to spaces so paragraph
+#: structure survives. RE2-compatible subset (lazy quantifiers, inline
+#: (?is) flags; no lookaround/backrefs) so Java regex (Spark) and RE2
+#: (DuckDB) agree character-for-character.
+HTML_STRIP_PATTERNS: list[tuple[str, str]] = [
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?is)<noscript[^>]*>.*?</noscript>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table)[^>]*>", "\n"),
+    (r"(?s)<[^>]*>", " "),
+]
+
+#: entity → character, applied IN ORDER after tag stripping; ``&amp;``
+#: decodes LAST (the standard single-pass rule: '&amp;lt;' must yield the
+#: literal text '&lt;', not '<')
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+#: final whitespace canonicalization, in order: horizontal runs → one
+#: space, spaces hugging a newline dropped, newline runs → one newline,
+#: leading/trailing whitespace stripped (explicit class, not \s — Java
+#: and RE2 disagree on whether \s matches \x0b)
+_HTML_WS_PATTERNS: list[tuple[str, str]] = [
+    (r"[ \t\r]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n+", "\n"),
+    (r"^[ \n]+", ""),
+    (r"[ \n]+$", ""),
+]
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Extract visible text from an HTML document column (the WARC→WET
+    step at the head of every web-crawl training pipeline): drop
+    script/style/noscript bodies and comments, convert block-level
+    boundaries to newlines, strip remaining tags, decode the five XML
+    entities + ``&nbsp;``, and canonicalize whitespace.
+
+    One chained ``regexp_replace``/``replace`` projection — pure
+    whole-stage codegen, zero shuffles, so extracting a 100 TB crawl is a
+    scan stage. The identical chain in the identical order is emitted for
+    DuckDB by :func:`html_to_text_sql`, so extracted text is
+    bit-identical across engines. This is deliberately a regex extractor
+    (CommonCrawl-WET fidelity class), not a DOM parser: no entity
+    numeric-range decoding beyond ``&#39;``, no table layout. Swap a
+    native extractor behind the same column contract for DOM-accurate
+    corpora.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in HTML_STRIP_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    for pat, repl in _HTML_WS_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`html_to_text`, generated from the SAME
+    pattern tables (single source of truth — the PSL/PII convention)."""
+
+    def q(s: str) -> str:
+        if "\n" in s:
+            # newline replacements ride as chr(10) expressions — DuckDB
+            # string literals have no escape form inside plain quotes
+            parts = s.split("\n")
+            lits = []
+            for i, p in enumerate(parts):
+                if i:
+                    lits.append("chr(10)")
+                if p:
+                    lits.append("'" + p.replace("'", "''") + "'")
+            return " || ".join(lits) if lits else "''"
+        return "'" + s.replace("'", "''") + "'"
+
+    e = expr
+    for pat, repl in HTML_STRIP_PATTERNS:
+        e = f"regexp_replace({e}, {q(pat)}, {q(repl)}, 'g')"
+    for ent, ch in HTML_ENTITIES:
+        e = f"replace({e}, {q(ent)}, {q(ch)})"
+    for pat, repl in _HTML_WS_PATTERNS:
+        e = f"regexp_replace({e}, {q(pat)}, {q(repl)}, 'g')"
+    return e

@@ -140,6 +140,125 @@ def repetition_ratio(col: Column | str, k: int = 3) -> Column:
     )
 
 
+def repetition_signals(
+    col: Column | str,
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> Column:
+    """Gopher-style within-document repetition signals as ONE struct:
+
+    - ``dup_line_frac``       — fraction of non-empty lines that repeat an
+      earlier line (count-based): `1 − distinct(lines)/lines`.
+    - ``dup_line_char_frac``  — character-weighted version: fraction of
+      line characters sitting in repeat occurrences:
+      `1 − chars(distinct lines)/chars(all lines)`.
+    - ``top_ngram_char_frac`` — share of word-``top_n``-gram occurrence
+      characters belonging to the single most frequent ``top_n``-gram
+      (ties broken by (count, gram-length, gram) — fully deterministic).
+    - ``dup_ngram_char_frac`` — share of word-``dup_n``-gram occurrence
+      characters belonging to grams that occur more than once.
+
+    The gram ratios are normalized by TOTAL n-gram occurrence characters
+    (each overlapping occurrence counts once in both numerator and
+    denominator), so both are true fractions in [0, 1] — the standard
+    occurrence-based reimplementation of the Gopher rule. All four are
+    pure array expressions over one tokenize pass — per-row, zero
+    shuffle, so scoring 100 TB is a scan stage. Gram character counts are
+    separator-free token lengths. Docs too short for an n-gram score 0.0.
+
+    Reference anchor: extends the §2.8 text-analysis family
+    (`/root/reference/src/index_advanced.rs:72-88` tokenizer); rule shape
+    from Rae et al. 2021 (Gopher), Table A1.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+    def _gram_fracs(toks, n):
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        # bind grams once; per distinct gram: (count, char-len, gram)
+        return F.transform(
+            F.array(grams),
+            lambda g: F.struct(
+                *_gram_stats_cols(g, n)
+            ),
+        )[0]
+
+    def _gram_stats_cols(grams, n):
+        stats = F.transform(
+            F.array_distinct(grams),
+            lambda g: F.struct(
+                F.size(F.filter(grams, lambda x: x == g)).alias("cnt"),
+                (F.length(g) - F.lit(n - 1)).alias("len"),
+                g.alias("g"),
+            ),
+        )
+        top = F.aggregate(
+            stats,
+            F.lit(None).cast(
+                "struct<cnt:int,len:int,g:string>"
+            ),
+            lambda acc, s: F.when(acc.isNull() | (s > acc), s).otherwise(acc),
+        )
+        top_chars = F.coalesce(top["cnt"] * top["len"], F.lit(0))
+        dup_chars = F.aggregate(
+            stats,
+            F.lit(0),
+            lambda acc, s: acc
+            + F.when(s["cnt"] > 1, s["cnt"] * s["len"]).otherwise(F.lit(0)),
+        )
+        all_chars = F.aggregate(
+            stats, F.lit(0), lambda acc, s: acc + s["cnt"] * s["len"]
+        )
+        frac = lambda x: F.round(  # noqa: E731
+            F.when(all_chars > 0, x / all_chars).otherwise(0.0), 6
+        )
+        return [frac(top_chars).alias("top"), frac(dup_chars).alias("dup")]
+
+    dline = F.transform(
+        F.array(lines),
+        lambda ls: F.struct(
+            F.round(
+                F.when(
+                    F.size(ls) > 0,
+                    1.0 - F.size(F.array_distinct(ls)) / F.size(ls),
+                ).otherwise(0.0),
+                6,
+            ).alias("cnt_frac"),
+            F.round(
+                F.when(
+                    F.length(F.array_join(ls, "")) > 0,
+                    1.0
+                    - F.length(F.array_join(F.array_distinct(ls), ""))
+                    / F.length(F.array_join(ls, "")),
+                ).otherwise(0.0),
+                6,
+            ).alias("char_frac"),
+        ),
+    )[0]
+    toks_once = F.transform(
+        F.array(tokenize(c)),
+        lambda toks: F.struct(
+            _gram_fracs(toks, top_n)["top"].alias("top_ngram_char_frac"),
+            _gram_fracs(toks, dup_n)["dup"].alias("dup_ngram_char_frac"),
+        ),
+    )[0]
+    return F.struct(
+        dline["cnt_frac"].alias("dup_line_frac"),
+        dline["char_frac"].alias("dup_line_char_frac"),
+        toks_once["top_ngram_char_frac"].alias("top_ngram_char_frac"),
+        toks_once["dup_ngram_char_frac"].alias("dup_ngram_char_frac"),
+    )
+
+
 def quality_filter(
     col: Column | str,
     min_tokens: int = 20,

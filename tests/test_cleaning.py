@@ -440,3 +440,46 @@ def test_extract_domain_psl_join_equals_column(spark):
     got = {r["id"]: r["domain"] for r in
            extract_domain_psl_join(df, "u", "id").collect()}
     assert got == want
+
+
+def test_html_to_text_cross_engine(spark):
+    """WET-style extraction: script/style/comment bodies dropped, block
+    boundaries become newlines, entities single-pass decoded — and the
+    generated DuckDB chain (html_to_text_sql) is bit-identical."""
+    import duckdb
+
+    from rs_graphdb_spark.functions.cleaning import (
+        html_to_text, html_to_text_sql)
+    from rs_graphdb_spark.session import local_df
+
+    docs = [
+        (1, '<html><head><style>p {c: 1}</style>'
+            '<script>var x = 1 < 2 && "s";</script></head><body>'
+            '<!-- gone --><h1>Title</h1><p>Hello   world</p>'
+            '<p>a &amp; b &lt;t&gt; &quot;q&quot; &#39;s&#39;&nbsp;.</p>'
+            '<ul><li>one</li><li>two</li></ul>'
+            '<div>amp-escape &amp;lt; stays</div></body></html>'),
+        (2, 'no markup'),
+        (3, ''),
+        (4, '<p>unclosed <b>bold'),
+        (5, '<DIV>upper <BR>case</DIV>'),
+    ]
+    df = local_df(spark, docs, "doc_id long, html string")
+    got = {r["doc_id"]: r["t"] for r in
+           df.select("doc_id", html_to_text("html").alias("t")).collect()}
+    assert got[1] == ('Title\nHello world\na & b <t> "q" \'s\' .\n'
+                      'one\ntwo\namp-escape &lt; stays')
+    assert got[2] == "no markup"
+    assert got[3] == ""
+    assert got[4] == "unclosed bold"
+    assert got[5] == "upper\ncase"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, ?)" for i, _ in docs) + ") v(doc_id, html)",
+        [h for _, h in docs],
+    )
+    want = dict(con.execute(
+        f"SELECT doc_id, {html_to_text_sql('html')} FROM d").fetchall())
+    assert got == want

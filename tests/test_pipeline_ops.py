@@ -473,6 +473,47 @@ def test_repetition_ratio_and_quality_filter(spark):
     assert out[5][0] == 0.0 and out[5][1] is False
 
 
+def test_repetition_signals(spark):
+    """Gopher-style dup-line / top-ngram / dup-ngram char fractions:
+    hand-computed values on constructed docs, all fractions in [0, 1]."""
+    from rs_graphdb_spark.functions.text import repetition_signals
+
+    rows = [
+        (1, "a b c d e a b c d e a b c d e"),   # cyclic 5-token loop
+        (2, "the quick brown fox jumps over lazy dog"),
+        (3, "x\ny\nx\nz z z\nx"),                # 3 of 5 lines are 'x'
+        (4, "hi"),                               # too short for any gram
+        (5, ""),
+        (6, "aa aa aa aa"),                      # single repeated token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", repetition_signals("text").alias("r")
+        ).select("doc_id", "r.*").collect()
+    }
+    # doc 1: 14 bigram occurrences, 'a b' occurs 3× → 3/14; every 5-gram
+    # occurs ≥2× → dup share 1.0
+    assert out[1]["top_ngram_char_frac"] == round(3 / 14, 6)
+    assert out[1]["dup_ngram_char_frac"] == 1.0
+    # doc 2: all bigrams unique → top share = longest bigram's char share
+    assert 0 < out[2]["top_ngram_char_frac"] < 0.25
+    assert out[2]["dup_ngram_char_frac"] == 0.0
+    # doc 3: lines x,y,x,'z z z',x → 2 repeats / 5 lines; repeat chars 2
+    # of 9 line chars ('zzz' counts 3)
+    assert out[3]["dup_line_frac"] == 0.4
+    assert out[3]["dup_line_char_frac"] == round(2 / 9, 6)
+    # degenerate docs: all zero, never null
+    for d in (4, 5):
+        assert all(v == 0.0 for k, v in out[d].asDict().items()
+                   if k != "doc_id")
+    # doc 6: the only bigram 'aa aa' repeats → both shares 1.0 (top) and
+    # 0.0 (5-gram impossible on 4 tokens)
+    assert out[6]["top_ngram_char_frac"] == 1.0
+    assert out[6]["dup_ngram_char_frac"] == 0.0
+
+
 def test_ngram_contamination(spark):
     """A training doc quoting a benchmark question is flagged even when
     globally dissimilar; clean docs are not."""
