@@ -2592,10 +2592,31 @@ def q36_text_features(spark, sf_dir):
 
 
 def q37_tfidf(spark, sf_dir):
-    """Suite: materialized inverted index + TF-IDF ranked retrieval."""
+    """Suite: materialized inverted index + TF-IDF ranked retrieval +
+    CCNet-style bigram-LM perplexity scoring (train on the doc_id%10<8
+    reference split, score ALL docs — held-out docs exercise the unseen-
+    bigram smoothing path) with head/middle/tail bucket counts."""
+    from rs_graphdb_spark.functions.lm import (
+        bigram_counts, ccnet_buckets, lm_vocab_size, score_bigram_lm)
+
+    docs = _read(spark, sf_dir, "documents")
+    lm = bigram_counts(docs.filter(F.col("doc_id") % 10 < 8))
+    scored = score_bigram_lm(docs, "doc_id", "text", lm, lm_vocab_size(lm))
+    # bucket on the ROUNDED nll (a sibling alias would resolve to the
+    # raw column) — the oracle cuts the same rounded value
+    lmq = scored.select(
+        "doc_id", "n_bigrams", "n_matched", "sum_cb",
+        F.round("nll", 6).alias("nll"),
+    ).withColumn("bucket", ccnet_buckets("nll", head_max=3.38, tail_min=3.41))
+    buckets = lmq.groupBy("bucket").agg(F.count("*").alias("cnt"))
     return _quads(
         _quad("inv", q74_inverted_index(spark, sf_dir), k="doc_id", v="tf", s="term"),
         _quad("tfidf", q75_tfidf(spark, sf_dir), k="doc_id", v="tfidf", s="term"),
+        _metric_quads(lmq,
+                      {"lm_nb": "n_bigrams", "lm_match": "n_matched",
+                       "lm_cb": "sum_cb", "lm_nll": "nll"},
+                      k="doc_id"),
+        _quad("lm_bucket", buckets, v="cnt", s="bucket"),
     )
 
 
@@ -3019,7 +3040,33 @@ def q49_pack_sequences(spark, sf_dir):
 
 
 def q50_kmeans(spark, sf_dir):
-    return q97_kmeans(spark, sf_dir)
+    """Suite: Lloyd k-means cluster summaries + SemDeDup (semantic
+    near-dup pruning: within-cluster cosine ≥ 0.45, smallest-id keeper)
+    over the embeddings table. The SemDeDup oracle reuses the SAME
+    unrolled-Lloyd CTE prefix, so the assignment itself is value-checked
+    twice."""
+    from rs_graphdb_spark.functions.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    sd = semantic_dedup(
+        emb, "vec_id", "embedding", k=4, iterations=3, threshold=0.45
+    ).select(
+        "vec_id",
+        F.col("dup_of").cast("double").alias("dup_of"),
+        F.concat_ws(
+            ":", F.col("cluster").cast("string"),
+            F.lower(F.col("keep").cast("string")),
+        ).alias("ck"),
+    )
+    return _quads(
+        _metric_quads(q97_kmeans(spark, sf_dir),
+                      {"km_members": "n_members", "km_norm": "centroid_norm",
+                       "km_dist": "mean_dist"},
+                      k="cluster"),
+        _quad("semdedup", sd, k="vec_id", v="dup_of", s="ck"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3142,6 +3189,55 @@ def q114_score_sample(spark, sf_dir):
     return score_weighted_sample(scored, "doc_id", "score", 200)
 
 
+def q115_lm_perplexity(spark, sf_dir):
+    """CCNet bigram-LM gate end-to-end: train on the %10<8 split, score
+    the full corpus, bucket head/middle/tail."""
+    from rs_graphdb_spark.functions.lm import (
+        bigram_counts, ccnet_buckets, lm_vocab_size, score_bigram_lm)
+
+    docs = _read(spark, sf_dir, "documents")
+    lm = bigram_counts(docs.filter(F.col("doc_id") % 10 < 8))
+    scored = score_bigram_lm(docs, "doc_id", "text", lm, lm_vocab_size(lm))
+    return scored.select(
+        "doc_id", "nll",
+        ccnet_buckets("nll", head_max=3.38, tail_min=3.41).alias("bucket"),
+    )
+
+
+def q116_semantic_dedup(spark, sf_dir):
+    """SemDeDup: k-means cells + within-cluster cosine pruning."""
+    from rs_graphdb_spark.functions.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return semantic_dedup(emb, "vec_id", "embedding", k=4, iterations=3,
+                          threshold=0.45)
+
+
+def q117_html_extract(spark, sf_dir):
+    """WET-style HTML→text over the per-doc page wrapper."""
+    from rs_graphdb_spark.functions.cleaning import html_to_text
+
+    docs = _read(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit('<html><head><style>p{c:1}</style><script>var x = 1 < 2;'
+              '</script></head><body><!-- c'), ds,
+        F.lit(' --><h1>Doc</h1><p>'), F.col("text"),
+        F.lit('</p><div>a &amp; b&nbsp;</div></body></html>'),
+    )
+    return docs.select("doc_id", html_to_text(page).alias("text_clean"))
+
+
+def q118_repetition_signals(spark, sf_dir):
+    """Gopher repetition signals (dup-line / top-2gram / dup-5gram)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.repetition_signals("text").alias("r")
+    ).select("doc_id", "r.*")
+
+
 def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Pre-fold per-operator registry (kept for bench.py and tests)."""
     return {
@@ -3254,6 +3350,10 @@ def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_video_frames": q112_video_frames,
         "q113_url_psl": q113_url_psl,
         "q114_score_sample": q114_score_sample,
+        "q115_lm_perplexity": q115_lm_perplexity,
+        "q116_semantic_dedup": q116_semantic_dedup,
+        "q117_html_extract": q117_html_extract,
+        "q118_repetition_signals": q118_repetition_signals,
     }
 
 
@@ -3487,12 +3587,10 @@ def _dedup_clusters_sql(pairs_sql: str, rounds: int) -> str:
     )
 
 
-def _kmeans_sql(k: int, iterations: int) -> str:
-    """Unrolled Lloyd's k-means oracle mirroring
-    `functions/clustering.kmeans`: init = vectors of the k smallest ids,
-    each superstep = (argmin-distance assignment, per-dimension mean).
-    Centroids are (c, pos, val) rows; distance is a grouped SUM over the
-    64 dimensions. MATERIALIZED for the same reason as `_pagerank_sql`."""
+def _kmeans_assign_ctes(k: int, iterations: int) -> tuple[list[str], str]:
+    """Shared unrolled-Lloyd CTE prefix: ends with ``af(id, cluster, d)``
+    (final assignment) over ``emb(id, v)``; returns (ctes, final-centroid
+    CTE name). Used by the k-means oracle AND the SemDeDup twin."""
     ctes = [
         "emb AS MATERIALIZED (SELECT vec_id AS id,"
         " embedding::DOUBLE[] AS v FROM embeddings)",
@@ -3534,6 +3632,17 @@ def _kmeans_sql(k: int, iterations: int) -> str:
         " (SELECT id, c, d, row_number() OVER"
         " (PARTITION BY id ORDER BY d, c) AS rn FROM df) WHERE rn = 1)"
     )
+    return ctes, last
+
+
+def _kmeans_sql(k: int, iterations: int) -> str:
+    """Unrolled Lloyd's k-means oracle mirroring
+    `functions/clustering.kmeans`: init = vectors of the k smallest ids,
+    each superstep = (argmin-distance assignment, per-dimension mean).
+    Centroids are (c, pos, val) rows; distance is a grouped SUM over the
+    64 dimensions. MATERIALIZED for the same reason as `_pagerank_sql`."""
+    ctes, last = _kmeans_assign_ctes(k, iterations)
+    ctes = list(ctes)
     ctes.append(
         f"nrm AS (SELECT c AS cluster, sqrt(sum(val * val)) AS nv"
         f" FROM {last} GROUP BY c)"
@@ -3546,6 +3655,28 @@ def _kmeans_sql(k: int, iterations: int) -> str:
                  round(avg(sqrt(a.d)), 6) AS mean_dist
             FROM af a JOIN nrm n ON n.cluster = a.cluster
             GROUP BY a.cluster"""
+    )
+
+
+def _semdedup_sql(k: int, iterations: int, threshold: float) -> str:
+    """SemDeDup twin: Lloyd assignment prefix + within-cluster pair scan;
+    drop rule = smallest-id neighbor with cosine ≥ threshold wins."""
+    ctes, _ = _kmeans_assign_ctes(k, iterations)
+    ctes.append(
+        "x AS MATERIALIZED (SELECT a.id, a.cluster, e.v"
+        " FROM af a JOIN emb e USING (id))"
+    )
+    ctes.append(
+        "p AS (SELECT l.id AS a, r.id AS b"
+        " FROM x l JOIN x r ON l.cluster = r.cluster AND l.id < r.id"
+        f" WHERE list_cosine_similarity(l.v, r.v) >= {threshold})"
+    )
+    ctes.append("dd AS (SELECT b, min(a) AS dup_of FROM p GROUP BY b)")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """ SELECT x.id AS vec_id, CAST(x.cluster AS INTEGER) AS cluster,
+                 dd.dup_of IS NULL AS keep, dd.dup_of
+            FROM x LEFT JOIN dd ON dd.b = x.id"""
     )
 
 
@@ -5095,6 +5226,52 @@ def oracle_sql() -> dict[str, str]:
         FROM x
     """
 
+    # CCNet bigram-LM twin: identical BOS-prefixed bigram stream, add-1
+    # smoothing, LM trained on the doc_id%10<8 split. Integer mechanism
+    # columns are bit-exact; nll compares at 6 dp (classifier-sigmoid
+    # precedent). bg/lm are referenced multiple times → MATERIALIZED.
+    lm_sql = """
+        WITH tk AS (
+            SELECT doc_id,
+                   list_prepend('<s>',
+                       regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM documents
+        ),
+        bg AS MATERIALIZED (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN
+                list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                ELSE [] END) AS g
+            FROM tk
+        ),
+        lm AS MATERIALIZED (
+            SELECT g, count(*) AS cb FROM bg WHERE doc_id % 10 < 8 GROUP BY g
+        ),
+        ctx AS (
+            SELECT split_part(g, ' ', 1) AS w1, sum(cb) AS cw
+            FROM lm GROUP BY 1
+        ),
+        vv AS (SELECT count(DISTINCT split_part(g, ' ', 2)) AS v FROM lm),
+        sc AS (
+            SELECT bg.doc_id,
+                   count(*) AS n_bigrams,
+                   count(lm.cb) AS n_matched,
+                   coalesce(sum(lm.cb), 0) AS sum_cb,
+                   sum(-ln((coalesce(lm.cb, 0) + 1.0)
+                           / (coalesce(ctx.cw, 0)
+                              + 1.0 * (SELECT v FROM vv)))) AS nll_sum
+            FROM bg
+            LEFT JOIN lm USING (g)
+            LEFT JOIN ctx ON split_part(bg.g, ' ', 1) = ctx.w1
+            GROUP BY bg.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n_bigrams, 0) AS n_bigrams,
+               coalesce(n_matched, 0) AS n_matched,
+               coalesce(sum_cb, 0) AS sum_cb,
+               round(nll_sum / n_bigrams, 6) AS nll
+        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    """
+
     # shuffle-shard twin: md5('seed:id') drives both shard and sort key
     shard_sql = f"""
         WITH s AS (
@@ -5811,6 +5988,23 @@ def oracle_sql() -> dict[str, str]:
         "q37_tfidf": _sql_union(
             _sql_quad("inv", base["q74_inverted_index"], k="doc_id", v="tf", s="term"),
             _sql_quad("tfidf", base["q75_tfidf"], k="doc_id", v="tfidf", s="term"),
+            _sql_metric_quads(lm_sql,
+                              {"lm_nb": "n_bigrams", "lm_match": "n_matched",
+                               "lm_cb": "sum_cb", "lm_nll": "nll"},
+                              k="doc_id"),
+            _sql_quad(
+                "lm_bucket",
+                f"""
+                WITH s AS ({lm_sql})
+                SELECT CASE WHEN nll IS NULL THEN 'empty'
+                            WHEN nll <= 3.38 THEN 'head'
+                            WHEN nll >= 3.41 THEN 'tail'
+                            ELSE 'middle' END AS bucket,
+                       count(*) AS cnt
+                FROM s GROUP BY 1
+                """,
+                v="cnt", s="bucket",
+            ),
         ),
         "q38_multimodal": _sql_union(
             _sql_metric_quads(base["q53_multimodal_features"],
@@ -6221,5 +6415,17 @@ def oracle_sql() -> dict[str, str]:
                 """,
                 k="doc_id * 1000 + chunk_idx", v="n_tokens", s="h"),
         ),
-        "q50_kmeans": base["q97_kmeans"],
+        "q50_kmeans": _sql_union(
+            _sql_metric_quads(base["q97_kmeans"],
+                              {"km_members": "n_members",
+                               "km_norm": "centroid_norm",
+                               "km_dist": "mean_dist"},
+                              k="cluster"),
+            _sql_quad(
+                "semdedup", _semdedup_sql(4, 3, 0.45), k="vec_id",
+                v="dup_of",
+                s="cluster || ':' || CASE WHEN keep THEN 'true'"
+                  " ELSE 'false' END",
+            ),
+        ),
     }

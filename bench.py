@@ -56,6 +56,11 @@ EXTRA = [
     "q112_video_frames",
     "q113_url_psl",
     "q114_score_sample",
+    # round-5 additions
+    "q115_lm_perplexity",
+    "q116_semantic_dedup",
+    "q117_html_extract",
+    "q118_repetition_signals",
 ]
 
 

@@ -1,0 +1,193 @@
+"""N-gram language-model perplexity scoring (the CCNet quality gate).
+
+CCNet (Wenzek et al. 2020) ranks crawl documents by the perplexity of a
+small LM trained on a trusted reference corpus, then keeps the head of
+the distribution. The same shape here, Spark-first:
+
+- :func:`bigram_counts` trains the LM: ONE corpus scan → explode
+  BOS-prefixed token bigrams → ``groupBy`` counts (map-side combined, so
+  a viral bigram costs one long per partition, not a hot reduce key).
+- :func:`score_bigram_lm` scores documents with add-k smoothing:
+  ``logP(w_i | w_{i-1}) = ln((c(w_{i-1} w_i) + k) / (c(w_{i-1}) + k·V))``
+  via a LEFT join of the document's bigrams against the count table,
+  then one doc-keyed aggregation. Per-doc NLL = −mean logP; perplexity
+  = exp(NLL).
+- :func:`ccnet_buckets` cuts head / middle / tail on NLL thresholds.
+
+Scale shape (100 TB): the LM table is vocabulary-bounded (≤ observed
+bigram types, DF-cappable), independent of corpus row count — broadcast
+it when it fits (``broadcast_lm=True``), fall back to a shuffle join
+keyed by the bigram when a giant open-domain vocabulary doesn't. Scoring
+is one explode + one join + one aggregation; nothing is ever collected
+to the driver. No Python UDFs anywhere.
+
+Determinism contract: counts and match counts are integers (bit-exact
+across engines); NLL is a sum of ``ln`` over per-doc bigrams in document
+order on both engines and is compared at 6 dp (the classifier-sigmoid
+precedent: transcendental tails pinned by unit test, integer mechanism
+by the driver oracle).
+
+Reference anchor: extends the §2.8 text-analysis family
+(`/root/reference/src/index_advanced.rs:72-88` tokenizer) — the
+reference has no LM scorer; this is part of the beyond-reference
+training-data surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokenize
+
+__all__ = [
+    "BOS",
+    "bigram_counts",
+    "lm_vocab_size",
+    "score_bigram_lm",
+    "ccnet_buckets",
+]
+
+#: beginning-of-document marker — cannot collide with real tokens (the
+#: tokenizer emits lowercase alphanumerics only)
+BOS = "<s>"
+
+
+def _bigrams(text_col: Column | str) -> Column:
+    """BOS-prefixed bigram strings ``"w1 w2"`` of a text column, in
+    document order."""
+    w = F.concat(F.array(F.lit(BOS)), tokenize(text_col))
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] — an empty
+    # doc (w = [BOS] alone) must yield zero bigrams, not garbage
+    return F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Train the LM: ``(w1, w2, cnt)`` bigram counts over ``df``.
+
+    ``min_count`` prunes singleton bigram types (the standard LM-size
+    cap — at web scale the count table is Zipf-dominated by hapaxes;
+    pruned mass falls through to the smoothed floor). One scan, one
+    map-side-combined aggregation."""
+    out = (
+        df.select(F.explode(_bigrams(text_col)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+            F.col("cnt"),
+        )
+    )
+    if min_count > 1:
+        out = out.filter(F.col("cnt") >= min_count)
+    return out
+
+
+def lm_vocab_size(lm: DataFrame) -> int:
+    """V for add-k smoothing: distinct successor types in the LM (every
+    corpus token occurs as some bigram's ``w2`` — BOS guarantees the
+    first token does too). k-row collect (a scalar), never corpus data."""
+    return lm.select(F.countDistinct("w2").alias("v")).first()["v"]
+
+
+def score_bigram_lm(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm: DataFrame,
+    vocab_size: int,
+    k: float = 1.0,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Per-document add-k bigram NLL / perplexity against a trained LM.
+
+    Returns ``(id_col, n_bigrams, n_matched, sum_cb, nll, ppl)`` —
+    ``n_matched``/``sum_cb`` are the integer mechanism checks (bigrams
+    found in the LM, summed LM counts); ``nll`` is mean negative log
+    prob, ``ppl = exp(nll)``. Empty docs (0 bigrams) score NULL nll/ppl
+    rather than a fake 0. The LM join is LEFT: unseen bigrams smooth to
+    ``k / (c(w1) + k·V)`` and unseen contexts to ``1 / V``."""
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+    ctx = lm.groupBy("w1").agg(F.sum("cnt").alias("cw"))
+    lmj = lm.select(
+        F.concat_ws(" ", "w1", "w2").alias("g"), F.col("cnt").alias("cb")
+    )
+    if broadcast_lm:
+        lmj, ctx = F.broadcast(lmj), F.broadcast(ctx)
+    bg = df.select(
+        F.col(id_col), F.explode(_bigrams(text_col)).alias("g")
+    ).withColumn("w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
+    kv = float(k) * float(vocab_size)
+    scored = (
+        bg.join(lmj, "g", "left")
+        .join(ctx, "w1", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.count("cb").alias("n_matched"),
+            F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("sum_cb"),
+            F.sum(
+                -F.log(
+                    (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(float(k)))
+                    / (F.coalesce(F.col("cw"), F.lit(0)) + F.lit(kv))
+                )
+            ).alias("_nll_sum"),
+        )
+    )
+    out = scored.select(
+        id_col,
+        "n_bigrams",
+        "n_matched",
+        "sum_cb",
+        (F.col("_nll_sum") / F.col("n_bigrams")).alias("nll"),
+        F.exp(F.col("_nll_sum") / F.col("n_bigrams")).alias("ppl"),
+    )
+    # docs with no tokens produce no bigram rows — restore them with NULLs
+    return (
+        df.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+            F.coalesce("sum_cb", F.lit(0)).cast("long").alias("sum_cb"),
+            "nll",
+            "ppl",
+        )
+    )
+
+
+def ccnet_buckets(
+    nll: Column | str,
+    head_max: float,
+    tail_min: float,
+) -> Column:
+    """CCNet head/middle/tail label from NLL thresholds (head = most
+    reference-like). Thresholds are explicit arguments — derive them once
+    per corpus from ``approxQuantile``/``percentile_cont`` and pass the
+    LITERALS, so the cut is reproducible and cross-engine stable (a
+    percentile recomputed inside the expression would tie-break
+    differently under float drift)."""
+    if head_max > tail_min:
+        raise ValueError(f"head_max {head_max} > tail_min {tail_min}")
+    c = F.col(nll) if isinstance(nll, str) else nll
+    return (
+        F.when(c.isNull(), F.lit("empty"))
+        .when(c <= head_max, F.lit("head"))
+        .when(c >= tail_min, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )

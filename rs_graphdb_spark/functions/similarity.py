@@ -431,3 +431,66 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iterations: int = 3,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning over
+    an embedding column — k-means cluster the vectors, then WITHIN each
+    cluster drop every point that has a smaller-id neighbor with cosine
+    ≥ ``threshold``. Returns one row per input:
+    ``(id_col, cluster, keep, dup_of)`` where ``dup_of`` is the smallest
+    such neighbor id (NULL for keepers).
+
+    The drop rule (smallest id in the ε-neighborhood wins) is the
+    deterministic form of the paper's keep-one-per-ball policy — no
+    transitive closure, so a chain a~b~c with cos(a,c) < τ keeps a AND c,
+    matching SemDeDup rather than clustering-based dedup
+    (:func:`rs_graphdb_spark.functions.dedup.near_dup_clusters` is the
+    transitive variant).
+
+    Scale shape (100 TB): clustering IS the candidate generator — the
+    all-pairs join is per-cluster, never global. k grows with the corpus
+    (the paper uses ~0.1–1% of N) so expected cluster size stays bounded;
+    assignment is a scan-stage projection against literal centroids
+    (functions/clustering.py), and the pair join shuffles each cluster
+    once on its id. A pathological mega-cluster is the LSH-banded case —
+    route it to `embedding_near_dup_lsh` per cluster if observed. Exact
+    cosine (left-fold parity with the oracle), no Python UDFs.
+    """
+    from .clustering import kmeans_assign
+
+    emb = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    asg = kmeans_assign(df, id_col, vec_col, k=k, iterations=iterations)
+    x = emb.join(
+        asg.select(F.col(id_col).alias("_id"), "cluster"), "_id"
+    ).localCheckpoint()  # assignment reused by both join sides
+    left = x.select(F.col("cluster"), F.col("_id").alias("_a"),
+                    F.col("_v").alias("_va"))
+    right = x.select(F.col("cluster"), F.col("_id").alias("_b"),
+                     F.col("_v").alias("_vb"))
+    dup_of = (
+        left.join(right, "cluster")
+        .filter(F.col("_a") < F.col("_b"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .groupBy("_b")
+        .agg(F.min("_a").alias("dup_of"))
+    )
+    return (
+        x.join(dup_of, x["_id"] == dup_of["_b"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )

@@ -1189,3 +1189,94 @@ def test_resize_image_jpeg_roundtrip(spark):
     idx = np.arange(16) * 32 // 16
     want = dec[idx][:, idx].astype(int)
     assert np.abs(arr.astype(int) - want).mean() < 16
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Add-1 bigram LM on a 2-doc corpus: hand-checked counts, smoothing,
+    and perplexity; empty doc scores NULL; shuffle-join path ≡ broadcast."""
+    import math
+
+    from rs_graphdb_spark.functions.lm import (
+        bigram_counts, ccnet_buckets, lm_vocab_size, score_bigram_lm)
+    from rs_graphdb_spark.session import local_df
+
+    train = local_df(spark, [(1, "a b a b"), (2, "a b c")],
+                     "doc_id long, text string")
+    lm = bigram_counts(train)
+    counts = {(r["w1"], r["w2"]): r["cnt"] for r in lm.collect()}
+    # bigrams: <s>-a ×2, a-b ×3, b-a ×1, b-c ×1
+    assert counts == {("<s>", "a"): 2, ("a", "b"): 3,
+                      ("b", "a"): 1, ("b", "c"): 1}
+    V = lm_vocab_size(lm)
+    assert V == 3  # successors: a, b, c
+
+    score = local_df(spark, [(10, "a b"), (11, "z"), (12, "")],
+                     "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           score_bigram_lm(score, "doc_id", "text", lm, V).collect()}
+    # doc 10: <s>-a (cb=2, cw(<s>)=2) and a-b (cb=3, cw(a)=3)
+    assert (out[10]["n_bigrams"], out[10]["n_matched"],
+            out[10]["sum_cb"]) == (2, 2, 5)
+    want = -(math.log((2 + 1) / (2 + 3)) + math.log((3 + 1) / (3 + 3))) / 2
+    assert abs(out[10]["nll"] - want) < 1e-12
+    assert abs(out[10]["ppl"] - math.exp(want)) < 1e-12
+    # doc 11: one unseen bigram <s>-z → (0+1)/(2+3)
+    assert (out[11]["n_matched"], out[11]["sum_cb"]) == (0, 0)
+    assert abs(out[11]["nll"] - -math.log(1 / 5)) < 1e-12
+    # doc 12: empty → zero bigrams, NULL nll/ppl
+    assert out[12]["n_bigrams"] == 0 and out[12]["nll"] is None
+
+    # shuffle-join path returns identical rows
+    shuf = {r["doc_id"]: r for r in
+            score_bigram_lm(score, "doc_id", "text", lm, V,
+                            broadcast_lm=False).collect()}
+    for k in out:
+        assert out[k].asDict() == shuf[k].asDict()
+
+    # bucket labels: empty / head / tail edges
+    buck = {r["doc_id"]: r["b"] for r in
+            score_bigram_lm(score, "doc_id", "text", lm, V)
+            .select("doc_id",
+                    ccnet_buckets("nll", 0.6, 1.2).alias("b")).collect()}
+    assert buck[10] == "head" and buck[11] == "tail" and buck[12] == "empty"
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ccnet_buckets("nll", 2.0, 1.0)
+    with _pt.raises(ValueError):
+        score_bigram_lm(score, "doc_id", "text", lm, 0)
+
+
+def test_semantic_dedup_chain_not_transitive(spark):
+    """SemDeDup drop rule: b falls to its smallest ≥τ neighbor; a chain
+    a~b~c with cos(a,c) < τ keeps BOTH a and c (no transitive closure)."""
+    import math
+
+    from rs_graphdb_spark.functions.similarity import semantic_dedup
+
+    # unit vectors on a plane at 0°, 35°, 72°: cos(35°)≈0.819 ≥ 0.8 so
+    # 2 drops to 1; cos(37°)≈0.799 and cos(72°)≈0.309 are both < 0.8 so
+    # 3 has NO ≥τ neighbor and survives even though 2 (its 37° chain
+    # link) was itself dropped — plus an orthogonal singleton on axis z
+    def v(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0]
+
+    emb = spark.createDataFrame(
+        [(1, v(0)), (2, v(35)), (3, v(72)), (4, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, "vec_id", "embedding", k=1, iterations=1,
+                          threshold=0.8).collect()}
+    assert out[1]["keep"] is True and out[1]["dup_of"] is None
+    assert out[2]["keep"] is False and out[2]["dup_of"] == 1
+    assert out[3]["keep"] is True and out[3]["dup_of"] is None
+    assert out[4]["keep"] is True
+    # the drop rule ignores whether the smaller neighbor itself survived:
+    # at τ=0.79 both cos(35°) and cos(37°) qualify → 3 falls to 2 (its
+    # smallest ≥τ neighbor), not to 1
+    out79 = {r["vec_id"]: r for r in
+             semantic_dedup(emb, "vec_id", "embedding", k=1, iterations=1,
+                            threshold=0.79).collect()}
+    assert out79[3]["keep"] is False and out79[3]["dup_of"] == 2
