@@ -2421,7 +2421,7 @@ def q36_text_features(spark, sf_dir):
     # 'footer line' lines (one conditional), its own 40-char prefix as a
     # line, and an 80-char echo so every rule actually fires. The oracle
     # builds the identical string.
-    lined = docs.select(
+    lined = docs.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id",
         F.concat(
             F.col("text"), F.lit("\nfooter line\n"),
@@ -2599,8 +2599,10 @@ def q37_tfidf(spark, sf_dir):
     from rs_graphdb_spark.functions.lm import (
         bigram_counts, ccnet_buckets, lm_vocab_size, score_bigram_lm)
 
-    docs = _read(spark, sf_dir, "documents")
-    lm = bigram_counts(docs.filter(F.col("doc_id") % 10 < 8))
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    lm = bigram_counts(docs.filter(F.col("doc_id") % 10 < 8)).localCheckpoint()
     scored = score_bigram_lm(docs, "doc_id", "text", lm, lm_vocab_size(lm))
     # bucket on the ROUNDED nll (a sibling alias would resolve to the
     # raw column) — the oracle cuts the same rounded value
@@ -3047,7 +3049,9 @@ def q50_kmeans(spark, sf_dir):
     twice."""
     from rs_graphdb_spark.functions.similarity import semantic_dedup
 
-    emb = _read(spark, sf_dir, "embeddings").select(
+    emb = _read(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     sd = semantic_dedup(
@@ -3195,8 +3199,11 @@ def q115_lm_perplexity(spark, sf_dir):
     from rs_graphdb_spark.functions.lm import (
         bigram_counts, ccnet_buckets, lm_vocab_size, score_bigram_lm)
 
-    docs = _read(spark, sf_dir, "documents")
-    lm = bigram_counts(docs.filter(F.col("doc_id") % 10 < 8))
+    par = spark.sparkContext.defaultParallelism
+    docs = _read(spark, sf_dir, "documents").repartition(par)
+    # pin the trained LM once — it feeds three consumers (gram join,
+    # context counts, vocab size); an unpinned plan re-trains per consumer
+    lm = bigram_counts(docs.filter(F.col("doc_id") % 10 < 8)).localCheckpoint()
     scored = score_bigram_lm(docs, "doc_id", "text", lm, lm_vocab_size(lm))
     return scored.select(
         "doc_id", "nll",
@@ -3208,7 +3215,9 @@ def q116_semantic_dedup(spark, sf_dir):
     """SemDeDup: k-means cells + within-cluster cosine pruning."""
     from rs_graphdb_spark.functions.similarity import semantic_dedup
 
-    emb = _read(spark, sf_dir, "embeddings").select(
+    emb = _read(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     return semantic_dedup(emb, "vec_id", "embedding", k=4, iterations=3,
@@ -3232,7 +3241,9 @@ def q117_html_extract(spark, sf_dir):
 
 def q118_repetition_signals(spark, sf_dir):
     """Gopher repetition signals (dup-line / top-2gram / dup-5gram)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docs.select(
         "doc_id", TX.repetition_signals("text").alias("r")
     ).select("doc_id", "r.*")

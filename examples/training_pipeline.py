@@ -36,6 +36,30 @@ def main() -> None:
     scored.agg(*[F.round(F.avg(c), 3).alias(f"avg_{c}")
                  for c in scored.columns if c != "doc_id"]).show()
 
+    print("-- 2a. WET extraction + repetition signals + LM perplexity gate")
+    from rs_graphdb_spark.functions.cleaning import html_to_text
+    from rs_graphdb_spark.functions.lm import (
+        bigram_counts,
+        ccnet_buckets,
+        lm_vocab_size,
+        score_bigram_lm,
+    )
+    from rs_graphdb_spark.functions.text import repetition_signals
+
+    # crawl shape: wrap each doc in markup, extract the visible text back
+    page = F.concat(F.lit("<html><body><p>"), F.col("text"),
+                    F.lit("</p><script>x()</script></body></html>"))
+    extracted = docs.select("doc_id", html_to_text(page).alias("text"))
+    extracted.select(repetition_signals("text").alias("r")).agg(
+        F.round(F.avg("r.top_ngram_char_frac"), 3).alias("avg_top2gram"),
+        F.round(F.avg("r.dup_ngram_char_frac"), 3).alias("avg_dup5gram"),
+    ).show()
+    lm = bigram_counts(
+        extracted.filter(F.col("doc_id") % 10 < 8)).localCheckpoint()
+    score_bigram_lm(extracted, "doc_id", "text", lm, lm_vocab_size(lm)) \
+        .select(ccnet_buckets("nll", 3.38, 3.41).alias("bucket")) \
+        .groupBy("bucket").count().orderBy("bucket").show()
+
     print("-- 2b. corpus cleaning: PII scrub + cross-doc line dedup")
     from rs_graphdb_spark.functions.cleaning import (
         dedup_lines,
@@ -65,6 +89,14 @@ def main() -> None:
     print("-- 3. near-dup clustering (MinHash/LSH -> CC -> keeper)")
     clusters = near_dup_clusters(docs, "doc_id", "text", threshold=0.8)
     clusters.groupBy("keep").count().show()
+
+    print("-- 3b. SemDeDup over the embeddings table (semantic pruning)")
+    from rs_graphdb_spark.functions.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    semantic_dedup(emb, "vec_id", "embedding", k=4, threshold=0.45) \
+        .groupBy("keep").count().show()
 
     print("-- 4. incremental dedup: probe a new batch against the corpus index")
     from rs_graphdb_spark.functions.dedup import minhash_index, minhash_probe

@@ -55,19 +55,28 @@ BOS = "<s>"
 
 def _bigrams(text_col: Column | str) -> Column:
     """BOS-prefixed bigram strings ``"w1 w2"`` of a text column, in
-    document order."""
-    w = F.concat(F.array(F.lit(BOS)), tokenize(text_col))
-    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] — an empty
-    # doc (w = [BOS] alone) must yield zero bigrams, not garbage
-    return F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i), F.element_at(w, i + 1)
+    document order.
+
+    The token array is bound ONCE as a lambda variable (the
+    single-element-``transform`` idiom from
+    ``text.quality_features_struct``): a plain expression reference would
+    be re-inlined by projection collapse at every ``element_at`` — i.e.
+    the regexp tokenizer re-run TWICE PER BIGRAM (measured 10.2 s for a
+    5 000-doc count at sf0.1; 0.6 s bound)."""
+    return F.transform(
+        F.array(F.concat(F.array(F.lit(BOS)), tokenize(text_col))),
+        # guard: sequence(1, 0) would generate a DESCENDING [1, 0] — an
+        # empty doc (w = [BOS] alone) must yield zero bigrams, not garbage
+        lambda w: F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i), F.element_at(w, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>")),
+    )[0]
 
 
 def bigram_counts(

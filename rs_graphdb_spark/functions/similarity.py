@@ -478,8 +478,14 @@ def semantic_dedup(
                     F.col("_v").alias("_va"))
     right = x.select(F.col("cluster"), F.col("_id").alias("_b"),
                      F.col("_v").alias("_vb"))
+    # the join key has only k distinct values — a plain equi-join pins
+    # each cluster's all-pairs cosine work on ONE task. Salt it: left
+    # side salted, right side replicated, pair work fans out n_salts-ways
+    # per cluster (plans/physical.salted_join, the standard hot-key form)
+    from rs_graphdb_spark.plans.physical import salted_join
+
     dup_of = (
-        left.join(right, "cluster")
+        salted_join(left, right, "cluster", n_salts=16)
         .filter(F.col("_a") < F.col("_b"))
         .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
         .groupBy("_b")

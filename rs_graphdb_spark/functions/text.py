@@ -177,6 +177,10 @@ def repetition_signals(
     )
 
     def _gram_fracs(toks, n):
+        # bind grams, then the per-distinct-gram stats array, each ONCE
+        # as lambda variables (the quality_features_struct idiom) — as
+        # plain expressions the optimizer re-inlines stats into every one
+        # of its three aggregate consumers
         grams = F.when(
             F.size(toks) >= n,
             F.transform(
@@ -184,16 +188,17 @@ def repetition_signals(
                 lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        # bind grams once; per distinct gram: (count, char-len, gram)
         return F.transform(
             F.array(grams),
-            lambda g: F.struct(
-                *_gram_stats_cols(g, n)
-            ),
+            lambda g: F.transform(
+                F.array(_gram_stats(g, n)),
+                lambda st: F.struct(*_gram_frac_cols(st)),
+            )[0],
         )[0]
 
-    def _gram_stats_cols(grams, n):
-        stats = F.transform(
+    def _gram_stats(grams, n):
+        # per distinct gram: (count, separator-free char-len, gram)
+        return F.transform(
             F.array_distinct(grams),
             lambda g: F.struct(
                 F.size(F.filter(grams, lambda x: x == g)).alias("cnt"),
@@ -201,6 +206,8 @@ def repetition_signals(
                 g.alias("g"),
             ),
         )
+
+    def _gram_frac_cols(stats):
         top = F.aggregate(
             stats,
             F.lit(None).cast(
