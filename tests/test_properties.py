@@ -366,3 +366,104 @@ def test_mixture_respects_plan_thresholds(spark, rows, budget_scale):
         h = int(hashlib.md5(f"5:{i}".encode()).hexdigest()[:8], 16) % 1_000_000
         want = h < int(math.floor(fracs[s] * 1_000_000))
         assert (i in kept) == want, (i, s, fracs[s], h)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-3, 3), min_size=3, max_size=3),
+        min_size=1, max_size=12,
+    ),
+    st.integers(1, 3),                   # k
+    st.sampled_from([0.5, 0.8, 0.95]),   # threshold
+)
+@settings(max_examples=10, deadline=None)
+def test_semantic_dedup_matches_bruteforce(spark, vecs, k, thr):
+    """SemDeDup drop rule vs a pure-python reference: within the SAME
+    cluster, a vector falls to its smallest-id neighbor with cosine ≥ τ."""
+    from rs_graphdb_spark.functions.similarity import semantic_dedup
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)
+            if any(v)]  # zero vectors have no cosine — excluded
+    if not rows:
+        return
+    k = min(k, len(rows))  # Lloyd init draws the k smallest ids
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["cluster"], r["keep"], r["dup_of"])
+           for r in semantic_dedup(emb, "vec_id", "embedding", k=k,
+                                   iterations=2, threshold=thr).collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(x * x for x in b))
+        return num / den
+
+    clusters = {i: out[i][0] for i, _ in rows}
+    for i, v in rows:
+        cands = [j for j, w in rows
+                 if j < i and clusters[j] == clusters[i]
+                 and cos(w, v) >= thr]
+        want = min(cands) if cands else None
+        assert out[i][2] == want and out[i][1] == (want is None), (
+            i, out[i], want)
+
+
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=24),
+             min_size=1, max_size=10),
+)
+@settings(max_examples=15, deadline=None)
+def test_bigram_lm_matches_bruteforce(spark, texts):
+    """Add-1 bigram LM (train = even ids, score = all) vs a pure-python
+    reference: counts, matches, and NLL to 1e-9."""
+    from rs_graphdb_spark.functions.lm import (
+        BOS, bigram_counts, lm_vocab_size, score_bigram_lm)
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    train = [(i, t) for i, t in rows if i % 2 == 0]
+    lm = bigram_counts(df.filter("doc_id % 2 = 0"))
+
+    def toks(t):
+        out, cur = [], []
+        for ch in t.lower():
+            if ch.isalnum():
+                cur.append(ch)
+            elif cur:
+                out.append("".join(cur)); cur = []
+        if cur:
+            out.append("".join(cur))
+        return out
+
+    def bigrams(t):
+        w = [BOS] + toks(t)
+        return list(zip(w, w[1:]))
+
+    cb: dict = {}
+    for _, t in train:
+        for g in bigrams(t):
+            cb[g] = cb.get(g, 0) + 1
+    if not cb:
+        return  # vocab_size must be positive; nothing to score against
+    cw: dict = {}
+    for (w1, _), c in cb.items():
+        cw[w1] = cw.get(w1, 0) + c
+    V = len({w2 for _, w2 in cb})
+    assert lm_vocab_size(lm) == V
+
+    got = {r["doc_id"]: r for r in
+           score_bigram_lm(df, "doc_id", "text", lm, V).collect()}
+    for i, t in rows:
+        bg = bigrams(t)
+        r = got[i]
+        assert r["n_bigrams"] == len(bg)
+        assert r["n_matched"] == sum(1 for g in bg if g in cb)
+        assert r["sum_cb"] == sum(cb.get(g, 0) for g in bg)
+        if bg:
+            nll = -sum(
+                math.log((cb.get(g, 0) + 1.0) / (cw.get(g[0], 0) + V))
+                for g in bg
+            ) / len(bg)
+            assert abs(r["nll"] - nll) < 1e-9
+        else:
+            assert r["nll"] is None
