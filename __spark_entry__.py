@@ -2597,13 +2597,23 @@ def q37_tfidf(spark, sf_dir):
     reference split, score ALL docs — held-out docs exercise the unseen-
     bigram smoothing path) with head/middle/tail bucket counts."""
     from rs_graphdb_spark.functions.lm import (
-        bigram_counts, ccnet_buckets, lm_vocab_size, score_bigram_lm)
+        bigram_counts, ccnet_buckets, lm_vocab_size, ngram_counts,
+        score_bigram_lm, score_interpolated_lm)
 
     docs = _read(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
     lm = bigram_counts(docs.filter(F.col("doc_id") % 10 < 8)).localCheckpoint()
     scored = score_bigram_lm(docs, "doc_id", "text", lm, lm_vocab_size(lm))
+    lm3 = ngram_counts(
+        docs.filter(F.col("doc_id") % 10 < 8), n=3
+    ).localCheckpoint()
+    tri = score_interpolated_lm(
+        docs, "doc_id", "text", lm, lm3, lm_vocab_size(lm), lam=0.7
+    ).select(
+        "doc_id", "n_trigrams", "n_matched3", "sum_cb3",
+        F.round("nll", 6).alias("nll3"),
+    )
     # bucket on the ROUNDED nll (a sibling alias would resolve to the
     # raw column) — the oracle cuts the same rounded value
     lmq = scored.select(
@@ -2619,6 +2629,10 @@ def q37_tfidf(spark, sf_dir):
                        "lm_cb": "sum_cb", "lm_nll": "nll"},
                       k="doc_id"),
         _quad("lm_bucket", buckets, v="cnt", s="bucket"),
+        _metric_quads(tri,
+                      {"tri_nb": "n_trigrams", "tri_match": "n_matched3",
+                       "tri_cb": "sum_cb3", "tri_nll": "nll3"},
+                      k="doc_id"),
     )
 
 
@@ -3257,6 +3271,22 @@ def q118_repetition_signals(spark, sf_dir):
     ).select("doc_id", "r.*")
 
 
+def q119_trigram_lm(spark, sf_dir):
+    """Interpolated trigram-LM gate: train bigram+trigram counts on the
+    %10<8 split, score the full corpus with lam*P3 + (1-lam)*P2."""
+    from rs_graphdb_spark.functions.lm import (
+        bigram_counts, lm_vocab_size, ngram_counts, score_interpolated_lm)
+
+    par = spark.sparkContext.defaultParallelism
+    docs = _read(spark, sf_dir, "documents").repartition(par)
+    ref = docs.filter(F.col("doc_id") % 10 < 8)
+    lm2 = bigram_counts(ref).localCheckpoint()
+    lm3 = ngram_counts(ref, n=3).localCheckpoint()
+    return score_interpolated_lm(
+        docs, "doc_id", "text", lm2, lm3, lm_vocab_size(lm2), lam=0.7
+    )
+
+
 def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Pre-fold per-operator registry (kept for bench.py and tests)."""
     return {
@@ -3373,6 +3403,7 @@ def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_semantic_dedup": q116_semantic_dedup,
         "q117_html_extract": q117_html_extract,
         "q118_repetition_signals": q118_repetition_signals,
+        "q119_trigram_lm": q119_trigram_lm,
     }
 
 
@@ -5291,6 +5322,84 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
     """
 
+    # interpolated trigram twin: same double-BOS trigram stream, same
+    # add-1 components; the interpolation weights are embedded via repr()
+    # so both engines mix with the IDENTICAL doubles (1.0 − 0.7 is
+    # 0.30000000000000004, not 0.3)
+    _lam, _one_m = repr(0.7), repr(1.0 - 0.7)
+    lm3_sql = f"""
+        WITH tk3 AS (
+            SELECT doc_id,
+                   ['<s>', '<s>']
+                   || regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+            FROM documents
+        ),
+        tg AS MATERIALIZED (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN
+                list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+                ELSE [] END) AS g
+            FROM tk3
+        ),
+        bk AS (
+            SELECT doc_id,
+                   list_prepend('<s>',
+                       regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM documents
+        ),
+        bgr AS MATERIALIZED (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN
+                list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                ELSE [] END) AS g
+            FROM bk
+        ),
+        lm3 AS MATERIALIZED (
+            SELECT g, count(*) AS c123 FROM tg WHERE doc_id % 10 < 8 GROUP BY g
+        ),
+        lm2 AS MATERIALIZED (
+            SELECT g, count(*) AS c23 FROM bgr WHERE doc_id % 10 < 8 GROUP BY g
+        ),
+        cc12 AS (
+            SELECT split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2)
+                       AS g12,
+                   sum(c123) AS c12
+            FROM lm3 GROUP BY 1
+        ),
+        cc2 AS (
+            SELECT split_part(g, ' ', 1) AS w2, sum(c23) AS c2
+            FROM lm2 GROUP BY 1
+        ),
+        vv AS (SELECT count(DISTINCT split_part(g, ' ', 2)) AS v FROM lm2),
+        sc AS (
+            SELECT tg.doc_id,
+                   count(*) AS n_trigrams,
+                   count(lm3.c123) AS n_matched3,
+                   coalesce(sum(lm3.c123), 0) AS sum_cb3,
+                   sum(-ln(
+                       {_lam} * ((coalesce(lm3.c123, 0) + 1.0)
+                           / (coalesce(cc12.c12, 0)
+                              + 1.0 * (SELECT v FROM vv)))
+                     + {_one_m} * ((coalesce(lm2.c23, 0) + 1.0)
+                           / (coalesce(cc2.c2, 0)
+                              + 1.0 * (SELECT v FROM vv)))
+                   )) AS nll_sum
+            FROM tg
+            LEFT JOIN lm3 ON lm3.g = tg.g
+            LEFT JOIN cc12 ON cc12.g12 =
+                split_part(tg.g, ' ', 1) || ' ' || split_part(tg.g, ' ', 2)
+            LEFT JOIN lm2 ON lm2.g =
+                split_part(tg.g, ' ', 2) || ' ' || split_part(tg.g, ' ', 3)
+            LEFT JOIN cc2 ON cc2.w2 = split_part(tg.g, ' ', 2)
+            GROUP BY tg.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n_trigrams, 0) AS n_trigrams,
+               coalesce(n_matched3, 0) AS n_matched3,
+               coalesce(sum_cb3, 0) AS sum_cb3,
+               round(nll_sum / n_trigrams, 6) AS nll3
+        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    """
+
     # shuffle-shard twin: md5('seed:id') drives both shard and sort key
     shard_sql = f"""
         WITH s AS (
@@ -6024,6 +6133,11 @@ def oracle_sql() -> dict[str, str]:
                 """,
                 v="cnt", s="bucket",
             ),
+            _sql_metric_quads(lm3_sql,
+                              {"tri_nb": "n_trigrams",
+                               "tri_match": "n_matched3",
+                               "tri_cb": "sum_cb3", "tri_nll": "nll3"},
+                              k="doc_id"),
         ),
         "q38_multimodal": _sql_union(
             _sql_metric_quads(base["q53_multimodal_features"],

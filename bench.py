@@ -61,6 +61,7 @@ EXTRA = [
     "q116_semantic_dedup",
     "q117_html_extract",
     "q118_repetition_signals",
+    "q119_trigram_lm",
 ]
 
 

@@ -43,8 +43,10 @@ from .text import tokenize
 __all__ = [
     "BOS",
     "bigram_counts",
+    "ngram_counts",
     "lm_vocab_size",
     "score_bigram_lm",
+    "score_interpolated_lm",
     "ccnet_buckets",
 ]
 
@@ -199,4 +201,155 @@ def ccnet_buckets(
         .when(c <= head_max, F.lit("head"))
         .when(c >= tail_min, F.lit("tail"))
         .otherwise(F.lit("middle"))
+    )
+
+
+def _ngrams(text_col: Column | str, n: int) -> Column:
+    """(n−1)×BOS-padded word n-gram strings, in document order — one
+    n-gram per real token, so every token is predicted exactly once.
+    Same bind-once discipline as :func:`_bigrams`."""
+    pad = F.array(*[F.lit(BOS)] * (n - 1))
+    return F.transform(
+        F.array(F.concat(pad, tokenize(text_col))),
+        lambda w: F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )[0]
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """Train an order-``n`` count LM: ``(g, cnt)`` where ``g`` is the
+    space-joined n-gram. Same one-scan map-side-combined shape as
+    :func:`bigram_counts` (which keeps its split-column layout for
+    compatibility)."""
+    out = (
+        df.select(F.explode(_ngrams(text_col, n)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("cnt") >= min_count)
+    return out
+
+
+def score_interpolated_lm(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm2: DataFrame,
+    lm3: DataFrame,
+    vocab_size: int,
+    k: float = 1.0,
+    lam: float = 0.7,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Interpolated trigram scoring — the CCNet gate at a credible LM
+    order: per predicted token,
+
+    ``P = lam · (c(w1w2w3)+k)/(c(w1w2)+k·V) + (1−lam) · (c(w2w3)+k)/(c(w2)+k·V)``
+
+    with ``lm3`` from :func:`ngram_counts(n=3)` and ``lm2`` from
+    :func:`bigram_counts` over the SAME reference split. Returns
+    ``(id_col, n_trigrams, n_matched3, sum_cb3, nll, ppl)`` — the
+    integer columns are the bit-exact mechanism checks, nll/ppl the
+    transcendental tail (6-dp oracle precedent).
+
+    Plan: one explode + four joins (trigram, trigram-context, bigram,
+    unigram-context — all against vocabulary-bounded count tables,
+    broadcast under ``broadcast_lm``) + one doc-keyed aggregation. Same
+    100 TB posture as the bigram form: prune with ``min_count`` until
+    the tables broadcast; the corpus is never reshuffled."""
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    c12 = lm3.groupBy(
+        F.concat_ws(
+            " ",
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)),
+        ).alias("g12c")
+    ).agg(F.sum("cnt").alias("c12"))
+    b23 = lm2.select(
+        F.concat_ws(" ", "w1", "w2").alias("g23c"),
+        F.col("cnt").alias("c23"),
+    )
+    c2 = lm2.groupBy(F.col("w1").alias("w2c")).agg(
+        F.sum("cnt").alias("c2")
+    )
+    lm3j = lm3.select(F.col("g").alias("g123"), F.col("cnt").alias("c123"))
+    if broadcast_lm:
+        lm3j, c12 = F.broadcast(lm3j), F.broadcast(c12)
+        b23, c2 = F.broadcast(b23), F.broadcast(c2)
+    tg = df.select(
+        F.col(id_col), F.explode(_ngrams(text_col, 3)).alias("g123")
+    ).select(
+        id_col,
+        "g123",
+        F.concat_ws(
+            " ",
+            F.split_part(F.col("g123"), F.lit(" "), F.lit(1)),
+            F.split_part(F.col("g123"), F.lit(" "), F.lit(2)),
+        ).alias("g12c"),
+        F.concat_ws(
+            " ",
+            F.split_part(F.col("g123"), F.lit(" "), F.lit(2)),
+            F.split_part(F.col("g123"), F.lit(" "), F.lit(3)),
+        ).alias("g23c"),
+        F.split_part(F.col("g123"), F.lit(" "), F.lit(2)).alias("w2c"),
+    )
+    kv = float(k) * float(vocab_size)
+    p3 = (F.coalesce(F.col("c123"), F.lit(0)) + F.lit(float(k))) / (
+        F.coalesce(F.col("c12"), F.lit(0)) + F.lit(kv)
+    )
+    p2 = (F.coalesce(F.col("c23"), F.lit(0)) + F.lit(float(k))) / (
+        F.coalesce(F.col("c2"), F.lit(0)) + F.lit(kv)
+    )
+    scored = (
+        tg.join(lm3j, "g123", "left")
+        .join(c12, "g12c", "left")
+        .join(b23, "g23c", "left")
+        .join(c2, "w2c", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.count("c123").alias("n_matched3"),
+            F.coalesce(F.sum("c123"), F.lit(0)).cast("long").alias("sum_cb3"),
+            F.sum(
+                -F.log(F.lit(float(lam)) * p3 + F.lit(1.0 - float(lam)) * p2)
+            ).alias("_nll_sum"),
+        )
+    )
+    out = scored.select(
+        id_col,
+        "n_trigrams",
+        "n_matched3",
+        "sum_cb3",
+        (F.col("_nll_sum") / F.col("n_trigrams")).alias("nll"),
+        F.exp(F.col("_nll_sum") / F.col("n_trigrams")).alias("ppl"),
+    )
+    return (
+        df.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_trigrams", F.lit(0)).cast("long")
+            .alias("n_trigrams"),
+            F.coalesce("n_matched3", F.lit(0)).cast("long")
+            .alias("n_matched3"),
+            F.coalesce("sum_cb3", F.lit(0)).cast("long").alias("sum_cb3"),
+            "nll",
+            "ppl",
+        )
     )

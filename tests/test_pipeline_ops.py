@@ -1280,3 +1280,50 @@ def test_semantic_dedup_chain_not_transitive(spark):
              semantic_dedup(emb, "vec_id", "embedding", k=1, iterations=1,
                             threshold=0.79).collect()}
     assert out79[3]["keep"] is False and out79[3]["dup_of"] == 2
+
+
+def test_interpolated_trigram_lm_hand_computed(spark):
+    """Interpolated trigram scoring on a 2-doc corpus: exact counts and
+    the lam·P3 + (1−lam)·P2 mix verified against hand arithmetic."""
+    import math
+
+    from rs_graphdb_spark.functions.lm import (
+        bigram_counts, lm_vocab_size, ngram_counts, score_interpolated_lm)
+    from rs_graphdb_spark.session import local_df
+
+    train = local_df(spark, [(1, "a b c"), (2, "a b d")],
+                     "doc_id long, text string")
+    lm2 = bigram_counts(train)
+    lm3 = ngram_counts(train, n=3)
+    tri = {r["g"]: r["cnt"] for r in lm3.collect()}
+    # trigrams (double-BOS): <s> <s> a ×2, <s> a b ×2, a b c, a b d
+    assert tri == {"<s> <s> a": 2, "<s> a b": 2, "a b c": 1, "a b d": 1}
+    V = lm_vocab_size(lm2)
+    assert V == 4  # successors a, b, c, d
+
+    score = local_df(spark, [(10, "a b c"), (11, "z"), (12, "")],
+                     "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           score_interpolated_lm(score, "doc_id", "text", lm2, lm3, V,
+                                 lam=0.7).collect()}
+    r = out[10]
+    assert (r["n_trigrams"], r["n_matched3"], r["sum_cb3"]) == (3, 3, 5)
+
+    # hand mix: c2/cw from the bigram LM (<s>a×2, ab×2, bc, bd)
+    def p(c123, c12, c23, c2):
+        return (0.7 * (c123 + 1) / (c12 + V)
+                + (1.0 - 0.7) * (c23 + 1) / (c2 + V))
+
+    want = -(math.log(p(2, 2, 2, 2))      # <s> <s> a ; bigram <s> a
+             + math.log(p(2, 2, 2, 2))    # <s> a b ; bigram a b
+             + math.log(p(1, 2, 1, 2))    # a b c  ; bigram b c
+             ) / 3
+    assert abs(r["nll"] - want) < 1e-12
+    # unseen TOKEN but seen contexts: trigram <s> <s> z smooths over
+    # c12(<s> <s>)=2, bigram <s> z over c2(<s>)=2 — both floors 1/(2+V);
+    # (1.0 − 0.7) deliberately, NOT the literal 0.3 (different doubles)
+    r11 = out[11]
+    assert (r11["n_trigrams"], r11["n_matched3"]) == (1, 0)
+    want11 = -math.log(0.7 / (2 + V) + (1.0 - 0.7) / (2 + V))
+    assert abs(r11["nll"] - want11) < 1e-12
+    assert out[12]["n_trigrams"] == 0 and out[12]["nll"] is None
