@@ -2814,11 +2814,16 @@ def q40_minhash_dedup(spark, sf_dir):
         banded, sets, docs.filter(F.col("doc_id") >= split), "doc_id", "text",
         threshold=0.8,
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    from rs_graphdb_spark.functions.dedup import soft_dedup_weights
+
+    soft = soft_dedup_weights(cl)
     return _quads(
         _quad("pairs", q44_minhash_lsh_dedup(spark, sf_dir), k="a", v="jaccard", s="b"),
         _quad("cluster", cl, k="doc_id", s="cluster"),
         _quad("keep", cl, k="doc_id", s="keep"),
         _quad("incr", incr, k="a", v="jaccard", s="b"),
+        _quad("soft", soft, k="doc_id", v="weight_micro",
+              s=F.col("n_dups").cast("string")),
     )
 
 
@@ -6339,6 +6344,17 @@ def oracle_sql() -> dict[str, str]:
                     WHERE b >= (SELECT CAST(floor(0.8 * (max(doc_id) + 1))
                                 AS BIGINT) FROM documents)""",
                 k="a", v="jaccard", s="b",
+            ),
+            _sql_quad(
+                "soft",
+                f"""WITH c AS ({base["q89_dedup_clusters"]}),
+                    g AS (SELECT cluster, count(*) AS n FROM c
+                          GROUP BY cluster)
+                    SELECT c.doc_id,
+                           CAST(g.n AS VARCHAR) AS n_dups,
+                           CAST(floor(1000000.0 / g.n) AS BIGINT) AS wm
+                    FROM c JOIN g USING (cluster)""",
+                k="doc_id", v="wm", s="n_dups",
             ),
         ),
         "q41_simhash": base["q45_simhash_neardup"],

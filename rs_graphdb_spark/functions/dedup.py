@@ -1180,3 +1180,34 @@ def embedding_near_dup_pairs(
         .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def soft_dedup_weights(
+    clusters: DataFrame,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """SoftDeDup-style down-weighting: instead of DROPPING near-dups,
+    every member of a duplicate cluster gets weight ``1/cluster_size``
+    so repeated content contributes one document's worth of training
+    mass in aggregate (the soft alternative to the keeper policy).
+
+    Input is :func:`near_dup_clusters` output ``(doc_id, cluster,
+    keep)``; returns ``(doc_id, cluster, n_dups, weight_micro)`` where
+    ``weight_micro = floor(scale / n_dups)`` — INTEGER micro-weights
+    (the classifier-micro-weight convention) so the oracle comparison is
+    bit-exact; divide by ``scale`` at the training boundary.
+
+    Plan: one window count over the cluster key — same exchange the
+    cluster assignment already produced. A pathological mega-cluster is
+    bounded by the dedup pair graph itself (LSH-banded, never all-pairs).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cluster")
+    n = F.count("*").over(w)
+    return clusters.select(
+        "doc_id",
+        "cluster",
+        n.cast("long").alias("n_dups"),
+        F.floor(F.lit(float(scale)) / n).cast("long").alias("weight_micro"),
+    )

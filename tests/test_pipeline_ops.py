@@ -1327,3 +1327,24 @@ def test_interpolated_trigram_lm_hand_computed(spark):
     want11 = -math.log(0.7 / (2 + V) + (1.0 - 0.7) / (2 + V))
     assert abs(r11["nll"] - want11) < 1e-12
     assert out[12]["n_trigrams"] == 0 and out[12]["nll"] is None
+
+
+def test_soft_dedup_weights(docs, spark):
+    """Cluster of 2 (docs 1,2) gets micro-weight 500000 each; singletons
+    keep the full 1000000 — totals preserve one-doc-per-cluster mass."""
+    from rs_graphdb_spark.functions.dedup import (
+        near_dup_clusters, soft_dedup_weights)
+
+    cl = near_dup_clusters(docs, "doc_id", "text", threshold=0.9)
+    out = {r["doc_id"]: r for r in soft_dedup_weights(cl).collect()}
+    # docs 1,2 are identical → same cluster; doc 4 is always a singleton
+    assert out[1]["cluster"] == out[2]["cluster"]
+    assert out[1]["n_dups"] >= 2
+    assert out[1]["weight_micro"] == 1_000_000 // out[1]["n_dups"]
+    assert out[4]["n_dups"] == 1 and out[4]["weight_micro"] == 1_000_000
+    # mass conservation up to floor loss: Σ weights ≈ one unit per cluster
+    sizes: dict = {}
+    for r in out.values():
+        sizes[r["cluster"]] = sizes.get(r["cluster"], 0) + 1
+    want = sum(n * (1_000_000 // n) for n in sizes.values())
+    assert sum(r["weight_micro"] for r in out.values()) == want
