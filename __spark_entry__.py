@@ -2608,6 +2608,17 @@ def q37_tfidf(spark, sf_dir):
     lm3 = ngram_counts(
         docs.filter(F.col("doc_id") % 10 < 8), n=3
     ).localCheckpoint()
+    # pruned-LM path: min_count=2 exercises the Zipf-tail pruning lever
+    # (the broadcast-viability control at 100 TB); V shrinks with the
+    # table, pruned mass falls through to the smoothed floor
+    lmp = bigram_counts(
+        docs.filter(F.col("doc_id") % 10 < 8), min_count=2
+    ).localCheckpoint()
+    pruned = score_bigram_lm(
+        docs, "doc_id", "text", lmp, lm_vocab_size(lmp)
+    ).select(
+        "doc_id", "n_matched", "sum_cb", F.round("nll", 6).alias("nll"),
+    )
     tri = score_interpolated_lm(
         docs, "doc_id", "text", lm, lm3, lm_vocab_size(lm), lam=0.7
     ).select(
@@ -2632,6 +2643,10 @@ def q37_tfidf(spark, sf_dir):
         _metric_quads(tri,
                       {"tri_nb": "n_trigrams", "tri_match": "n_matched3",
                        "tri_cb": "sum_cb3", "tri_nll": "nll3"},
+                      k="doc_id"),
+        _metric_quads(pruned,
+                      {"pr_match": "n_matched", "pr_cb": "sum_cb",
+                       "pr_nll": "nll"},
                       k="doc_id"),
     )
 
@@ -5285,7 +5300,8 @@ def oracle_sql() -> dict[str, str]:
     # smoothing, LM trained on the doc_id%10<8 split. Integer mechanism
     # columns are bit-exact; nll compares at 6 dp (classifier-sigmoid
     # precedent). bg/lm are referenced multiple times → MATERIALIZED.
-    lm_sql = """
+    def _mk_lm_sql(min_count: int) -> str:
+        return """
         WITH tk AS (
             SELECT doc_id,
                    list_prepend('<s>',
@@ -5300,6 +5316,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         lm AS MATERIALIZED (
             SELECT g, count(*) AS cb FROM bg WHERE doc_id % 10 < 8 GROUP BY g
+            HAVING count(*) >= __MC__
         ),
         ctx AS (
             SELECT split_part(g, ' ', 1) AS w1, sum(cb) AS cw
@@ -5325,7 +5342,13 @@ def oracle_sql() -> dict[str, str]:
                coalesce(sum_cb, 0) AS sum_cb,
                round(nll_sum / n_bigrams, 6) AS nll
         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-    """
+    """.replace("__MC__", str(min_count))
+
+    lm_sql = _mk_lm_sql(1)
+    # pruned-LM twin: min_count=2 — the Zipf-tail pruning lever the
+    # 100 TB walkthrough leans on, verified cross-engine (V shrinks with
+    # the table; held-out mass falls through to the smoothed floor)
+    lm_pruned_sql = _mk_lm_sql(2)
 
     # interpolated trigram twin: same double-BOS trigram stream, same
     # add-1 components; the interpolation weights are embedded via repr()
@@ -6142,6 +6165,10 @@ def oracle_sql() -> dict[str, str]:
                               {"tri_nb": "n_trigrams",
                                "tri_match": "n_matched3",
                                "tri_cb": "sum_cb3", "tri_nll": "nll3"},
+                              k="doc_id"),
+            _sql_metric_quads(lm_pruned_sql,
+                              {"pr_match": "n_matched", "pr_cb": "sum_cb",
+                               "pr_nll": "nll"},
                               k="doc_id"),
         ),
         "q38_multimodal": _sql_union(

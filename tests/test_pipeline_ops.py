@@ -1210,6 +1210,12 @@ def test_bigram_lm_hand_computed(spark):
     V = lm_vocab_size(lm)
     assert V == 3  # successors: a, b, c
 
+    # min_count prunes hapax bigram types (b-a, b-c); V shrinks with them
+    pruned = bigram_counts(train, min_count=2)
+    assert {(r["w1"], r["w2"]) for r in pruned.collect()} == {
+        ("<s>", "a"), ("a", "b")}
+    assert lm_vocab_size(pruned) == 2
+
     score = local_df(spark, [(10, "a b"), (11, "z"), (12, "")],
                      "doc_id long, text string")
     out = {r["doc_id"]: r for r in
