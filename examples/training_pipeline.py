@@ -90,6 +90,14 @@ def main() -> None:
     clusters = near_dup_clusters(docs, "doc_id", "text", threshold=0.8)
     clusters.groupBy("keep").count().show()
 
+    print("-- 3a. soft dedup: down-weight duplicates instead of dropping")
+    from rs_graphdb_spark.functions.dedup import soft_dedup_weights
+
+    soft_dedup_weights(clusters).agg(
+        F.count("*").alias("docs"),
+        F.sum("weight_micro").alias("total_micro_mass"),
+    ).show()
+
     print("-- 3b. SemDeDup over the embeddings table (semantic pruning)")
     from rs_graphdb_spark.functions.similarity import semantic_dedup
 

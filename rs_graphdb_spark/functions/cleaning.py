@@ -829,7 +829,10 @@ def html_to_text(col: Column | str) -> Column:
     DuckDB by :func:`html_to_text_sql`, so extracted text is
     bit-identical across engines. This is deliberately a regex extractor
     (CommonCrawl-WET fidelity class), not a DOM parser: no entity
-    numeric-range decoding beyond ``&#39;``, no table layout. Swap a
+    numeric-range decoding beyond ``&#39;``, no table layout, and a tag
+    whose NAME merely starts with a block-boundary name (``<broken>``
+    matching the ``br`` rule) is treated as a boundary — RE2 has no
+    lookahead to forbid it, and both engines share the behavior. Swap a
     native extractor behind the same column contract for DOM-accurate
     corpora.
     """

@@ -1325,6 +1325,13 @@ def test_interpolated_trigram_lm_hand_computed(spark):
              + math.log(p(1, 2, 1, 2))    # a b c  ; bigram b c
              ) / 3
     assert abs(r["nll"] - want) < 1e-12
+    # shuffle-join path returns identical rows (the large-vocab fallback)
+    shuf = {r["doc_id"]: r.asDict() for r in
+            score_interpolated_lm(score, "doc_id", "text", lm2, lm3, V,
+                                  lam=0.7, broadcast_lm=False).collect()}
+    for i in out:
+        assert out[i].asDict() == shuf[i]
+
     # unseen TOKEN but seen contexts: trigram <s> <s> z smooths over
     # c12(<s> <s>)=2, bigram <s> z over c2(<s>)=2 — both floors 1/(2+V);
     # (1.0 − 0.7) deliberately, NOT the literal 0.3 (different doubles)
