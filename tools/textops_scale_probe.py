@@ -86,6 +86,19 @@ def main() -> None:
                 .write.mode("overwrite").format("noop").save()
 
         probe("bigram-LM gate (train+score)", n, lm_gate)
+
+        def tri_gate():
+            from rs_graphdb_spark.functions.lm import (
+                ngram_counts, score_interpolated_lm)
+
+            ref = docs.filter(F.col("doc_id") % 10 < 8)
+            lm2 = bigram_counts(ref).localCheckpoint()
+            lm3 = ngram_counts(ref, n=3).localCheckpoint()
+            score_interpolated_lm(
+                docs, "doc_id", "text", lm2, lm3, lm_vocab_size(lm2)
+            ).write.mode("overwrite").format("noop").save()
+
+        probe("trigram-LM gate (train+score)", n, tri_gate)
         docs.unpersist()
 
 
