@@ -6565,13 +6565,16 @@ def oracle_sql() -> dict[str, str]:
             _sql_metric_quads(base["q85_pack_sequences"],
                               {"pk_docs": "n_docs", "pk_tok": "sum_tokens"},
                               k="shard * 100000 + bin"),
-            # chunk twin: same whitespace split, stride 32, width 40;
-            # DuckDB list slicing is 1-based inclusive like F.slice
+            # chunk twin: same whitespace-run split (empty tokens
+            # dropped), stride 32, width 40; DuckDB list slicing is
+            # 1-based inclusive like F.slice
             _sql_quad(
                 "chunk",
                 """
                 WITH d AS (
-                    SELECT doc_id, string_split(text, ' ') AS t
+                    SELECT doc_id,
+                           list_filter(regexp_split_to_array(text, '\\s+'),
+                                       x -> x <> '') AS t
                     FROM documents
                 ),
                 c AS (

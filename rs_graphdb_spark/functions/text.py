@@ -368,23 +368,37 @@ def chunk_documents(
     text_col: str,
     max_tokens: int = 128,
     overlap: int = 16,
+    token_re: str | None = None,
 ) -> "DataFrame":
     """Context-window chunking (training/RAG prep): split each document
-    into whitespace-token chunks of ``max_tokens`` with ``overlap``
-    tokens carried between consecutive chunks (stride = max_tokens −
-    overlap). Returns (id_col, chunk_idx, chunk_text, n_tokens); every
-    document yields ≥1 chunk (a short doc is its own single chunk).
+    into token chunks of ``max_tokens`` with ``overlap`` tokens carried
+    between consecutive chunks (stride = max_tokens − overlap). Returns
+    (id_col, chunk_idx, chunk_text, n_tokens); every document yields ≥1
+    chunk (a short doc is its own single chunk).
+
+    Tokens are maximal non-whitespace runs (split on ``\\s+`` with empty
+    tokens dropped — newlines/tabs and space runs never mint tokens
+    against the budget). Pass ``token_re`` (e.g. the BPE-ish
+    ``[a-z]+|[0-9]|[^a-z0-9\\s]`` used by ``q14``'s token counter, applied
+    to the lowercased text) to budget in sub-word pieces instead; chunk
+    text is then the space-joined pieces, i.e. a token-stream view, not a
+    byte-exact substring.
 
     Scale shape: pure codegen — split + sequence + posexplode + slice,
     no shuffle, no Python; chunks inherit the document scan's
     partitioning, so chunking a 100 TB corpus is one embarrassingly
-    parallel scan-stage. The whitespace tokenizer is deliberate (the
-    DuckDB twin reproduces it verbatim); swap `tokenize()` or a BPE
-    counter upstream if chunk budgets must be model-exact."""
+    parallel scan-stage."""
     if not 0 <= overlap < max_tokens:
         raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}")
     stride = max_tokens - overlap
-    toks = F.split(F.col(text_col), " ")
+    if token_re is None:
+        toks = F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+        )
+    else:
+        toks = F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(token_re), 0
+        )
     n_chunks = F.greatest(
         F.lit(1),
         F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(float(stride))),

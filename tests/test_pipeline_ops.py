@@ -1361,3 +1361,44 @@ def test_soft_dedup_weights(docs, spark):
         sizes[r["cluster"]] = sizes.get(r["cluster"], 0) + 1
     want = sum(n * (1_000_000 // n) for n in sizes.values())
     assert sum(r["weight_micro"] for r in out.values()) == want
+
+
+def test_chunk_documents_whitespace_runs(spark):
+    """Whitespace-run splitting: newlines/tabs/space-runs never mint
+    empty tokens against the budget (round-6 fix — the old single-space
+    split counted them)."""
+    from rs_graphdb_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a  b\tc\nd   e"),          # runs of spaces, tab, newline
+         (2, "  leading and trailing  "),
+         (3, "")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["chunk_idx"]): r
+           for r in chunk_documents(df, "doc_id", "text",
+                                    max_tokens=3, overlap=1).collect()}
+    assert out[(1, 0)]["chunk_text"] == "a b c"
+    assert out[(1, 1)]["chunk_text"] == "c d e"
+    assert out[(1, 1)]["n_tokens"] == 3
+    assert max(i for d, i in out if d == 1) == 1  # exactly 2 chunks
+    assert out[(2, 0)]["chunk_text"] == "leading and trailing"
+    assert out[(2, 0)]["n_tokens"] == 3
+    # empty doc still yields its one (empty) chunk
+    assert out[(3, 0)]["n_tokens"] == 0 and out[(3, 0)]["chunk_text"] == ""
+
+
+def test_chunk_documents_bpe_budget(spark):
+    """token_re budgets in BPE-ish pieces: letters runs, single digits,
+    single punct — '2026!' is three tokens, not one."""
+    from rs_graphdb_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "year 2026! ok")], "doc_id long, text string")
+    out = sorted(
+        chunk_documents(df, "doc_id", "text", max_tokens=4, overlap=0,
+                        token_re=r"[a-z]+|[0-9]|[^a-z0-9\s]").collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # pieces: year 2 0 2 | 6 ! ok
+    assert [r["chunk_text"] for r in out] == ["year 2 0 2", "6 ! ok"]
+    assert [r["n_tokens"] for r in out] == [4, 3]
