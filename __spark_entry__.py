@@ -2450,11 +2450,19 @@ def q36_text_features(spark, sf_dir):
         F.lit('&gt;&nbsp;&quot;q&quot;&#39;s&#39;</li></ul><div>tail '),
         ds, F.lit('</div></body></html>'),
     )
+    # bind the extracted text ONCE (single-element transform idiom) —
+    # as two plain projections the optimizer re-inlines the ~11-step
+    # regexp chain into each consumer (the PLANS.md optimizer trap)
     html = docs.select(
         "doc_id",
-        F.md5(html_to_text(page)).alias("hm"),
-        F.length(html_to_text(page)).cast("long").alias("hl"),
-    )
+        F.transform(
+            F.array(html_to_text(page)),
+            lambda t: F.struct(
+                F.md5(t).alias("hm"),
+                F.length(t).cast("long").alias("hl"),
+            ),
+        )[0].alias("_h"),
+    ).select("doc_id", F.col("_h.hm").alias("hm"), F.col("_h.hl").alias("hl"))
     keep = docs.select(
         TX.quality_filter("text").alias("keep")
     ).groupBy("keep").agg(F.count("*").alias("cnt"))
@@ -2598,7 +2606,7 @@ def q37_tfidf(spark, sf_dir):
     bigram smoothing path) with head/middle/tail bucket counts."""
     from rs_graphdb_spark.functions.lm import (
         bigram_counts, ccnet_buckets, lm_vocab_size, ngram_counts,
-        score_bigram_lm, score_interpolated_lm)
+        score_bigram_lm, score_interpolated_lm, score_kn_lm)
 
     docs = _read(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
@@ -2625,6 +2633,15 @@ def q37_tfidf(spark, sf_dir):
         "doc_id", "n_trigrams", "n_matched3", "sum_cb3",
         F.round("nll", 6).alias("nll3"),
     )
+    # Kneser-Ney absolute-discount path (the KenLM-style production
+    # gate): held-out docs exercise BOTH backoff layers — discounted
+    # bigram → continuation interpolation, and full continuation backoff
+    # on unseen contexts
+    kn = score_kn_lm(
+        docs, "doc_id", "text", lm, lm_vocab_size(lm)
+    ).select(
+        "doc_id", "n_matched", "sum_cont", F.round("nll", 6).alias("nll"),
+    )
     # bucket on the ROUNDED nll (a sibling alias would resolve to the
     # raw column) — the oracle cuts the same rounded value
     lmq = scored.select(
@@ -2647,6 +2664,10 @@ def q37_tfidf(spark, sf_dir):
         _metric_quads(pruned,
                       {"pr_match": "n_matched", "pr_cb": "sum_cb",
                        "pr_nll": "nll"},
+                      k="doc_id"),
+        _metric_quads(kn,
+                      {"kn_match": "n_matched", "kn_cont": "sum_cont",
+                       "kn_nll": "nll"},
                       k="doc_id"),
     )
 
@@ -5350,6 +5371,66 @@ def oracle_sql() -> dict[str, str]:
     # the table; held-out mass falls through to the smoothed floor)
     lm_pruned_sql = _mk_lm_sql(2)
 
+    # Kneser-Ney twin: absolute discount D over the SAME bigram LM.
+    # Mechanism integers: fan-outs/continuation counts are row counts of
+    # the (distinct-typed) LM table; D embedded via repr() so both
+    # engines discount with the identical double. Expression association
+    # mirrors the Spark form exactly (left-assoc D*fo/cw*pc).
+    _kn_d = repr(0.75)
+    kn_sql = f"""
+        WITH tk AS (
+            SELECT doc_id,
+                   list_prepend('<s>',
+                       regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM documents
+        ),
+        bg AS MATERIALIZED (
+            SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN
+                list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                ELSE [] END) AS g
+            FROM tk
+        ),
+        lm AS MATERIALIZED (
+            SELECT g, count(*) AS cb FROM bg WHERE doc_id % 10 < 8 GROUP BY g
+        ),
+        ctx AS (
+            SELECT split_part(g, ' ', 1) AS w1, sum(cb) AS cw,
+                   count(*) AS fo
+            FROM lm GROUP BY 1
+        ),
+        cont AS (
+            SELECT split_part(g, ' ', 2) AS w2, count(*) AS ct
+            FROM lm GROUP BY 1
+        ),
+        tt AS (
+            SELECT count(*) + count(DISTINCT split_part(g, ' ', 2)) AS tv
+            FROM lm
+        ),
+        sc AS (
+            SELECT bg.doc_id,
+                   count(*) AS n_bigrams,
+                   count(lm.cb) AS n_matched,
+                   coalesce(sum(cont.ct), 0) AS sum_cont,
+                   sum(-ln(CASE WHEN ctx.cw IS NOT NULL THEN
+                       greatest(coalesce(lm.cb, 0) - {_kn_d}, 0.0) / ctx.cw
+                       + {_kn_d} * ctx.fo / ctx.cw
+                         * ((coalesce(cont.ct, 0) + 1.0)
+                            / (SELECT tv FROM tt))
+                     ELSE (coalesce(cont.ct, 0) + 1.0)
+                          / (SELECT tv FROM tt) END)) AS nll_sum
+            FROM bg
+            LEFT JOIN lm USING (g)
+            LEFT JOIN ctx ON split_part(bg.g, ' ', 1) = ctx.w1
+            LEFT JOIN cont ON split_part(bg.g, ' ', 2) = cont.w2
+            GROUP BY bg.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n_matched, 0) AS n_matched,
+               coalesce(sum_cont, 0) AS sum_cont,
+               round(nll_sum / n_bigrams, 6) AS nll
+        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    """
+
     # interpolated trigram twin: same double-BOS trigram stream, same
     # add-1 components; the interpolation weights are embedded via repr()
     # so both engines mix with the IDENTICAL doubles (1.0 − 0.7 is
@@ -6169,6 +6250,10 @@ def oracle_sql() -> dict[str, str]:
             _sql_metric_quads(lm_pruned_sql,
                               {"pr_match": "n_matched", "pr_cb": "sum_cb",
                                "pr_nll": "nll"},
+                              k="doc_id"),
+            _sql_metric_quads(kn_sql,
+                              {"kn_match": "n_matched", "kn_cont": "sum_cont",
+                               "kn_nll": "nll"},
                               k="doc_id"),
         ),
         "q38_multimodal": _sql_union(

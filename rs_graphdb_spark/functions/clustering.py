@@ -115,6 +115,87 @@ def kmeans(
     )
 
 
+def _assign_gemm(emb: DataFrame, vec_col: str, cents) -> DataFrame:
+    """Add a `cluster` column via blocked GEMM against a BROADCAST
+    centroid matrix (the FAISS / IVF-codebook shape): each Arrow batch
+    computes ``argmin_c ||v−c||² = argmin_c (||c||² − 2 v·cᵀ)`` with one
+    numpy matmul per row-block. This is the large-k assignment path —
+    the centroid table ships once per executor inside the task closure
+    (k × dim doubles), NOT as k folded plan literals, so k is bounded by
+    executor memory (k·dim ≲ 10⁸ doubles), not by Catalyst plan size
+    (k ≈ 10³). Ties break to the lowest index (np.argmin = first min),
+    matching the literal path's array_min tie-break."""
+    import numpy as np
+
+    C = np.ascontiguousarray(np.asarray(cents, dtype=np.float64))
+    c_norms = (C * C).sum(axis=1)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in emb.schema.fields
+    ) + ", cluster int"
+    # bound the per-block score matrix (rows × k doubles) to ~32 MB
+    block = max(1, (1 << 22) // max(1, C.shape[0]))
+
+    def _fn(batches):
+        for pdf in batches:
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n = len(pdf)
+            cl = np.empty(n, dtype=np.int32)
+            for s in range(0, n, block):
+                v = vecs[s:s + block]
+                # ||v||² is constant per row — argmin ignores it
+                cl[s:s + block] = np.argmin(
+                    c_norms[None, :] - 2.0 * (v @ C.T), axis=1
+                )
+            pdf = pdf.copy()
+            pdf["cluster"] = cl
+            yield pdf
+
+    return emb.mapInPandas(_fn, out_schema)
+
+
+def kmeans_assign_table(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iterations: int = 3,
+) -> DataFrame:
+    """Per-row cluster assignment at PRODUCTION k — the large-k dual of
+    :func:`kmeans_assign`, whose literal-folded centroids cap k at ~10³
+    (plan size). Same Lloyd structure, but every assignment pass is the
+    broadcast-centroid-matrix GEMM of :func:`_assign_gemm`; the update
+    pass stays a posexplode + map-side-combined aggregation whose
+    shuffle volume is k × dim rows — independent of corpus size.
+
+    Init is the vectors of the k smallest ids (k × dim doubles to the
+    driver — 2 MB at k=4000, dim=64; at k ≈ 10⁶⁺ persist/seed a codebook
+    table instead). Not bit-identical to :func:`kmeans_assign`: GEMM
+    sums in a different order than the left-fold `_sq_dist`, so points
+    equidistant at double precision may tie-break differently — the
+    oracle-checked configuration stays the literal path (SemDeDup k=4
+    twin); this path is the scale regime (SemDeDup's k ≈ n/500 at
+    corpus scale, the Abbas et al. parameterization)."""
+    emb = df.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).localCheckpoint()
+    cents = [r["_v"] for r in emb.orderBy(id_col).limit(k).collect()]
+    for _ in range(iterations):
+        assigned = _assign_gemm(emb, "_v", cents)
+        rows = (
+            assigned.select("cluster", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("val"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "val")))
+                 .alias("cv"))
+            .collect()
+        )
+        new = {r["cluster"]: [p["val"] for p in r["cv"]] for r in rows}
+        cents = [new.get(i, cents[i]) for i in range(k)]
+    return _assign_gemm(emb, "_v", cents).select(id_col, "cluster")
+
+
 def kmeans_assign(
     df: DataFrame,
     id_col: str,

@@ -79,18 +79,26 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     descending sequence whose first slice start is 0 — a
     SparkRuntimeException that would kill a whole ingest job for one
     short document (r2 advice #1; same guard shape as
-    ``repetition_ratio``)."""
-    toks = tokenize(col)
-    n = F.size(toks)
-    return F.when(
-        n >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    ``repetition_ratio``).
+
+    The token array is bound ONCE as a lambda variable (single-element
+    ``transform`` idiom): referenced as a plain expression inside the
+    per-shingle lambda it would re-run the regexp tokenizer for EVERY
+    shingle — O(L²) per document (the round-6 document-LENGTH probe
+    measured 12× on 10×-longer docs at equal token mass; the corpus-size
+    probes' ~55-token docs never exposed it)."""
+    return F.transform(
+        F.array(tokenize(col)),
+        lambda toks: F.when(
+            F.size(toks) >= k,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )[0]
 
 
 def shingle_hashes(col: Column | str, k: int = 3) -> Column:
@@ -138,7 +146,13 @@ def minhash_signature_np() -> Column:
     Exactness: a, h < 2³¹ so a·h + b < 2⁶² — int64 never overflows and
     the modulus matches the SQL/DuckDB arithmetic exactly. The flattened
     matrix is chunked to ≤ 2²² hash columns (~4 GB peak) so a skewed
-    batch of huge documents cannot OOM a Python worker."""
+    batch of huge documents cannot OOM a Python worker.
+
+    Feed this a STAGED column (checkpoint/persist barrier, the `_pin`
+    rule), never an inline shingle expression: Spark 4.1 flakily fails
+    to extract a pandas UDF whose child is a doubly-nested ``transform``
+    (INTERNAL_ERROR "Cannot evaluate expression" at collect). Every
+    engine path stages; pinned by the property tests."""
     from pyspark.sql.functions import pandas_udf
 
     A = np.array([a for a, _ in HASH_PARAMS], dtype=np.int64)[:, None]
@@ -1155,11 +1169,16 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two float-array columns, JVM-side
-    (``zip_with`` dot product + ``aggregate`` norms)."""
+    (``zip_with`` dot product + ``aggregate`` norms).
+
+    A zero-norm side yields NULL (``try_divide``), not NaN and not an
+    ANSI DIVIDE_BY_ZERO error — cosine is undefined there, and NULL
+    propagates through ``>= threshold`` filters as not-a-match in both
+    ANSI and legacy sessions (the driver makes no ANSI promise)."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
-    return dot / (na * nb)
+    return F.try_divide(dot, na * nb)
 
 
 def embedding_near_dup_pairs(

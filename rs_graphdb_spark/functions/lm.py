@@ -47,6 +47,7 @@ __all__ = [
     "lm_vocab_size",
     "score_bigram_lm",
     "score_interpolated_lm",
+    "score_kn_lm",
     "ccnet_buckets",
 ]
 
@@ -176,6 +177,116 @@ def score_bigram_lm(
             F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
             F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
             F.coalesce("sum_cb", F.lit(0)).cast("long").alias("sum_cb"),
+            "nll",
+            "ppl",
+        )
+    )
+
+
+def score_kn_lm(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm: DataFrame,
+    vocab_size: int,
+    discount: float = 0.75,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Interpolated bigram Kneser-Ney scoring with absolute discounting —
+    the credible production form of the CCNet gate (KenLM-style backoff
+    rather than add-k). Per predicted token:
+
+    - seen context (``c(w1) > 0``)::
+
+        P(w2|w1) = max(c(w1 w2) − D, 0) / c(w1)
+                 + (D · N1+(w1 ·) / c(w1)) · Pcont(w2)
+
+    - unseen context: full backoff, ``P = Pcont(w2)``
+
+    where ``N1+(w1 ·)`` is the context's continuation fan-out (distinct
+    successor types of ``w1``), and the continuation distribution is
+    add-one smoothed over the observed vocabulary so unseen words keep a
+    positive floor::
+
+        Pcont(w2) = (N1+(· w2) + 1) / (T + V)
+
+    with ``T`` = total distinct bigram types in the LM and ``V`` =
+    ``vocab_size``. Absolute discounting keeps every mechanism quantity
+    an integer (type counts, fan-outs, continuation counts), so the
+    cross-engine contract survives: returns ``(id_col, n_bigrams,
+    n_matched, sum_cont, nll, ppl)`` where ``sum_cont`` is the summed
+    continuation counts of the doc's predicted tokens (bit-exact) and
+    nll/ppl are the 6-dp transcendental tail. The discounted mass
+    ``D·N1+(w1·)/c(w1)`` is exactly what the max-subtraction removes, so
+    each seen-context distribution sums to 1 (Chen & Goodman 1999 eq. 4).
+
+    Plan: the same shape as :func:`score_bigram_lm` — one explode, three
+    broadcast joins against vocabulary-bounded tables (bigram, context
+    stats, continuation counts), one doc-keyed aggregation; ``T`` is a
+    one-scalar action on the LM table, never corpus data.
+    """
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    n_types = lm.count()  # T: distinct bigram types (scalar)
+    ctx = lm.groupBy("w1").agg(
+        F.sum("cnt").alias("cw"), F.count("*").alias("fo")
+    )
+    cont = lm.groupBy(F.col("w2").alias("w2c")).agg(
+        F.count("*").alias("ct")
+    )
+    lmj = lm.select(
+        F.concat_ws(" ", "w1", "w2").alias("g"), F.col("cnt").alias("cb")
+    )
+    if broadcast_lm:
+        lmj, ctx, cont = F.broadcast(lmj), F.broadcast(ctx), F.broadcast(cont)
+    bg = df.select(
+        F.col(id_col), F.explode(_bigrams(text_col)).alias("g")
+    ).select(
+        id_col,
+        "g",
+        F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2c"),
+    )
+    d = float(discount)
+    tv = float(n_types + vocab_size)
+    pc = (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0)) / F.lit(tv)
+    pkn = F.when(
+        F.col("cw").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("cb"), F.lit(0)) - F.lit(d), F.lit(0.0)
+        ) / F.col("cw")
+        + F.lit(d) * F.col("fo") / F.col("cw") * pc,
+    ).otherwise(pc)
+    scored = (
+        bg.join(lmj, "g", "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2c", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.count("cb").alias("n_matched"),
+            F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("sum_cont"),
+            F.sum(-F.log(pkn)).alias("_nll_sum"),
+        )
+    )
+    out = scored.select(
+        id_col,
+        "n_bigrams",
+        "n_matched",
+        "sum_cont",
+        (F.col("_nll_sum") / F.col("n_bigrams")).alias("nll"),
+        F.exp(F.col("_nll_sum") / F.col("n_bigrams")).alias("ppl"),
+    )
+    return (
+        df.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+            F.coalesce("sum_cont", F.lit(0)).cast("long").alias("sum_cont"),
             "nll",
             "ppl",
         )

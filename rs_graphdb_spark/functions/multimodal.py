@@ -961,15 +961,20 @@ def documents_as_video(
 
 
 # ---------------------------------------------------------------------------
-# JPEG: REAL baseline JFIF (SOI/APP0/DQT/SOF0/DHT/SOS/EOI) grayscale codec,
+# JPEG: REAL baseline JFIF (SOI/APP0/DQT/SOF0/DHT/SOS/EOI) codec,
 # stdlib+numpy only — the dominant wild image format. The decoder is a
 # genuine marker walk + Huffman entropy decode + dequantize + batched
 # numpy IDCT; it reads quant/Huffman tables FROM THE FILE (so it decodes
-# any spec-conforming baseline grayscale JPEG, not just our encoder's
-# output) and honors restart intervals (DRI/RSTn). The encoder emits the
-# spec's Annex-K example luminance tables. Progressive (SOF2), chroma
-# subsampling, and arithmetic coding are documented native-codec
-# territory, same posture as H.264/MP3.
+# any spec-conforming baseline JPEG, not just our encoder's output) and
+# honors restart intervals (DRI/RSTn). Grayscale AND interleaved color
+# scans are supported: per-component sampling factors (4:2:0 / 4:2:2 /
+# 4:4:4), per-component quant/Huffman table selection, MCU-ordered
+# entropy decode, chroma upsampling and BT.601 YCbCr→RGB (round-6 item
+# #6 — the grayscale-only decoder covered a minority of wild JPEGs).
+# The encoder emits the spec's Annex-K example tables (K.1/K.3/K.5
+# luminance; K.2/K.4/K.6 chrominance for the color form). Progressive
+# (SOF2) and arithmetic coding stay documented native-codec territory,
+# same posture as H.264/MP3.
 #
 # Exactness note for oracle fixtures: JPEG is lossy in general, but a
 # block that is CONSTANT has only a DC coefficient 8*(v-128); with the
@@ -1011,6 +1016,41 @@ _JPEG_AC_VALS = (
     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+#: Annex K Table K.2 chrominance quantization matrix (row-major).
+_JPEG_QUANT_C = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int64)
+
+#: Annex K chrominance DC Huffman spec (Table K.4).
+_JPEG_DC_BITS_C = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS_C = tuple(range(12))
+#: Annex K chrominance AC Huffman spec (Table K.6).
+_JPEG_AC_BITS_C = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+_JPEG_AC_VALS_C = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 )
 
@@ -1092,6 +1132,39 @@ def _jpeg_segment(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
+def _write_block(out: "_BitWriter", blk, prev_dc: int,
+                 dc_codes: dict, ac_codes: dict) -> int:
+    """Entropy-code one zigzagged quantized block (DC differential +
+    AC run-length); returns the new DC predictor."""
+    diff = int(blk[0]) - prev_dc
+    size = abs(diff).bit_length()
+    ln, code = dc_codes[size]
+    out.put(code, ln)
+    if size:
+        out.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(blk[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_codes[0xF0]  # ZRL
+            out.put(code, ln)
+            run -= 16
+        size = abs(v).bit_length()
+        ln, code = ac_codes[(run << 4) | size]
+        out.put(code, ln)
+        out.put(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last < 63:
+        ln, code = ac_codes[0x00]  # EOB
+        out.put(code, ln)
+    return int(blk[0])
+
+
 def encode_jpeg(pixels: bytes, w: int, h: int, quality: int = 50) -> bytes:
     """8-bit grayscale baseline JFIF bytes from a row-major pixel buffer.
 
@@ -1118,33 +1191,7 @@ def encode_jpeg(pixels: bytes, w: int, h: int, quality: int = 50) -> bytes:
     out = _BitWriter()
     prev_dc = 0
     for blk in zz:
-        diff = int(blk[0]) - prev_dc
-        prev_dc = int(blk[0])
-        size = abs(diff).bit_length()
-        ln, code = dc_codes[size]
-        out.put(code, ln)
-        if size:
-            out.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
-        run = 0
-        nz = np.nonzero(blk[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for i in range(1, last + 1):
-            v = int(blk[i])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                ln, code = ac_codes[0xF0]  # ZRL
-                out.put(code, ln)
-                run -= 16
-            size = abs(v).bit_length()
-            ln, code = ac_codes[(run << 4) | size]
-            out.put(code, ln)
-            out.put(v if v >= 0 else v + (1 << size) - 1, size)
-            run = 0
-        if last < 63:
-            ln, code = ac_codes[0x00]  # EOB
-            out.put(code, ln)
+        prev_dc = _write_block(out, blk, prev_dc, dc_codes, ac_codes)
 
     app0 = b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
     dqt = bytes([0x00]) + bytes(int(v) for v in q[_ZZ_ROWS, _ZZ_COLS])
@@ -1159,6 +1206,101 @@ def encode_jpeg(pixels: bytes, w: int, h: int, quality: int = 50) -> bytes:
         + _jpeg_segment(0xC0, sof0)
         + _jpeg_segment(0xC4, dht_dc)
         + _jpeg_segment(0xC4, dht_ac)
+        + _jpeg_segment(0xDA, sos)
+        + out.finish()
+        + b"\xff\xd9"
+    )
+
+
+def _scaled_quant_c(quality: int) -> np.ndarray:
+    """Quality scaling of the Annex-K chrominance table (same libjpeg
+    convention as :func:`_scaled_quant`)."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((_JPEG_QUANT_C * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _plane_zz(plane: np.ndarray, q: np.ndarray):
+    """(H, W) float plane (multiples of 8) → (blocks, 64) zigzag quantized
+    coefficients (row-major block order) + blocks-per-row/col."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (
+        plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8).astype(np.float64) - 128.0
+    )
+    coef = np.einsum("ux,nxy,vy->nuv", _DCT8, blocks, _DCT8)
+    quant = np.round(coef / q).astype(np.int64)
+    return quant[:, _ZZ_ROWS, _ZZ_COLS], bw, bh
+
+
+def encode_jpeg_color(
+    rgb: bytes, w: int, h: int, quality: int = 50, subsample: bool = True
+) -> bytes:
+    """Interleaved color baseline JFIF from a row-major RGB24 buffer —
+    BT.601 RGB→YCbCr, 4:2:0 chroma subsampling (2×2 box average; pass
+    ``subsample=False`` for 4:4:4), Annex-K luminance (Y) + chrominance
+    (Cb/Cr) quant/Huffman tables, MCU-interleaved entropy stream with
+    per-component DC prediction."""
+    if len(rgb) != w * h * 3:
+        raise ValueError(f"need {w * h * 3} bytes, got {len(rgb)}")
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    hs = vs = 2 if subsample else 1
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    W = (w + mcu_w - 1) // mcu_w * mcu_w
+    H = (h + mcu_h - 1) // mcu_h * mcu_h
+    pad = lambda p: np.pad(p, ((0, H - h), (0, W - w)), mode="edge")  # noqa: E731
+    y, cb, cr = pad(y), pad(cb), pad(cr)
+    if subsample:
+        cb = cb.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+    qy, qc = _scaled_quant(quality), _scaled_quant_c(quality)
+    zzy, bwy, _ = _plane_zz(y, qy)
+    zzb, bwc, _ = _plane_zz(cb, qc)
+    zzr, _, _ = _plane_zz(cr, qc)
+    dcy = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    acy = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dcc = _huff_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    acc = _huff_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+    out = _BitWriter()
+    pdc = [0, 0, 0]
+    for my in range(H // mcu_h):
+        for mx in range(W // mcu_w):
+            for v in range(vs):
+                for hh in range(hs):
+                    bi = (my * vs + v) * bwy + mx * hs + hh
+                    pdc[0] = _write_block(out, zzy[bi], pdc[0], dcy, acy)
+            bi = my * bwc + mx
+            pdc[1] = _write_block(out, zzb[bi], pdc[1], dcc, acc)
+            pdc[2] = _write_block(out, zzr[bi], pdc[2], dcc, acc)
+
+    app0 = b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    dqt0 = bytes([0x00]) + bytes(int(v) for v in qy[_ZZ_ROWS, _ZZ_COLS])
+    dqt1 = bytes([0x01]) + bytes(int(v) for v in qc[_ZZ_ROWS, _ZZ_COLS])
+    sof0 = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    dht = (
+        _jpeg_segment(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+                      + bytes(_JPEG_DC_VALS))
+        + _jpeg_segment(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
+                        + bytes(_JPEG_AC_VALS))
+        + _jpeg_segment(0xC4, bytes([0x01]) + bytes(_JPEG_DC_BITS_C)
+                        + bytes(_JPEG_DC_VALS_C))
+        + _jpeg_segment(0xC4, bytes([0x11]) + bytes(_JPEG_AC_BITS_C)
+                        + bytes(_JPEG_AC_VALS_C))
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _jpeg_segment(0xE0, app0)
+        + _jpeg_segment(0xDB, dqt0)
+        + _jpeg_segment(0xDB, dqt1)
+        + _jpeg_segment(0xC0, sof0)
+        + dht
         + _jpeg_segment(0xDA, sos)
         + out.finish()
         + b"\xff\xd9"
@@ -1237,22 +1379,26 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Parse baseline grayscale JFIF bytes -> (w, h, (h, w) uint8 pixels).
+    """Parse baseline JFIF bytes -> (w, h, pixels): ``(h, w)`` uint8 for
+    grayscale, ``(h, w, 3)`` uint8 RGB for interleaved color scans.
 
     Genuine decode: marker walk (tables read FROM the stream), Huffman
-    entropy decode with restart-interval support, dequantize, de-zigzag,
-    one batched numpy IDCT over all blocks. Raises on anything that is
-    not baseline (SOF0) single-component 8-bit."""
+    entropy decode with restart-interval support (restart counts MCUs),
+    per-component quant/Huffman table selection, dequantize, de-zigzag,
+    one batched numpy IDCT per component, chroma upsampling (sample
+    replication) and BT.601 YCbCr→RGB for 3-component scans. Handles any
+    baseline sampling grid (4:2:0 / 4:2:2 / 4:4:4). Raises on anything
+    that is not baseline (SOF0) 8-bit with 1 or 3 components."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     w = h = None
-    comp_q = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
+    scan_sel: list[tuple[int, int]] = []  # per component (dc_id, ac_id)
     restart = 0
     pos = 2
     scan_at = None
-    dc_id = ac_id = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -1290,72 +1436,125 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 p += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or ncomp != 1:
-                raise ValueError("only 8-bit grayscale baseline supported")
-            comp_q = body[8]  # component spec: id, sampling, quant-table id
+            if prec != 8 or ncomp not in (1, 3):
+                raise ValueError(
+                    "only 8-bit 1/3-component baseline supported")
+            comps = [
+                (body[6 + 3 * i], body[7 + 3 * i] >> 4,
+                 body[7 + 3 * i] & 0x0F, body[8 + 3 * i])
+                for i in range(ncomp)
+            ]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
-            if body[0] != 1:
-                raise ValueError("multi-component scan unsupported")
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            ns = body[0]
+            if not comps or ns != len(comps):
+                raise ValueError(
+                    "non-interleaved multi-scan JPEG unsupported")
+            by_id = {cid: i for i, (cid, *_rest) in enumerate(comps)}
+            scan_sel = [(0, 0)] * len(comps)
+            for i in range(ns):
+                cs, tb = body[1 + 2 * i], body[2 + 2 * i]
+                if cs not in by_id:
+                    raise ValueError("SOS names unknown component")
+                scan_sel[by_id[cs]] = (tb >> 4, tb & 0x0F)
             scan_at = pos + 2 + seglen
             break
         # APPn / COM / anything else: skip
         pos += 2 + seglen
-    if scan_at is None or w is None or comp_q not in quant:
-        raise ValueError("JPEG missing SOF/SOS/DQT")
-    dc_tbl = huff.get((0, dc_id))
-    ac_tbl = huff.get((1, ac_id))
-    if dc_tbl is None or ac_tbl is None:
-        raise ValueError("JPEG missing DHT")
+    if scan_at is None or w is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    if len(comps) == 1:
+        # single-component scans are NON-interleaved per the spec: the
+        # MCU is one data unit and sampling factors don't shape the scan
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    for _cid, _hi, _vi, tq in comps:
+        if tq not in quant:
+            raise ValueError("JPEG missing DQT")
+    tabs = []
+    for dc_id, ac_id in scan_sel:
+        dc_tbl, ac_tbl = huff.get((0, dc_id)), huff.get((1, ac_id))
+        if dc_tbl is None or ac_tbl is None:
+            raise ValueError("JPEG missing DHT")
+        tabs.append((dc_tbl, ac_tbl))
 
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    n_blocks = bw * bh
-    zz = np.zeros((n_blocks, 64), dtype=np.int64)
+    hmax = max(hi for _c, hi, _v, _q in comps)
+    vmax = max(vi for _c, _h, vi, _q in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcus = mcux * mcuy
+    # per-component zigzag coefficient store + block grid
+    grids = [(mcux * hi, mcuy * vi) for _c, hi, vi, _q in comps]
+    zzs = [np.zeros((bw * bh, 64), dtype=np.int64) for bw, bh in grids]
     reader = _BitReader(payload, scan_at)
-    prev_dc = 0
+    prev_dc = [0] * len(comps)
+
+    def _read_block(zz, b, ci):
+        dc_tbl, ac_tbl = tabs[ci]
+        size = _huff_decode(reader, dc_tbl)
+        diff = _extend(reader.bits(size), size) if size else 0
+        prev_dc[ci] += diff
+        zz[b, 0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            sym = _huff_decode(reader, ac_tbl)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:
+                    raise ValueError("bad AC symbol")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[b, k] = _extend(reader.bits(size), size)
+            k += 1
+
+    m = 0
     try:
-        for b in range(n_blocks):
-            if restart and b and b % restart == 0:
+        for m in range(n_mcus):
+            if restart and m and m % restart == 0:
                 reader.sync_restart()
-                prev_dc = 0
-            size = _huff_decode(reader, dc_tbl)
-            diff = _extend(reader.bits(size), size) if size else 0
-            prev_dc += diff
-            zz[b, 0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _huff_decode(reader, ac_tbl)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("bad AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[b, k] = _extend(reader.bits(size), size)
-                k += 1
+                prev_dc = [0] * len(comps)
+            my, mx = divmod(m, mcux)
+            for ci, (_cid, hi, vi, _tq) in enumerate(comps):
+                bw_i = grids[ci][0]
+                for v in range(vi):
+                    for hh in range(hi):
+                        _read_block(
+                            zzs[ci], (my * vi + v) * bw_i + mx * hi + hh, ci
+                        )
     except _ScanEnd as exc:  # marker inside entropy data = truncated scan
-        if b < n_blocks - 1 or reader.marker != 0xD9:
+        if m < n_mcus - 1 or reader.marker != 0xD9:
             raise ValueError("truncated JPEG scan") from exc
 
-    coef = np.zeros((n_blocks, 8, 8), dtype=np.float64)
-    coef[:, _ZZ_ROWS, _ZZ_COLS] = zz
-    coef *= quant[comp_q]
-    spat = np.einsum("xu,nuv,yv->nxy", _DCT8.T, coef, _DCT8.T)
-    pix = np.clip(np.round(spat + 128.0), 0, 255).astype(np.uint8)
-    full = (
-        pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-    )
-    return w, h, full[:h, :w]
+    planes = []
+    for ci, (_cid, hi, vi, tq) in enumerate(comps):
+        bw_i, bh_i = grids[ci]
+        coef = np.zeros((bw_i * bh_i, 8, 8), dtype=np.float64)
+        coef[:, _ZZ_ROWS, _ZZ_COLS] = zzs[ci]
+        coef *= quant[tq]
+        spat = np.einsum("xu,nuv,yv->nxy", _DCT8.T, coef, _DCT8.T)
+        plane = (
+            spat.reshape(bh_i, bw_i, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(bh_i * 8, bw_i * 8) + 128.0
+        )
+        # upsample by sample replication to the full MCU grid, then crop
+        plane = plane.repeat(vmax // vi, axis=0).repeat(hmax // hi, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return w, h, np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _pixels_jpeg(payload: bytes) -> tuple[str, int, int, np.ndarray]:

@@ -433,6 +433,12 @@ def knn_ivf(
     )
 
 
+#: above this k, semantic_dedup switches from literal-folded centroids to
+#: the broadcast-centroid-matrix GEMM assignment (Catalyst plan size caps
+#: the literal path around 10³ centroids; the paper's regime is k ∝ N)
+SEMDEDUP_LITERAL_K_MAX = 256
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
@@ -440,6 +446,7 @@ def semantic_dedup(
     k: int = 4,
     iterations: int = 3,
     threshold: float = 0.95,
+    assign: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning over
     an embedding column — k-means cluster the vectors, then WITHIN each
@@ -457,20 +464,41 @@ def semantic_dedup(
 
     Scale shape (100 TB): clustering IS the candidate generator — the
     all-pairs join is per-cluster, never global. k grows with the corpus
-    (the paper uses ~0.1–1% of N) so expected cluster size stays bounded;
-    assignment is a scan-stage projection against literal centroids
-    (functions/clustering.py), and the pair join shuffles each cluster
-    once on its id. A pathological mega-cluster is the LSH-banded case —
-    route it to `embedding_near_dup_lsh` per cluster if observed. Exact
-    cosine (left-fold parity with the oracle), no Python UDFs.
-    """
-    from .clustering import kmeans_assign
+    (the paper uses ~0.1–1% of N) so expected cluster size stays
+    bounded. ``assign`` picks the k-means path: ``"literal"`` folds the
+    centroids into the plan (scan-stage projection, exact left-fold
+    parity with the oracle — but Catalyst plan size caps k ≈ 10³);
+    ``"table"`` is the production-k path (broadcast-centroid-matrix
+    GEMM via :func:`clustering.kmeans_assign_table`, k bounded by
+    executor memory, the Abbas et al. k ∝ N regime); ``"auto"``
+    (default) switches at ``SEMDEDUP_LITERAL_K_MAX``. Either way the
+    pair join shuffles each cluster once on its id. A pathological
+    mega-cluster is the LSH-banded case — route it to
+    `embedding_near_dup_lsh` per cluster if observed.
 
+    Zero-norm vectors are never duplicates of anything (cosine is
+    undefined there — NaN/NULL from the 0/0 — and both Spark and DuckDB
+    order NaN ABOVE all numbers, so an unguarded ``>= threshold`` would
+    mark a zero embedding duplicate of every same-cluster point); the
+    pair filter requires a finite cosine, so they come back ``keep=true``
+    and can never be a ``dup_of`` target.
+    """
+    from .clustering import kmeans_assign, kmeans_assign_table
+
+    if assign not in ("auto", "literal", "table"):
+        raise ValueError(f"assign must be auto|literal|table, got {assign!r}")
+    use_table = assign == "table" or (
+        assign == "auto" and k > SEMDEDUP_LITERAL_K_MAX
+    )
     emb = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    asg = kmeans_assign(df, id_col, vec_col, k=k, iterations=iterations)
+    asg = (
+        kmeans_assign_table(df, id_col, vec_col, k=k, iterations=iterations)
+        if use_table
+        else kmeans_assign(df, id_col, vec_col, k=k, iterations=iterations)
+    )
     x = emb.join(
         asg.select(F.col(id_col).alias("_id"), "cluster"), "_id"
     ).localCheckpoint()  # assignment reused by both join sides
@@ -481,13 +509,23 @@ def semantic_dedup(
     # the join key has only k distinct values — a plain equi-join pins
     # each cluster's all-pairs cosine work on ONE task. Salt it: left
     # side salted, right side replicated, pair work fans out n_salts-ways
-    # per cluster (plans/physical.salted_join, the standard hot-key form)
+    # per cluster (plans/physical.salted_join, the standard hot-key form).
+    # Salting trades an n_salts× replication of the right side for
+    # per-cluster parallelism, so only salt as much as the cluster count
+    # leaves idle: once k reaches the session's parallelism the clusters
+    # themselves spread over all tasks and replication is pure waste.
     from rs_graphdb_spark.plans.physical import salted_join
 
+    par = df.sparkSession.sparkContext.defaultParallelism
+    n_salts = max(1, min(16, par // max(k, 1)))
     dup_of = (
-        salted_join(left, right, "cluster", n_salts=16)
+        salted_join(left, right, "cluster", n_salts=n_salts)
         .filter(F.col("_a") < F.col("_b"))
-        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
+        # finite-cosine guard: NaN (Spark orders it above all numbers)
+        # and NULL both mean a zero-norm side — never a duplicate
+        .filter(F.col("_cos").isNotNull() & ~F.isnan("_cos")
+                & (F.col("_cos") >= threshold))
         .groupBy("_b")
         .agg(F.min("_a").alias("dup_of"))
     )

@@ -120,24 +120,37 @@ def repetition_ratio(col: Column | str, k: int = 3) -> Column:
     that are repeats of an earlier k-gram (0 = no repetition, → 1 for
     boilerplate loops). A standard pretraining quality signal — docs that
     repeat themselves (templated pages, scraper loops) score high and get
-    filtered. Pure expression: `1 − distinct(k-grams)/total(k-grams)`."""
-    toks = tokenize(col)
-    n = F.size(toks)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    total = F.size(grams)
-    return F.round(
-        F.when(
-            total > 0,
-            1.0 - F.size(F.array_distinct(grams)) / total,
-        ).otherwise(0.0),
-        6,
-    )
+    filtered. Pure expression: `1 − distinct(k-grams)/total(k-grams)`.
+
+    Tokens and grams are each bound ONCE as lambda variables (the
+    single-element ``transform`` idiom) — as plain expressions the
+    tokenizer would re-run per gram (O(L²) per document, the round-6
+    length-probe finding) and the gram build would run twice."""
+
+    def _ratio(grams):
+        return F.round(
+            F.when(
+                F.size(grams) > 0,
+                1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
+            ).otherwise(0.0),
+            6,
+        )
+
+    return F.transform(
+        F.array(tokenize(col)),
+        lambda toks: F.transform(
+            F.array(
+                F.when(
+                    F.size(toks) >= k,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - k),
+                        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ),
+            _ratio,
+        )[0],
+    )[0]
 
 
 def repetition_signals(
@@ -163,8 +176,11 @@ def repetition_signals(
     denominator), so both are true fractions in [0, 1] — the standard
     occurrence-based reimplementation of the Gopher rule. All four are
     pure array expressions over one tokenize pass — per-row, zero
-    shuffle, so scoring 100 TB is a scan stage. Gram character counts are
-    separator-free token lengths. Docs too short for an n-gram score 0.0.
+    shuffle, so scoring 100 TB is a scan stage; the gram stats are one
+    sort + one run-length aggregate per row, O(L log L) in document
+    LENGTH, so 100k-token docs don't hit a quadratic cliff. Gram
+    character counts are separator-free token lengths. Docs too short
+    for an n-gram score 0.0.
 
     Reference anchor: extends the §2.8 text-analysis family
     (`/root/reference/src/index_advanced.rs:72-88` tokenizer); rule shape
@@ -197,38 +213,75 @@ def repetition_signals(
         )[0]
 
     def _gram_stats(grams, n):
-        # per distinct gram: (count, separator-free char-len, gram)
-        return F.transform(
-            F.array_distinct(grams),
-            lambda g: F.struct(
-                F.size(F.filter(grams, lambda x: x == g)).alias("cnt"),
-                (F.length(g) - F.lit(n - 1)).alias("len"),
-                g.alias("g"),
-            ),
+        # ONE sorted run-length pass — O(L log L) in document length.
+        # (Round-6 fix: the previous form rescanned the full gram array
+        # per DISTINCT gram — O(L²) per row, ~10¹⁰ comparisons for a
+        # 100k-token doc in one task.) Sorting groups equal grams into
+        # runs; a single F.aggregate folds each completed run into the
+        # running (top, dup_chars, all_chars). `run == 0` is the
+        # nothing-seen sentinel, the finish lambda closes the last run.
+        # Max-by-(cnt,len,g) over distinct grams is order-independent
+        # (g is unique per run), so values are identical to the r5 form.
+        acc0 = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(None)
+            .cast("struct<cnt:int,len:int,g:string>")
+            .alias("top"),
+            F.lit(0).alias("dup"),
+            F.lit(0).alias("all"),
         )
 
-    def _gram_frac_cols(stats):
-        top = F.aggregate(
-            stats,
-            F.lit(None).cast(
-                "struct<cnt:int,len:int,g:string>"
-            ),
-            lambda acc, s: F.when(acc.isNull() | (s > acc), s).otherwise(acc),
-        )
-        top_chars = F.coalesce(top["cnt"] * top["len"], F.lit(0))
-        dup_chars = F.aggregate(
-            stats,
-            F.lit(0),
-            lambda acc, s: acc
-            + F.when(s["cnt"] > 1, s["cnt"] * s["len"]).otherwise(F.lit(0)),
-        )
-        all_chars = F.aggregate(
-            stats, F.lit(0), lambda acc, s: acc + s["cnt"] * s["len"]
-        )
+        def _close(acc):
+            # fold the finished run (acc.prev × acc.run) into the stats
+            s = F.struct(
+                acc["run"].alias("cnt"),
+                (F.length(acc["prev"]) - F.lit(n - 1)).alias("len"),
+                acc["prev"].alias("g"),
+            )
+            chars = acc["run"] * (F.length(acc["prev"]) - F.lit(n - 1))
+            return (
+                F.when(acc["top"].isNull() | (s > acc["top"]), s).otherwise(
+                    acc["top"]
+                ),
+                acc["dup"]
+                + F.when(acc["run"] > 1, chars).otherwise(F.lit(0)),
+                acc["all"] + chars,
+            )
+
+        def _step(acc, g):
+            top, dup, all_ = _close(acc)
+            cont = lambda p, r, t, d, a: F.struct(  # noqa: E731
+                p.alias("prev"), r.alias("run"), t.alias("top"),
+                d.alias("dup"), a.alias("all"),
+            )
+            return (
+                F.when(acc["run"] == 0,
+                       cont(g, F.lit(1), acc["top"], acc["dup"], acc["all"]))
+                .when(g == acc["prev"],
+                      cont(acc["prev"], acc["run"] + 1,
+                           acc["top"], acc["dup"], acc["all"]))
+                .otherwise(cont(g, F.lit(1), top, dup, all_))
+            )
+
+        def _finish(acc):
+            top, dup, all_ = _close(acc)
+            out = lambda t, d, a: F.struct(  # noqa: E731
+                t.alias("top"), d.alias("dup"), a.alias("all")
+            )
+            return F.when(
+                acc["run"] == 0, out(acc["top"], acc["dup"], acc["all"])
+            ).otherwise(out(top, dup, all_))
+
+        return F.aggregate(F.array_sort(grams), acc0, _step, _finish)
+
+    def _gram_frac_cols(st):
+        top_chars = F.coalesce(st["top"]["cnt"] * st["top"]["len"], F.lit(0))
+        all_chars = st["all"]
         frac = lambda x: F.round(  # noqa: E731
             F.when(all_chars > 0, x / all_chars).otherwise(0.0), 6
         )
-        return [frac(top_chars).alias("top"), frac(dup_chars).alias("dup")]
+        return [frac(top_chars).alias("top"), frac(st["dup"]).alias("dup")]
 
     dline = F.transform(
         F.array(lines),

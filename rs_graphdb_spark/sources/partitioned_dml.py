@@ -1,4 +1,5 @@
-"""Partition-scoped DML over a persisted graph (r4 VERDICT item #5).
+"""Partition-scoped DML over a persisted graph (r4 VERDICT item #5;
+manifest-based atomic commit is r5 VERDICT item #4).
 
 The lineage DML in :mod:`rs_graphdb_spark.operators.dml` rewrites a whole
 table's lineage; persisting that result rewrites every file. At 100 TB a
@@ -11,18 +12,24 @@ layout) and rewrites ONLY the buckets that contain victims:
   (for edges' dst side, a dst-column scan — the dst bucket is not the
   partition key, so membership is discovered, then still only the
   affected dirs are rewritten);
-- each touched bucket is rewritten through a staging dir and swapped in
-  with an atomic ``os.replace`` per bucket (the same staged-swap recipe
-  as ``compact_minhash_index``); untouched bucket dirs keep their files
-  byte-identical — pinned by test;
-- the deterministic arithmetic bucket (``pmod(id, n)``) means the node
-  table and every SRC-side edge table share victim buckets with no
-  extra scan at all.
+- each DML op writes rewritten buckets into a NEW per-table version dir
+  (``<table>/v{m}/pb=k``); untouched buckets are HARDLINKED from the
+  previous version (metadata-only — their files stay byte-identical,
+  same inodes, pinned by test);
+- readers resolve every physical dir through ONE manifest
+  (``_manifest/CURRENT`` → ``_manifest/v{N}.json``), and a DML op —
+  however many tables its cascade touches — publishes with a single
+  atomic ``os.replace`` of the CURRENT pointer. A reader that resolved
+  CURRENT before the flip keeps a complete consistent snapshot: the
+  previous version's dirs are retained through the NEXT commit (GC
+  keeps {current, previous}), so there is no window where bucket A is
+  new and bucket B old.
 
-Cross-bucket atomicity is per-bucket (a reader racing the swap can see
-bucket A new + bucket B old); a transactional table format (Delta or
-Iceberg) replaces the swap with an ACID commit at production scale —
-the plan shape (scoped anti-join per victim bucket) is identical.
+Single-writer contract (same as the ingest index): one DML writer at a
+time; concurrent readers are safe at any point. At production scale a
+transactional table format (Delta/Iceberg) replaces this manifest with
+its commit log — the plan shape (scoped anti-join per victim bucket,
+one metadata pointer per transaction) is identical.
 
 Reference anchor: cascade semantics `src/storage/mem_store.rs:123-147`;
 the in-place mutation this replaces is
@@ -34,7 +41,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,103 +55,203 @@ def _bucket(col: str | Column, n: int) -> Column:
     return F.pmod(F.col(col) if isinstance(col, str) else col, F.lit(n))
 
 
+# ---------------------------------------------------------------- manifest
+
+def _manifest_dir(path: str) -> str:
+    return f"{path}/_manifest"
+
+
+def read_manifest(path: str) -> tuple[int, dict]:
+    """Resolve CURRENT → (version, manifest dict). One small-file read;
+    the returned dict pins a complete consistent snapshot."""
+    mdir = _manifest_dir(path)
+    with open(f"{mdir}/CURRENT") as fh:
+        ver = int(fh.read().strip())
+    with open(f"{mdir}/v{ver}.json") as fh:
+        return ver, json.load(fh)
+
+
+def _write_manifest(path: str, ver: int, manifest: dict) -> None:
+    """Write v{ver}.json then atomically flip CURRENT (tmp + os.replace
+    for both, so a racing reader sees either the old pointer or the new
+    one — never a partial file)."""
+    mdir = _manifest_dir(path)
+    os.makedirs(mdir, exist_ok=True)
+    mf = f"{mdir}/v{ver}.json"
+    tmp = f"{mf}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, mf)
+    ctmp = f"{mdir}/CURRENT.tmp"
+    with open(ctmp, "w") as fh:
+        fh.write(str(ver))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(ctmp, f"{mdir}/CURRENT")
+
+
+def _table_version(rel: str) -> int:
+    return int(rel.rsplit("/v", 1)[1])
+
+
+def _commit(path: str, cur_ver: int, manifest: dict,
+            updates: dict[str, str]) -> None:
+    """Publish one DML op: new manifest with the updated table dirs,
+    ONE atomic CURRENT flip, then GC of versions older than previous."""
+    new = dict(manifest)
+    new["tables"] = {**manifest["tables"], **updates}
+    _write_manifest(path, cur_ver + 1, new)
+    _gc(path, cur_ver + 1)
+
+
+def _gc(path: str, cur_ver: int) -> None:
+    """Keep {current, previous} manifest versions and every table dir
+    either of them references; delete older table version dirs and
+    manifest files. Racing readers may hold the previous snapshot —
+    never the one before it (single-writer contract)."""
+    mdir = _manifest_dir(path)
+    keep_refs: set[str] = set()
+    for v in (cur_ver, cur_ver - 1):
+        mf = f"{mdir}/v{v}.json"
+        if v >= 0 and os.path.exists(mf):
+            with open(mf) as fh:
+                keep_refs.update(json.load(fh)["tables"].values())
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            if int(name[1:-5]) < cur_ver - 1:
+                os.remove(f"{mdir}/{name}")
+    for rel in set(keep_refs):
+        table_root = f"{path}/{rel.rsplit('/v', 1)[0]}"
+        if not os.path.isdir(table_root):
+            continue
+        for entry in os.listdir(table_root):
+            full_rel = f"{rel.rsplit('/v', 1)[0]}/{entry}"
+            if entry.startswith("v") and full_rel not in keep_refs:
+                shutil.rmtree(f"{table_root}/{entry}", ignore_errors=True)
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Hardlink every file of ``src`` under ``dst`` (metadata-only: no
+    data copied, bytes trivially identical)."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        troot = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(troot, exist_ok=True)
+        for f in files:
+            os.link(os.path.join(root, f), os.path.join(troot, f))
+
+
+# ---------------------------------------------------------------- save/load
+
 def save_graph_partitioned(
     graph: PropertyGraph, path: str, id_buckets: int = 16
 ) -> None:
     """Persist the graph with every table hash-partitioned into
     ``id_buckets`` dirs: nodes by ``pmod(id, n)``, edges by
     ``pmod(src, n)`` (the side the cascade can prune arithmetically).
-    Layout: ``path/nodes/<Label>/pb=k/``, ``path/edges/<REL>/pb=k/`` +
-    ``_meta.json`` recording the bucket count."""
-    meta = {"nodes": sorted(graph.nodes), "edges": {}, "id_buckets": id_buckets}
+    Layout: ``path/nodes/<Label>/v0/pb=k/``, ``path/edges/<REL>/v0/pb=k/``
+    + the ``_manifest`` pointer tree (version 0)."""
+    tables: dict[str, str] = {}
+    manifest = {
+        "nodes": sorted(graph.nodes),
+        "edges": {},
+        "id_buckets": id_buckets,
+        "tables": tables,
+    }
     for label, df in graph.nodes.items():
+        key = f"nodes/{label}"
         (
             df.withColumn(PB, _bucket("id", id_buckets))
             .repartition(id_buckets, PB)
             .write.mode("overwrite")
             .partitionBy(PB)
-            .parquet(f"{path}/nodes/{label}")
+            .parquet(f"{path}/{key}/v0")
         )
+        tables[key] = f"{key}/v0"
     for rt, es in graph.edges.items():
+        key = f"edges/{rt}"
         (
             es.df.withColumn(PB, _bucket("src", id_buckets))
             .repartition(id_buckets, PB)
             .write.mode("overwrite")
             .partitionBy(PB)
-            .parquet(f"{path}/edges/{rt}")
+            .parquet(f"{path}/{key}/v0")
         )
-        meta["edges"][rt] = {"src_label": es.src_label, "dst_label": es.dst_label}
-    spark = next(iter(graph.nodes.values())).sparkSession
-    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
-        1
-    ).write.mode("overwrite").json(f"{path}/_meta")
+        tables[key] = f"{key}/v0"
+        manifest["edges"][rt] = {
+            "src_label": es.src_label, "dst_label": es.dst_label
+        }
+    _write_manifest(path, 0, manifest)
 
 
 def load_graph_partitioned(spark: SparkSession, path: str) -> PropertyGraph:
-    """Reopen a partitioned graph; the ``pb`` partition column is dropped
-    so query surfaces see the exact saved schema."""
-    meta = json.loads(spark.read.json(f"{path}/_meta").first()["meta"])
+    """Reopen a partitioned graph at the CURRENT manifest version — one
+    pointer read pins a consistent snapshot of every table (the dirs it
+    names survive until the version after next). The ``pb`` partition
+    column is dropped so query surfaces see the exact saved schema."""
+    _ver, manifest = read_manifest(path)
     # mergeSchema: a SET that adds a new column rewrites only victim
     # buckets, so bucket schemas can legitimately differ by added
     # (NULL-elsewhere) columns
     rd = spark.read.option("mergeSchema", "true")
     g = PropertyGraph()
-    for label in meta["nodes"]:
-        g.nodes[label] = rd.parquet(f"{path}/nodes/{label}").drop(PB)
-    for rt, info in meta["edges"].items():
+    for label in manifest["nodes"]:
+        g.nodes[label] = rd.parquet(
+            f"{path}/{manifest['tables'][f'nodes/{label}']}"
+        ).drop(PB)
+    for rt, info in manifest["edges"].items():
         g.edges[rt] = EdgeSet(
-            df=rd.parquet(f"{path}/edges/{rt}").drop(PB),
+            df=rd.parquet(f"{path}/{manifest['tables'][f'edges/{rt}']}")
+            .drop(PB),
             src_label=info["src_label"],
             dst_label=info["dst_label"],
         )
     return g
 
 
-def _meta(spark: SparkSession, path: str) -> dict:
-    return json.loads(spark.read.json(f"{path}/_meta").first()["meta"])
-
+# ---------------------------------------------------------------- rewrite
 
 def _rewrite_buckets(
     spark: SparkSession,
-    table_dir: str,
+    path: str,
+    cur_rel: str,
     buckets: list[int],
     transform,
-) -> None:
-    """Rewrite ONLY the named ``pb=k`` dirs of one table in ONE Spark job:
-    a partition-pruned scan of exactly those buckets, ``transform``
-    (DataFrame -> DataFrame, PB rides along), one ``partitionBy(PB)``
-    write to a staging dir, then an atomic ``os.replace`` swap per
-    touched dir (sequential per-bucket jobs would serialize work that is
-    embarrassingly parallel across buckets). A bucket whose rows all
-    vanish has no staged dir — its old dir is removed (the partition
-    disappears from the dataset, which parquet readers treat as simply
-    absent)."""
-    buckets = [
-        k for k in buckets if os.path.exists(f"{table_dir}/{PB}={k}")
-    ]
+) -> str | None:
+    """Stage a new version of one table with ONLY the named ``pb=k``
+    buckets rewritten: a partition-pruned scan of exactly those buckets,
+    ``transform`` (DataFrame -> DataFrame, PB rides along), one
+    ``partitionBy(PB)`` write into the staged next-version dir, then
+    hardlinks for every untouched bucket (byte-identical, no data
+    movement). Returns the staged dir's table-relative path — NOT yet
+    visible to readers until the caller's single manifest flip — or
+    None when no named bucket exists. A bucket whose rows all vanish has
+    no staged dir (the partition is simply absent from the new version).
+    """
+    cur_dir = f"{path}/{cur_rel}"
+    existing = {
+        int(e.split("=", 1)[1])
+        for e in os.listdir(cur_dir)
+        if e.startswith(f"{PB}=")
+    }
+    buckets = [k for k in buckets if k in existing]
     if not buckets:
-        return
-    staging = f"{table_dir}/_staging-{uuid.uuid4().hex[:8]}"
-    try:
-        scoped = spark.read.parquet(table_dir).filter(
-            F.col(PB).isin(buckets)
-        )
-        out = transform(scoped)
-        (
-            out.repartition(len(buckets), PB)
-            .write.mode("overwrite").partitionBy(PB).parquet(staging)
-        )
-        for k in sorted(buckets):
-            src_dir = f"{table_dir}/{PB}={k}"
-            stage_k = f"{staging}/{PB}={k}"
-            retired = f"{table_dir}/_old-{PB}={k}"
-            shutil.rmtree(retired, ignore_errors=True)
-            os.replace(src_dir, retired)
-            if os.path.exists(stage_k):
-                os.replace(stage_k, src_dir)
-            shutil.rmtree(retired, ignore_errors=True)
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+        return None
+    table_key, _v = cur_rel.rsplit("/v", 1)
+    new_rel = f"{table_key}/v{_table_version(cur_rel) + 1}"
+    new_dir = f"{path}/{new_rel}"
+    shutil.rmtree(new_dir, ignore_errors=True)  # crashed prior attempt
+    scoped = spark.read.parquet(cur_dir).filter(F.col(PB).isin(buckets))
+    (
+        transform(scoped)
+        .repartition(len(buckets), PB)
+        .write.mode("overwrite").partitionBy(PB).parquet(new_dir)
+    )
+    for k in sorted(existing.difference(buckets)):
+        _link_tree(f"{cur_dir}/{PB}={k}", f"{new_dir}/{PB}={k}")
+    return new_rel
 
 
 def _victim_buckets(victims: DataFrame, col: str, n: int) -> list[int]:
@@ -165,49 +271,64 @@ def delete_nodes_partitioned(
     1. one partition-pruned scan finds the victims (three-valued WHERE:
        survivors are the anti-join complement, so NULL predicates keep
        rows — same semantics as :func:`operators.dml.delete_nodes`);
-    2. the node table and every SRC-side edge table rewrite exactly the
-       victims' ``pmod(id, n)`` buckets (shared arithmetic — no scan);
+    2. the node table and every SRC-side edge table stage new versions
+       of exactly the victims' ``pmod(id, n)`` buckets (shared
+       arithmetic — no scan);
     3. DST-side edge tables are partitioned by src, so victim dst
        buckets are discovered with one column-pruned dst scan, then only
-       those dirs rewrite.
+       those dirs rewrite;
+    4. ONE atomic manifest flip publishes every staged table together —
+       a racing reader sees the whole cascade or none of it.
 
     Returns the number of deleted nodes."""
-    meta = _meta(spark, path)
-    n = meta["id_buckets"]
-    node_dir = f"{path}/nodes/{label}"
+    ver, manifest = read_manifest(path)
+    n = manifest["id_buckets"]
+    node_rel = manifest["tables"][f"nodes/{label}"]
     victims = (
-        spark.read.parquet(node_dir).filter(cond).select("id")
+        spark.read.parquet(f"{path}/{node_rel}").filter(cond).select("id")
         .localCheckpoint(eager=True)
     )
     n_victims = victims.count()
     if n_victims == 0:
         return 0
     vb = _victim_buckets(victims, "id", n)
-    _rewrite_buckets(
-        spark, node_dir, vb,
+    updates: dict[str, str] = {}
+    staged = _rewrite_buckets(
+        spark, path, node_rel, vb,
         lambda df: df.join(victims, "id", "left_anti"),
     )
-    for rt, info in meta["edges"].items():
-        edge_dir = f"{path}/edges/{rt}"
+    if staged:
+        updates[f"nodes/{label}"] = staged
+    for rt, info in manifest["edges"].items():
+        edge_rel = manifest["tables"][f"edges/{rt}"]
+        touched = edge_rel
         if info["src_label"] == label:
-            _rewrite_buckets(
-                spark, edge_dir, vb,
+            staged = _rewrite_buckets(
+                spark, path, touched, vb,
                 lambda df: df.join(
                     victims.withColumnRenamed("id", "src"), "src", "left_anti"
                 ),
             )
+            if staged:
+                updates[f"edges/{rt}"] = staged
+                touched = staged
         if info["dst_label"] == label:
             hit = (
-                spark.read.parquet(edge_dir)
-                .join(victims.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                spark.read.parquet(f"{path}/{touched}")
+                .join(victims.withColumnRenamed("id", "dst"), "dst",
+                      "left_semi")
             )
             dst_vb = [r[0] for r in hit.select(PB).distinct().collect()]
-            _rewrite_buckets(
-                spark, edge_dir, dst_vb,
+            staged = _rewrite_buckets(
+                spark, path, touched, dst_vb,
                 lambda df: df.join(
                     victims.withColumnRenamed("id", "dst"), "dst", "left_anti"
                 ),
             )
+            if staged:
+                updates[f"edges/{rt}"] = staged
+    if updates:
+        _commit(path, ver, manifest, updates)
     return n_victims
 
 
@@ -220,12 +341,13 @@ def set_props_partitioned(
 ) -> int:
     """SET under a match predicate, rewriting only buckets that contain a
     matching row (merge-not-replace semantics, same conditional-column
-    rewrite as :func:`operators.dml.set_props`). Returns matched count."""
-    meta = _meta(spark, path)
-    n = meta["id_buckets"]
-    node_dir = f"{path}/nodes/{label}"
+    rewrite as :func:`operators.dml.set_props`), published with one
+    manifest flip. Returns matched count."""
+    ver, manifest = read_manifest(path)
+    n = manifest["id_buckets"]
+    node_rel = manifest["tables"][f"nodes/{label}"]
     matched = (
-        spark.read.parquet(node_dir).filter(cond).select("id")
+        spark.read.parquet(f"{path}/{node_rel}").filter(cond).select("id")
         .localCheckpoint(eager=True)
     )
     n_matched = matched.count()
@@ -245,7 +367,9 @@ def set_props_partitioned(
             )
         return out.drop("__m")
 
-    _rewrite_buckets(
-        spark, node_dir, _victim_buckets(matched, "id", n), _apply
+    staged = _rewrite_buckets(
+        spark, path, node_rel, _victim_buckets(matched, "id", n), _apply
     )
+    if staged:
+        _commit(path, ver, manifest, {f"nodes/{label}": staged})
     return n_matched

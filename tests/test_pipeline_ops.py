@@ -660,8 +660,14 @@ def test_minhash_signature_np_equals_sql_form(spark, monkeypatch):
             (3, "pack my box with five dozen liquor jugs and more text"),
             (4, "sphinx of black quartz judge my vow " * 10)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
+    # plan barrier before the pandas UDF (the engine's `_pin` rule: UDF
+    # inputs are always staged columns, never inline HOF expressions —
+    # Spark 4.1 flakily fails to extract a pandas UDF whose child is a
+    # doubly-nested transform, surfacing as INTERNAL_ERROR "Cannot
+    # evaluate expression"; every production path already stages)
     hashed = df.select(
-        "doc_id", dd.shingle_hashes("text").alias("sh"))
+        "doc_id", dd.shingle_hashes("text").alias("sh")
+    ).localCheckpoint(eager=True)
     sql_form = hashed.select(
         "doc_id", dd.minhash_signature(F.col("sh")).alias("sig"))
     np_form = hashed.select(
@@ -873,7 +879,11 @@ def test_minhash_signatures_arrow_equals_pandas_form(spark):
             (3, "pack my box with five dozen liquor jugs and more text"),
             (4, "sphinx of black quartz judge my vow " * 10)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    hashed = df.select("doc_id", dd.shingle_hashes("text").alias("sh"))
+    # staged input per the engine's `_pin` plan-barrier rule (see
+    # test_minhash_signature_np_equals_sql_form)
+    hashed = df.select(
+        "doc_id", dd.shingle_hashes("text").alias("sh")
+    ).localCheckpoint(eager=True)
     a = {r["doc_id"]: r["sig"]
          for r in dd.minhash_signatures_arrow(hashed).collect()}
     b = {r["doc_id"]: r["sig"] for r in hashed.select(
@@ -1402,3 +1412,157 @@ def test_chunk_documents_bpe_budget(spark):
     # pieces: year 2 0 2 | 6 ! ok
     assert [r["chunk_text"] for r in out] == ["year 2 0 2", "6 ! ok"]
     assert [r["n_tokens"] for r in out] == [4, 3]
+
+
+def test_semantic_dedup_zero_norm_vectors(spark):
+    """Zero embeddings have undefined cosine (0/0) — the finite-cosine
+    pair guard keeps them out of both sides of the duplicate relation:
+    a zero vector is never dropped and never becomes dup_of for a real
+    doc (round-6 advice fix)."""
+    from rs_graphdb_spark.functions.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]),      # zero vector, smallest id
+         (2, [1.0, 0.0, 0.0]),
+         (3, [1.0, 0.0, 0.0]),      # true duplicate of 2
+         (4, [0.0, 0.0, 0.0])],     # second zero vector
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, "vec_id", "embedding", k=1, iterations=1,
+                          threshold=0.9).collect()}
+    assert out[1]["keep"] is True and out[1]["dup_of"] is None
+    assert out[4]["keep"] is True and out[4]["dup_of"] is None  # not dup of 1
+    assert out[2]["keep"] is True
+    assert out[3]["keep"] is False and out[3]["dup_of"] == 2    # not 1
+
+
+def test_kn_lm_hand_computed(spark):
+    """Interpolated bigram Kneser-Ney with absolute discount D=0.75:
+    exact hand arithmetic over a 2-doc train corpus, exercising all
+    three paths — seen bigram, unseen bigram in a seen context, and
+    full continuation backoff on an unseen context."""
+    import math
+
+    from rs_graphdb_spark.functions.lm import (
+        bigram_counts, lm_vocab_size, score_kn_lm)
+
+    train = spark.createDataFrame(
+        [(0, "a b a c"), (1, "a b")], "doc_id long, text string")
+    lm = bigram_counts(train)
+    # LM types: {<s> a:2, a b:2, b a:1, a c:1} -> T=4
+    # ctx: <s>(cw=2,fo=1) a(cw=3,fo=2) b(cw=1,fo=1)
+    # cont: a=2 b=1 c=1 ; V={a,b,c}=3 ; T+V=7
+    V = lm_vocab_size(lm)
+    assert V == 3
+    score = spark.createDataFrame(
+        [(10, "a b z"), (11, "z a"), (12, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           score_kn_lm(score, "doc_id", "text", lm, V).collect()}
+    D, tv = 0.75, 7.0
+    pc = lambda ct: (ct + 1.0) / tv                      # noqa: E731
+    seen = lambda cb, cw, fo, ct: (                      # noqa: E731
+        max(cb - D, 0.0) / cw + D * fo / cw * pc(ct))
+    # doc 10: <s>a (cb2 cw2 fo1 ct_a2), a b (cb2 cw3 fo2 ct_b1),
+    #         b z (cb0 cw1 fo1 ct_z0)
+    r = out[10]
+    assert (r["n_bigrams"], r["n_matched"], r["sum_cont"]) == (3, 2, 3)
+    want = -(math.log(seen(2, 2, 1, 2)) + math.log(seen(2, 3, 2, 1))
+             + math.log(seen(0, 1, 1, 0))) / 3
+    assert abs(r["nll"] - want) < 1e-12
+    # doc 11: <s>z seen-context/unseen-word, z a fully unseen context
+    r = out[11]
+    assert (r["n_bigrams"], r["n_matched"], r["sum_cont"]) == (2, 0, 2)
+    want = -(math.log(seen(0, 2, 1, 0)) + math.log(pc(2))) / 2
+    assert abs(r["nll"] - want) < 1e-12
+    # per-context normalization: sum over the observed vocab + floor
+    # mass must be exactly 1 for a seen context (discount bookkeeping)
+    total = sum(seen({"a": 2, "c": 1}.get(w, 0), 3, 2,
+                     {"a": 2, "b": 1, "c": 1}.get(w, 0))
+                for w in ["a", "b", "c"])
+    assert abs(total - 1.0) < 1e-12
+    assert out[12]["nll"] is None and out[12]["n_bigrams"] == 0
+
+
+def test_jpeg_color_420_constant_tiles_roundtrip_exact():
+    """4:2:0 color: 16x16 tiles whose Y is even and whose Cb/Cr sit on
+    multiples of the chroma DC step (17) from 128 quantize EXACTLY
+    (constant blocks carry only DC), so the full interleaved decode must
+    reproduce the YCbCr planes bit-exactly — pinned through the RGB
+    round-trip with an invertible-choice color."""
+    import numpy as np
+
+    from rs_graphdb_spark.functions.multimodal import (
+        decode_jpeg, encode_jpeg_color)
+
+    # build RGB whose BT.601 transform lands on (even Y, 128±17k chroma):
+    # choose YCbCr targets then invert to RGB, rounding — then recompute
+    # the forward transform to get the values the encoder will see
+    h, w = 32, 32
+    ycc = np.zeros((h, w, 3))
+    targets = [(90, 128, 128), (128, 111, 145), (166, 145, 111),
+               (200, 128, 145)]
+    for t, (yy, cb, cr) in enumerate(targets):
+        ty, tx = divmod(t, 2)
+        ycc[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16] = (yy, cb, cr)
+    y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    rgb = np.clip(np.round(np.stack([r, g, b], -1)), 0, 255).astype(np.uint8)
+
+    payload = encode_jpeg_color(rgb.tobytes(), w, h, quality=50)
+    dw, dh, out = decode_jpeg(payload)
+    assert (dw, dh, out.shape) == (w, h, (h, w, 3))
+    # the decoded RGB differs from the input only by the two rounding
+    # steps (RGB->YCbCr on non-exact doubles): tolerance 2
+    assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= 2
+
+
+def test_jpeg_color_444_and_dispatch():
+    """4:4:4 (no subsampling) decodes through the same interleaved path;
+    random smooth content stays within lossy bounds; grayscale files
+    still decode 2-D (dispatch by component count)."""
+    import numpy as np
+
+    from rs_graphdb_spark.functions.multimodal import (
+        decode_jpeg, encode_jpeg, encode_jpeg_color)
+
+    rng = np.random.default_rng(7)
+    h, w = 24, 17  # non-multiple of 8/16: exercises padding + crop
+    base = rng.integers(60, 200, size=(3, 3, 3))
+    smooth = np.clip(np.kron(base, np.ones((12, 8, 1)))[:h, :w], 0, 255)
+    rgb = smooth.astype(np.uint8)
+    for subsample in (True, False):
+        payload = encode_jpeg_color(rgb.tobytes(), w, h, quality=90,
+                                    subsample=subsample)
+        dw, dh, out = decode_jpeg(payload)
+        assert (dw, dh, out.shape) == (w, h, (h, w, 3))
+        err = np.abs(out.astype(int) - rgb.astype(int))
+        # blockwise-constant content: subsampling loses nothing material
+        assert int(err.max()) <= 24 and float(err.mean()) <= 6.0, (
+            subsample, int(err.max()), float(err.mean()))
+    gray = encode_jpeg(bytes(range(64)) * 4, 16, 16, quality=50)
+    _, _, g_out = decode_jpeg(gray)
+    assert g_out.shape == (16, 16)
+
+
+def test_jpeg_color_chroma_upsampling_structure():
+    """A color image whose chroma flips between the left and right half
+    must keep the flip boundary after 2x subsample + replication — the
+    upsampled chroma is piecewise constant at 2-pixel granularity."""
+    import numpy as np
+
+    from rs_graphdb_spark.functions.multimodal import (
+        decode_jpeg, encode_jpeg_color)
+
+    h, w = 16, 32
+    rgb = np.zeros((h, w, 3), np.uint8)
+    rgb[:, :16] = (200, 60, 60)   # reddish
+    rgb[:, 16:] = (60, 60, 200)   # blueish
+    payload = encode_jpeg_color(rgb.tobytes(), w, h, quality=75)
+    _, _, out = decode_jpeg(payload)
+    left = out[:, :14].astype(int)
+    right = out[:, 18:].astype(int)
+    assert left[..., 0].mean() > left[..., 2].mean() + 50   # red side
+    assert right[..., 2].mean() > right[..., 0].mean() + 50  # blue side

@@ -252,6 +252,15 @@ def _tree_digest(root):
     return out
 
 
+def _cur_digest(path, key):
+    """Digest of a partitioned table's CURRENT manifest version (keys are
+    bucket-relative, so versions compare across a DML commit)."""
+    from rs_graphdb_spark.sources.partitioned_dml import read_manifest
+
+    _ver, man = read_manifest(path)
+    return _tree_digest(f"{path}/{man['tables'][key]}")
+
+
 def test_partitioned_delete_touches_only_victim_buckets(spark, graph, tmpdir):
     """delete_nodes_partitioned must (a) equal the lineage DML result,
     (b) leave every untouched bucket's files byte-identical, (c) cascade
@@ -267,9 +276,8 @@ def test_partitioned_delete_touches_only_victim_buckets(spark, graph, tmpdir):
 
     path = str(tmpdir / "pg")
     save_graph_partitioned(graph, path, id_buckets=8)
-    node_dir = f"{path}/nodes/Customer"
     before = {
-        t: _tree_digest(f"{path}/{t}")
+        t: _cur_digest(path, t)
         for t in ("nodes/Customer", "edges/PLACED", "edges/KNOWS")
     }
 
@@ -291,8 +299,9 @@ def test_partitioned_delete_touches_only_victim_buckets(spark, graph, tmpdir):
         assert got.edges[rel].df.join(
             expect.edges[rel].df, ["src", "dst"], "left_anti").isEmpty()
 
-    # (b) untouched node buckets byte-identical, victim buckets rewritten
-    after = _tree_digest(node_dir)
+    # (b) untouched node buckets byte-identical (hardlinked into the new
+    # version), victim buckets rewritten
+    after = _cur_digest(path, "nodes/Customer")
     for rel_path, digest in before["nodes/Customer"].items():
         bucket = int(rel_path.split("=")[1].split("/")[0])
         if bucket in vb:
@@ -302,7 +311,7 @@ def test_partitioned_delete_touches_only_victim_buckets(spark, graph, tmpdir):
 
     # (c) PLACED is Customer-src: untouched buckets stay byte-identical
     # (KNOWS is Customer-dst: its rewrite set is discovered by scan)
-    after_e = _tree_digest(f"{path}/edges/PLACED")
+    after_e = _cur_digest(path, "edges/PLACED")
     for rel_path, digest in before["edges/PLACED"].items():
         bucket = int(rel_path.split("=")[1].split("/")[0])
         if bucket not in vb:
@@ -320,7 +329,7 @@ def test_partitioned_set_props_scoped_rewrite(spark, graph, tmpdir):
 
     path = str(tmpdir / "pg2")
     save_graph_partitioned(graph, path, id_buckets=8)
-    before = _tree_digest(f"{path}/nodes/Customer")
+    before = _cur_digest(path, "nodes/Customer")
 
     one = graph.nodes["Customer"].select("id").orderBy("id").first()["id"]
     n = set_props_partitioned(
@@ -335,14 +344,73 @@ def test_partitioned_set_props_scoped_rewrite(spark, graph, tmpdir):
     assert got.filter(F.col("id") != one).filter(
         F.col("new_flag").isNotNull()).isEmpty()
 
-    after = _tree_digest(f"{path}/nodes/Customer")
+    after = _cur_digest(path, "nodes/Customer")
     touched = int(one) % 8
     for rel_path, digest in before.items():
         bucket = int(rel_path.split("=")[1].split("/")[0])
         if bucket != touched:
             assert after[rel_path] == digest, rel_path
-    # no staging/retired leftovers
+    # only version dirs under the table root — no staging/retired
+    # leftovers; GC keeps at most {current, previous}
     import os
 
-    assert not [e for e in os.listdir(f"{path}/nodes/Customer")
-                if e.startswith("_staging") or e.startswith("_old")]
+    entries = os.listdir(f"{path}/nodes/Customer")
+    assert all(e.startswith("v") for e in entries), entries
+    assert len(entries) <= 2, entries
+
+
+def test_partitioned_dml_reader_sees_one_consistent_version(
+    spark, graph, tmpdir
+):
+    """Manifest-based commit: a reader that resolved CURRENT before a DML
+    keeps a complete consistent snapshot of EVERY table (node + cascaded
+    edges) — never bucket A new / bucket B old — because the whole op
+    publishes via one CURRENT flip and the previous version's dirs
+    survive until the next commit."""
+    from pyspark.sql import functions as F
+
+    from rs_graphdb_spark.sources.partitioned_dml import (
+        delete_nodes_partitioned,
+        load_graph_partitioned,
+        read_manifest,
+        save_graph_partitioned,
+        set_props_partitioned,
+    )
+
+    path = str(tmpdir / "pg3")
+    save_graph_partitioned(graph, path, id_buckets=8)
+    n_cust = graph.nodes["Customer"].count()
+    n_knows = graph.edges["KNOWS"].df.count()
+
+    old_reader = load_graph_partitioned(spark, path)  # pins version 0
+    n = delete_nodes_partitioned(
+        spark, path, "Customer", F.col("c_custkey") % 97 == 0
+    )
+    assert n > 0
+    ver, _man = read_manifest(path)
+    assert ver == 1
+
+    # the old reader still sees the FULL pre-delete snapshot on every
+    # table the cascade touched — one consistent version, not a mix
+    assert old_reader.nodes["Customer"].count() == n_cust
+    assert old_reader.edges["KNOWS"].df.count() == n_knows
+
+    new_reader = load_graph_partitioned(spark, path)
+    assert new_reader.nodes["Customer"].count() == n_cust - n
+    assert new_reader.edges["KNOWS"].df.count() < n_knows
+
+    # a second commit GCs version 0; version-1 readers stay valid
+    set_props_partitioned(
+        spark, path, "Customer", F.col("c_acctbal") > 9000.0,
+        {"c_mktsegment": F.lit("PREMIUM")},
+    )
+    ver2, man2 = read_manifest(path)
+    assert ver2 == 2
+    assert new_reader.nodes["Customer"].count() == n_cust - n
+    import os
+
+    assert not os.path.isdir(f"{path}/nodes/Customer/v0")
+    prem = load_graph_partitioned(spark, path).nodes["Customer"].filter(
+        F.col("c_mktsegment") == "PREMIUM"
+    )
+    assert prem.count() > 0

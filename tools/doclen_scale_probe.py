@@ -1,0 +1,117 @@
+"""Document-LENGTH scale probe (round 6): the orthogonal axis.
+
+Every earlier probe scaled CORPUS size at ~55-token docs; this one holds
+total token mass constant (~2M tokens) and grows per-document length
+across three decades — 1k / 10k / 100k tokens per doc — so n_docs
+shrinks 10× per rung. Per-token-linear operators should stay ~flat in
+wall time across rungs; anything superlinear in document LENGTH bends
+upward (the r5 repetition_signals was O(L²) per row here: a 100k-token
+doc paid ~10¹⁰ gram comparisons in one task before the sorted
+run-length rewrite).
+
+Probed: repetition_signals, bigram-LM gate (train+score),
+chunk_documents, minhash signatures (shingle→Arrow-kernel signing).
+
+Usage: python tools/doclen_scale_probe.py [token_mass] [base_len] [rungs]
+Prints one markdown row per (operator, rung) for PLANS.md.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+VOCAB = [f"w{i}" for i in range(40)]
+
+
+def synth_docs(spark, n_docs: int, doc_len: int):
+    """n_docs docs of doc_len tokens from a 40-word vocabulary, built as
+    repeated 50-token deterministic blocks (cheap to generate at 100k
+    tokens; block repetition keeps the dup-gram paths firing), with a
+    line break every block."""
+    par = spark.sparkContext.defaultParallelism
+    d = spark.range(n_docs).repartition(max(par, n_docs and min(par, n_docs)))
+    tok = lambda j: F.array(*[F.lit(w) for w in VOCAB])[  # noqa: E731
+        F.pmod(
+            F.hash(F.concat(F.col("id").cast("string"), F.lit(f":{j}"))),
+            F.lit(40),
+        )
+    ]
+    block = F.concat_ws(" ", *[tok(j) for j in range(50)])
+    n_blocks = max(1, doc_len // 50)
+    # block varies per doc; repeat it with per-block salt lines between
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_blocks)),
+            lambda i: F.concat(block, F.lit(" b"), i.cast("string")),
+        ),
+        "\n",
+    )
+    return d.select(F.col("id").alias("doc_id"), text.alias("text")) \
+        .localCheckpoint(eager=True)
+
+
+def main() -> None:
+    mass = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    base_len = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000
+    rungs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    from rs_graphdb_spark.functions.dedup import (
+        MERSENNE_P, md5_long, minhash_signatures_arrow, shingle_sets)
+    from rs_graphdb_spark.functions.lm import (
+        bigram_counts, lm_vocab_size, score_bigram_lm)
+    from rs_graphdb_spark.functions.text import (
+        chunk_documents, repetition_signals)
+    from rs_graphdb_spark.session import get_spark
+
+    spark = get_spark("doclen-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def probe(tag, doc_len, n, fn):
+        fn()  # warm
+        t0 = time.time()
+        fn()
+        print(f"| {tag} | {doc_len:,} tok/doc × {n:,} docs "
+              f"| {time.time() - t0:.2f} s |", flush=True)
+
+    for r in range(rungs):
+        doc_len = base_len * 10 ** r
+        n = max(1, mass // doc_len)
+        docs = synth_docs(spark, n, doc_len)
+        docs.count()
+
+        probe("repetition_signals", doc_len, n, lambda: docs.select(
+            "doc_id", repetition_signals("text").alias("r")
+        ).select("doc_id", "r.*").write.mode("overwrite")
+         .format("noop").save())
+
+        def lm_gate():
+            lm = bigram_counts(
+                docs.filter(F.col("doc_id") % 10 < 8)).localCheckpoint()
+            score_bigram_lm(docs, "doc_id", "text", lm, lm_vocab_size(lm)) \
+                .write.mode("overwrite").format("noop").save()
+
+        probe("bigram-LM gate (train+score)", doc_len, n, lm_gate)
+
+        probe("chunk_documents", doc_len, n, lambda: chunk_documents(
+            docs, "doc_id", "text", max_tokens=128, overlap=16
+        ).write.mode("overwrite").format("noop").save())
+
+        def sign():
+            sh = shingle_sets(docs, "doc_id", "text").withColumn(
+                "sh", F.transform("sets", lambda s: md5_long(s) % MERSENNE_P)
+            ).select("doc_id", "sh")
+            minhash_signatures_arrow(sh) \
+                .write.mode("overwrite").format("noop").save()
+
+        probe("minhash signatures (shingle+sign)", doc_len, n, sign)
+
+        docs.unpersist()
+
+
+if __name__ == "__main__":
+    main()
