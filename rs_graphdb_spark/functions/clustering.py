@@ -153,12 +153,89 @@ def _assign_gemm(emb: DataFrame, vec_col: str, cents) -> DataFrame:
     return emb.mapInPandas(_fn, out_schema)
 
 
+def _assign_gemm_coarse(
+    emb: DataFrame, vec_col: str, cents, n_probe: int = 4
+) -> DataFrame:
+    """Two-level (IVF-shape) assignment for LARGE k: the k fine centroids
+    are themselves k-means'd driver-side into c ≈ √k coarse groups
+    (k × dim numpy, tiny); each row block then GEMMs against the c
+    coarse centers, picks its ``n_probe`` nearest groups, and GEMMs only
+    against those groups' fine centroids — O(n·(√k·n_probe)·dim) instead
+    of O(n·k·dim). This is exactly the FAISS IVF coarse-quantizer
+    recipe; assignment is approximate in the standard IVF sense (the
+    true nearest fine centroid sits outside the probed groups with
+    probability falling geometrically in ``n_probe``). Deterministic:
+    coarse init = first c fine centroids, fixed 5 Lloyd steps."""
+    import numpy as np
+
+    C = np.ascontiguousarray(np.asarray(cents, dtype=np.float64))
+    k = C.shape[0]
+    c = max(1, int(np.ceil(np.sqrt(k))))
+    n_probe = min(n_probe, c)
+    # driver-side numpy k-means over the centroid matrix
+    G = C[:c].copy()
+    for _ in range(5):
+        d = ((C[:, None, :] - G[None, :, :]) ** 2).sum(axis=2)
+        grp = d.argmin(axis=1)
+        for j in range(c):
+            m = C[grp == j]
+            if len(m):
+                G[j] = m.mean(axis=0)
+    d = ((C[:, None, :] - G[None, :, :]) ** 2).sum(axis=2)
+    grp = d.argmin(axis=1)
+    order = np.argsort(grp, kind="stable")
+    C_sorted = np.ascontiguousarray(C[order])
+    starts = np.searchsorted(grp[order], np.arange(c + 1))
+    g_norms = (G * G).sum(axis=1)
+    s_norms = (C_sorted * C_sorted).sum(axis=1)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in emb.schema.fields
+    ) + ", cluster int"
+    block = max(1, (1 << 22) // max(1, c))
+
+    def _fn(batches):
+        for pdf in batches:
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n = len(pdf)
+            cl = np.empty(n, dtype=np.int32)
+            for s in range(0, n, block):
+                v = vecs[s:s + block]
+                gd = g_norms[None, :] - 2.0 * (v @ G.T)
+                probes = np.argpartition(gd, n_probe - 1, axis=1)[:, :n_probe]
+                best = np.full(len(v), np.inf)
+                best_i = np.zeros(len(v), dtype=np.int64)
+                for p in range(n_probe):
+                    gsel = probes[:, p]
+                    # rows sharing a coarse group share a fine-GEMM slice
+                    for j in np.unique(gsel):
+                        rows = np.flatnonzero(gsel == j)
+                        lo, hi = starts[j], starts[j + 1]
+                        if hi == lo:
+                            continue
+                        fd = (s_norms[lo:hi][None, :]
+                              - 2.0 * (v[rows] @ C_sorted[lo:hi].T))
+                        am = fd.argmin(axis=1)
+                        fm = fd[np.arange(len(rows)), am]
+                        upd = fm < best[rows]
+                        ridx = rows[upd]
+                        best[ridx] = fm[upd]
+                        best_i[ridx] = order[lo:hi][am[upd]]
+                cl[s:s + block] = best_i
+            pdf = pdf.copy()
+            pdf["cluster"] = cl
+            yield pdf
+
+    return emb.mapInPandas(_fn, out_schema)
+
+
 def kmeans_assign_table(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int,
     iterations: int = 3,
+    coarse: bool | None = None,
+    n_probe: int = 4,
 ) -> DataFrame:
     """Per-row cluster assignment at PRODUCTION k — the large-k dual of
     :func:`kmeans_assign`, whose literal-folded centroids cap k at ~10³
@@ -174,14 +251,30 @@ def kmeans_assign_table(
     equidistant at double precision may tie-break differently — the
     oracle-checked configuration stays the literal path (SemDeDup k=4
     twin); this path is the scale regime (SemDeDup's k ≈ n/500 at
-    corpus scale, the Abbas et al. parameterization)."""
+    corpus scale, the Abbas et al. parameterization).
+
+    ``coarse`` switches the per-pass assignment to the two-level IVF
+    shape (:func:`_assign_gemm_coarse`): flat GEMM is O(n·k·dim), which
+    with the paper's k ∝ n is quadratic in corpus size — the coarse
+    path probes ``n_probe`` of ≈√k centroid groups, O(n·√k·n_probe·dim),
+    the standard FAISS escape. Default (None) = coarse above k = 1024.
+    Coarse assignment is approximate in the usual IVF sense."""
+    if coarse is None:
+        coarse = k > 1024
+
+    def _assign(e, cents):
+        return (
+            _assign_gemm_coarse(e, "_v", cents, n_probe)
+            if coarse else _assign_gemm(e, "_v", cents)
+        )
+
     emb = df.select(
         F.col(id_col).alias(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).localCheckpoint()
     cents = [r["_v"] for r in emb.orderBy(id_col).limit(k).collect()]
     for _ in range(iterations):
-        assigned = _assign_gemm(emb, "_v", cents)
+        assigned = _assign(emb, cents)
         rows = (
             assigned.select("cluster", F.posexplode("_v").alias("pos", "val"))
             .groupBy("cluster", "pos")
@@ -193,7 +286,7 @@ def kmeans_assign_table(
         )
         new = {r["cluster"]: [p["val"] for p in r["cv"]] for r in rows}
         cents = [new.get(i, cents[i]) for i in range(k)]
-    return _assign_gemm(emb, "_v", cents).select(id_col, "cluster")
+    return _assign(emb, cents).select(id_col, "cluster")
 
 
 def kmeans_assign(

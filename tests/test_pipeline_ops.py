@@ -1566,3 +1566,36 @@ def test_jpeg_color_chroma_upsampling_structure():
     right = out[:, 18:].astype(int)
     assert left[..., 0].mean() > left[..., 2].mean() + 50   # red side
     assert right[..., 2].mean() > right[..., 0].mean() + 50  # blue side
+
+
+def test_kmeans_assign_table_matches_literal_path(spark):
+    """The broadcast-centroid-matrix GEMM assignment must agree with the
+    literal-folded path on well-separated clusters (ties are the only
+    legitimate divergence), and semantic_dedup(assign='table') must
+    reproduce the literal path's keep/dup_of decisions."""
+    import numpy as np
+
+    from rs_graphdb_spark.functions.clustering import (
+        kmeans_assign, kmeans_assign_table)
+    from rs_graphdb_spark.functions.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    centers = np.array([[10.0, 0, 0], [0, 10.0, 0], [0, 0, 10.0]])
+    rows = [
+        (i, (centers[i % 3] + rng.normal(0, 0.3, 3)).tolist())
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lit = {r["vec_id"]: r["cluster"] for r in
+           kmeans_assign(emb, "vec_id", "embedding", k=3, iterations=2)
+           .collect()}
+    tab = {r["vec_id"]: r["cluster"] for r in
+           kmeans_assign_table(emb, "vec_id", "embedding", k=3, iterations=2)
+           .collect()}
+    assert lit == tab
+    a = sorted(semantic_dedup(emb, "vec_id", "embedding", k=3, iterations=2,
+                              threshold=0.98, assign="literal").collect())
+    b = sorted(semantic_dedup(emb, "vec_id", "embedding", k=3, iterations=2,
+                              threshold=0.98, assign="table").collect())
+    assert [(r["vec_id"], r["keep"], r["dup_of"]) for r in a] == \
+           [(r["vec_id"], r["keep"], r["dup_of"]) for r in b]
