@@ -3328,6 +3328,18 @@ def q119_trigram_lm(spark, sf_dir):
     )
 
 
+def q120_kn_lm(spark, sf_dir):
+    """Kneser-Ney absolute-discount bigram gate (the KenLM-style form):
+    train on the %10<8 split, score the full corpus."""
+    from rs_graphdb_spark.functions.lm import (
+        bigram_counts, lm_vocab_size, score_kn_lm)
+
+    par = spark.sparkContext.defaultParallelism
+    docs = _read(spark, sf_dir, "documents").repartition(par)
+    lm = bigram_counts(docs.filter(F.col("doc_id") % 10 < 8)).localCheckpoint()
+    return score_kn_lm(docs, "doc_id", "text", lm, lm_vocab_size(lm))
+
+
 def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Pre-fold per-operator registry (kept for bench.py and tests)."""
     return {
@@ -3445,6 +3457,7 @@ def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_html_extract": q117_html_extract,
         "q118_repetition_signals": q118_repetition_signals,
         "q119_trigram_lm": q119_trigram_lm,
+        "q120_kn_lm": q120_kn_lm,
     }
 
 

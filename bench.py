@@ -62,6 +62,8 @@ EXTRA = [
     "q117_html_extract",
     "q118_repetition_signals",
     "q119_trigram_lm",
+    # round-6 addition
+    "q120_kn_lm",
 ]
 
 

@@ -517,7 +517,10 @@ def semantic_dedup(
     from rs_graphdb_spark.plans.physical import salted_join
 
     par = df.sparkSession.sparkContext.defaultParallelism
-    n_salts = max(1, min(16, par // max(k, 1)))
+    # target ~2 pair-scan units per core: k clusters × n_salts tasks.
+    # k ≥ 2·par → clusters alone saturate (no replication); small k keeps
+    # the old 16-way fan-out (k=4 → 16, unchanged oracle path)
+    n_salts = max(1, min(16, -(-2 * par // max(k, 1))))
     dup_of = (
         salted_join(left, right, "cluster", n_salts=n_salts)
         .filter(F.col("_a") < F.col("_b"))
