@@ -506,29 +506,67 @@ def semantic_dedup(
                     F.col("_v").alias("_va"))
     right = x.select(F.col("cluster"), F.col("_id").alias("_b"),
                      F.col("_v").alias("_vb"))
-    # the join key has only k distinct values — a plain equi-join pins
-    # each cluster's all-pairs cosine work on ONE task. Salt it: left
-    # side salted, right side replicated, pair work fans out n_salts-ways
-    # per cluster (plans/physical.salted_join, the standard hot-key form).
-    # Salting trades an n_salts× replication of the right side for
-    # per-cluster parallelism, so only salt as much as the cluster count
-    # leaves idle: once k reaches the session's parallelism the clusters
-    # themselves spread over all tasks and replication is pure waste.
-    from rs_graphdb_spark.plans.physical import salted_join
+    # The join key has only k distinct values and pair WORK per cluster
+    # is quadratic in its size — k-means sizes are SKEWED, so a uniform
+    # fan-out either under-splits the mega-clusters (uniform low-salt at
+    # k=200/sf1 measured +60% wall on the skew tail) or replicates the
+    # whole right side for clusters that don't need it (r6 advice #3).
+    # Salt each cluster PROPORTIONALLY to its share of Σm², targeting
+    # ~4 pair-scan tasks per core overall, so only oversized clusters
+    # replicate. The size table is k rows (one small agg + collect);
+    # past k = 2¹⁸ clusters alone dwarf any core count → no salting.
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    salt_rows: list[tuple[int, int]] = []
+    if k <= (1 << 18):
+        sizes = x.groupBy("cluster").agg(F.count("*").alias("m")).collect()
+        work = sum(r["m"] ** 2 for r in sizes) or 1
+        # ~16 pair-scan tasks per core: fine granularity rides out
+        # stragglers/size mis-estimates; replication stays bounded
+        # because only clusters owning >1/target of Σm² salt at all
+        target = 16 * par
+        for r in sizes:
+            s = -(-r["m"] ** 2 * target // work)  # ceil(share of tasks)
+            if s > 1:
+                salt_rows.append((int(r["cluster"]), int(min(s, 64))))
+    if salt_rows:
+        from rs_graphdb_spark.session import local_df
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    # target ~2 pair-scan units per core: k clusters × n_salts tasks.
-    # k ≥ 2·par → clusters alone saturate (no replication); small k keeps
-    # the old 16-way fan-out (k=4 → 16, unchanged oracle path)
-    n_salts = max(1, min(16, -(-2 * par // max(k, 1))))
+        sm = F.broadcast(local_df(spark, salt_rows, "cluster int, __ns int"))
+        lsalt = (
+            left.join(sm, "cluster", "left")
+            .withColumn(
+                "__salt",
+                F.when(F.col("__ns").isNull(), F.lit(0)).otherwise(
+                    F.pmod(F.hash("_a"), F.col("__ns"))
+                ),
+            )
+            .drop("__ns")
+        )
+        rsalt = (
+            right.join(sm, "cluster", "left")
+            .withColumn(
+                "__salt",
+                F.explode(F.sequence(
+                    F.lit(0), F.coalesce(F.col("__ns"), F.lit(1)) - 1
+                )),
+            )
+            .drop("__ns")
+        )
+        pairs = lsalt.join(rsalt, ["cluster", "__salt"]).drop("__salt")
+    else:
+        pairs = left.join(right, "cluster")
+    # Zero-norm guard comes FREE from cosine()'s try_divide: a zero
+    # embedding yields NULL cosine, and `NULL >= threshold` is NULL →
+    # filtered — so the pair filter references cosine exactly ONCE and
+    # stays a codegen'd tight loop (an explicit null/NaN guard either
+    # re-inlines the aggregate 3× via projection collapse or, bound
+    # through a transform lambda, drops the whole filter to interpreted
+    # eval — both measured ~1.6× on the sf1 pair scan).
     dup_of = (
-        salted_join(left, right, "cluster", n_salts=n_salts)
+        pairs
         .filter(F.col("_a") < F.col("_b"))
-        .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
-        # finite-cosine guard: NaN (Spark orders it above all numbers)
-        # and NULL both mean a zero-norm side — never a duplicate
-        .filter(F.col("_cos").isNotNull() & ~F.isnan("_cos")
-                & (F.col("_cos") >= threshold))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
         .groupBy("_b")
         .agg(F.min("_a").alias("dup_of"))
     )

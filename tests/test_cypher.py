@@ -414,8 +414,14 @@ def _gen_statement(rng):
         # aggregates take * or a prop ref (reference grammar: count(*),
         # sum(n.prop) — never a bare variable)
         p0 = props[0]
+        # numeric prop for sum/avg (strings would ANSI-fail the cast)
+        p1 = next(p for p in props if schema[lab][p] in ("int", "num"))
+        agg = rng.choice(["sum", "min", "max", "avg"])
         ret = rng.choice(["a", f"a.{p0}", f"a.{p0} AS k",
                           "count(*)", f"count(a.{p0})",
+                          f"{agg}(a.{p1}) AS v",
+                          f"a.{p0} AS g, count(*) AS c",
+                          f"a.{p0} AS g, {agg}(a.{p1}) AS v",
                           "a, b" if "(b" in q else "a"])
         q += f" RETURN {ret}"
         if "AS k" in q and rng.random() < 0.5:

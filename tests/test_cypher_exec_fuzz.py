@@ -303,20 +303,34 @@ def _project(q, binds):
             for i in q.items:
                 if not i.agg:
                     continue
-                assert i.agg == "count", "fuzzer only generates count"
-                if i.expr is None:
+                if i.agg == "count" and i.expr is None:
                     row[_item_name(i)] = len(members)
-                else:
-                    vals = [_ev_operand(i.expr, m) for m in members]
-                    vals = [v for v in vals if v is not None]
+                    continue
+                vals = [_ev_operand(i.expr, m) for m in members]
+                vals = [v for v in vals if v is not None]  # SQL agg nulls
+                if i.agg == "count":
                     row[_item_name(i)] = (
                         len(set(vals)) if i.distinct else len(vals)
                     )
+                elif i.agg == "sum":
+                    row[_item_name(i)] = sum(vals) if vals else None
+                elif i.agg == "avg":
+                    row[_item_name(i)] = (
+                        sum(vals) / len(vals) if vals else None
+                    )
+                elif i.agg == "min":
+                    row[_item_name(i)] = min(vals) if vals else None
+                elif i.agg == "max":
+                    row[_item_name(i)] = max(vals) if vals else None
+                else:
+                    raise AssertionError(f"agg {i.agg} not in fuzzer")
             rows.append(row)
         if not non_agg and not binds:
-            # global aggregate over empty input still yields one row
+            # global aggregate over empty input still yields one row:
+            # count -> 0, value aggregates -> NULL
             rows = [{
-                _item_name(i): 0 for i in q.items
+                _item_name(i): (0 if i.agg == "count" else None)
+                for i in q.items
             }]
         out = rows
     else:

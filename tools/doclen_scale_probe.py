@@ -110,6 +110,12 @@ def main() -> None:
 
         probe("minhash signatures (shingle+sign)", doc_len, n, sign)
 
+        from rs_graphdb_spark.functions.dedup import duplicate_spans
+
+        probe("duplicate_spans (k=50)", doc_len, n, lambda:
+              duplicate_spans(docs, "doc_id", "text")
+              .write.mode("overwrite").format("noop").save())
+
         docs.unpersist()
 
 
