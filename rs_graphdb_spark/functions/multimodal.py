@@ -1127,6 +1127,12 @@ class _BitWriter:
             self.put(0x7F, 8 - self._n)  # 1-fill pad to byte boundary
         return bytes(self.buf)
 
+    def restart_marker(self, m: int) -> None:
+        """Byte-align (1-fill, spec F.1.2.3) and emit RST(m%8)."""
+        if self._n:
+            self.put(0x7F, 8 - self._n)
+        self.buf += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 def _jpeg_segment(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
@@ -1234,29 +1240,44 @@ def _plane_zz(plane: np.ndarray, q: np.ndarray):
 
 
 def encode_jpeg_color(
-    rgb: bytes, w: int, h: int, quality: int = 50, subsample: bool = True
+    rgb: bytes,
+    w: int,
+    h: int,
+    quality: int = 50,
+    subsample: bool | str = True,
+    restart_interval: int = 0,
 ) -> bytes:
     """Interleaved color baseline JFIF from a row-major RGB24 buffer —
-    BT.601 RGB→YCbCr, 4:2:0 chroma subsampling (2×2 box average; pass
-    ``subsample=False`` for 4:4:4), Annex-K luminance (Y) + chrominance
-    (Cb/Cr) quant/Huffman tables, MCU-interleaved entropy stream with
-    per-component DC prediction."""
+    BT.601 RGB→YCbCr, chroma subsampling (``subsample``: True/"420" =
+    2×2 box average, "422" = 1×2 horizontal average, False/"444" =
+    none), Annex-K luminance (Y) + chrominance (Cb/Cr) quant/Huffman
+    tables, MCU-interleaved entropy stream with per-component DC
+    prediction. ``restart_interval`` > 0 emits a DRI segment and an
+    RSTn marker (byte-aligned, DC predictors reset) every that many
+    MCUs — the error-resilience feature camera JPEGs carry."""
     if len(rgb) != w * h * 3:
         raise ValueError(f"need {w * h * 3} bytes, got {len(rgb)}")
+    mode = {True: "420", False: "444"}.get(subsample, subsample)
+    if mode not in ("420", "422", "444"):
+        raise ValueError(f"subsample must be 420|422|444, got {subsample!r}")
+    hs = 2 if mode in ("420", "422") else 1
+    vs = 2 if mode == "420" else 1
     arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
     r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
     cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-    hs = vs = 2 if subsample else 1
     mcu_w, mcu_h = 8 * hs, 8 * vs
     W = (w + mcu_w - 1) // mcu_w * mcu_w
     H = (h + mcu_h - 1) // mcu_h * mcu_h
     pad = lambda p: np.pad(p, ((0, H - h), (0, W - w)), mode="edge")  # noqa: E731
     y, cb, cr = pad(y), pad(cb), pad(cr)
-    if subsample:
-        cb = cb.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
-        cr = cr.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+    if vs == 2:
+        cb = cb.reshape(H // 2, 2, W, 1).mean(axis=1).reshape(H // 2, W)
+        cr = cr.reshape(H // 2, 2, W, 1).mean(axis=1).reshape(H // 2, W)
+    if hs == 2:
+        cb = cb.reshape(cb.shape[0], W // 2, 2).mean(axis=2)
+        cr = cr.reshape(cr.shape[0], W // 2, 2).mean(axis=2)
     qy, qc = _scaled_quant(quality), _scaled_quant_c(quality)
     zzy, bwy, _ = _plane_zz(y, qy)
     zzb, bwc, _ = _plane_zz(cb, qc)
@@ -1267,8 +1288,13 @@ def encode_jpeg_color(
     acc = _huff_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
     out = _BitWriter()
     pdc = [0, 0, 0]
+    m = 0
     for my in range(H // mcu_h):
         for mx in range(W // mcu_w):
+            if restart_interval and m and m % restart_interval == 0:
+                out.restart_marker(m // restart_interval - 1)
+                pdc = [0, 0, 0]
+            m += 1
             for v in range(vs):
                 for hh in range(hs):
                     bi = (my * vs + v) * bwy + mx * hs + hh
@@ -1294,6 +1320,10 @@ def encode_jpeg_color(
                         + bytes(_JPEG_AC_VALS_C))
     )
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    dri = (
+        _jpeg_segment(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval else b""
+    )
     return (
         b"\xff\xd8"
         + _jpeg_segment(0xE0, app0)
@@ -1301,6 +1331,7 @@ def encode_jpeg_color(
         + _jpeg_segment(0xDB, dqt1)
         + _jpeg_segment(0xC0, sof0)
         + dht
+        + dri
         + _jpeg_segment(0xDA, sos)
         + out.finish()
         + b"\xff\xd9"

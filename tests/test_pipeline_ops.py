@@ -1599,3 +1599,36 @@ def test_kmeans_assign_table_matches_literal_path(spark):
                               threshold=0.98, assign="table").collect())
     assert [(r["vec_id"], r["keep"], r["dup_of"]) for r in a] == \
            [(r["vec_id"], r["keep"], r["dup_of"]) for r in b]
+
+
+def test_jpeg_color_422_and_restart_interval():
+    """4:2:2 sampling and DRI/RSTn in the interleaved color stream: the
+    decoder must byte-align, reset all three DC predictors per restart,
+    and reproduce the no-restart decode exactly (same coefficients,
+    different entropy framing)."""
+    import numpy as np
+
+    from rs_graphdb_spark.functions.multimodal import (
+        decode_jpeg, encode_jpeg_color)
+
+    rng = np.random.default_rng(3)
+    h, w = 32, 48
+    # 16-px tiles: chroma blocks never straddle a color boundary, so the
+    # error bound holds for every sampling mode (8-px tiles would be
+    # legitimately averaged across edges by 4:2:0's 2x2 box filter)
+    base = rng.integers(50, 210, size=(2, 3, 3))
+    rgb = np.clip(np.kron(base, np.ones((16, 16, 1))), 0, 255).astype(np.uint8)
+
+    for mode in ("420", "422", "444"):
+        plain = encode_jpeg_color(rgb.tobytes(), w, h, quality=75,
+                                  subsample=mode)
+        with_rst = encode_jpeg_color(rgb.tobytes(), w, h, quality=75,
+                                     subsample=mode, restart_interval=2)
+        assert b"\xff\xdd" in with_rst            # DRI present
+        assert any(bytes([0xFF, 0xD0 + i]) in with_rst for i in range(8))
+        _, _, a = decode_jpeg(plain)
+        dw, dh, b = decode_jpeg(with_rst)
+        assert (dw, dh) == (w, h)
+        assert (a == b).all(), mode               # framing-only difference
+        err = np.abs(a.astype(int) - rgb.astype(int))
+        assert int(err.max()) <= 26, (mode, int(err.max()))
