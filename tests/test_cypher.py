@@ -353,7 +353,7 @@ def _gen_statement(rng):
         "Part": {"p_partkey": "int", "p_size": "int"},
     }
     labels = list(schema)
-    kind = rng.randrange(8)
+    kind = rng.randrange(9)
     # hops use KNOWS (Customer->Customer) and the compiler enforces edge
     # endpoint labels, so hop-bearing statements pin lab = Customer
     lab = "Customer" if kind == 1 else rng.choice(labels)
@@ -418,6 +418,7 @@ def _gen_statement(rng):
         p1 = next(p for p in props if schema[lab][p] in ("int", "num"))
         agg = rng.choice(["sum", "min", "max", "avg"])
         ret = rng.choice(["a", f"a.{p0}", f"a.{p0} AS k",
+                          f"DISTINCT a.{p0}",
                           "count(*)", f"count(a.{p0})",
                           f"{agg}(a.{p1}) AS v",
                           f"a.{p0} AS g, count(*) AS c",
@@ -460,6 +461,12 @@ def _gen_statement(rng):
         ids = ", ".join(str(rng.randrange(50)) for _ in range(rng.randrange(1, 4)))
         return (f"FOREACH (v IN [{ids}] | SET v.flag = {rng.randrange(9)})",
                 "ForeachStmt")
+    if kind == 8:  # UNION [ALL] of two same-label reads
+        u = rng.choice(["UNION", "UNION ALL"])
+        p = props[0]
+        return (f"MATCH (a:{lab}) WHERE {cond('a')} RETURN a.{p} "
+                f"{u} MATCH (z:{lab}) WHERE {cond('z')} RETURN z.{p}",
+                "UnionQuery")
     if kind == 6:  # CALL subquery
         return (f"CALL {{ MATCH {node('c')} RETURN c }} RETURN c"
                 + (" LIMIT 5" if rng.random() < 0.5 else ""), "CallStmt")

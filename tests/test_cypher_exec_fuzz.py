@@ -364,6 +364,27 @@ def _project(q, binds):
     return out
 
 
+def interp_stmt(stmt, tables, edges):
+    """ReadQuery or UnionQuery → rows (UNION dedups whole rows, the
+    compiler's dropDuplicates semantics)."""
+    from rs_graphdb_spark.cypher import ast
+
+    if isinstance(stmt, ast.UnionQuery):
+        rows = []
+        for p in stmt.parts:
+            rows += interp_read(p, tables, edges)
+        if not stmt.all:
+            seen, ded = set(), []
+            for r in rows:
+                key = tuple(sorted(r.items(), key=lambda kv: kv[0]))
+                if key not in seen:
+                    seen.add(key)
+                    ded.append(r)
+            rows = ded
+        return rows
+    return interp_read(stmt, tables, edges)
+
+
 def interp_read(q, tables, edges):
     from rs_graphdb_spark.cypher import ast
 
@@ -413,21 +434,21 @@ def test_cypher_execution_differential_fuzz(micro):
     n_exec = 0
     while n_exec < N_EXECUTED:
         text, want = _gen_statement(rng)
-        if want != "ReadQuery" or ":Thing" in text:
+        if want not in ("ReadQuery", "UnionQuery") or ":Thing" in text:
             continue
         q = parse_cypher(text)
         got = [r.asDict() for r in comp.run(q).collect()]
-        exp = interp_read(q, tables, edges)
-        if q.skip or q.limit is not None:
+        exp = interp_stmt(q, tables, edges)
+        if getattr(q, "skip", None) or getattr(q, "limit", None) is not None:
             assert len(got) == len(exp), text
-            if q.order_by:
+            if getattr(q, "order_by", ()):
                 name = q.order_by[0].key.split(".")[-1]
                 assert sorted(
                     (repr(r.get(name)) for r in got)
                 ) == sorted(repr(r.get(name)) for r in exp), text
         else:
             assert _norm(got) == _norm(exp), text
-        if q.order_by and got:
+        if getattr(q, "order_by", ()) and got:
             name = q.order_by[0].key.split(".")[-1]
             vals = [r.get(name) for r in got]
             tail_nulls = [v is None for v in vals]
