@@ -174,3 +174,35 @@ def test_snapshot_diff_shuffles_hashes_not_text(spark):
     # exchanges (and no more), and the shuffled schema is (id, fp) only
     assert _n_exchanges(out) <= 2, plan
     assert "text" not in plan.split("SortMergeJoin")[0].split("Exchange")[-1]
+
+
+def test_repetition_signals_stays_in_scan_stage(spark):
+    """The Gopher repetition struct (incl. the round-6 sorted run-length
+    gram stats) must stay a zero-Exchange scan-stage projection."""
+    from rs_graphdb_spark.functions.text import repetition_signals
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.select("doc_id", repetition_signals("text").alias("r"))
+    assert _n_exchanges(df) == 0
+
+
+def test_chunk_documents_is_pure_scan_stage(spark):
+    from rs_graphdb_spark.functions.text import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = chunk_documents(docs, "doc_id", "text", max_tokens=40, overlap=8)
+    assert _n_exchanges(df) == 0
+
+
+def test_kn_lm_broadcasts_all_three_count_tables(spark):
+    """score_kn_lm: bigram, context-stats and continuation tables all
+    broadcast (vocabulary-bounded); the only shuffles are the doc-keyed
+    aggregation + the empty-doc restore join."""
+    from rs_graphdb_spark.functions.lm import (
+        bigram_counts, lm_vocab_size, score_kn_lm)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lm = bigram_counts(docs).localCheckpoint()
+    df = score_kn_lm(docs, "doc_id", "text", lm, lm_vocab_size(lm))
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
