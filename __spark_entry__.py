@@ -3340,6 +3340,16 @@ def q120_kn_lm(spark, sf_dir):
     return score_kn_lm(docs, "doc_id", "text", lm, lm_vocab_size(lm))
 
 
+def q121_compression_ratio(spark, sf_dir):
+    """zlib compressibility quality signal (Arrow-batched; pytest-pinned
+    exact — neither engine has a SQL DEFLATE)."""
+    from rs_graphdb_spark.functions.cleaning import compression_ratio
+
+    par = spark.sparkContext.defaultParallelism
+    docs = _read(spark, sf_dir, "documents").repartition(par)
+    return compression_ratio(docs, "doc_id", "text")
+
+
 def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Pre-fold per-operator registry (kept for bench.py and tests)."""
     return {
@@ -3458,6 +3468,7 @@ def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_repetition_signals": q118_repetition_signals,
         "q119_trigram_lm": q119_trigram_lm,
         "q120_kn_lm": q120_kn_lm,
+        "q121_compression_ratio": q121_compression_ratio,
     }
 
 

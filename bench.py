@@ -62,8 +62,9 @@ EXTRA = [
     "q117_html_extract",
     "q118_repetition_signals",
     "q119_trigram_lm",
-    # round-6 addition
+    # round-6 additions
     "q120_kn_lm",
+    "q121_compression_ratio",
 ]
 
 

@@ -872,3 +872,51 @@ def html_to_text_sql(expr: str) -> str:
     for pat, repl in _HTML_WS_PATTERNS:
         e = f"regexp_replace({e}, {q(pat)}, {q(repl)}, 'g')"
     return e
+
+
+def compression_ratio(
+    df: "DataFrame", id_col: str, text_col: str, level: int = 6
+) -> "DataFrame":
+    """zlib-DEFLATE compressibility per document — the classic
+    machine-generated/boilerplate quality signal (highly repetitive text
+    compresses far below prose; the RefinedWeb/Gopher-era filters cut on
+    exactly this): returns ``(id_col, n_bytes, n_compressed, ratio)``
+    with ``ratio = n_compressed / max(n_bytes, 1)`` at 6 dp.
+
+    Spark has no DEFLATE expression, so this is an Arrow-batched stage
+    (zlib's C deflate per row inside one ``mapInArrow`` batch — same
+    justified-Python tier as Unicode normalization and the codecs).
+    Zero shuffles: the signal is a scan-stage projection, so scoring
+    100 TB parallelizes embarrassingly. DuckDB has no DEFLATE either, so
+    this operator is pytest-pinned (exact zlib lengths) rather than
+    driver-oracled — the one mechanically-unavoidable exception to the
+    cross-engine contract."""
+    import pyarrow as pa
+    import zlib
+
+    def _fn(batches):
+        for batch in batches:
+            texts = batch.column(1).to_pylist()
+            nb, nc, ratio = [], [], []
+            for t in texts:
+                if t is None:
+                    nb.append(None)
+                    nc.append(None)
+                    ratio.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                comp = len(zlib.compress(raw, level))
+                nb.append(len(raw))
+                nc.append(comp)
+                ratio.append(round(comp / max(len(raw), 1), 6))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0),
+                 pa.array(nb, type=pa.int64()),
+                 pa.array(nc, type=pa.int64()),
+                 pa.array(ratio, type=pa.float64())],
+                [batch.schema.names[0], "n_bytes", "n_compressed", "ratio"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        _fn, f"{id_col} long, n_bytes long, n_compressed long, ratio double"
+    )

@@ -483,3 +483,29 @@ def test_html_to_text_cross_engine(spark):
     want = dict(con.execute(
         f"SELECT doc_id, {html_to_text_sql('html')} FROM d").fetchall())
     assert got == want
+
+
+def test_compression_ratio_exact_zlib_and_ordering(spark):
+    """Exact zlib lengths per row; repetitive text must compress far
+    below high-entropy text; NULL text passes through as NULLs."""
+    import zlib
+
+    from rs_graphdb_spark.functions.cleaning import compression_ratio
+    from rs_graphdb_spark.session import local_df
+
+    rep = "spam and eggs " * 200
+    import random
+    _rng = random.Random(5)
+    rnd = "".join(_rng.choice("abcdefghijklmnop qrstuvwxyz.,!")
+                  for _ in range(2800))
+    df = local_df(spark, [(1, rep), (2, rnd), (3, None), (4, "")],
+                  "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           compression_ratio(df, "doc_id", "text").collect()}
+    for i, t in ((1, rep), (2, rnd)):
+        raw = t.encode("utf-8")
+        assert out[i]["n_bytes"] == len(raw)
+        assert out[i]["n_compressed"] == len(zlib.compress(raw, 6))
+    assert out[1]["ratio"] < 0.05 < 0.5 < out[2]["ratio"]
+    assert out[3]["n_bytes"] is None and out[3]["ratio"] is None
+    assert out[4]["n_bytes"] == 0 and out[4]["n_compressed"] > 0
