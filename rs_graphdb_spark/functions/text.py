@@ -333,43 +333,71 @@ def quality_filter(
     window, repetition cap, alphabetic-character floor). Returns BOOLEAN
     keep. Thresholds are arguments so a pipeline can tune per-domain;
     everything stays one codegen'd expression — filtering 100 TB is a
-    scan, not a job per rule."""
+    scan, not a job per rule. Token array and its (count, length) stats
+    are each bound ONCE as lambda variables — the six rule references
+    would otherwise re-inline the tokenizer per comparison (the standing
+    re-inline rule; r6 audit)."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokenize(c)
-    n_tok = F.size(toks)
-    mean_len = F.length(F.array_join(toks, "")) / F.greatest(n_tok, F.lit(1))
     n_alpha = F.length(c) - F.length(F.regexp_replace(c, "[a-zA-Z]", ""))
     alpha_ratio = n_alpha / F.greatest(F.length(c), F.lit(1))
-    return (
-        (n_tok >= min_tokens)
-        & (n_tok <= max_tokens)
-        & (mean_len >= min_mean_tok_len)
-        & (mean_len <= max_mean_tok_len)
-        & (repetition_ratio(c) <= max_repetition)
-        & (alpha_ratio >= min_alpha_ratio)
-    )
+    return F.transform(
+        F.array(tokenize(c)),
+        lambda toks: F.transform(
+            F.array(F.struct(
+                F.size(toks).alias("n"),
+                F.length(F.array_join(toks, "")).alias("l"),
+            )),
+            lambda s: (
+                (s["n"] >= min_tokens)
+                & (s["n"] <= max_tokens)
+                & ((s["l"] / F.greatest(s["n"], F.lit(1)))
+                   >= min_mean_tok_len)
+                & ((s["l"] / F.greatest(s["n"], F.lit(1)))
+                   <= max_mean_tok_len)
+                & (repetition_ratio(c) <= max_repetition)
+                & (alpha_ratio >= min_alpha_ratio)
+            ),
+        )[0],
+    )[0]
 
 
 def lang_id(col: Column | str) -> Column:
     """Stopword-marker language heuristic: argmax of per-language marker
     hit counts, ties broken by fixed language order (en, de, fr, es),
-    'und' (undetermined) when no marker hits at all."""
-    toks = tokenize(col)
-    hits = {}
-    for lang, markers in LANG_MARKERS.items():
+    'und' (undetermined) when no marker hits at all.
+
+    Tokens and the four hit counts are bound ONCE each (nested
+    single-element ``transform``): the argmax when-chain references every
+    count 3-4 times, which as plain expressions re-inlined the tokenizer
+    + marker filter ~15× per row (r6 audit of the standing re-inline
+    rule — values unchanged, q36:lang pins them)."""
+
+    def _pick(h):
+        return (
+            F.when(
+                (h["en"] >= h["de"]) & (h["en"] >= h["fr"])
+                & (h["en"] >= h["es"]) & (h["en"] > 0), F.lit("en"))
+            .when((h["de"] >= h["fr"]) & (h["de"] >= h["es"])
+                  & (h["de"] > 0), F.lit("de"))
+            .when((h["fr"] >= h["es"]) & (h["fr"] > 0), F.lit("fr"))
+            .when(h["es"] > 0, F.lit("es"))
+            .otherwise(F.lit("und"))
+        )
+
+    def _hits(toks, markers):
         arr = F.array(*[F.lit(m) for m in markers])
-        hits[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-    best = (
-        F.when(
-            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"])
-            & (hits["en"] >= hits["es"]) & (hits["en"] > 0), F.lit("en"))
-        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"])
-              & (hits["de"] > 0), F.lit("de"))
-        .when((hits["fr"] >= hits["es"]) & (hits["fr"] > 0), F.lit("fr"))
-        .when(hits["es"] > 0, F.lit("es"))
-        .otherwise(F.lit("und"))
-    )
-    return best
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    return F.transform(
+        F.array(tokenize(col)),
+        lambda toks: F.transform(
+            F.array(F.struct(*[
+                _hits(toks, markers).alias(lang)
+                for lang, markers in LANG_MARKERS.items()
+            ])),
+            _pick,
+        )[0],
+    )[0]
 
 
 def inverted_index(df, id_col: str, text_col: str):
