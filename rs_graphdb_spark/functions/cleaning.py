@@ -917,6 +917,10 @@ def compression_ratio(
                 [batch.schema.names[0], "n_bytes", "n_compressed", "ratio"],
             )
 
+    # id passes through untouched — declare its REAL type (a hardcoded
+    # `long` would mismatch string/int32 ids at runtime)
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInArrow(
-        _fn, f"{id_col} long, n_bytes long, n_compressed long, ratio double"
+        _fn,
+        f"{id_col} {id_type}, n_bytes long, n_compressed long, ratio double",
     )

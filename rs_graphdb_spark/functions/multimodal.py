@@ -1575,8 +1575,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             spat.reshape(bh_i, bw_i, 8, 8).transpose(0, 2, 1, 3)
             .reshape(bh_i * 8, bw_i * 8) + 128.0
         )
-        # upsample by sample replication to the full MCU grid, then crop
-        plane = plane.repeat(vmax // vi, axis=0).repeat(hmax // hi, axis=1)
+        # upsample by sample replication to the full MCU grid, then
+        # crop. Index arithmetic (target x -> source x*fi//fmax), not
+        # repeat(fmax//fi): baseline-legal NON-divisible ratios (e.g.
+        # hmax=3, hi=2) would leave repeat() planes undersized
+        ty, tx = mcuy * vmax * 8, mcux * hmax * 8
+        plane = plane[
+            np.minimum(np.arange(ty) * vi // vmax, plane.shape[0] - 1)
+        ][
+            :, np.minimum(np.arange(tx) * hi // hmax, plane.shape[1] - 1)
+        ]
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         return w, h, np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

@@ -26,7 +26,14 @@ layout) and rewrites ONLY the buckets that contain victims:
   new and bucket B old.
 
 Single-writer contract (same as the ingest index): one DML writer at a
-time; concurrent readers are safe at any point. At production scale a
+time; concurrent readers are safe at any point. A SECOND writer is now
+*detected* rather than silently clobbered: every commit re-reads CURRENT
+after staging and raises :class:`ConcurrentWriteError` if another commit
+advanced it first (optimistic read-back CAS — the same intent as the
+reference's optimistic lock, `src/transactions/optimistic_lock.rs:10-50`,
+mapped onto the commit-log shape). Readers additionally get *time
+travel*: ``load_graph_partitioned(..., version=N)`` pins any retained
+manifest version ({current, previous} survive GC). At production scale a
 transactional table format (Delta/Iceberg) replaces this manifest with
 its commit log — the plan shape (scoped anti-join per victim bucket,
 one metadata pointer per transaction) is identical.
@@ -61,14 +68,45 @@ def _manifest_dir(path: str) -> str:
     return f"{path}/_manifest"
 
 
-def read_manifest(path: str) -> tuple[int, dict]:
-    """Resolve CURRENT → (version, manifest dict). One small-file read;
-    the returned dict pins a complete consistent snapshot."""
+class ConcurrentWriteError(RuntimeError):
+    """A second DML writer advanced CURRENT while this op was staging.
+    The losing commit's staged dirs are left for the next writer's
+    crashed-attempt cleanup; nothing it staged is reader-visible."""
+
+
+def read_manifest(path: str, version: int | None = None) -> tuple[int, dict]:
+    """Resolve CURRENT → (version, manifest dict) — or pin an explicit
+    retained ``version`` (time travel; GC keeps {current, previous}).
+
+    The CURRENT→json resolution is two non-atomic reads; a reader racing
+    two back-to-back commits can see a CURRENT whose json was GC'd a
+    moment later, so a FileNotFoundError re-reads CURRENT once (the
+    fresh pointer's json is guaranteed retained through the *next*
+    commit)."""
     mdir = _manifest_dir(path)
+    if version is not None:
+        try:
+            with open(f"{mdir}/v{version}.json") as fh:
+                return version, json.load(fh)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"manifest version {version} is not retained at {path!r} "
+                "(GC keeps only the current and previous versions)"
+            ) from None
+    for attempt in (0, 1):
+        ver = _read_current(mdir)
+        try:
+            with open(f"{mdir}/v{ver}.json") as fh:
+                return ver, json.load(fh)
+        except FileNotFoundError:
+            if attempt:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _read_current(mdir: str) -> int:
     with open(f"{mdir}/CURRENT") as fh:
-        ver = int(fh.read().strip())
-    with open(f"{mdir}/v{ver}.json") as fh:
-        return ver, json.load(fh)
+        return int(fh.read().strip())
 
 
 def _write_manifest(path: str, ver: int, manifest: dict) -> None:
@@ -99,7 +137,19 @@ def _table_version(rel: str) -> int:
 def _commit(path: str, cur_ver: int, manifest: dict,
             updates: dict[str, str]) -> None:
     """Publish one DML op: new manifest with the updated table dirs,
-    ONE atomic CURRENT flip, then GC of versions older than previous."""
+    ONE atomic CURRENT flip, then GC of versions older than previous.
+
+    Read-back CAS: after all staging is done (we're called last), re-read
+    CURRENT; if another writer advanced it past the version this op read
+    at its start, raise instead of flipping — flipping would publish a
+    manifest derived from a stale snapshot and silently drop the racing
+    writer's commit."""
+    seen = _read_current(_manifest_dir(path))
+    if seen != cur_ver:
+        raise ConcurrentWriteError(
+            f"CURRENT advanced {cur_ver} -> {seen} while this op staged; "
+            "aborting commit (single-writer contract violated)"
+        )
     new = dict(manifest)
     new["tables"] = {**manifest["tables"], **updates}
     _write_manifest(path, cur_ver + 1, new)
@@ -186,12 +236,18 @@ def save_graph_partitioned(
     _write_manifest(path, 0, manifest)
 
 
-def load_graph_partitioned(spark: SparkSession, path: str) -> PropertyGraph:
+def load_graph_partitioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> PropertyGraph:
     """Reopen a partitioned graph at the CURRENT manifest version — one
     pointer read pins a consistent snapshot of every table (the dirs it
     names survive until the version after next). The ``pb`` partition
-    column is dropped so query surfaces see the exact saved schema."""
-    _ver, manifest = read_manifest(path)
+    column is dropped so query surfaces see the exact saved schema.
+
+    ``version=N`` time-travels to any retained manifest version (GC
+    keeps {current, previous}), e.g. the pre-DML snapshot right after a
+    DELETE/SET — the same read contract as Delta's ``versionAsOf``."""
+    _ver, manifest = read_manifest(path, version=version)
     # mergeSchema: a SET that adds a new column rewrites only victim
     # buckets, so bucket schemas can legitimately differ by added
     # (NULL-elsewhere) columns
@@ -243,7 +299,13 @@ def _rewrite_buckets(
     new_rel = f"{table_key}/v{_table_version(cur_rel) + 1}"
     new_dir = f"{path}/{new_rel}"
     shutil.rmtree(new_dir, ignore_errors=True)  # crashed prior attempt
-    scoped = spark.read.parquet(cur_dir).filter(F.col(PB).isin(buckets))
+    # mergeSchema: after a column-adding SET, bucket schemas legitimately
+    # differ; inferring from one file lacking the column would silently
+    # drop it from the rewritten victim buckets (matches the reader)
+    scoped = (
+        spark.read.option("mergeSchema", "true").parquet(cur_dir)
+        .filter(F.col(PB).isin(buckets))
+    )
     (
         transform(scoped)
         .repartition(len(buckets), PB)
@@ -285,7 +347,8 @@ def delete_nodes_partitioned(
     n = manifest["id_buckets"]
     node_rel = manifest["tables"][f"nodes/{label}"]
     victims = (
-        spark.read.parquet(f"{path}/{node_rel}").filter(cond).select("id")
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{path}/{node_rel}").filter(cond).select("id")
         .localCheckpoint(eager=True)
     )
     n_victims = victims.count()
@@ -314,7 +377,8 @@ def delete_nodes_partitioned(
                 touched = staged
         if info["dst_label"] == label:
             hit = (
-                spark.read.parquet(f"{path}/{touched}")
+                spark.read.option("mergeSchema", "true")
+                .parquet(f"{path}/{touched}")
                 .join(victims.withColumnRenamed("id", "dst"), "dst",
                       "left_semi")
             )
@@ -347,7 +411,8 @@ def set_props_partitioned(
     n = manifest["id_buckets"]
     node_rel = manifest["tables"][f"nodes/{label}"]
     matched = (
-        spark.read.parquet(f"{path}/{node_rel}").filter(cond).select("id")
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{path}/{node_rel}").filter(cond).select("id")
         .localCheckpoint(eager=True)
     )
     n_matched = matched.count()

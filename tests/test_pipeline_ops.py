@@ -1632,3 +1632,96 @@ def test_jpeg_color_422_and_restart_interval():
         assert (a == b).all(), mode               # framing-only difference
         err = np.abs(a.astype(int) - rgb.astype(int))
         assert int(err.max()) <= 26, (mode, int(err.max()))
+
+
+def test_jpeg_nondivisible_sampling_ratio_decode():
+    """Baseline JPEG legally allows sampling grids where hmax/hi is NOT
+    an integer (e.g. Y h=3, Cb h=2 -> 3:2 upsampling). The decoder's
+    replication upsample must use index arithmetic, not repeat(hmax//hi)
+    (advisor r6 #4 — repeat() produced undersized planes and np.stack
+    raised). Hand-assembled stream via the encoder's own primitives:
+    constant blocks quantize exactly, so the chroma boundary position
+    pins the 3:2 index mapping."""
+    import struct
+
+    import numpy as np
+
+    from rs_graphdb_spark.functions import multimodal as mm
+
+    w, h = 48, 8  # one MCU row, mcu_w = 8*3 = 24 -> 2 MCUs
+    # Y constant 128 (DC exactly 0); Cb at 2/3 horizontal resolution
+    # (32 samples) flips 111 -> 145 at its block 2 (multiples of 17 from
+    # 128: exact at the q50 chroma DC step); Cr at 1/3 (16), constant
+    y_plane = np.full((8, 48), 128.0)
+    cb_plane = np.full((8, 32), 111.0)
+    cb_plane[:, 16:] = 145.0
+    cr_plane = np.full((8, 16), 128.0)
+
+    qy, qc = mm._scaled_quant(50), mm._scaled_quant_c(50)
+    zzy, bwy, _ = mm._plane_zz(y_plane, qy)
+    zzb, bwb, _ = mm._plane_zz(cb_plane, qc)
+    zzr, bwr, _ = mm._plane_zz(cr_plane, qc)
+    dcy = mm._huff_codes(mm._JPEG_DC_BITS, mm._JPEG_DC_VALS)
+    acy = mm._huff_codes(mm._JPEG_AC_BITS, mm._JPEG_AC_VALS)
+    dcc = mm._huff_codes(mm._JPEG_DC_BITS_C, mm._JPEG_DC_VALS_C)
+    acc = mm._huff_codes(mm._JPEG_AC_BITS_C, mm._JPEG_AC_VALS_C)
+    out = mm._BitWriter()
+    pdc = [0, 0, 0]
+    for mx in range(2):  # interleaved: 3 Y + 2 Cb + 1 Cr per MCU
+        for hh in range(3):
+            pdc[0] = mm._write_block(out, zzy[mx * 3 + hh], pdc[0], dcy, acy)
+        for hh in range(2):
+            pdc[1] = mm._write_block(out, zzb[mx * 2 + hh], pdc[1], dcc, acc)
+        pdc[2] = mm._write_block(out, zzr[mx], pdc[2], dcc, acc)
+
+    app0 = b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    dqt0 = bytes([0x00]) + bytes(int(v) for v in qy[mm._ZZ_ROWS, mm._ZZ_COLS])
+    dqt1 = bytes([0x01]) + bytes(int(v) for v in qc[mm._ZZ_ROWS, mm._ZZ_COLS])
+    sof0 = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, (3 << 4) | 1, 0, 2, (2 << 4) | 1, 1, 3, (1 << 4) | 1, 1]
+    )
+    dht = (
+        mm._jpeg_segment(0xC4, bytes([0x00]) + bytes(mm._JPEG_DC_BITS)
+                         + bytes(mm._JPEG_DC_VALS))
+        + mm._jpeg_segment(0xC4, bytes([0x10]) + bytes(mm._JPEG_AC_BITS)
+                           + bytes(mm._JPEG_AC_VALS))
+        + mm._jpeg_segment(0xC4, bytes([0x01]) + bytes(mm._JPEG_DC_BITS_C)
+                           + bytes(mm._JPEG_DC_VALS_C))
+        + mm._jpeg_segment(0xC4, bytes([0x11]) + bytes(mm._JPEG_AC_BITS_C)
+                           + bytes(mm._JPEG_AC_VALS_C))
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    payload = (
+        b"\xff\xd8" + mm._jpeg_segment(0xE0, app0)
+        + mm._jpeg_segment(0xDB, dqt0) + mm._jpeg_segment(0xDB, dqt1)
+        + mm._jpeg_segment(0xC0, sof0) + dht
+        + mm._jpeg_segment(0xDA, sos) + out.finish() + b"\xff\xd9"
+    )
+
+    dw, dh, rgb = mm.decode_jpeg(payload)
+    assert (dw, dh, rgb.shape) == (w, h, (h, w, 3))
+    # index-arithmetic upsample maps target x -> cb[x*2//3]: the flip at
+    # cb sample 16 lands at pixel x=24 (24*2//3 = 16)
+    for cb, xs in ((111.0, range(0, 24)), (145.0, range(24, 48))):
+        want = np.clip(np.round([
+            128.0,                       # r: cr == 128
+            128.0 - 0.344136 * (cb - 128.0),
+            128.0 + 1.772 * (cb - 128.0),
+        ]), 0, 255).astype(int)
+        got = rgb[:, list(xs)].astype(int)
+        assert (np.abs(got - want[None, None, :]) <= 1).all(), (cb, got[0, 0])
+
+
+def test_compression_ratio_non_long_id_types(spark):
+    """Advisor r6 #2: the id column passes through mapInArrow untouched,
+    so its declared type must match the input (string / int32 ids used
+    to crash against the hardcoded `long`)."""
+    from rs_graphdb_spark.functions.cleaning import compression_ratio
+    from rs_graphdb_spark.session import local_df
+
+    for id_val, schema in ((u"doc-7", "doc_id string, text string"),
+                           (7, "doc_id int, text string")):
+        df = local_df(spark, [(id_val, "spam and eggs " * 50)], schema)
+        out = compression_ratio(df, "doc_id", "text").collect()
+        assert len(out) == 1 and out[0]["doc_id"] == id_val
+        assert out[0]["n_bytes"] == 14 * 50

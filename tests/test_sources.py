@@ -414,3 +414,168 @@ def test_partitioned_dml_reader_sees_one_consistent_version(
         F.col("c_mktsegment") == "PREMIUM"
     )
     assert prem.count() > 0
+
+
+def test_partitioned_time_travel_and_retention(spark, graph, tmpdir):
+    """load_graph_partitioned(version=N) pins any retained manifest
+    version (r6 VERDICT item #5): the pre-DML snapshot stays readable
+    after the commit, and a GC'd version fails with a clear error."""
+    from pyspark.sql import functions as F
+
+    from rs_graphdb_spark.sources.partitioned_dml import (
+        delete_nodes_partitioned,
+        load_graph_partitioned,
+        save_graph_partitioned,
+        set_props_partitioned,
+    )
+
+    path = str(tmpdir / "tt")
+    save_graph_partitioned(graph, path, id_buckets=8)
+    n_cust = graph.nodes["Customer"].count()
+
+    n = delete_nodes_partitioned(
+        spark, path, "Customer", F.col("c_custkey") % 97 == 0
+    )
+    assert n > 0
+    # time travel to the pre-delete snapshot (v0) while CURRENT is v1
+    v0 = load_graph_partitioned(spark, path, version=0)
+    assert v0.nodes["Customer"].count() == n_cust
+    assert load_graph_partitioned(spark, path).nodes[
+        "Customer"].count() == n_cust - n
+
+    # second commit GCs v0: the pinned read now fails LOUDLY
+    set_props_partitioned(
+        spark, path, "Customer", F.col("c_acctbal") > 9000.0,
+        {"c_mktsegment": F.lit("PREMIUM")},
+    )
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        load_graph_partitioned(spark, path, version=0)
+    # v1 (previous) is still retained and reads the post-delete state
+    v1 = load_graph_partitioned(spark, path, version=1)
+    assert v1.nodes["Customer"].count() == n_cust - n
+    assert v1.nodes["Customer"].filter(
+        F.col("c_mktsegment") == "PREMIUM").isEmpty()
+
+
+def test_partitioned_concurrent_writer_detected(spark, graph, tmpdir):
+    """Two interleaved writers: the one that commits second must raise
+    ConcurrentWriteError instead of silently clobbering the first's
+    commit (read-back CAS on CURRENT). The losing writer's staging is
+    never published."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rs_graphdb_spark.sources import partitioned_dml as pdml
+
+    path = str(tmpdir / "cas")
+    pdml.save_graph_partitioned(graph, path, id_buckets=8)
+
+    # writer B sneaks a full commit in while writer A is mid-staging:
+    # intercept A's first _rewrite_buckets call to run B's SET inside it
+    real_rewrite = pdml._rewrite_buckets
+    fired = {"done": False}
+
+    def _interleaved(spark_, path_, cur_rel, buckets, transform):
+        staged = real_rewrite(spark_, path_, cur_rel, buckets, transform)
+        if not fired["done"]:
+            fired["done"] = True
+            pdml.set_props_partitioned(
+                spark_, path_, "Customer", F.col("c_acctbal") > 9000.0,
+                {"c_mktsegment": F.lit("PREMIUM")},
+            )
+        return staged
+
+    pdml._rewrite_buckets = _interleaved
+    try:
+        with pytest.raises(pdml.ConcurrentWriteError):
+            pdml.delete_nodes_partitioned(
+                spark, path, "Customer", F.col("c_custkey") % 97 == 0
+            )
+    finally:
+        pdml._rewrite_buckets = real_rewrite
+
+    # writer B's commit survives; writer A's delete is NOT applied
+    ver, _man = pdml.read_manifest(path)
+    assert ver == 1
+    g = pdml.load_graph_partitioned(spark, path)
+    assert g.nodes["Customer"].count() == graph.nodes["Customer"].count()
+    assert not g.nodes["Customer"].filter(
+        F.col("c_mktsegment") == "PREMIUM").isEmpty()
+
+
+def test_partitioned_delete_preserves_set_added_column(spark, graph, tmpdir):
+    """Advisor r6 #1: after a column-adding SET (bucket schemas now
+    differ), a DELETE's victim-bucket rewrite must keep the added column
+    — _rewrite_buckets reads with mergeSchema like the reader does."""
+    from pyspark.sql import functions as F
+
+    from rs_graphdb_spark.sources.partitioned_dml import (
+        delete_nodes_partitioned,
+        load_graph_partitioned,
+        save_graph_partitioned,
+        set_props_partitioned,
+    )
+
+    path = str(tmpdir / "ms")
+    save_graph_partitioned(graph, path, id_buckets=8)
+    ids = sorted(
+        r["id"] for r in graph.nodes["Customer"].select("id").collect()
+    )
+    # flag one customer, then delete a DIFFERENT one in the SAME bucket,
+    # so that bucket (schema-extended) is among the rewrite victims
+    flagged = ids[0]
+    same_bucket = next(i for i in ids if i != flagged and i % 8 == flagged % 8)
+    assert set_props_partitioned(
+        spark, path, "Customer", F.col("id") == flagged,
+        {"new_flag": F.lit(7)},
+    ) == 1
+    assert delete_nodes_partitioned(
+        spark, path, "Customer", F.col("id") == same_bucket
+    ) == 1
+    got = load_graph_partitioned(spark, path).nodes["Customer"]
+    assert "new_flag" in got.columns
+    assert got.filter(F.col("id") == flagged).first()["new_flag"] == 7
+    assert got.filter(F.col("id") == same_bucket).isEmpty()
+
+
+def test_read_manifest_retries_current_once(tmpdir):
+    """A reader racing two back-to-back commits can resolve a CURRENT
+    whose json was GC'd before the second read; read_manifest re-reads
+    CURRENT once (advisor r6 #3)."""
+    import json
+    import os
+
+    from rs_graphdb_spark.sources import partitioned_dml as pdml
+
+    path = str(tmpdir / "retry")
+    mdir = f"{path}/_manifest"
+    os.makedirs(mdir)
+    with open(f"{mdir}/v5.json", "w") as fh:
+        json.dump({"tables": {}, "nodes": [], "edges": {},
+                   "id_buckets": 8}, fh)
+    with open(f"{mdir}/CURRENT", "w") as fh:
+        fh.write("5")
+
+    # first resolution sees a STALE pointer (3 — json already GC'd),
+    # the retry re-reads CURRENT and lands on the live version
+    seq = iter([3, 5])
+    real = pdml._read_current
+    pdml._read_current = lambda mdir_: next(seq)
+    try:
+        ver, man = pdml.read_manifest(path)
+    finally:
+        pdml._read_current = real
+    assert ver == 5 and man["id_buckets"] == 8
+
+    # a persistently-dead pointer still fails after one retry
+    import pytest
+
+    dead = iter([3, 3])
+    pdml._read_current = lambda mdir_: next(dead)
+    try:
+        with pytest.raises(FileNotFoundError):
+            pdml.read_manifest(path)
+    finally:
+        pdml._read_current = real
