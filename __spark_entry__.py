@@ -2402,6 +2402,35 @@ def q35_sources(spark, sf_dir):
     )
 
 
+#: non-Latin fixture salts (r6 VERDICT item #1: the corpus is ASCII-only,
+#: so unicode-mode operators would be vacuously identical to ascii mode
+#: without them) — doc_id % 5 keyed; ja/zh branches are UNSPACED on
+#: purpose (the failure mode the unicode tokenizer exists to fix). The
+#: oracle builds the identical strings from this same table.
+_UNI_SALTS = [
+    " привет мир и в не на что и в",   # ru — Cyrillic word runs
+    " これはのにをたテストのには",      # ja — unspaced kana
+    " 的了是我在中文的了是",            # zh — unspaced Han
+    " 안녕 이의는을다 한국어 이의는",    # ko — Hangul syllables
+    "",                                 # en — untouched English
+]
+
+
+def _uni_salt_spark():
+    """The doc's salt string (Spark expression)."""
+    return F.element_at(
+        F.array(*[F.lit(s) for s in _UNI_SALTS]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+
+
+def _uni_salt_sql() -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_UNI_SALTS)
+    )
+    return f"(CASE doc_id % 5 {cases} END)"
+
+
 def q36_text_features(spark, sf_dir):
     """Suite: language-ID counts, per-doc quality features, token stats,
     within-doc repetition ratio, the composite quality-filter verdict
@@ -2560,6 +2589,30 @@ def q36_text_features(spark, sf_dir):
             )
         ).alias("nm"),
     )
+    # Unicode-mode text family (r6 VERDICT item #1) over non-Latin salted
+    # text: ru/ja/zh/ko salts per doc_id % 5 (ja/zh unspaced — the case
+    # the ASCII tokenizer zeroes). lang-id runs on salt-alone so each
+    # language branch actually wins; the per-doc features run on
+    # text+salt so Latin and CJK tokens mix in one document.
+    usal = docs.select(
+        "doc_id", F.concat(F.col("text"), _uni_salt_spark()).alias("ut")
+    )
+    ulang_text = F.when(
+        F.col("doc_id") % 5 == 4, F.col("text")
+    ).otherwise(_uni_salt_spark())
+    ulang = docs.select(
+        TX.lang_id(ulang_text, mode="unicode").alias("lang_guess")
+    ).groupBy("lang_guess").agg(F.count("*").alias("cnt"))
+    uq = usal.select(
+        "doc_id", TX.quality_features_struct("ut", mode="unicode").alias("q")
+    ).select(
+        "doc_id", F.col("q.n_tokens").alias("n_tokens"),
+        F.col("q.mean_tok_len").alias("mean_tok_len"),
+        F.col("q.stopword_ratio").alias("stopword_ratio"),
+    )
+    ukeep = usal.select(
+        TX.quality_filter("ut", mode="unicode").alias("keep")
+    ).groupBy("keep").agg(F.count("*").alias("cnt"))
     wts = make_hashed_weights(spark, 1 << 16, seed=0)
     clf = docs.select("doc_id").join(
         hashed_feature_rows(docs, "doc_id", "text", 1 << 16)
@@ -2596,6 +2649,12 @@ def q36_text_features(spark, sf_dir):
                       k="doc_id"),
         _quad("html_text", html, k="doc_id", v="hl", s="hm"),
         _quad("filter_keep", keep, v="cnt", s="keep"),
+        _quad("ulang", ulang, v="cnt", s="lang_guess"),
+        _metric_quads(uq,
+                      {"utok": "n_tokens", "uq_toklen": "mean_tok_len",
+                       "uq_stop": "stopword_ratio"},
+                      k="doc_id"),
+        _quad("ufilter", ukeep, v="cnt", s="keep"),
     )
 
 
@@ -2642,6 +2701,22 @@ def q37_tfidf(spark, sf_dir):
     ).select(
         "doc_id", "n_matched", "sum_cont", F.round("nll", 6).alias("nll"),
     )
+    # unicode-mode LM gate (r6 VERDICT item #1): train + score over
+    # non-Latin-salted text with the unicode tokenizer — CJK codepoint
+    # bigrams enter the LM alongside the Latin word bigrams, so the
+    # scorer is value-checked on exactly the corpus the ASCII tokenizer
+    # silently zeroes
+    usal = docs.select(
+        "doc_id", F.concat(F.col("text"), _uni_salt_spark()).alias("text")
+    )
+    ulm = bigram_counts(
+        usal.filter(F.col("doc_id") % 10 < 8), mode="unicode"
+    ).localCheckpoint()
+    uscore = score_bigram_lm(
+        usal, "doc_id", "text", ulm, lm_vocab_size(ulm), mode="unicode"
+    ).select(
+        "doc_id", "n_matched", "sum_cb", F.round("nll", 6).alias("nll"),
+    )
     # bucket on the ROUNDED nll (a sibling alias would resolve to the
     # raw column) — the oracle cuts the same rounded value
     lmq = scored.select(
@@ -2668,6 +2743,10 @@ def q37_tfidf(spark, sf_dir):
         _metric_quads(kn,
                       {"kn_match": "n_matched", "kn_cont": "sum_cont",
                        "kn_nll": "nll"},
+                      k="doc_id"),
+        _metric_quads(uscore,
+                      {"ulm_match": "n_matched", "ulm_cb": "sum_cb",
+                       "ulm_nll": "nll"},
                       k="doc_id"),
     )
 
@@ -3084,6 +3163,16 @@ def q49_pack_sequences(spark, sf_dir):
         _read(spark, sf_dir, "documents"), "doc_id", "text",
         max_tokens=40, overlap=8,
     )
+    # unicode-mode chunking over unspaced-CJK-salted text: each CJK
+    # codepoint budgets as one token (whitespace mode would count the
+    # whole salt as a single token)
+    uch = chunk_documents(
+        _read(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(F.col("text"), _uni_salt_spark()).alias("text"),
+        ),
+        "doc_id", "text", max_tokens=40, overlap=8, mode="unicode",
+    )
     return _quads(
         _metric_quads(q85_pack_sequences(spark, sf_dir),
                       {"pk_docs": "n_docs", "pk_tok": "sum_tokens"},
@@ -3091,6 +3180,11 @@ def q49_pack_sequences(spark, sf_dir):
         _quad("chunk",
               ch.select("doc_id", "chunk_idx", "n_tokens",
                         F.md5("chunk_text").alias("h")),
+              k=F.col("doc_id") * 1000 + F.col("chunk_idx"),
+              v="n_tokens", s="h"),
+        _quad("uchunk",
+              uch.select("doc_id", "chunk_idx", "n_tokens",
+                         F.md5("chunk_text").alias("h")),
               k=F.col("doc_id") * 1000 + F.col("chunk_idx"),
               v="n_tokens", s="h"),
     )
@@ -5345,12 +5439,14 @@ def oracle_sql() -> dict[str, str]:
     # smoothing, LM trained on the doc_id%10<8 split. Integer mechanism
     # columns are bit-exact; nll compares at 6 dp (classifier-sigmoid
     # precedent). bg/lm are referenced multiple times → MATERIALIZED.
-    def _mk_lm_sql(min_count: int) -> str:
+    def _mk_lm_sql(
+        min_count: int,
+        toks: str = "regexp_extract_all(lower(text), '[a-z0-9]+')",
+    ) -> str:
         return """
         WITH tk AS (
             SELECT doc_id,
-                   list_prepend('<s>',
-                       regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+                   list_prepend('<s>', __TOKS__) AS w
             FROM documents
         ),
         bg AS MATERIALIZED (
@@ -5387,13 +5483,74 @@ def oracle_sql() -> dict[str, str]:
                coalesce(sum_cb, 0) AS sum_cb,
                round(nll_sum / n_bigrams, 6) AS nll
         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-    """.replace("__MC__", str(min_count))
+    """.replace("__MC__", str(min_count)).replace("__TOKS__", toks)
 
     lm_sql = _mk_lm_sql(1)
     # pruned-LM twin: min_count=2 — the Zipf-tail pruning lever the
     # 100 TB walkthrough leans on, verified cross-engine (V shrinks with
     # the table; held-out mass falls through to the smoothed floor)
     lm_pruned_sql = _mk_lm_sql(2)
+    # unicode-mode LM twin over the non-Latin-salted text: the tokenizer
+    # expression is generated from the SAME pattern tables as the Spark
+    # side (text.tokenize_sql — CJK_RE / UNI_WORD_RE shared verbatim)
+    from rs_graphdb_spark.functions.text import CJK_RE as _cjk_re
+    from rs_graphdb_spark.functions.text import lang_id_sql as _lang_sql
+    from rs_graphdb_spark.functions.text import tokenize_sql as _tok_sql
+
+    _usal = f"(text || {_uni_salt_sql()})"
+    ulm_sql = _mk_lm_sql(1, toks=_tok_sql(_usal, "unicode"))
+
+    # unicode text-family twins (q36): lang-id over salt-alone text (each
+    # language branch must actually win), per-doc features + the Gopher
+    # filter over text+salt — tokenizer/marker tables shared via the
+    # text.py generators
+    _ulang_text = f"(CASE WHEN doc_id % 5 = 4 THEN text ELSE {_uni_salt_sql()} END)"
+    ulang_sql = f"""
+        SELECT {_lang_sql(_ulang_text, 'unicode')} AS lang_guess,
+               count(*) AS cnt
+        FROM documents GROUP BY 1
+    """
+    _utoks = _tok_sql(_usal, "unicode")
+    uq_sql = f"""
+        WITH t AS (SELECT doc_id, {_utoks} AS tk FROM documents)
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               round(len(array_to_string(tk, '')) * 1.0
+                     / greatest(len(tk), 1), 6) AS mean_tok_len,
+               round(len(list_filter(tk,
+                         t -> t IN ('the', 'and', 'of', 'to', 'a'))) * 1.0
+                     / greatest(len(tk), 1), 6) AS stopword_ratio
+        FROM t
+    """
+    ufilter_sql = f"""
+        WITH t AS (
+            SELECT doc_id, {_usal} AS ut, {_utoks} AS tk FROM documents
+        ),
+        g AS (
+            SELECT doc_id, ut, tk, CASE WHEN len(tk) >= 3 THEN
+                list_transform(range(len(tk) - 2),
+                               i -> array_to_string(tk[i + 1:i + 3], ' '))
+                ELSE [] END AS gr
+            FROM t
+        ),
+        f AS (
+            SELECT
+                len(tk) AS n_tok,
+                len(array_to_string(tk, '')) * 1.0
+                    / greatest(len(tk), 1) AS mean_len,
+                round(CASE WHEN len(gr) > 0
+                      THEN 1.0 - len(list_distinct(gr)) * 1.0 / len(gr)
+                      ELSE 0.0 END, 6) AS rep,
+                (len(ut) - len(regexp_replace(ut, '[\\p{{L}}\\p{{M}}]', '', 'g')))
+                    * 1.0 / greatest(len(ut), 1) AS alpha_ratio
+            FROM g
+        )
+        SELECT (n_tok >= 20 AND n_tok <= 100000
+                AND mean_len >= 2.0 AND mean_len <= 12.0
+                AND rep <= 0.3 AND alpha_ratio >= 0.6) AS keep,
+               count(*) AS cnt
+        FROM f GROUP BY 1
+    """
 
     # Kneser-Ney twin: absolute discount D over the SAME bigram LM.
     # Mechanism integers: fan-outs/continuation counts are row counts of
@@ -6245,6 +6402,13 @@ def oracle_sql() -> dict[str, str]:
                 """,
                 v="cnt", s="keep",
             ),
+            _sql_quad("ulang", ulang_sql, v="cnt", s="lang_guess"),
+            _sql_metric_quads(uq_sql,
+                              {"utok": "n_tokens",
+                               "uq_toklen": "mean_tok_len",
+                               "uq_stop": "stopword_ratio"},
+                              k="doc_id"),
+            _sql_quad("ufilter", ufilter_sql, v="cnt", s="keep"),
         ),
         "q37_tfidf": _sql_union(
             _sql_quad("inv", base["q74_inverted_index"], k="doc_id", v="tf", s="term"),
@@ -6278,6 +6442,10 @@ def oracle_sql() -> dict[str, str]:
             _sql_metric_quads(kn_sql,
                               {"kn_match": "n_matched", "kn_cont": "sum_cont",
                                "kn_nll": "nll"},
+                              k="doc_id"),
+            _sql_metric_quads(ulm_sql,
+                              {"ulm_match": "n_matched", "ulm_cb": "sum_cb",
+                               "ulm_nll": "nll"},
                               k="doc_id"),
         ),
         "q38_multimodal": _sql_union(
@@ -6684,6 +6852,36 @@ def oracle_sql() -> dict[str, str]:
                     SELECT doc_id,
                            list_filter(regexp_split_to_array(text, '\\s+'),
                                        x -> x <> '') AS t
+                    FROM documents
+                ),
+                c AS (
+                    SELECT doc_id, t,
+                           greatest(1, CAST(ceil((len(t) - 8) / 32.0)
+                                       AS BIGINT)) AS nc
+                    FROM d
+                )
+                SELECT doc_id, u.i AS chunk_idx,
+                       len(list_slice(t, u.i * 32 + 1, u.i * 32 + 40))
+                           AS n_tokens,
+                       md5(array_to_string(
+                           list_slice(t, u.i * 32 + 1, u.i * 32 + 40), ' '))
+                           AS h
+                FROM c, (SELECT unnest(range(0, 1000)) AS i) u
+                WHERE u.i < nc
+                """,
+                k="doc_id * 1000 + chunk_idx", v="n_tokens", s="h"),
+            # unicode chunk twin: identical slicing, but CJK codepoints
+            # are isolated first (text.CJK_RE — the shared pattern table)
+            # so each budgets as one token
+            _sql_quad(
+                "uchunk",
+                f"""
+                WITH d AS (
+                    SELECT doc_id,
+                           list_filter(regexp_split_to_array(
+                               regexp_replace(text || {_uni_salt_sql()},
+                                              '({_cjk_re})', ' \\1 ', 'g'),
+                               '\\s+'), x -> x <> '') AS t
                     FROM documents
                 ),
                 c AS (

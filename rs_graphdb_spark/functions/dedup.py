@@ -71,7 +71,7 @@ def md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
-def shingles(col: Column | str, k: int = 3) -> Column:
+def shingles(col: Column | str, k: int = 3, mode: str = "ascii") -> Column:
     """Distinct word-level k-gram shingles of a text column.
 
     Documents with fewer than k tokens yield an EMPTY set rather than a
@@ -88,7 +88,7 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     measured 12× on 10×-longer docs at equal token mass; the corpus-size
     probes' ~55-token docs never exposed it)."""
     return F.transform(
-        F.array(tokenize(col)),
+        F.array(tokenize(col, mode)),
         lambda toks: F.when(
             F.size(toks) >= k,
             F.array_distinct(
@@ -101,9 +101,13 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     )[0]
 
 
-def shingle_hashes(col: Column | str, k: int = 3) -> Column:
+def shingle_hashes(
+    col: Column | str, k: int = 3, mode: str = "ascii"
+) -> Column:
     """Shingle set → array of 31-bit hashes (mod P), the minhash input."""
-    return F.transform(shingles(col, k), lambda s: md5_long(s) % MERSENNE_P)
+    return F.transform(
+        shingles(col, k, mode), lambda s: md5_long(s) % MERSENNE_P
+    )
 
 
 def minhash_signature(hashes: Column) -> Column:

@@ -56,7 +56,7 @@ __all__ = [
 BOS = "<s>"
 
 
-def _bigrams(text_col: Column | str) -> Column:
+def _bigrams(text_col: Column | str, mode: str = "ascii") -> Column:
     """BOS-prefixed bigram strings ``"w1 w2"`` of a text column, in
     document order.
 
@@ -67,7 +67,7 @@ def _bigrams(text_col: Column | str) -> Column:
     the regexp tokenizer re-run TWICE PER BIGRAM (measured 10.2 s for a
     5 000-doc count at sf0.1; 0.6 s bound)."""
     return F.transform(
-        F.array(F.concat(F.array(F.lit(BOS)), tokenize(text_col))),
+        F.array(F.concat(F.array(F.lit(BOS)), tokenize(text_col, mode))),
         # guard: sequence(1, 0) would generate a DESCENDING [1, 0] — an
         # empty doc (w = [BOS] alone) must yield zero bigrams, not garbage
         lambda w: F.when(
@@ -86,6 +86,7 @@ def bigram_counts(
     df: DataFrame,
     text_col: str = "text",
     min_count: int = 1,
+    mode: str = "ascii",
 ) -> DataFrame:
     """Train the LM: ``(w1, w2, cnt)`` bigram counts over ``df``.
 
@@ -94,7 +95,7 @@ def bigram_counts(
     pruned mass falls through to the smoothed floor). One scan, one
     map-side-combined aggregation."""
     out = (
-        df.select(F.explode(_bigrams(text_col)).alias("g"))
+        df.select(F.explode(_bigrams(text_col, mode)).alias("g"))
         .groupBy("g")
         .agg(F.count("*").alias("cnt"))
         .select(
@@ -123,6 +124,7 @@ def score_bigram_lm(
     vocab_size: int,
     k: float = 1.0,
     broadcast_lm: bool = True,
+    mode: str = "ascii",
 ) -> DataFrame:
     """Per-document add-k bigram NLL / perplexity against a trained LM.
 
@@ -141,7 +143,7 @@ def score_bigram_lm(
     if broadcast_lm:
         lmj, ctx = F.broadcast(lmj), F.broadcast(ctx)
     bg = df.select(
-        F.col(id_col), F.explode(_bigrams(text_col)).alias("g")
+        F.col(id_col), F.explode(_bigrams(text_col, mode)).alias("g")
     ).withColumn("w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
     kv = float(k) * float(vocab_size)
     scored = (
@@ -191,6 +193,7 @@ def score_kn_lm(
     vocab_size: int,
     discount: float = 0.75,
     broadcast_lm: bool = True,
+    mode: str = "ascii",
 ) -> DataFrame:
     """Interpolated bigram Kneser-Ney scoring with absolute discounting —
     the credible production form of the CCNet gate (KenLM-style backoff
@@ -242,7 +245,7 @@ def score_kn_lm(
     if broadcast_lm:
         lmj, ctx, cont = F.broadcast(lmj), F.broadcast(ctx), F.broadcast(cont)
     bg = df.select(
-        F.col(id_col), F.explode(_bigrams(text_col)).alias("g")
+        F.col(id_col), F.explode(_bigrams(text_col, mode)).alias("g")
     ).select(
         id_col,
         "g",
@@ -315,13 +318,13 @@ def ccnet_buckets(
     )
 
 
-def _ngrams(text_col: Column | str, n: int) -> Column:
+def _ngrams(text_col: Column | str, n: int, mode: str = "ascii") -> Column:
     """(n−1)×BOS-padded word n-gram strings, in document order — one
     n-gram per real token, so every token is predicted exactly once.
     Same bind-once discipline as :func:`_bigrams`."""
     pad = F.array(*[F.lit(BOS)] * (n - 1))
     return F.transform(
-        F.array(F.concat(pad, tokenize(text_col))),
+        F.array(F.concat(pad, tokenize(text_col, mode))),
         lambda w: F.when(
             F.size(w) >= n,
             F.transform(
@@ -339,13 +342,14 @@ def ngram_counts(
     text_col: str = "text",
     n: int = 3,
     min_count: int = 1,
+    mode: str = "ascii",
 ) -> DataFrame:
     """Train an order-``n`` count LM: ``(g, cnt)`` where ``g`` is the
     space-joined n-gram. Same one-scan map-side-combined shape as
     :func:`bigram_counts` (which keeps its split-column layout for
     compatibility)."""
     out = (
-        df.select(F.explode(_ngrams(text_col, n)).alias("g"))
+        df.select(F.explode(_ngrams(text_col, n, mode)).alias("g"))
         .groupBy("g")
         .agg(F.count("*").alias("cnt"))
     )
@@ -364,6 +368,7 @@ def score_interpolated_lm(
     k: float = 1.0,
     lam: float = 0.7,
     broadcast_lm: bool = True,
+    mode: str = "ascii",
 ) -> DataFrame:
     """Interpolated trigram scoring — the CCNet gate at a credible LM
     order: per predicted token,
@@ -404,7 +409,7 @@ def score_interpolated_lm(
         lm3j, c12 = F.broadcast(lm3j), F.broadcast(c12)
         b23, c2 = F.broadcast(b23), F.broadcast(c2)
     tg = df.select(
-        F.col(id_col), F.explode(_ngrams(text_col, 3)).alias("g123")
+        F.col(id_col), F.explode(_ngrams(text_col, 3, mode)).alias("g123")
     ).select(
         id_col,
         "g123",

@@ -23,6 +23,63 @@ from pyspark.sql import functions as F
 #: lowercase + alnum split, `src/index_advanced.rs:72-88`)
 TOKEN_RE = "[a-z0-9]+"
 
+# --------------------------------------------------------------- unicode mode
+#
+# The reference tokenizer is ASCII-only — faithful, but it silently zeroes
+# every text operator on non-Latin corpora (CJK/Cyrillic/Arabic text
+# tokenizes to NOTHING, so token_count = 0, LM gates score empty docs and
+# quality_filter drops everything). ``mode="unicode"`` switches the whole
+# text family to a Unicode-aware tokenizer:
+#
+# - scripts with no word spacing (Han, Hiragana, Katakana, Hangul) emit
+#   ONE TOKEN PER CODEPOINT (the standard char-level fallback, cf. BERT's
+#   CJK pre-tokenization);
+# - everything else tokenizes as maximal runs of Unicode letters, marks
+#   and digits (``[\p{L}\p{M}\p{N}]+`` — combining marks stay attached,
+#   so decomposed "cafe&#x301;" is one token; normalization is a separate op,
+#   ``cleaning.normalize_text``).
+#
+# Both engines evaluate the IDENTICAL pattern strings (explicit ``\x{...}``
+# ranges + one-letter property classes work in Java regex AND RE2), so the
+# DuckDB twin shares these tables verbatim — the html_to_text/PSL
+# generated-twin precedent. Two regexp passes, still O(L) per document,
+# pure codegen, zero shuffle.
+
+#: codepoint-per-token script ranges (shared Spark/DuckDB pattern table)
+CJK_RANGES = [
+    (0x1100, 0x11FF),  # Hangul Jamo
+    (0x3040, 0x309F),  # Hiragana
+    (0x30A0, 0x30FF),  # Katakana
+    (0x31F0, 0x31FF),  # Katakana phonetic extensions
+    (0x3400, 0x4DBF),  # CJK unified ideographs extension A
+    (0x4E00, 0x9FFF),  # CJK unified ideographs
+    (0xAC00, 0xD7A3),  # Hangul syllables
+    (0xF900, 0xFAFF),  # CJK compatibility ideographs
+    (0xFF66, 0xFF9D),  # halfwidth Katakana
+]
+
+#: character class matching any codepoint-per-token script codepoint
+CJK_RE = "[" + "".join(
+    f"\\x{{{a:04x}}}-\\x{{{b:04x}}}" for a, b in CJK_RANGES
+) + "]"
+
+#: non-CJK token run: Unicode letters + combining marks + digits
+UNI_WORD_RE = r"[\p{L}\p{M}\p{N}]+"
+
+
+def tokenize_sql(expr: str, mode: str = "ascii") -> str:
+    """DuckDB twin of :func:`tokenize` — generated from the SAME pattern
+    constants (``TOKEN_RE`` / ``CJK_RE`` / ``UNI_WORD_RE``), so the two
+    engines cannot drift. ``expr`` is any SQL text expression."""
+    if mode == "ascii":
+        return f"regexp_extract_all(lower({expr}), '{TOKEN_RE}')"
+    if mode != "unicode":
+        raise ValueError(f"mode must be ascii|unicode, got {mode!r}")
+    return (
+        f"regexp_extract_all(regexp_replace(lower({expr}), "
+        f"'({CJK_RE})', ' \\1 ', 'g'), '{UNI_WORD_RE}')"
+    )
+
 # Tiny per-language stopword marker sets for the n-gram/stopword language
 # heuristic. Deliberately small + deterministic (mirrored in oracle SQL).
 LANG_MARKERS = {
@@ -32,11 +89,32 @@ LANG_MARKERS = {
     "es": ["el", "los", "las", "una", "es"],
 }
 
+#: unicode-mode marker sets: the Latin four plus Cyrillic word markers and
+#: single-codepoint CJK markers (each IS one token under codepoint-per-token
+#: tokenization). Insertion order = argmax tie-break order.
+LANG_MARKERS_UNI = {
+    **LANG_MARKERS,
+    "ru": ["и", "в", "не", "на", "что"],
+    "zh": ["的", "了", "是", "我", "在"],
+    "ja": ["の", "に", "は", "を", "た"],
+    "ko": ["이", "의", "는", "을", "다"],
+}
 
-def tokenize(col: Column | str) -> Column:
-    """Lowercase-alnum tokens of a text column."""
+
+def tokenize(col: Column | str, mode: str = "ascii") -> Column:
+    """Tokens of a text column. ``mode="ascii"`` (default) = the
+    reference's lowercase-alnum tokenizer; ``mode="unicode"`` = Unicode
+    letter/mark/digit runs with codepoint-per-token CJK (see the module
+    section above)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+    if mode == "ascii":
+        return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+    if mode != "unicode":
+        raise ValueError(f"mode must be ascii|unicode, got {mode!r}")
+    return F.regexp_extract_all(
+        F.regexp_replace(F.lower(c), f"({CJK_RE})", " $1 "),
+        F.lit(UNI_WORD_RE), 0,
+    )
 
 
 def fulltext_any(col: Column | str, terms: list[str]) -> Column:
@@ -53,23 +131,23 @@ def fulltext_all(col: Column | str, terms: list[str]) -> Column:
     return cond
 
 
-def token_count(col: Column | str) -> Column:
+def token_count(col: Column | str, mode: str = "ascii") -> Column:
     """Whitespace/punctuation-robust token count."""
-    return F.size(tokenize(col))
+    return F.size(tokenize(col, mode))
 
 
-def fingerprint(col: Column | str) -> Column:
+def fingerprint(col: Column | str, mode: str = "ascii") -> Column:
     """Deterministic document fingerprint: md5 over the normalized token
     stream (case/punct/whitespace-insensitive) — the exact-dedup key."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.md5(F.array_join(tokenize(c), " "))
+    return F.md5(F.array_join(tokenize(c, mode), " "))
 
 
-def quality_features(col: Column | str) -> dict[str, Column]:
+def quality_features(col: Column | str, mode: str = "ascii") -> dict[str, Column]:
     """Quality-scoring features: length, token count, mean token length,
     punctuation ratio, stopword ratio (English markers)."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokenize(c)
+    toks = tokenize(c, mode)
     n_tok = F.size(toks)
     stop_arr = F.array(*[F.lit(t) for t in LANG_MARKERS["en"]])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
@@ -85,7 +163,7 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     }
 
 
-def quality_features_struct(col: Column | str) -> Column:
+def quality_features_struct(col: Column | str, mode: str = "ascii") -> Column:
     """All five quality features as ONE struct column with the token array
     evaluated exactly once: the tokens are bound as a lambda variable of a
     single-element ``transform`` (opaque to projection collapse), so the
@@ -96,7 +174,7 @@ def quality_features_struct(col: Column | str) -> Column:
     stop_arr = F.array(*[F.lit(t) for t in LANG_MARKERS["en"]])
     n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,!?;:]", ""))
     return F.transform(
-        F.array(tokenize(c)),
+        F.array(tokenize(c, mode)),
         lambda toks: F.struct(
             F.length(c).alias("n_chars_m"),
             F.size(toks).alias("n_tokens"),
@@ -115,7 +193,9 @@ def quality_features_struct(col: Column | str) -> Column:
     )[0]
 
 
-def repetition_ratio(col: Column | str, k: int = 3) -> Column:
+def repetition_ratio(
+    col: Column | str, k: int = 3, mode: str = "ascii"
+) -> Column:
     """Within-document repetition: fraction of word k-gram occurrences
     that are repeats of an earlier k-gram (0 = no repetition, → 1 for
     boilerplate loops). A standard pretraining quality signal — docs that
@@ -137,7 +217,7 @@ def repetition_ratio(col: Column | str, k: int = 3) -> Column:
         )
 
     return F.transform(
-        F.array(tokenize(col)),
+        F.array(tokenize(col, mode)),
         lambda toks: F.transform(
             F.array(
                 F.when(
@@ -157,6 +237,7 @@ def repetition_signals(
     col: Column | str,
     top_n: int = 2,
     dup_n: int = 5,
+    mode: str = "ascii",
 ) -> Column:
     """Gopher-style within-document repetition signals as ONE struct:
 
@@ -305,7 +386,7 @@ def repetition_signals(
         ),
     )[0]
     toks_once = F.transform(
-        F.array(tokenize(c)),
+        F.array(tokenize(c, mode)),
         lambda toks: F.struct(
             _gram_fracs(toks, top_n)["top"].alias("top_ngram_char_frac"),
             _gram_fracs(toks, dup_n)["dup"].alias("dup_ngram_char_frac"),
@@ -327,6 +408,7 @@ def quality_filter(
     max_mean_tok_len: float = 12.0,
     max_repetition: float = 0.3,
     min_alpha_ratio: float = 0.6,
+    mode: str = "ascii",
 ) -> Column:
     """Composite keep/drop verdict from rule bounds over the quality
     features (the Gopher-rules shape: token-count window, mean-word-length
@@ -338,10 +420,14 @@ def quality_filter(
     would otherwise re-inline the tokenizer per comparison (the standing
     re-inline rule; r6 audit)."""
     c = F.col(col) if isinstance(col, str) else col
-    n_alpha = F.length(c) - F.length(F.regexp_replace(c, "[a-zA-Z]", ""))
+    # alphabetic floor: ASCII letters in reference mode, any Unicode
+    # letter/mark in unicode mode (CJK text is ~100% alphabetic — the
+    # ASCII class would flunk every non-Latin doc on this rule alone)
+    alpha_re = "[a-zA-Z]" if mode == "ascii" else r"[\p{L}\p{M}]"
+    n_alpha = F.length(c) - F.length(F.regexp_replace(c, alpha_re, ""))
     alpha_ratio = n_alpha / F.greatest(F.length(c), F.lit(1))
     return F.transform(
-        F.array(tokenize(c)),
+        F.array(tokenize(c, mode)),
         lambda toks: F.transform(
             F.array(F.struct(
                 F.size(toks).alias("n"),
@@ -354,53 +440,83 @@ def quality_filter(
                    >= min_mean_tok_len)
                 & ((s["l"] / F.greatest(s["n"], F.lit(1)))
                    <= max_mean_tok_len)
-                & (repetition_ratio(c) <= max_repetition)
+                & (repetition_ratio(c, mode=mode) <= max_repetition)
                 & (alpha_ratio >= min_alpha_ratio)
             ),
         )[0],
     )[0]
 
 
-def lang_id(col: Column | str) -> Column:
+def lang_id(col: Column | str, mode: str = "ascii") -> Column:
     """Stopword-marker language heuristic: argmax of per-language marker
-    hit counts, ties broken by fixed language order (en, de, fr, es),
-    'und' (undetermined) when no marker hits at all.
+    hit counts, ties broken by marker-table order (en, de, fr, es [,ru,
+    zh, ja, ko in unicode mode]), 'und' (undetermined) when no marker
+    hits at all. ``mode="unicode"`` switches both the tokenizer and the
+    marker table (:data:`LANG_MARKERS_UNI` adds Cyrillic word markers and
+    single-codepoint CJK markers).
 
-    Tokens and the four hit counts are bound ONCE each (nested
+    Tokens and the per-language hit counts are bound ONCE each (nested
     single-element ``transform``): the argmax when-chain references every
-    count 3-4 times, which as plain expressions re-inlined the tokenizer
-    + marker filter ~15× per row (r6 audit of the standing re-inline
-    rule — values unchanged, q36:lang pins them)."""
+    count several times, which as plain expressions re-inlined the
+    tokenizer + marker filter ~15× per row (r6 audit of the standing
+    re-inline rule — values unchanged, q36:lang pins them)."""
+    markers = LANG_MARKERS if mode == "ascii" else LANG_MARKERS_UNI
+    langs = list(markers)
 
     def _pick(h):
-        return (
-            F.when(
-                (h["en"] >= h["de"]) & (h["en"] >= h["fr"])
-                & (h["en"] >= h["es"]) & (h["en"] > 0), F.lit("en"))
-            .when((h["de"] >= h["fr"]) & (h["de"] >= h["es"])
-                  & (h["de"] > 0), F.lit("de"))
-            .when((h["fr"] >= h["es"]) & (h["fr"] > 0), F.lit("fr"))
-            .when(h["es"] > 0, F.lit("es"))
-            .otherwise(F.lit("und"))
-        )
+        # lang i wins if it has hits and no LATER lang beats it (earlier
+        # langs already had their chance) — identical to the previous
+        # hand-written 4-language chain, generalized to any table
+        out = F.lit("und")
+        expr = None
+        for i, lang in enumerate(langs):
+            cond = h[lang] > 0
+            for later in langs[i + 1:]:
+                cond = cond & (h[lang] >= h[later])
+            expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(
+                cond, F.lit(lang))
+        return expr.otherwise(out)
 
-    def _hits(toks, markers):
-        arr = F.array(*[F.lit(m) for m in markers])
+    def _hits(toks, ms):
+        arr = F.array(*[F.lit(m) for m in ms])
         return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
     return F.transform(
-        F.array(tokenize(col)),
+        F.array(tokenize(col, mode)),
         lambda toks: F.transform(
             F.array(F.struct(*[
-                _hits(toks, markers).alias(lang)
-                for lang, markers in LANG_MARKERS.items()
+                _hits(toks, ms).alias(lang)
+                for lang, ms in markers.items()
             ])),
             _pick,
         )[0],
     )[0]
 
 
-def inverted_index(df, id_col: str, text_col: str):
+def lang_id_sql(expr: str, mode: str = "ascii") -> str:
+    """DuckDB twin of :func:`lang_id`, generated from the SAME marker
+    table and tokenizer pattern (so the heuristic cannot drift between
+    engines). Returns a scalar SQL expression."""
+    markers = LANG_MARKERS if mode == "ascii" else LANG_MARKERS_UNI
+    langs = list(markers)
+    toks = tokenize_sql(expr, mode)
+    hit = {
+        lang: (
+            "len(list_filter(" + toks + ", t -> t IN ("
+            + ", ".join(f"'{m}'" for m in ms) + ")))"
+        )
+        for lang, ms in markers.items()
+    }
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"{hit[lang]} > 0"] + [
+            f"{hit[lang]} >= {hit[later]}" for later in langs[i + 1:]
+        ]
+        cases.append("WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
+    return "CASE " + " ".join(cases) + " ELSE 'und' END"
+
+
+def inverted_index(df, id_col: str, text_col: str, mode: str = "ascii"):
     """Materialized inverted index: one (term, doc_id, tf) row per posting.
 
     This is the 100 TB design for the reference's in-memory inverted index
@@ -413,13 +529,13 @@ def inverted_index(df, id_col: str, text_col: str):
 
     return (
         df.select(F.col(id_col).alias("doc_id"),
-                  F.explode(tokenize(text_col)).alias("term"))
+                  F.explode(tokenize(text_col, mode)).alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
     )
 
 
-def tfidf(df, id_col: str, text_col: str):
+def tfidf(df, id_col: str, text_col: str, mode: str = "ascii"):
     """TF-IDF scores per (doc, term) over the corpus.
 
     Smoothed idf = ln((N+1)/(df+1)) + 1 (the scikit-learn convention —
@@ -429,7 +545,7 @@ def tfidf(df, id_col: str, text_col: str):
     """
     from pyspark.sql import functions as F
 
-    inv = inverted_index(df, id_col, text_col)
+    inv = inverted_index(df, id_col, text_col, mode)
     n_docs = df.select(F.countDistinct(id_col).alias("n")).first()["n"]
     doc_freq = inv.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     return (
@@ -450,6 +566,7 @@ def chunk_documents(
     max_tokens: int = 128,
     overlap: int = 16,
     token_re: str | None = None,
+    mode: str = "whitespace",
 ) -> "DataFrame":
     """Context-window chunking (training/RAG prep): split each document
     into token chunks of ``max_tokens`` with ``overlap`` tokens carried
@@ -465,21 +582,32 @@ def chunk_documents(
     text is then the space-joined pieces, i.e. a token-stream view, not a
     byte-exact substring.
 
+    ``mode="unicode"`` budgets unspaced CJK text correctly: each Han /
+    kana / Hangul codepoint is its own token (an unspaced CJK document
+    would otherwise be ONE whitespace token that never fits any budget),
+    while spaced text keeps the whitespace-run behavior — case and
+    punctuation preserved, so chunk text remains faithful to the source.
+
     Scale shape: pure codegen — split + sequence + posexplode + slice,
     no shuffle, no Python; chunks inherit the document scan's
     partitioning, so chunking a 100 TB corpus is one embarrassingly
     parallel scan-stage."""
     if not 0 <= overlap < max_tokens:
         raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}")
+    if mode not in ("whitespace", "unicode"):
+        raise ValueError(f"mode must be whitespace|unicode, got {mode!r}")
     stride = max_tokens - overlap
-    if token_re is None:
-        toks = F.filter(
-            F.split(F.col(text_col), r"\s+"), lambda t: t != ""
-        )
-    else:
+    if token_re is not None:
         toks = F.regexp_extract_all(
             F.lower(F.col(text_col)), F.lit(token_re), 0
         )
+    else:
+        src = F.col(text_col)
+        if mode == "unicode":
+            # isolate codepoint-per-token scripts, then the ordinary
+            # whitespace split sees each CJK codepoint as a token
+            src = F.regexp_replace(src, f"({CJK_RE})", " $1 ")
+        toks = F.filter(F.split(src, r"\s+"), lambda t: t != "")
     n_chunks = F.greatest(
         F.lit(1),
         F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(float(stride))),

@@ -1,0 +1,200 @@
+"""Unicode/multilingual tokenization mode (r6 VERDICT item #1).
+
+The reference tokenizer (`/root/reference/src/index_advanced.rs:72-88`) is
+ASCII-only; ``mode="unicode"`` adds letter/mark/digit property-class runs
+with codepoint-per-token CJK. These tests pin the token semantics (CJK,
+combining marks, mixed script), the cross-engine twin (the SAME pattern
+tables evaluated by DuckDB), and the downstream threading (lang-id, quality
+filter, chunking, LM gates).
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from rs_graphdb_spark.functions import text as TX
+from rs_graphdb_spark.session import local_df
+
+
+def _spark_tokens(spark, texts, mode="unicode"):
+    df = local_df(spark, [(i, t) for i, t in enumerate(texts)],
+                  "i long, t string")
+    rows = df.select("i", TX.tokenize("t", mode).alias("tk")).collect()
+    return [r["tk"] for r in sorted(rows, key=lambda r: r["i"])]
+
+
+def test_unicode_tokenize_cjk_codepoint_per_token(spark):
+    toks = _spark_tokens(spark, [
+        "これはテストです",          # unspaced hiragana+katakana
+        "中文测试",                  # unspaced Han
+        "안녕하세요",                # Hangul syllables
+        "ﾊﾝｶｸ",                      # halfwidth katakana
+    ])
+    assert toks[0] == list("これはテストです")
+    assert toks[1] == list("中文测试")
+    assert toks[2] == list("안녕하세요")
+    assert toks[3] == list("ﾊﾝｶｸ")
+
+
+def test_unicode_tokenize_word_runs_and_mixed_script(spark):
+    toks = _spark_tokens(spark, [
+        "Привет, мир-123",
+        "Hello 世界 world",
+        "مرحبا بالعالم",             # Arabic word runs (RTL)
+        "a1b2 ... 42",
+    ])
+    assert toks[0] == ["привет", "мир", "123"]
+    assert toks[1] == ["hello", "世", "界", "world"]
+    assert toks[2] == ["مرحبا", "بالعالم"]
+    assert toks[3] == ["a1b2", "42"]
+
+
+def test_unicode_tokenize_combining_marks_stay_attached(spark):
+    composed = "café"                     # U+00E9
+    decomposed = "café"             # e + combining acute
+    toks = _spark_tokens(spark, [composed, decomposed, "x́y"])
+    assert toks[0] == ["café"]
+    # marks attach (one token) — NFC normalization is a separate op
+    assert toks[1] == ["café"]
+    assert toks[2] == ["x́y"]
+
+
+def test_ascii_mode_unchanged_and_zeroes_nonlatin(spark):
+    toks = _spark_tokens(spark, ["Hello, World 42", "中文测试", "café"],
+                         mode="ascii")
+    assert toks[0] == ["hello", "world", "42"]
+    assert toks[1] == []                  # the r6-verdict failure mode
+    assert toks[2] == ["caf"]
+
+
+def test_tokenize_sql_twin_matches_spark(spark):
+    """The DuckDB twin (same pattern tables) must produce identical token
+    arrays on a multi-script battery, in BOTH modes."""
+    battery = [
+        "Hello 世界 world",
+        "これはのにをたテスト",
+        "안녕 이의는을다",
+        "Привет, мир-123",
+        "café café naïve",
+        "مرحبا بالعالم 42",
+        "ﾊﾝｶｸ halfwidth",
+        "",
+        "   \t\n  ",
+        "a" * 500 + " 漢" * 50,
+    ]
+    con = duckdb.connect()
+    for mode in ("ascii", "unicode"):
+        got = _spark_tokens(spark, battery, mode)
+        for text, sp in zip(battery, got):
+            dk = con.execute(
+                f"SELECT {TX.tokenize_sql('?', mode)}", [text]
+            ).fetchone()[0]
+            assert sp == dk, (mode, text, sp, dk)
+
+
+def test_lang_id_unicode_detects_all_eight(spark):
+    cases = {
+        "the cat and the dog of a to": "en",
+        "der hund und die katze ist": "de",
+        "le chat et la les des": "fr",
+        "el gato los las una es": "es",
+        "привет и в не на что": "ru",
+        "的了是我在中文": "zh",
+        "これはのにをたです": "ja",
+        "안녕 이의는을다": "ko",
+        "012 345 678": "und",
+    }
+    df = local_df(spark, [(t,) for t in cases],  "t string")
+    got = {r["t"]: r["l"] for r in df.select(
+        "t", TX.lang_id("t", mode="unicode").alias("l")).collect()}
+    assert got == cases
+    # ascii mode still only knows the Latin four
+    latin = local_df(spark, [("привет и в не на что",)], "t string")
+    assert latin.select(
+        TX.lang_id("t").alias("l")).first()["l"] == "und"
+
+
+def test_lang_id_sql_twin_matches(spark):
+    texts = ["the cat and the dog", "привет и в не на",
+             "的了是我在", "mixed 的 and the and of", "zzz"]
+    df = local_df(spark, [(t,) for t in texts], "t string")
+    got = {r["t"]: r["l"] for r in df.select(
+        "t", TX.lang_id("t", mode="unicode").alias("l")).collect()}
+    con = duckdb.connect()
+    for t in texts:
+        # the generated expression references its input many times, so
+        # inline a quoted literal rather than a bind parameter
+        dk = con.execute(
+            "SELECT " + TX.lang_id_sql(f"'{t}'", "unicode")).fetchone()[0]
+        assert got[t] == dk, (t, got[t], dk)
+
+
+def test_chunk_documents_unicode_budgets_unspaced_cjk(spark):
+    """An unspaced 100-codepoint CJK doc is ONE whitespace token (never
+    fits a budget) but 100 unicode tokens → 4 chunks of ≤30 with overlap
+    carry."""
+    from rs_graphdb_spark.functions.text import chunk_documents
+
+    doc = "漢字" * 50  # 100 codepoints, no whitespace
+    df = local_df(spark, [(1, doc)], "doc_id long, text string")
+    ws = chunk_documents(df, "doc_id", "text", max_tokens=30, overlap=5)
+    assert ws.count() == 1  # the failure mode: one giant token
+    uc = chunk_documents(df, "doc_id", "text", max_tokens=30, overlap=5,
+                         mode="unicode").orderBy("chunk_idx").collect()
+    assert [r["n_tokens"] for r in uc] == [30, 30, 30, 25]
+    # overlap carry: chunk 1 starts at token 25 (stride 25)
+    assert uc[1]["chunk_text"].split(" ")[0] == doc[25]
+    # spaced text keeps whitespace-token behavior (case + punct kept)
+    df2 = local_df(spark, [(1, "Foo, bar! 漢字 baz")],
+                   "doc_id long, text string")
+    one = chunk_documents(df2, "doc_id", "text", max_tokens=30, overlap=5,
+                          mode="unicode").first()
+    assert one["chunk_text"] == "Foo, bar! 漢 字 baz"
+
+
+def test_quality_filter_unicode_keeps_cjk(spark):
+    """A clean CJK doc must pass the unicode-mode gate; ascii mode drops
+    it on every rule at once (0 tokens, 0 alpha)."""
+    doc = "春夏秋冬山川河流日月星辰风雨雷电花鸟虫鱼东南西北"  # 24 distinct
+    df = local_df(spark, [(doc,)], "t string")
+    assert df.select(TX.quality_filter(
+        "t", min_tokens=20, min_mean_tok_len=1.0, mode="unicode"
+    ).alias("k")).first()["k"] is True
+    assert df.select(TX.quality_filter(
+        "t", min_tokens=20, min_mean_tok_len=1.0
+    ).alias("k")).first()["k"] is False
+
+
+def test_lm_gate_unicode_scores_cjk(spark):
+    """bigram LM in unicode mode: CJK codepoint bigrams train and score;
+    ascii mode sees zero bigrams for the same corpus."""
+    from rs_graphdb_spark.functions.lm import (
+        bigram_counts, lm_vocab_size, score_bigram_lm)
+
+    docs = local_df(spark, [
+        (1, "这是中文这是中文"),
+        (2, "这是中文测试"),
+    ], "doc_id long, text string")
+    lm = bigram_counts(docs, mode="unicode")
+    assert lm.count() > 0
+    out = score_bigram_lm(docs, "doc_id", "text", lm, lm_vocab_size(lm),
+                          mode="unicode").collect()
+    assert all(r["n_bigrams"] > 0 and r["nll"] is not None for r in out)
+    lm_a = bigram_counts(docs)
+    assert lm_a.count() == 0  # ascii tokenizer zeroes the corpus
+
+
+def test_quality_features_unicode_mean_tok_len(spark):
+    """Codepoint-per-token CJK → mean token length exactly 1.0."""
+    df = local_df(spark, [(1, "中文测试文档")], "doc_id long, t string")
+    q = df.select(
+        TX.quality_features_struct("t", mode="unicode").alias("q")
+    ).select("q.n_tokens", "q.mean_tok_len").first()
+    assert q["n_tokens"] == 6 and q["mean_tok_len"] == 1.0
+
+
+def test_unicode_mode_rejects_bad_mode():
+    with pytest.raises(ValueError, match="ascii|unicode"):
+        TX.tokenize(F.lit("x"), mode="latin9")
+    with pytest.raises(ValueError):
+        TX.tokenize_sql("t", mode="latin9")

@@ -12,7 +12,12 @@ run-length rewrite).
 Probed: repetition_signals, bigram-LM gate (train+score),
 chunk_documents, minhash signatures (shingle→Arrow-kernel signing).
 
-Usage: python tools/doclen_scale_probe.py [token_mass] [base_len] [rungs]
+Round 7 adds ``--cjk``: the same rungs over UNSPACED CJK-dense documents
+with the unicode tokenizer mode (each Han codepoint = one token) — the
+judge-requested evidence that the unicode mode's extra regexp_replace pass
+stays linear in document length.
+
+Usage: python tools/doclen_scale_probe.py [token_mass] [base_len] [rungs] [--cjk]
 Prints one markdown row per (operator, rung) for PLANS.md.
 """
 
@@ -26,22 +31,27 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F  # noqa: E402
 
 VOCAB = [f"w{i}" for i in range(40)]
+#: 40 distinct Han codepoints (the unicode-mode probe's vocabulary)
+VOCAB_CJK = [chr(0x4E00 + 7 * i) for i in range(40)]
 
 
-def synth_docs(spark, n_docs: int, doc_len: int):
+def synth_docs(spark, n_docs: int, doc_len: int, cjk: bool = False):
     """n_docs docs of doc_len tokens from a 40-word vocabulary, built as
     repeated 50-token deterministic blocks (cheap to generate at 100k
     tokens; block repetition keeps the dup-gram paths firing), with a
-    line break every block."""
+    line break every block. ``cjk=True`` swaps in 40 Han codepoints and
+    joins them UNSPACED (codepoint-per-token under mode="unicode")."""
     par = spark.sparkContext.defaultParallelism
     d = spark.range(n_docs).repartition(max(par, n_docs and min(par, n_docs)))
-    tok = lambda j: F.array(*[F.lit(w) for w in VOCAB])[  # noqa: E731
+    vocab = VOCAB_CJK if cjk else VOCAB
+    tok = lambda j: F.array(*[F.lit(w) for w in vocab])[  # noqa: E731
         F.pmod(
             F.hash(F.concat(F.col("id").cast("string"), F.lit(f":{j}"))),
             F.lit(40),
         )
     ]
-    block = F.concat_ws(" ", *[tok(j) for j in range(50)])
+    sep = "" if cjk else " "
+    block = F.concat_ws(sep, *[tok(j) for j in range(50)])
     n_blocks = max(1, doc_len // 50)
     # block varies per doc; repeat it with per-block salt lines between
     text = F.array_join(
@@ -56,9 +66,11 @@ def synth_docs(spark, n_docs: int, doc_len: int):
 
 
 def main() -> None:
-    mass = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    base_len = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000
-    rungs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    args = [a for a in sys.argv[1:] if a != "--cjk"]
+    cjk = "--cjk" in sys.argv[1:]
+    mass = int(args[0]) if len(args) > 0 else 2_000_000
+    base_len = int(args[1]) if len(args) > 1 else 1_000
+    rungs = int(args[2]) if len(args) > 2 else 3
 
     from rs_graphdb_spark.functions.dedup import (
         MERSENNE_P, md5_long, minhash_signatures_arrow, shingle_sets)
@@ -78,28 +90,45 @@ def main() -> None:
         print(f"| {tag} | {doc_len:,} tok/doc × {n:,} docs "
               f"| {time.time() - t0:.2f} s |", flush=True)
 
+    mode = "unicode" if cjk else "ascii"
+    chunk_mode = "unicode" if cjk else "whitespace"
+    if cjk:
+        print("| (CJK-dense unspaced docs, mode=unicode) | | |")
     for r in range(rungs):
         doc_len = base_len * 10 ** r
         n = max(1, mass // doc_len)
-        docs = synth_docs(spark, n, doc_len)
+        docs = synth_docs(spark, n, doc_len, cjk=cjk)
         docs.count()
 
         probe("repetition_signals", doc_len, n, lambda: docs.select(
-            "doc_id", repetition_signals("text").alias("r")
+            "doc_id", repetition_signals("text", mode=mode).alias("r")
         ).select("doc_id", "r.*").write.mode("overwrite")
          .format("noop").save())
 
         def lm_gate():
             lm = bigram_counts(
-                docs.filter(F.col("doc_id") % 10 < 8)).localCheckpoint()
-            score_bigram_lm(docs, "doc_id", "text", lm, lm_vocab_size(lm)) \
+                docs.filter(F.col("doc_id") % 10 < 8), mode=mode
+            ).localCheckpoint()
+            score_bigram_lm(docs, "doc_id", "text", lm, lm_vocab_size(lm),
+                            mode=mode) \
                 .write.mode("overwrite").format("noop").save()
 
         probe("bigram-LM gate (train+score)", doc_len, n, lm_gate)
 
         probe("chunk_documents", doc_len, n, lambda: chunk_documents(
-            docs, "doc_id", "text", max_tokens=128, overlap=16
+            docs, "doc_id", "text", max_tokens=128, overlap=16,
+            mode=chunk_mode,
         ).write.mode("overwrite").format("noop").save())
+
+        if cjk:
+            # tokenize+count alone (the new two-regex path, isolated)
+            from rs_graphdb_spark.functions.text import token_count
+
+            probe("unicode token_count", doc_len, n, lambda: docs.select(
+                "doc_id", token_count("text", mode="unicode").alias("n")
+            ).write.mode("overwrite").format("noop").save())
+            docs.unpersist()
+            continue
 
         def sign():
             sh = shingle_sets(docs, "doc_id", "text").withColumn(
