@@ -102,33 +102,50 @@ def main() -> None:
     # steady-state cost on a box with background load.
     times: dict[str, float] = {}
     passes: dict[str, list[float]] = {}
+    remeasured: list[str] = []
+
+    def one_pass(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return round(time.time() - t0, 3)
+
+    def measure(name: str) -> float:
+        # min-of-2, plus outlier re-measure (r6 VERDICT item #8): when
+        # the two passes disagree badly (bimodal suite-interaction mode —
+        # both could be slow, or one caught a load spike), take up to two
+        # extra passes until the newest lands within 25% of the running
+        # min. The committed number is min over all passes; `remeasured`
+        # names the queries that needed it.
+        ts = [one_pass(name), one_pass(name)]
+        attempts = 0
+        while (
+            attempts < 2
+            and max(ts) > max(1.5 * min(ts), min(ts) + 0.3)
+        ):
+            attempts += 1
+            t = one_pass(name)
+            ts.append(t)
+            if t <= min(ts[:-1]) * 1.25:
+                break
+        if attempts:
+            remeasured.append(name)
+        passes[name] = ts
+        return min(ts)
+
     for name in HEADLINE:
         if name not in qs:
             continue
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
     for name in HEADLINE:
-        if name not in qs:
-            continue
-        ts = []
-        for _ in range(2):
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            ts.append(round(time.time() - t0, 3))
-        passes[name] = ts
-        times[name] = min(ts)
+        if name in qs:
+            times[name] = measure(name)
 
     extra: dict[str, float] = {}
     for name in EXTRA:
         if name not in qs:
             continue
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        ts = []
-        for _ in range(2):
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            ts.append(round(time.time() - t0, 3))
-        passes[name] = ts
-        extra[name] = min(ts)
+        extra[name] = measure(name)
 
     # Load self-annotation: this box sees outside-VM load spikes that
     # have twice produced ~2× headline artifacts judged noise after the
@@ -145,17 +162,28 @@ def main() -> None:
         n: round(max(ts) - min(ts), 3) for n, ts in passes.items()
     }
     total = round(sum(times.values()), 3)
+    # COMPACT headline line FIRST (r6 VERDICT item #3: the r6 artifact's
+    # single grown line was clipped to unparseable by the driver's tail
+    # capture), full detail on a SECOND line. The compact line alone
+    # carries everything needed to adjudicate the run: total, per-query
+    # times, loadavg and worst pass spread (quiet = trustworthy).
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
-        "extra_queries": extra,
         "sf": sf,
-        "runs_per_query": 2,
+        "loadavg1": la1,
+        "max_pass_spread_sec": round(max(spread.values()), 3) if spread else 0.0,
+        "quiet": la1 < 2.0,
+    }))
+    print(json.dumps({
+        "metric": "headline_detail",
+        "extra_queries": extra,
+        "runs_per_query": "2 + outlier re-measure",
+        "remeasured": sorted(remeasured),
         "loadavg": [la1, la5, la15],
         "pass_spread_sec": spread,
-        "max_pass_spread_sec": round(max(spread.values()), 3) if spread else 0.0,
     }))
 
 
