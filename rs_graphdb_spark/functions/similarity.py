@@ -439,6 +439,13 @@ def knn_ivf(
 SEMDEDUP_LITERAL_K_MAX = 256
 
 
+#: expression pair scan above this vector width routes to the GEMM form
+#: (r7 dim-probe: at dim 1024 the pair join shipped two 8 KB vectors per
+#: candidate pair and evaluated cosine in interpreted HOF expressions —
+#: the within-cluster scan was shuffle-WIDTH-bound, 7× wall for 4× dim)
+SEMDEDUP_PAIR_EXPR_DIM_MAX = 64
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
@@ -447,6 +454,7 @@ def semantic_dedup(
     iterations: int = 3,
     threshold: float = 0.95,
     assign: str = "auto",
+    pair_scan: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning over
     an embedding column — k-means cluster the vectors, then WITHIN each
@@ -482,11 +490,28 @@ def semantic_dedup(
     mark a zero embedding duplicate of every same-cluster point); the
     pair filter requires a finite cosine, so they come back ``keep=true``
     and can never be a ``dup_of`` target.
+
+    ``pair_scan`` picks the within-cluster scan: ``"expr"`` is the
+    codegen'd join + HOF-cosine filter (exact left-fold parity with the
+    oracle twin — the driver-checked configuration); ``"gemm"`` unions
+    role-tagged rows into cluster-salt groups and scores each b-block
+    against the FULL cluster with a blockwise numpy GEMM inside
+    ``applyInPandas`` (the embedding_near_dup_lsh verify shape) — each
+    vector crosses the shuffle ONCE PER SALT instead of once per
+    candidate pair, which at dim ≥ 768 is the difference between
+    O(n·dim·salt) and O(pairs·dim) bytes. ``"auto"`` (default) routes by
+    measured width: expr at dim ≤ 64, GEMM above. GEMM sums in a
+    different order than the left-fold, so pairs within an ulp of the
+    threshold may flip — parity on separated fixtures is pytest-pinned,
+    and the oracle configuration (dim=16) stays on the expr path.
     """
     from .clustering import kmeans_assign, kmeans_assign_table
 
     if assign not in ("auto", "literal", "table"):
         raise ValueError(f"assign must be auto|literal|table, got {assign!r}")
+    if pair_scan not in ("auto", "expr", "gemm"):
+        raise ValueError(
+            f"pair_scan must be auto|expr|gemm, got {pair_scan!r}")
     use_table = assign == "table" or (
         assign == "auto" and k > SEMDEDUP_LITERAL_K_MAX
     )
@@ -529,6 +554,24 @@ def semantic_dedup(
             s = -(-r["m"] ** 2 * target // work)  # ceil(share of tasks)
             if s > 1:
                 salt_rows.append((int(r["cluster"]), int(min(s, 64))))
+    row0 = x.select("_v").first()
+    dim = len(row0["_v"]) if row0 is not None and row0["_v"] is not None else 0
+    use_gemm = pair_scan == "gemm" or (
+        pair_scan == "auto" and dim > SEMDEDUP_PAIR_EXPR_DIM_MAX
+    )
+    if use_gemm:
+        dup_of = _semantic_pair_scan_gemm(
+            spark, x, salt_rows, float(threshold), par
+        )
+        return (
+            x.join(dup_of, x["_id"] == dup_of["_b"], "left")
+            .select(
+                F.col("_id").alias(id_col),
+                "cluster",
+                F.col("dup_of").isNull().alias("keep"),
+                "dup_of",
+            )
+        )
     if salt_rows:
         from rs_graphdb_spark.session import local_df
 
@@ -578,4 +621,110 @@ def semantic_dedup(
             F.col("dup_of").isNull().alias("keep"),
             "dup_of",
         )
+    )
+
+
+def _semantic_pair_scan_gemm(spark, x, salt_rows, thr: float, par: int):
+    """Wide-dim within-cluster pair scan (r7 dim-probe fix): role-tagged
+    union → one ``applyInPandas`` per (cluster, salt) group → blockwise
+    numpy GEMM, emitting ``(_b, dup_of)`` for b-rows that have a
+    smaller-id neighbor at cosine ≥ thr.
+
+    'b' rows hash into exactly ONE salt; 'a' rows replicate to every
+    salt of their cluster (same proportional salt table as the expr
+    path), so each task scores a b-block against the FULL cluster and
+    its verdict is final. Shuffle bytes are n·dim·(1 + avg replication)
+    — independent of pair count — vs the expr join's pairs·2·dim. Zero-
+    norm vectors normalize to NaN rows; every NaN comparison is False,
+    so they are neither duplicates nor dup_of targets (the try_divide
+    contract, kept bit-for-bit).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if salt_rows:
+        from rs_graphdb_spark.session import local_df
+
+        sm = F.broadcast(local_df(spark, salt_rows, "cluster int, __ns int"))
+        base = x.join(sm, "cluster", "left")
+        b_rows = (
+            base.withColumn(
+                "__salt",
+                F.when(F.col("__ns").isNull(), F.lit(0)).otherwise(
+                    F.pmod(F.hash("_id"), F.col("__ns"))
+                ),
+            )
+            .withColumn("__role", F.lit(0))
+            .drop("__ns")
+        )
+        a_rows = (
+            base.withColumn(
+                "__salt",
+                F.explode(F.sequence(
+                    F.lit(0), F.coalesce(F.col("__ns"), F.lit(1)) - 1
+                )),
+            )
+            .withColumn("__role", F.lit(1))
+            .drop("__ns")
+        )
+        both = b_rows.unionByName(a_rows)
+    else:
+        tag = lambda role: (  # noqa: E731
+            x.withColumn("__salt", F.lit(0)).withColumn("__role", F.lit(role))
+        )
+        both = tag(0).unionByName(tag(1))
+
+    sent = np.iinfo(np.int64).max
+
+    def _scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({
+            "_b": pd.Series(dtype="int64"),
+            "dup_of": pd.Series(dtype="int64"),
+        })
+        a = pdf[pdf["__role"] == 1]
+        b = pdf[pdf["__role"] == 0]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+
+        def unit(rows):
+            v = np.asarray(list(rows), dtype=np.float64)
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return v / n  # zero rows -> NaN -> all comparisons False
+
+        ida = a["_id"].to_numpy()
+        order = np.argsort(ida)
+        ida = ida[order]
+        va = unit(a["_v"].to_numpy()[order])
+        idb = b["_id"].to_numpy()
+        vb = unit(b["_v"].to_numpy())
+        outs_b, outs_d = [], []
+        # blockwise b-rows: the score block stays ~32 MB however hot the
+        # cluster is (same bound as the near-dup GEMM verify)
+        block = max(1, (1 << 22) // max(len(ida), 1))
+        for s in range(0, len(idb), block):
+            e = min(s + block, len(idb))
+            g = vb[s:e] @ va.T
+            with np.errstate(invalid="ignore"):
+                mask = (g >= thr) & (ida[None, :] < idb[s:e, None])
+            cand = np.where(mask, ida[None, :], sent)
+            dmin = cand.min(axis=1)
+            hit = dmin < sent
+            outs_b.append(idb[s:e][hit])
+            outs_d.append(dmin[hit])
+        if not outs_b:
+            return empty
+        return pd.DataFrame({
+            "_b": np.concatenate(outs_b),
+            "dup_of": np.concatenate(outs_d),
+        })
+
+    return (
+        both.repartition(par, "cluster", "__salt")
+        .groupBy("cluster", "__salt")
+        .applyInPandas(_scan, "_b long, dup_of long")
+        # each _b lives in exactly one salt group; the agg is a cheap
+        # safety canonicalization over the (small) duplicate set
+        .groupBy("_b")
+        .agg(F.min("dup_of").alias("dup_of"))
     )

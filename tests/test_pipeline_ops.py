@@ -1725,3 +1725,39 @@ def test_compression_ratio_non_long_id_types(spark):
         out = compression_ratio(df, "doc_id", "text").collect()
         assert len(out) == 1 and out[0]["doc_id"] == id_val
         assert out[0]["n_bytes"] == 14 * 50
+
+
+def test_semantic_dedup_gemm_pair_scan_parity(spark):
+    """r7 dim-probe fix: the GEMM pair scan (auto-routed above dim 64)
+    must reproduce the expr path exactly on separated fixtures —
+    clusters, keep flags, dup_of targets — including the zero-norm
+    contract and the proportional-salting path."""
+    import numpy as np
+
+    from rs_graphdb_spark.functions.similarity import semantic_dedup
+    from rs_graphdb_spark.session import local_df
+
+    dim = 96  # > SEMDEDUP_PAIR_EXPR_DIM_MAX -> auto routes to GEMM
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in range(40):  # pairs (2g, 2g+1): odd is a perturbation
+        v = rng.standard_normal(dim)
+        rows.append((2 * g, [float(x) for x in v]))
+        rows.append((2 * g + 1,
+                     [float(x) for x in v + 0.02 * rng.standard_normal(dim)]))
+    rows.append((999, [0.0] * dim))  # zero-norm: never a dup either way
+    emb = local_df(spark, rows, "vec_id long, embedding array<double>")
+
+    kw = dict(k=4, iterations=2, threshold=0.9)
+    expr = {r["vec_id"]: (r["cluster"], r["keep"], r["dup_of"])
+            for r in semantic_dedup(emb, "vec_id", "embedding",
+                                    pair_scan="expr", **kw).collect()}
+    gemm = {r["vec_id"]: (r["cluster"], r["keep"], r["dup_of"])
+            for r in semantic_dedup(emb, "vec_id", "embedding",
+                                    pair_scan="gemm", **kw).collect()}
+    auto = {r["vec_id"]: (r["cluster"], r["keep"], r["dup_of"])
+            for r in semantic_dedup(emb, "vec_id", "embedding",
+                                    **kw).collect()}
+    assert expr == gemm == auto
+    assert sum(1 for _c, keep, _d in expr.values() if not keep) >= 30
+    assert expr[999][1] is True and expr[999][2] is None
