@@ -2980,14 +2980,51 @@ def q43_embedding_dedup(spark, sf_dir):
     )
 
 
+#: q44 recall gate: every query's banded-LSH top-10 must hit at least
+#: this many of the exact top-10 (measured 5-7 at sf0.01, 4-10 at
+#: sf0.001 with T=8, p=4). The oracle's floor part claims ALL queries
+#: meet it, so an LSH parameter/recall regression fails the DRIVER GATE
+#: (row-count mismatch) even if both engines' twins move together.
+_ANN_RECALL_FLOOR = 4
+
+
 def q44_knn_ann(spark, sf_dir):
     """Suite: exact brute-force kNN + hyperplane-LSH ANN (oracle = the
     md5-deterministic plane twin in SQL) + IVF ANN in full-probe
-    configuration (provably equal to exact)."""
+    configuration (provably equal to exact) + banded (8×4) amplified ANN
+    with a driver-checked recall@10 floor vs the exact twin (r6 VERDICT
+    item #7 — recall was previously probe-only evidence)."""
+    from rs_graphdb_spark.functions.similarity import knn_lsh_banded
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = q48_knn_bruteforce(spark, sf_dir)
+    bl = knn_lsh_banded(
+        emb, queries_df, "vec_id", "embedding", k=10
+    ).select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    ).localCheckpoint()  # reused by the part row AND both recall parts
+    hits = (
+        queries_df.select(F.col("vec_id").alias("query_id"))
+        .join(
+            exact.select("query_id", "neighbor_id")
+            .join(bl.select("query_id", "neighbor_id"),
+                  ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id").agg(F.count("*").alias("hits")),
+            "query_id", "left",
+        )
+        .select("query_id", F.coalesce("hits", F.lit(0)).alias("hits"))
+    )
+    floor = hits.filter(F.col("hits") >= _ANN_RECALL_FLOOR).select("query_id")
     return _quads(
-        _quad("exact", q48_knn_bruteforce(spark, sf_dir), k="query_id", v="cos", s="neighbor_id"),
+        _quad("exact", exact, k="query_id", v="cos", s="neighbor_id"),
         _quad("lsh", q49_ann_lsh(spark, sf_dir), k="query_id", v="cos", s="neighbor_id"),
         _quad("ivf", q78_knn_ivf(spark, sf_dir), k="query_id", v="cos", s="neighbor_id"),
+        _quad("blsh", bl, k="query_id", v="cos", s="neighbor_id"),
+        _quad("recall_hits", hits, k="query_id", v="hits"),
+        _quad("recall_floor", floor, k="query_id"),
     )
 
 
@@ -4983,6 +5020,55 @@ def oracle_sql() -> dict[str, str]:
             PARTITION BY q.vec_id
             ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) <= 10
     """
+    # banded (8×4, same plane stream as the near-dup twin) amplified-ANN
+    # twin + recall@10 vs the exact form; blc/blsh/exk are shared CTEs
+    _ann_ctes = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS MATERIALIZED ({banded_codes_sql}),
+        q AS (SELECT * FROM c WHERE vec_id < 5),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.v, c.v) AS cs
+            FROM q JOIN c ON c.tbl = q.tbl AND c.code = q.code
+                         AND c.vec_id <> q.vec_id
+        ),
+        blsh AS MATERIALIZED (
+            SELECT query_id, neighbor_id, round(cs, 6) AS cos,
+                   CAST(row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY cs DESC, neighbor_id) AS INTEGER) AS rank
+            FROM cand
+            QUALIFY rank <= 10
+        ),
+        exk AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM (SELECT vec_id, v FROM e WHERE vec_id < 5) q
+            JOIN e c ON c.vec_id <> q.vec_id
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                         c.vec_id) <= 10
+        ),
+        rhits AS MATERIALIZED (
+            SELECT qq.vec_id AS query_id, coalesce(h.hits, 0) AS hits
+            FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) qq
+            LEFT JOIN (
+                SELECT exk.query_id, count(*) AS hits
+                FROM exk JOIN blsh
+                  ON blsh.query_id = exk.query_id
+                 AND blsh.neighbor_id = exk.neighbor_id
+                GROUP BY exk.query_id
+            ) h ON h.query_id = qq.vec_id
+        )
+    """
+    blsh_sql = _ann_ctes + " SELECT query_id, neighbor_id, cos FROM blsh"
+    recall_hits_sql = _ann_ctes + " SELECT query_id, hits FROM rhits"
+    # the FLOOR claim: the oracle asserts EVERY query reaches the floor
+    # (all 5 rows); if the Spark side's recall regresses below it, the
+    # driver sees a row-count mismatch — the gate fails, not a probe
+    recall_floor_sql = (
+        "SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 5"
+    )
 
     glob_sql = """
         SELECT count(*) AS cnt,
@@ -6699,6 +6785,9 @@ def oracle_sql() -> dict[str, str]:
             _sql_quad("exact", base["q48_knn_bruteforce"], k="query_id", v="cos", s="neighbor_id"),
             _sql_quad("lsh", lsh_sql, k="query_id", v="cos", s="neighbor_id"),
             _sql_quad("ivf", base["q78_knn_ivf"], k="query_id", v="cos", s="neighbor_id"),
+            _sql_quad("blsh", blsh_sql, k="query_id", v="cos", s="neighbor_id"),
+            _sql_quad("recall_hits", recall_hits_sql, k="query_id", v="hits"),
+            _sql_quad("recall_floor", recall_floor_sql, k="query_id"),
         ),
         "q45_sessionize": _sql_union(
             _sql_quad("plain", base["q80_sessionize"], k="user_id",
