@@ -2805,8 +2805,23 @@ def q38_multimodal(spark, sf_dir):
 
     vid = documents_as_video(docs_par, corrupt_every=83)
     vf = sample_video_frames(vid, every_n=2)
+    # MJPEG-in-AVI (r6 VERDICT item #4): biCompression='MJPG' routes each
+    # movi chunk through the baseline JPEG decoder; flat even-block
+    # frames decode bit-exactly, whole-container corruption isolates to
+    # one (-1) row, and a corrupt MEMBER frame isolates to checksum -1
+    # at its own index while its neighbors still decode
+    from rs_graphdb_spark.functions.multimodal import (
+        documents_as_mjpeg_videos,
+    )
+
+    mvid = documents_as_mjpeg_videos(
+        docs_par, corrupt_every=79, corrupt_frame_every=97
+    )
+    mvf = sample_video_frames(mvid, every_n=2)
     return _quads(
         _metric_quads(vf, {"vf_w": "width", "vf_ck": "checksum"},
+                      k="media_id", s="frame_idx"),
+        _metric_quads(mvf, {"mj_w": "width", "mj_ck": "checksum"},
                       k="media_id", s="frame_idx"),
         _metric_quads(q53_multimodal_features(spark, sf_dir),
                       {"mm_bytes": "n_bytes", "mm_w": "width",
@@ -6708,6 +6723,40 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, -1, -1, -1 FROM d WHERE corrupt
                 """,
                 {"vf_w": "width", "vf_ck": "checksum"},
+                k="media_id", s="frame_idx"),
+            # MJPEG-in-AVI twin: 16×16 frames of 2×2 flat even blocks
+            # tiling 4 text bytes each (nf = clamp(n//4, 1, 6)); sampled
+            # frames are every 2nd; checksum = 64·Σ even(code) over the
+            # frame's byte window; container corruption (%79) → one
+            # (-1,…) row; member-frame corruption (%97, frame 2 of ≥3)
+            # → checksum −1 at index 2 only
+            _sql_metric_quads(
+                """
+                WITH d AS (
+                    SELECT doc_id, text, octet_length(encode(text)) AS n,
+                           (doc_id % 79 = 0) AS corrupt,
+                           (doc_id % 97 = 0) AS fcorrupt
+                    FROM documents
+                ),
+                f AS (
+                    SELECT *, least(greatest(n // 4, 1), 6) AS nf FROM d
+                )
+                SELECT doc_id AS media_id, CAST(u.i AS INTEGER) AS frame_idx,
+                       CAST(16 AS INTEGER) AS width,
+                       CAST(CASE WHEN fcorrupt AND u.i = 2 AND nf > 2
+                            THEN -1
+                            ELSE 64 * coalesce(list_sum(list_transform(
+                                 range(u.i * 4 + 1,
+                                       least((u.i + 1) * 4, n) + 1),
+                                 k -> unicode(text[k])
+                                      - unicode(text[k]) % 2)), 0)
+                            END AS BIGINT) AS checksum
+                FROM f, (SELECT unnest(range(0, 8)) AS i) u
+                WHERE NOT corrupt AND u.i % 2 = 0 AND u.i < nf
+                UNION ALL
+                SELECT doc_id, -1, -1, -1 FROM d WHERE corrupt
+                """,
+                {"mj_w": "width", "mj_ck": "checksum"},
                 k="media_id", s="frame_idx"),
         ),
         "q39_exact_dedup": _sql_union(

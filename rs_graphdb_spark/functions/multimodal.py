@@ -830,10 +830,57 @@ def encode_avi(frames: list[bytes], w: int, h: int, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_avi(payload: bytes) -> tuple[int, int, list["np.ndarray"]]:
-    """Validating RIFF walk → (w, h, frames as (h, w) uint8 arrays).
-    Checks magic, header presence/order, 8-bit DIB format, declared
-    frame count vs movi chunks, and per-frame sizes."""
+def encode_avi_mjpeg(
+    jpeg_frames: list[bytes], w: int, h: int, fps: int = 10
+) -> bytes:
+    """Already-encoded JPEG payloads → an MJPEG AVI (the wild-AVI norm):
+    same RIFF layout as :func:`encode_avi` but ``strh`` fourcc / ``strf``
+    biCompression = 'MJPG', 24-bit, and each ``00dc`` movi chunk is one
+    complete baseline JPEG. Frames are NOT validated here — a corrupt
+    member is exactly what the per-frame isolation path must handle."""
+    usec = 1_000_000 // fps
+    buf_size = max((len(f) for f in jpeg_frames), default=0)
+    avih = struct.pack(
+        "<14I", usec, buf_size * fps, 0, 0x10, len(jpeg_frames), 0, 1,
+        buf_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(jpeg_frames),
+            buf_size, 0, 0xFFFFFFFF,
+        ) + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", 0, 2835, 2835, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                     + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(b"00dc", f) for f in jpeg_frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(
+    payload: bytes,
+) -> tuple[int, int, list["np.ndarray | None"]]:
+    """Validating RIFF walk → (w, h, frames as (h, w) or (h, w, 3) uint8
+    arrays). Checks magic, header presence/order, declared frame count
+    vs movi chunks, and per-frame sizes.
+
+    Codec routing by ``strf`` biCompression (r6 VERDICT item #4): 0 =
+    uncompressed 8-bit DIB (bottom-up, stride-padded); fourcc 'MJPG' =
+    each movi chunk is a complete baseline JPEG routed through
+    :func:`decode_jpeg` — a corrupt or wrong-sized MJPEG frame isolates
+    to ``None`` AT ITS INDEX (container structure is intact; one bad
+    frame must not kill the other frames of a long video), whereas DIB
+    structural errors still raise (a bad size there means the walk
+    itself is misaligned)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     (riff_size,) = struct.unpack_from("<I", payload, 4)
@@ -852,6 +899,7 @@ def decode_avi(payload: bytes) -> tuple[int, int, list["np.ndarray"]]:
             pos += 8 + clen + (clen % 2)
 
     w = h = declared = bits = None
+    compression = b"\x00\x00\x00\x00"
     raw_frames: list[bytes] = []
     for cid, body in walk(payload[12:]):
         if cid != b"LIST":
@@ -870,6 +918,7 @@ def decode_avi(payload: bytes) -> tuple[int, int, list["np.ndarray"]]:
                             if len(b3) < 40:
                                 raise ValueError("short strf")
                             bits = struct.unpack_from("<H", b3, 14)[0]
+                            compression = b3[16:20]
         elif ltype == b"movi":
             if w is None:
                 raise ValueError("movi before hdrl")
@@ -878,12 +927,25 @@ def decode_avi(payload: bytes) -> tuple[int, int, list["np.ndarray"]]:
                     raw_frames.append(b2)
     if w is None or h is None or not w or not h:
         raise ValueError("missing avih dimensions")
-    if bits != 8:
-        raise ValueError(f"unsupported AVI bit depth {bits}")
     if declared != len(raw_frames):
         raise ValueError(
             f"declared {declared} frames, found {len(raw_frames)}"
         )
+    if compression == b"MJPG":
+        mj_frames: list[np.ndarray | None] = []
+        for raw in raw_frames:
+            try:
+                fw, fh, arr = decode_jpeg(raw)
+                if (fw, fh) != (w, h):
+                    raise ValueError("MJPEG frame dims != container dims")
+                mj_frames.append(arr)
+            except Exception:
+                mj_frames.append(None)  # per-frame isolation
+        return w, h, mj_frames
+    if compression != b"\x00\x00\x00\x00":
+        raise ValueError(f"unsupported AVI codec {compression!r}")
+    if bits != 8:
+        raise ValueError(f"unsupported AVI bit depth {bits}")
     stride = (w + 3) // 4 * 4
     frames = []
     for raw in raw_frames:
@@ -892,6 +954,65 @@ def decode_avi(payload: bytes) -> tuple[int, int, list["np.ndarray"]]:
         arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)[:, :w]
         frames.append(arr[::-1])  # bottom-up DIB → top-down
     return w, h, frames
+
+
+def documents_as_mjpeg_videos(
+    docs: DataFrame,
+    corrupt_every: int | None = None,
+    corrupt_frame_every: int | None = None,
+) -> DataFrame:
+    """Fixture/ingest adapter: REAL MJPEG AVIs whose frames are the
+    flat-even-block exact-decodable JPEGs (the ``documents_as_jpegs``
+    block scheme at a fixed 16×16 / 2×2-block geometry), so the DuckDB
+    twin predicts every sampled frame's checksum by index arithmetic:
+
+      n = len(utf8(text)); nf = clamp(n // 4, 1, 6);
+      frame f block j (j < 4, row-major) = even(code(text[f*4+j]))
+      for f*4+j < n else 0 → frame checksum = 64 · Σ window evens.
+
+    ``corrupt_every`` corrupts the whole container (one (-1,…) row);
+    ``corrupt_frame_every`` keeps the container valid but replaces FRAME
+    INDEX 2 with a garbage JPEG for matching docs — the per-frame
+    isolation path (that frame alone reads checksum −1)."""
+    W = H = 16
+    PX, MAXF = 4, 6  # bytes per frame (2×2 blocks), frame cap
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if corrupt_every is not None and did % corrupt_every == 0:
+                    payloads.append(b"RIFFxxxxNOTAVI")
+                    continue
+                data = text.encode("utf-8")
+                nf = min(max(len(data) // PX, 1), MAXF)
+                frames = []
+                for f in range(nf):
+                    vals = np.zeros(4, dtype=np.uint8)
+                    win = data[f * PX:(f + 1) * PX]
+                    src = np.frombuffer(win, dtype=np.uint8)
+                    vals[:len(src)] = src - (src % 2)
+                    pixels = np.repeat(
+                        np.repeat(vals.reshape(2, 2), 8, axis=0), 8, axis=1
+                    ).tobytes()
+                    frames.append(encode_jpeg(pixels, W, H))
+                if (
+                    corrupt_frame_every is not None
+                    and did % corrupt_frame_every == 0
+                    and len(frames) > 2
+                ):
+                    frames[2] = b"\xff\xd8GARBAGEFRAME"
+                payloads.append(encode_avi_mjpeg(frames, W, H))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "media_type": ["video"] * len(pdf),
+                "payload": payloads,
+                "meta": [
+                    {"source": "synthetic", "declared_w": W, "declared_h": H}
+                ] * len(pdf),
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(_encode, schema=MEDIA_SCHEMA)
 
 
 def sample_video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
@@ -907,9 +1028,12 @@ def sample_video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
                 try:
                     w, h, frames = decode_avi(bytes(payload))
                     for idx in range(0, len(frames), every_n):
+                        fr = frames[idx]
                         rows.append((
                             int(mid), idx, w, h,
-                            int(frames[idx].astype(np.int64).sum()),
+                            # a corrupt MJPEG member isolates to ITS index
+                            -1 if fr is None
+                            else int(fr.astype(np.int64).sum()),
                         ))
                 except Exception:
                     rows.append((int(mid), -1, -1, -1, -1))
