@@ -2347,7 +2347,10 @@ def q33_stream_windows(spark, sf_dir):
 def q34_stream_stateful(spark, sf_dir):
     """Suite: applyInPandasWithState running totals + session windows, both
     as real streaming jobs, + batch-end progress markers (count / row
-    total / batch-id monotonicity)."""
+    total / batch-id monotonicity), + a REAL two-stream watermarked
+    interval join (r6 VERDICT item #6 — view→click pairs per user within
+    a 1 h horizon; Spark keeps per-side join state evicted by the
+    watermark + range condition; the oracle is the batch join twin)."""
     markers = q100_stream_markers(spark, sf_dir)
     return _quads(
         _metric_quads(q70_stream_stateful(spark, sf_dir),
@@ -2359,7 +2362,32 @@ def q34_stream_stateful(spark, sf_dir):
         _metric_quads(markers,
                       {"marker_n": "marker_n", "marker_rows": "marker_rows"},
                       s="marker_mono"),
+        _quad("ssj", q122_stream_stream_join(spark, sf_dir),
+              k="l_id", v="lag_us", s="r_id"),
     )
+
+
+def q122_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval self-join (view→click within
+    1 h per user) executed as an actual two-sided streaming job
+    (availableNow → memory sink, append mode — stream-stream inner joins
+    emit matches as both sides' state fills)."""
+    import uuid
+
+    from rs_graphdb_spark.streaming.ops import (
+        read_event_stream,
+        stream_stream_interval_join,
+    )
+
+    stream = read_event_stream(spark, _staged_events_dir(sf_dir))
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_stream_interval_join(stream, horizon_s=3600)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
 
 
 def q35_sources(spark, sf_dir):
@@ -6353,6 +6381,22 @@ def oracle_sql() -> dict[str, str]:
                 """,
                 {"marker_n": "marker_n", "marker_rows": "marker_rows"},
                 s="marker_mono",
+            ),
+            # stream-stream interval join twin: the batch self-join over
+            # the same events — pair-for-pair (single availableNow batch
+            # holds both sides, so watermarking drops nothing)
+            _sql_quad(
+                "ssj",
+                """
+                SELECT l.event_id AS l_id, r.event_id AS r_id,
+                       epoch_us(r.ts) - epoch_us(l.ts) AS lag_us
+                FROM events l JOIN events r
+                  ON r.user_id = l.user_id
+                 AND l.event_type = 'view' AND r.event_type = 'click'
+                 AND r.ts >= l.ts
+                 AND r.ts <= l.ts + INTERVAL 3600 SECONDS
+                """,
+                k="l_id", v="lag_us", s="r_id",
             ),
         ),
         "q35_sources": _sql_union(

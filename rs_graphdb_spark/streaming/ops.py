@@ -151,6 +151,59 @@ def hopping_event_counts(
     )
 
 
+def stream_stream_interval_join(
+    df: DataFrame,
+    left_type: str = "view",
+    right_type: str = "click",
+    horizon_s: int = 600,
+    watermark: str = "2 hours",
+    streaming: bool = True,
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join — the one Structured
+    Streaming surface class the suite didn't exercise before r7: every
+    (left_type, right_type) event pair of the same user with the right
+    event inside ``[left_ts, left_ts + horizon_s]``. Both sides are
+    filters over the same source stream (a genuine two-stream self-join:
+    Spark keeps per-side join STATE and uses the watermark + time-range
+    condition to evict it — state per key is bounded by the horizon,
+    which is what makes this run forever on an unbounded stream).
+
+    Emits ``(l_id, r_id, user_id, lag_us)`` — epoch-long lag, no raw
+    LTZ timestamps in the output (the cross-engine ts contract). Works
+    identically in batch mode (watermarks no-op), so the batch run /
+    DuckDB twin is the oracle for the streaming run."""
+    base = with_event_time(df)
+    left = base.filter(F.col("event_type") == left_type).select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("event_time").alias("l_time"),
+        event_time_us(base).alias("l_us"),
+    )
+    right = base.filter(F.col("event_type") == right_type).select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("event_time").alias("r_time"),
+        event_time_us(base).alias("r_us"),
+    )
+    if streaming:
+        left = left.withWatermark("l_time", watermark)
+        right = right.withWatermark("r_time", watermark)
+    return (
+        left.join(
+            right,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("r_time") >= F.col("l_time"))
+            & (F.col("r_time")
+               <= F.col("l_time") + F.expr(f"INTERVAL {horizon_s} SECONDS")),
+            "inner",
+        )
+        .select(
+            "l_id", "r_id", F.col("l_user").alias("user_id"),
+            (F.col("r_us") - F.col("l_us")).alias("lag_us"),
+        )
+    )
+
+
 def session_window_stats(
     df: DataFrame,
     gap: str = "6 hours",

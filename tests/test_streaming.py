@@ -579,3 +579,41 @@ def test_ingest_sink_auto_compaction(spark, tmpdir):
         r["doc_id"]
         for r in spark.read.parquet(str(tmpdir / "out-auto")).collect()
     } == outs["plain"]
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmpdir):
+    """A REAL two-stream watermarked interval self-join (r6 VERDICT item
+    #6) must emit exactly the batch join's pairs — including when the
+    source arrives as MULTIPLE micro-batches, so the per-side join state
+    genuinely carries across batches (a view in batch 1 matching a click
+    in batch 2 can only come from state)."""
+    from rs_graphdb_spark.streaming.ops import stream_stream_interval_join
+
+    src = spark.read.parquet(f"{SF}/events.parquet")
+    # split into 3 files -> 3 micro-batches under maxFilesPerTrigger=1.
+    # The random split delivers events OUT OF ORDER across batches, so
+    # the watermark must exceed the fixture's full time span — a real
+    # deployment's 2 h watermark would (correctly) drop late-arriving
+    # left rows, which is eviction semantics, not what this test pins.
+    events_dir = str(tmpdir / "events_multi")
+    src.repartition(3).write.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir)
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_stream_interval_join(stream, horizon_s=3600,
+                                    watermark="3650 days")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["l_id"], r["r_id"], r["user_id"], r["lag_us"])
+        for r in spark.table(name).collect()
+    )
+    want = sorted(
+        (r["l_id"], r["r_id"], r["user_id"], r["lag_us"])
+        for r in stream_stream_interval_join(
+            src, horizon_s=3600, streaming=False).collect()
+    )
+    assert got == want and len(got) > 0
