@@ -3524,6 +3524,43 @@ def q121_compression_ratio(spark, sf_dir):
     return compression_ratio(docs, "doc_id", "text")
 
 
+def q122_unicode_text(spark, sf_dir):
+    """Unicode-mode text stage (r7): lang-id + quality features + token
+    count with the codepoint-per-CJK tokenizer over non-Latin-salted
+    docs — one scan, pure codegen."""
+    par = spark.sparkContext.defaultParallelism
+    docs = _read(spark, sf_dir, "documents").repartition(par)
+    ut = F.concat(F.col("text"), _uni_salt_spark())
+    return docs.select(
+        "doc_id",
+        TX.lang_id(ut, mode="unicode").alias("lang"),
+        TX.quality_features_struct(ut, mode="unicode").alias("q"),
+    ).select("doc_id", "lang", "q.n_tokens", "q.mean_tok_len",
+             "q.stopword_ratio")
+
+
+def q123_banded_ann(spark, sf_dir):
+    """Amplified (8×4 banded) ANN top-10 for 5 queries (r7 recall path)."""
+    from rs_graphdb_spark.functions.similarity import knn_lsh_banded
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return knn_lsh_banded(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10
+    )
+
+
+def q124_stream_join_batch_twin(spark, sf_dir):
+    """Stream-stream interval join's batch form (r7) — the per-user
+    view→click horizon join measured as a batch pipeline."""
+    from rs_graphdb_spark.streaming.ops import stream_stream_interval_join
+
+    events = _read(spark, sf_dir, "events")
+    return stream_stream_interval_join(events, horizon_s=3600,
+                                       streaming=False)
+
+
 def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Pre-fold per-operator registry (kept for bench.py and tests)."""
     return {
@@ -3643,6 +3680,9 @@ def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_trigram_lm": q119_trigram_lm,
         "q120_kn_lm": q120_kn_lm,
         "q121_compression_ratio": q121_compression_ratio,
+        "q122_unicode_text": q122_unicode_text,
+        "q123_banded_ann": q123_banded_ann,
+        "q124_stream_join_batch_twin": q124_stream_join_batch_twin,
     }
 
 

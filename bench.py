@@ -65,6 +65,10 @@ EXTRA = [
     # round-6 additions
     "q120_kn_lm",
     "q121_compression_ratio",
+    # round-7 additions
+    "q122_unicode_text",
+    "q123_banded_ann",
+    "q124_stream_join_batch_twin",
 ]
 
 
