@@ -117,14 +117,20 @@ def tokenize(col: Column | str, mode: str = "ascii") -> Column:
     )
 
 
-def fulltext_any(col: Column | str, terms: list[str]) -> Column:
+def fulltext_any(
+    col: Column | str, terms: list[str], mode: str = "ascii"
+) -> Column:
     """OR-mode full-text match (`db.search_fulltext`)."""
-    return F.arrays_overlap(tokenize(col), F.array(*[F.lit(t) for t in terms]))
+    return F.arrays_overlap(
+        tokenize(col, mode), F.array(*[F.lit(t) for t in terms])
+    )
 
 
-def fulltext_all(col: Column | str, terms: list[str]) -> Column:
+def fulltext_all(
+    col: Column | str, terms: list[str], mode: str = "ascii"
+) -> Column:
     """AND-mode full-text match (`db.search_fulltext_and`)."""
-    toks = tokenize(col)
+    toks = tokenize(col, mode)
     cond = F.lit(True)
     for t in terms:
         cond = cond & F.array_contains(toks, t)

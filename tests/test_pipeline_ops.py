@@ -1829,3 +1829,29 @@ def test_mjpeg_fixture_sampling_matches_arithmetic(spark):
             if did % 3 == 0 and f == 2 and nf > 2:
                 want = -1  # the isolated corrupt member
             assert got[(did, f)] == want, (did, f, got[(did, f)], want)
+
+
+def test_banded_ann_arrow_codes_parity(spark):
+    """knn_lsh_banded's numpy-GEMM code path (routed above
+    arrow_codes_above corpus rows) must reproduce the expression path
+    exactly — same buckets, same candidates, same top-k."""
+    import numpy as np
+
+    from rs_graphdb_spark.functions.similarity import knn_lsh_banded
+    from rs_graphdb_spark.session import local_df
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)])
+            for i in range(400)]
+    emb = local_df(spark, rows, "vec_id long, embedding array<double>")
+    qd = emb.filter("vec_id < 4")
+
+    def run(thr):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], round(r["cos"], 9), r["rank"])
+            for r in knn_lsh_banded(emb, qd, "vec_id", "embedding", k=10,
+                                    arrow_codes_above=thr).collect()
+        )
+
+    expr, arrow = run(10**9), run(0)
+    assert expr == arrow and len(expr) > 0
