@@ -98,6 +98,8 @@ LANG_MARKERS_UNI = {
     "zh": ["的", "了", "是", "我", "在"],
     "ja": ["の", "に", "は", "を", "た"],
     "ko": ["이", "의", "는", "을", "다"],
+    "ar": ["في", "من", "على", "أن", "إلى"],
+    "hi": ["है", "और", "के", "में", "की"],
 }
 
 

@@ -102,6 +102,8 @@ def test_lang_id_unicode_detects_all_eight(spark):
         "的了是我在中文": "zh",
         "これはのにをたです": "ja",
         "안녕 이의는을다": "ko",
+        "مرحبا في من على أن إلى": "ar",
+        "नमस्ते है और के में की": "hi",
         "012 345 678": "und",
     }
     df = local_df(spark, [(t,) for t in cases],  "t string")
