@@ -150,7 +150,7 @@ def knn_lsh_banded(
     planes_per_table: int = 4,
     dim: int = 64,
     seed: int = 0x5EED,
-    arrow_codes_above: int = 20_000,
+    arrow_codes_above: int = 10_000,
 ) -> DataFrame:
     """Amplified (multi-table) approximate top-k — the production ANN
     recall shape: ``tables`` independent hash tables of
