@@ -178,8 +178,13 @@ def knn_lsh_banded(
     all-or-nothing; the driver-oracle fixture (500 rows) stays on the
     expression path, whose left-fold dot matches the SQL twin exactly,
     and expr≡arrow parity is pytest-pinned."""
-    n_corpus = corpus.count()
-    use_arrow = n_corpus > arrow_codes_above
+    # arrow_codes_above <= 0 forces the GEMM path WITHOUT the routing
+    # count action (parquet counts are footer-cheap; an arbitrary
+    # upstream plan's count may not be)
+    use_arrow = (
+        True if arrow_codes_above <= 0
+        else corpus.count() > arrow_codes_above
+    )
 
     if use_arrow:
         def with_codes(df: DataFrame, idname: str, vname: str) -> DataFrame:

@@ -206,3 +206,35 @@ def test_kn_lm_broadcasts_all_three_count_tables(spark):
     df = score_kn_lm(docs, "doc_id", "text", lm, lm_vocab_size(lm))
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_stream_join_batch_twin_pushes_type_filters(spark):
+    """The interval self-join's event_type filters must reach the
+    parquet scan on BOTH sides (each side reads only its own type), and
+    the small side should broadcast — the plan a 100 TB run needs."""
+    from rs_graphdb_spark.streaming.ops import stream_stream_interval_join
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    plan = stream_stream_interval_join(
+        events, horizon_s=3600, streaming=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,click)" in plan
+
+
+def test_unicode_text_stage_is_single_scan(spark):
+    """The unicode text family is a scan-stage projection: no Exchange
+    (beyond an explicit repartition), no Python eval nodes."""
+    from pyspark.sql import functions as F
+
+    from rs_graphdb_spark.functions import text as TX
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = docs.select(
+        "doc_id",
+        TX.lang_id("text", mode="unicode").alias("lang"),
+        TX.token_count("text", mode="unicode").alias("n"),
+        TX.quality_filter("text", mode="unicode").alias("keep"),
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # pure JVM expressions, no UDF fallback
