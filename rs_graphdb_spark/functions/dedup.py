@@ -383,7 +383,7 @@ def _materialize_result(result: DataFrame, *release: DataFrame) -> DataFrame:
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3,
-                 eager: bool = True) -> DataFrame:
+                 eager: bool = True, mode: str = "ascii") -> DataFrame:
     """The shared shingle frame: (doc_id, sets ARRAY<STRING>), fanned out
     and checkpointed once. MinHash, n-gram Jaccard, and the cluster
     decision all consume THIS frame — in a pipeline that runs several
@@ -397,7 +397,8 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3,
     par = df.sparkSession.sparkContext.defaultParallelism
     out = (
         df.repartition(par, id_col)
-        .select(F.col(id_col).alias("doc_id"), shingles(text_col, k).alias("sets"))
+        .select(F.col(id_col).alias("doc_id"),
+                shingles(text_col, k, mode).alias("sets"))
         # content hash rides along in the one checkpointed pass — the
         # exact-duplicate collapse in minhash_dedup_pairs reads it for
         # free instead of re-hashing every set per dedup pass
@@ -414,6 +415,7 @@ def minhash_dedup_pairs(
     k: int = 3,
     sets_df: DataFrame | None = None,
     collapse_exact: bool | str = "auto",
+    mode: str = "ascii",
 ) -> DataFrame:
     """MinHash/LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -437,7 +439,7 @@ def minhash_dedup_pairs(
     Pass a precomputed ``sets_df`` (from :func:`shingle_sets`) to share the
     shingle frame across dedup passes."""
     if sets_df is None:
-        sets_df = shingle_sets(df, id_col, text_col, k)
+        sets_df = shingle_sets(df, id_col, text_col, k, mode=mode)
     # short docs yield empty shingle sets; drop them here or their
     # all-sentinel signatures would collide in every LSH band
     nonempty = sets_df.filter(F.size("sets") > 0)
@@ -574,6 +576,7 @@ def ngram_jaccard_pairs(
     max_shingle_df_frac: float | None = 0.05,
     sets_df: DataFrame | None = None,
     prefix_filter: bool | None = None,
+    mode: str = "ascii",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via the sparse explode-join.
 
@@ -610,7 +613,7 @@ def ngram_jaccard_pairs(
     Pass a precomputed ``sets_df`` (from :func:`shingle_sets`) to share the
     shingle frame across dedup passes."""
     if sets_df is None:
-        sets_df = shingle_sets(df, id_col, text_col, k)
+        sets_df = shingle_sets(df, id_col, text_col, k, mode=mode)
     sh = sets_df.select(
         F.col("doc_id").alias("doc"), F.explode("sets").alias("s")
     )
@@ -1012,6 +1015,7 @@ def duplicate_spans(
     text_col: str,
     k: int = 50,
     max_span_df: int | None = 10_000,
+    mode: str = "ascii",
 ) -> DataFrame:
     """Long-duplicate-span detection (the MassiveText / "Deduplicating
     Training Data Makes Language Models Better" family): two documents
@@ -1037,7 +1041,7 @@ def duplicate_spans(
         F.col(id_col).alias("doc"),
         F.explode(
             F.transform(
-                shingles(text_col, k),
+                shingles(text_col, k, mode),
                 lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
                 .cast("long"),
             )
@@ -1061,6 +1065,7 @@ def ngram_contamination(
     text_col: str,
     k: int = 3,
     train_sets: DataFrame | None = None,
+    mode: str = "ascii",
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any word
     k-gram with a benchmark/eval set — the standard guard against test-set
@@ -1073,9 +1078,10 @@ def ngram_contamination(
     benchmark side broadcast; the corpus is scanned once, never shuffled
     on anything but its own exploded shingles."""
     if train_sets is None:
-        train_sets = shingle_sets(train_df, id_col, text_col, k)
+        train_sets = shingle_sets(train_df, id_col, text_col, k,
+                                  mode=mode)
     bench = (
-        bench_df.select(F.explode(shingles(text_col, k)).alias("s"))
+        bench_df.select(F.explode(shingles(text_col, k, mode)).alias("s"))
         .dropDuplicates()
     )
     tr = train_sets.select("doc_id", F.size("sets").alias("n_shingles"),
@@ -1093,10 +1099,12 @@ def ngram_contamination(
     )
 
 
-def simhash(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
+def simhash(
+    col: Column | str, bits: int = SIMHASH_BITS, mode: str = "ascii"
+) -> Column:
     """SimHash: per-token 32-bit hash, per-bit ±1 vote weighted by token
     multiplicity, packed into a long. Pure expression (no shuffle)."""
-    toks = tokenize(col)
+    toks = tokenize(col, mode)
     hs = F.transform(toks, md5_long)
     packed = F.lit(0).cast("long")
     for j in range(bits):
@@ -1117,6 +1125,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     bits: int = SIMHASH_BITS,
     chunks: int = SIMHASH_CHUNKS,
+    mode: str = "ascii",
 ) -> DataFrame:
     """SimHash near-dup pairs: chunk banding (pigeonhole-complete for
     hamming ≤ chunks-1) then exact hamming verify via bit_count(xor)."""
@@ -1127,7 +1136,8 @@ def simhash_near_dup_pairs(
     # minhash_dedup_pairs) — the banded self-join reads them twice
     sigs = (
         df.repartition(par, id_col)
-        .select(F.col(id_col).alias("doc"), simhash(text_col, bits).alias("sig"))
+        .select(F.col(id_col).alias("doc"),
+                simhash(text_col, bits, mode).alias("sig"))
         .localCheckpoint(eager=True)
     )
     banded = sigs.select(

@@ -200,3 +200,59 @@ def test_unicode_mode_rejects_bad_mode():
         TX.tokenize(F.lit("x"), mode="latin9")
     with pytest.raises(ValueError):
         TX.tokenize_sql("t", mode="latin9")
+
+
+def test_dedup_family_unicode_mode(spark):
+    """The shingle consumers accept mode="unicode": near-dup CJK pairs
+    that the ASCII tokenizer cannot see (zero tokens -> zero shingles)
+    are found by MinHash, Jaccard, spans, SimHash and contamination."""
+    from rs_graphdb_spark.functions.dedup import (
+        duplicate_spans,
+        minhash_dedup_pairs,
+        ngram_contamination,
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    base = "春夏秋冬山川河流日月星辰风雨雷电花鸟虫鱼" * 4
+    docs = [
+        (1, base),
+        (2, base + "东南西北"),       # near-dup of 1
+        (3, "全然違う別の文書ですここには共通点がない" * 4),
+    ]
+    df = local_df(spark, docs, "doc_id long, text string")
+
+    mh = minhash_dedup_pairs(df, "doc_id", "text", threshold=0.5,
+                             mode="unicode")
+    assert {(r["a"], r["b"]) for r in mh.collect()} == {(1, 2)}
+    assert minhash_dedup_pairs(df, "doc_id", "text",
+                               threshold=0.5).isEmpty()  # ascii: blind
+
+    nj = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5,
+                             mode="unicode")
+    assert {(r["a"], r["b"]) for r in nj.collect()} == {(1, 2)}
+
+    sp = duplicate_spans(df, "doc_id", "text", k=20, mode="unicode")
+    assert {(r["a"], r["b"]) for r in sp.collect()} == {(1, 2)}
+
+    # simhash over codepoint tokens: a 20-char vocabulary leaves ~18% of
+    # sign votes at zero, so near-dup hamming is fixture-noisy — assert
+    # the robust property instead: unicode signatures DISTINGUISH the
+    # unrelated doc, while ascii signatures are all identically zero
+    # (no tokens), which would spuriously pair everything
+    from rs_graphdb_spark.functions.dedup import simhash
+
+    sigs = {r["doc_id"]: (r["u"], r["a"]) for r in df.select(
+        "doc_id",
+        simhash("text", mode="unicode").alias("u"),
+        simhash("text").alias("a"),
+    ).collect()}
+    h12 = bin(sigs[1][0] ^ sigs[2][0]).count("1")
+    h13 = bin(sigs[1][0] ^ sigs[3][0]).count("1")
+    assert h12 < h13
+    assert sigs[1][1] == sigs[2][1] == sigs[3][1] == 0  # ascii: blind
+    assert simhash_near_dup_pairs is not None  # mode threads (signature)
+
+    bench = local_df(spark, [(99, "山川河流日月星辰")], "doc_id long, text string")
+    hits = ngram_contamination(df, bench, "doc_id", "text", mode="unicode")
+    assert {r["doc_id"] for r in hits.collect()} == {1, 2}
