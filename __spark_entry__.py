@@ -2752,9 +2752,17 @@ def q37_tfidf(spark, sf_dir):
         F.round("nll", 6).alias("nll"),
     ).withColumn("bucket", ccnet_buckets("nll", head_max=3.38, tail_min=3.41))
     buckets = lmq.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    # BM25 ranked retrieval (r7): postings top-100 + a 3-term query
+    # search whose per-doc sum is a FIXED-ORDER conditional-aggregate
+    # chain — both engines add the same doubles in the same order
+    from rs_graphdb_spark.functions.text import bm25_search
+    bmq = bm25_search(docs, "doc_id", "text", ["hash", "join", "merge"]).select(
+        "doc_id", F.round("score", 6).alias("score"))
     return _quads(
         _quad("inv", q74_inverted_index(spark, sf_dir), k="doc_id", v="tf", s="term"),
         _quad("tfidf", q75_tfidf(spark, sf_dir), k="doc_id", v="tfidf", s="term"),
+        _quad("bm25", q125_bm25(spark, sf_dir), k="doc_id", v="score", s="term"),
+        _quad("bm25q", bmq, k="doc_id", v="score"),
         _metric_quads(lmq,
                       {"lm_nb": "n_bigrams", "lm_match": "n_matched",
                        "lm_cb": "sum_cb", "lm_nll": "nll"},
@@ -3565,6 +3573,21 @@ def q124_stream_join_batch_twin(spark, sf_dir):
                                        streaming=False)
 
 
+def q125_bm25(spark, sf_dir):
+    """Okapi BM25 ranked retrieval (r7): top-100 postings scores plus a
+    3-term query search — built on the materialized inverted index, so a
+    100 TB query is a term-pruned lookup, not a corpus scan."""
+    from rs_graphdb_spark.functions.text import bm25
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        bm25(docs, "doc_id", "text")
+        .orderBy(F.col("score").desc(), "term", "doc_id")
+        .limit(100)
+        .select("doc_id", "term", "tf", F.round("score", 6).alias("score"))
+    )
+
+
 def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Pre-fold per-operator registry (kept for bench.py and tests)."""
     return {
@@ -3687,6 +3710,7 @@ def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_unicode_text": q122_unicode_text,
         "q123_banded_ann": q123_banded_ann,
         "q124_stream_join_batch_twin": q124_stream_join_batch_twin,
+        "q125_bm25": q125_bm25,
     }
 
 
@@ -4942,6 +4966,44 @@ def _oracle_base() -> dict[str, str]:
                      tf.term, tf.doc_id
             LIMIT 100
         """,
+        # BM25 twin: the e0-suffixed constants parse as DOUBLE (a bare
+        # 1.2 is DECIMAL in DuckDB — decimal arithmetic would drift from
+        # Spark's double math); k1+1 / 1−b folded in Python, same values
+        # the Spark operator folds, expression association identical
+        "q125_bm25": f"""
+            WITH inv AS (
+                SELECT doc_id, unnest({TOKS}) AS term FROM documents
+            ),
+            tf AS (SELECT term, doc_id, count(*) AS tf FROM inv
+                   GROUP BY term, doc_id),
+            dl AS (SELECT doc_id, len({TOKS}) AS dl FROM documents),
+            dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+                      FROM tf GROUP BY term),
+            st AS (SELECT sum(dl) AS total, count(*) AS nd FROM dl)
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   round(ln(1.0e0 + ((st.nd - dfreq.df + 0.5e0)
+                                     / (dfreq.df + 0.5e0)))
+                         * ((tf.tf * {repr(1.2 + 1.0)}e0)
+                            / (tf.tf + ({repr(1.2)}e0
+                               * ({repr(1.0 - 0.75)}e0
+                                  + ({repr(0.75)}e0
+                                     * (dl.dl / (CAST(st.total AS DOUBLE)
+                                                 / st.nd))))))), 6)
+                       AS score
+            FROM tf JOIN dfreq ON dfreq.term = tf.term
+                    JOIN dl ON dl.doc_id = tf.doc_id
+                    CROSS JOIN st
+            ORDER BY ln(1.0e0 + ((st.nd - dfreq.df + 0.5e0)
+                                 / (dfreq.df + 0.5e0)))
+                     * ((tf.tf * {repr(1.2 + 1.0)}e0)
+                        / (tf.tf + ({repr(1.2)}e0
+                           * ({repr(1.0 - 0.75)}e0
+                              + ({repr(0.75)}e0
+                                 * (dl.dl / (CAST(st.total AS DOUBLE)
+                                             / st.nd))))))) DESC,
+                     tf.term, tf.doc_id
+            LIMIT 100
+        """,
         "q78_knn_ivf": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT vec_id, v FROM e WHERE vec_id < 5)
@@ -5785,6 +5847,49 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
     """
 
+    # BM25 query-search twin: per-doc score = fixed-order chain of
+    # conditional aggregates over the sorted query terms (hash, join,
+    # merge) — identical addition order to the Spark bm25_search form;
+    # constants e0-suffixed to force DOUBLE arithmetic (bare decimals
+    # are DECIMAL in DuckDB)
+    _bm25_score = (
+        f"ln(1.0e0 + ((st.nd - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0)))"
+        f" * ((tf.tf * {repr(1.2 + 1.0)}e0)"
+        f" / (tf.tf + ({repr(1.2)}e0 * ({repr(1.0 - 0.75)}e0"
+        f" + ({repr(0.75)}e0 * (dl.dl / (CAST(st.total AS DOUBLE)"
+        f" / st.nd)))))))"
+    )
+    _bm25q_sql = f"""
+        WITH inv AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                                     '[a-z0-9]+')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM inv
+               GROUP BY term, doc_id),
+        dl AS (SELECT doc_id,
+                      len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+               FROM documents),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+                  FROM tf GROUP BY term),
+        st AS (SELECT sum(dl) AS total, count(*) AS nd FROM dl),
+        sc AS (
+            SELECT tf.doc_id, tf.term, {_bm25_score} AS score
+            FROM tf JOIN dfreq ON dfreq.term = tf.term
+                    JOIN dl ON dl.doc_id = tf.doc_id
+                    CROSS JOIN st
+            WHERE tf.term IN ('hash', 'join', 'merge')
+        )
+        SELECT doc_id,
+               round(coalesce(max(CASE WHEN term = 'hash' THEN score END),
+                              0.0e0)
+                     + coalesce(max(CASE WHEN term = 'join' THEN score END),
+                                0.0e0)
+                     + coalesce(max(CASE WHEN term = 'merge' THEN score END),
+                                0.0e0), 6) AS score
+        FROM sc GROUP BY doc_id
+    """
+
     # interpolated trigram twin: same double-BOS trigram stream, same
     # add-1 components; the interpolation weights are embedded via repr()
     # so both engines mix with the IDENTICAL doubles (1.0 − 0.7 is
@@ -6602,6 +6707,8 @@ def oracle_sql() -> dict[str, str]:
         "q37_tfidf": _sql_union(
             _sql_quad("inv", base["q74_inverted_index"], k="doc_id", v="tf", s="term"),
             _sql_quad("tfidf", base["q75_tfidf"], k="doc_id", v="tfidf", s="term"),
+            _sql_quad("bm25", base["q125_bm25"], k="doc_id", v="score", s="term"),
+            _sql_quad("bm25q", _bm25q_sql, k="doc_id", v="score"),
             _sql_metric_quads(lm_sql,
                               {"lm_nb": "n_bigrams", "lm_match": "n_matched",
                                "lm_cb": "sum_cb", "lm_nll": "nll"},

@@ -69,6 +69,7 @@ EXTRA = [
     "q122_unicode_text",
     "q123_banded_ann",
     "q124_stream_join_batch_twin",
+    "q125_bm25",
 ]
 
 

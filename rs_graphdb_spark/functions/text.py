@@ -567,6 +567,80 @@ def tfidf(df, id_col: str, text_col: str, mode: str = "ascii"):
     )
 
 
+def bm25(df, id_col: str, text_col: str, k1: float = 1.2, b: float = 0.75,
+         mode: str = "ascii"):
+    """Okapi BM25 postings scores per (doc, term) over the corpus.
+
+    idf is the Lucene non-negative variant ln(1 + (N − df + 0.5)/(df + 0.5));
+    the tf saturation term is tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    dl counts ALL tokens of the doc (so empty docs still enter avgdl).
+
+    Scale shape: built entirely from the inverted index — one explode +
+    two map-side-combined aggregations (postings, document frequency),
+    one 1-row corpus-stats frame broadcast back, scoring itself a pure
+    projection. Ranking 100 TB is the index build plus arithmetic; no
+    per-query corpus scan (see :func:`bm25_search`).
+
+    Cross-engine float discipline: the k1+1 and 1−b constants are folded
+    in PYTHON and reach both engines as repr()'d doubles, and the score
+    expression parenthesizes identically to the DuckDB twin — the same
+    contract the LM gates pin (PLANS.md round-5 trigram note).
+    """
+    k1p1 = float(k1 + 1.0)
+    one_minus_b = float(1.0 - b)
+    inv = inverted_index(df, id_col, text_col, mode)
+    dl = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(text_col, mode)).alias("dl"),
+    )
+    stats = dl.agg(
+        F.sum("dl").alias("total"), F.count("*").alias("nd")
+    )
+    doc_freq = inv.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    avgdl = F.col("total").cast("double") / F.col("nd")
+    idf = F.log(1.0 + ((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+    denom = F.col("tf") + (
+        F.lit(float(k1)) * (F.lit(one_minus_b) + (F.lit(float(b)) * (F.col("dl") / avgdl)))
+    )
+    return (
+        inv.join(doc_freq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "term", "tf",
+            (idf * ((F.col("tf") * F.lit(k1p1)) / denom)).alias("score"),
+        )
+    )
+
+
+def bm25_search(df, id_col: str, text_col: str, query_terms: list[str],
+                k1: float = 1.2, b: float = 0.75, mode: str = "ascii"):
+    """BM25 ranked retrieval for a term query: per-doc score = Σ over the
+    (distinct, sorted) query terms of the :func:`bm25` posting score.
+
+    The per-doc sum is a FIXED-ORDER chain of conditional aggregates
+    (coalesce(max(case term=t then score), 0) added term-by-term in
+    sorted order) so both engines add the same doubles in the same order
+    — never a float-accumulation ordering race.
+
+    Scale shape: the postings frame is filtered by `term IN (...)` BEFORE
+    any join — against a term-partitioned standing index this is a
+    partition-pruned lookup of q rows per term, not a corpus scan; the
+    final agg groups only matching docs.
+    """
+    terms = sorted(set(query_terms))
+    scored = bm25(df, id_col, text_col, k1=k1, b=b, mode=mode).filter(
+        F.col("term").isin(terms)
+    )
+    total = None
+    for t in terms:
+        piece = F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("score"))), F.lit(0.0))
+        total = piece if total is None else (total + piece)
+    return scored.groupBy("doc_id").agg(total.alias("score"))
+
+
 def chunk_documents(
     df: "DataFrame",
     id_col: str,

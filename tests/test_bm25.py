@@ -1,0 +1,91 @@
+"""Okapi BM25 ranked retrieval — hand-computed known answers.
+
+The reference's full-text surface (`/root/reference/src/index_advanced.rs`)
+stops at boolean OR/AND search; BM25 is the beyond-reference ranked form
+built on the same inverted index.
+"""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from rs_graphdb_spark.functions.text import bm25, bm25_search
+
+
+def _expected(corpus, k1=1.2, b=0.75):
+    """Straightforward Python BM25 twin (dict-of-floats, same formula)."""
+    toks = {i: t.lower().split() for i, t in corpus.items()}
+    n = len(corpus)
+    dl = {i: len(w) for i, w in toks.items()}
+    avgdl = sum(dl.values()) / n
+    df = {}
+    for w in toks.values():
+        for t in set(w):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for i, w in toks.items():
+        for t in set(w):
+            tf = w.count(t)
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            out[(i, t)] = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * dl[i] / avgdl))
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return {
+        1: "hash join merge hash hash",
+        2: "sort merge join",
+        3: "scan filter scan",
+        4: "hash table probe build",
+    }
+
+
+def test_bm25_matches_hand_formula(spark, corpus):
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string")
+    got = {(r["doc_id"], r["term"]): r["score"]
+           for r in bm25(df, "doc_id", "text").collect()}
+    exp = _expected(corpus)
+    assert set(got) == set(exp)
+    for key, val in exp.items():
+        assert got[key] == pytest.approx(val, abs=1e-12), key
+
+
+def test_bm25_rarer_term_scores_higher(spark, corpus):
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string")
+    got = {(r["doc_id"], r["term"]): r["score"]
+           for r in bm25(df, "doc_id", "text").collect()}
+    # 'probe' (df=1) must out-score 'join' (df=2) at the same tf within
+    # one document's normalization — compare within doc 4 vs doc 2 terms
+    assert got[(4, "probe")] > got[(2, "join")]
+
+
+def test_bm25_search_sums_query_terms(spark, corpus):
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string")
+    exp = _expected(corpus)
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_search(df, "doc_id", "text",
+                                ["join", "hash"]).collect()}
+    # fixed-order sum: hash then join (sorted), missing term = 0.0
+    for doc in (1, 2, 4):
+        want = exp.get((doc, "hash"), 0.0) + exp.get((doc, "join"), 0.0)
+        assert got[doc] == pytest.approx(want, abs=1e-12)
+    assert 3 not in got  # no query term at all -> no row
+    # the heavy-tf 'hash' doc must rank first for this query
+    assert max(got, key=got.get) == 1
+
+
+def test_bm25_search_duplicate_terms_count_once(spark, corpus):
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string")
+    once = {r["doc_id"]: r["score"]
+            for r in bm25_search(df, "doc_id", "text", ["join"]).collect()}
+    twice = {r["doc_id"]: r["score"]
+             for r in bm25_search(df, "doc_id", "text",
+                                  ["join", "join"]).collect()}
+    assert once == twice
