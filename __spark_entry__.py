@@ -3069,6 +3069,34 @@ def q44_knn_ann(spark, sf_dir):
         .select("query_id", F.coalesce("hits", F.lit(0)).alias("hits"))
     )
     floor = hits.filter(F.col("hits") >= _ANN_RECALL_FLOOR).select("query_id")
+    # int8 scalar quantization (r7): exact integer code sums pin the
+    # quantization arithmetic cross-engine; the quantized search path is
+    # value-checked like the float path; recall@10 vs the float exact
+    # top-k measures the bytes-vs-quality trade as a gated metric
+    from rs_graphdb_spark.functions.similarity import (
+        knn_bruteforce_quantized, quantize_embeddings)
+    qz = quantize_embeddings(emb, "vec_id", "embedding")
+    sq_sum = qz.select(
+        "vec_id",
+        F.aggregate("codes", F.lit(0).cast("long"),
+                    lambda a, c: a + c).alias("code_sum"),
+    )
+    sqk = knn_bruteforce_quantized(
+        emb, queries_df, "vec_id", "embedding", k=10
+    ).select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    ).localCheckpoint()  # reused by the part row AND the recall part
+    sq_hits = (
+        queries_df.select(F.col("vec_id").alias("query_id"))
+        .join(
+            exact.select("query_id", "neighbor_id")
+            .join(sqk.select("query_id", "neighbor_id"),
+                  ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id").agg(F.count("*").alias("hits")),
+            "query_id", "left",
+        )
+        .select("query_id", F.coalesce("hits", F.lit(0)).alias("hits"))
+    )
     return _quads(
         _quad("exact", exact, k="query_id", v="cos", s="neighbor_id"),
         _quad("lsh", q49_ann_lsh(spark, sf_dir), k="query_id", v="cos", s="neighbor_id"),
@@ -3076,6 +3104,9 @@ def q44_knn_ann(spark, sf_dir):
         _quad("blsh", bl, k="query_id", v="cos", s="neighbor_id"),
         _quad("recall_hits", hits, k="query_id", v="hits"),
         _quad("recall_floor", floor, k="query_id"),
+        _quad("sq_sum", sq_sum, k="vec_id", v="code_sum"),
+        _quad("sqknn", sqk, k="query_id", v="cos", s="neighbor_id"),
+        _quad("sq_recall", sq_hits, k="query_id", v="hits"),
     )
 
 
@@ -5208,10 +5239,55 @@ def oracle_sql() -> dict[str, str]:
                  AND blsh.neighbor_id = exk.neighbor_id
                 GROUP BY exk.query_id
             ) h ON h.query_id = qq.vec_id
+        ),
+        qz AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(v, x ->
+                       CASE WHEN (list_max(v) - list_min(v)) = 0.0e0 THEN 0
+                            ELSE CAST(floor(((x - list_min(v))
+                                 / (list_max(v) - list_min(v)))
+                                 * 255.0e0 + 0.5e0) AS INTEGER)
+                       END) AS codes,
+                   list_min(v) AS mn,
+                   list_max(v) - list_min(v) AS sp
+            FROM e
+        ),
+        dq AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(codes, c -> mn + ((c / 255.0e0) * sp)) AS v
+            FROM qz
+        ),
+        sqk AS MATERIALIZED (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.v, c.v), 6) AS cos,
+                   CAST(row_number() OVER (
+                        PARTITION BY q.vec_id
+                        ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                 c.vec_id) AS INTEGER) AS rank
+            FROM (SELECT vec_id, v FROM dq WHERE vec_id < 5) q
+            JOIN dq c ON c.vec_id <> q.vec_id
+            QUALIFY rank <= 10
+        ),
+        sqh AS MATERIALIZED (
+            SELECT qq.vec_id AS query_id, coalesce(h.hits, 0) AS hits
+            FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) qq
+            LEFT JOIN (
+                SELECT exk.query_id, count(*) AS hits
+                FROM exk JOIN sqk
+                  ON sqk.query_id = exk.query_id
+                 AND sqk.neighbor_id = exk.neighbor_id
+                GROUP BY exk.query_id
+            ) h ON h.query_id = qq.vec_id
         )
     """
     blsh_sql = _ann_ctes + " SELECT query_id, neighbor_id, cos FROM blsh"
     recall_hits_sql = _ann_ctes + " SELECT query_id, hits FROM rhits"
+    sq_sum_sql = (
+        _ann_ctes
+        + " SELECT vec_id, CAST(list_sum(codes) AS BIGINT) AS code_sum FROM qz"
+    )
+    sqknn_sql = _ann_ctes + " SELECT query_id, neighbor_id, cos FROM sqk"
+    sq_recall_sql = _ann_ctes + " SELECT query_id, hits FROM sqh"
     # the FLOOR claim: the oracle asserts EVERY query reaches the floor
     # (all 5 rows); if the Spark side's recall regresses below it, the
     # driver sees a row-count mismatch — the gate fails, not a probe
@@ -7032,6 +7108,9 @@ def oracle_sql() -> dict[str, str]:
             _sql_quad("blsh", blsh_sql, k="query_id", v="cos", s="neighbor_id"),
             _sql_quad("recall_hits", recall_hits_sql, k="query_id", v="hits"),
             _sql_quad("recall_floor", recall_floor_sql, k="query_id"),
+            _sql_quad("sq_sum", sq_sum_sql, k="vec_id", v="code_sum"),
+            _sql_quad("sqknn", sqknn_sql, k="query_id", v="cos", s="neighbor_id"),
+            _sql_quad("sq_recall", sq_recall_sql, k="query_id", v="hits"),
         ),
         "q45_sessionize": _sql_union(
             _sql_quad("plain", base["q80_sessionize"], k="user_id",

@@ -522,6 +522,90 @@ def _nearest_centroid(vec: Column, cents: list[list[float]]) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    levels: int = 256,
+) -> DataFrame:
+    """Per-vector min-max scalar quantization (the int8 SQ compression
+    step of a production vector store): code = floor((x − mn)/span ·
+    (levels−1) + 0.5), span = max − mn. Returns (id, mn, span, codes).
+
+    A constant vector (span = 0) quantizes to all-zero codes and
+    dequantizes exactly to mn. floor(x + 0.5) is used instead of
+    round() — Spark HALF_UP and DuckDB half-away rounding agree on it
+    by construction, so codes are cross-engine exact integers.
+
+    Scale shape: pure scan-stage projection, zero shuffle. At dim 1024
+    this takes an 8 KB array<double> row to ~1 KB of int codes + two
+    doubles — the byte-reduction lever for every shuffle in the
+    similarity family (LSH banding, pair scans, GEMM inputs), measured
+    as the width-axis remedy in tools/dim_scale_probe.py.
+
+    The (vec, mn, span) inputs are bound ONCE through the
+    single-element-``transform`` idiom — a plain expression reference
+    would re-inline array_min per element (the PLANS.md landmine)."""
+    vec = F.col(vec_col)
+    top = F.lit(float(levels - 1))
+    mn_e = F.array_min(vec)
+    sp_e = F.array_max(vec) - F.array_min(vec)
+    codes = F.transform(
+        F.array(F.struct(vec.alias("v"), mn_e.alias("mn"), sp_e.alias("sp"))),
+        lambda s: F.transform(
+            s["v"],
+            lambda x: F.when(s["sp"] == 0.0, F.lit(0)).otherwise(
+                F.floor(((x - s["mn"]) / s["sp"]) * top + 0.5).cast("int")
+            ),
+        ),
+    )[0]
+    return df.select(
+        F.col(id_col),
+        mn_e.alias("mn"),
+        sp_e.alias("span"),
+        codes.alias("codes"),
+    )
+
+
+def dequantize_embeddings(
+    qdf: DataFrame,
+    id_col: str,
+    levels: int = 256,
+    vec_col: str = "v",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: x' = mn + (code/(levels−1))
+    · span. Same bind-once discipline; pure projection."""
+    top = F.lit(float(levels - 1))
+    dq = F.transform(
+        F.array(F.struct(F.col("codes").alias("c"), F.col("mn").alias("mn"),
+                         F.col("span").alias("sp"))),
+        lambda s: F.transform(
+            s["c"], lambda c: s["mn"] + ((c / top) * s["sp"])
+        ),
+    )[0]
+    return qdf.select(F.col(id_col), dq.alias(vec_col))
+
+
+def knn_bruteforce_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    levels: int = 256,
+) -> DataFrame:
+    """Exact top-k over scalar-quantized vectors: quantize both sides,
+    dequantize, rank by cosine — the quality-vs-bytes measurement form
+    (recall@k vs the float path is the q44:sq_recall driver part). The
+    corpus is quantized once at the scan; only the (broadcast) query set
+    pays a second quantization."""
+    cq = dequantize_embeddings(
+        quantize_embeddings(corpus, id_col, vec_col, levels), id_col, levels)
+    qq = dequantize_embeddings(
+        quantize_embeddings(queries, id_col, vec_col, levels), id_col, levels)
+    return knn_bruteforce(cq, qq, id_col, "v", k=k)
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
