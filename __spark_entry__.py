@@ -3292,6 +3292,15 @@ def q49_pack_sequences(spark, sf_dir):
         ),
         "doc_id", "text", max_tokens=40, overlap=8, mode="unicode",
     )
+    # distributed BPE tokenizer (r7): 6 merges learned in-plan (argmax is
+    # a broadcast 1-row join, never a driver pick); the merge list itself
+    # is value-checked (bpe_m) and the per-doc subword counts under those
+    # merges close the loop end-to-end (bpe_n)
+    from rs_graphdb_spark.functions.bpe import bpe_token_counts, bpe_train
+    docs_b = _read(spark, sf_dir, "documents")
+    m, _v = bpe_train(docs_b, "doc_id", "text", num_merges=6)
+    ml = [(r["l"], r["r"]) for r in m.orderBy("rank").collect()]
+    bpe_cnt = bpe_token_counts(docs_b, "doc_id", "text", ml)
     return _quads(
         _metric_quads(q85_pack_sequences(spark, sf_dir),
                       {"pk_docs": "n_docs", "pk_tok": "sum_tokens"},
@@ -3306,6 +3315,11 @@ def q49_pack_sequences(spark, sf_dir):
                          F.md5("chunk_text").alias("h")),
               k=F.col("doc_id") * 1000 + F.col("chunk_idx"),
               v="n_tokens", s="h"),
+        _quad("bpe_m",
+              m.select("rank", "pc",
+                       F.concat_ws("+", "l", "r").alias("s")),
+              k="rank", v="pc", s="s"),
+        _quad("bpe_n", bpe_cnt, k="doc_id", v="n_bpe_tokens"),
     )
 
 
@@ -3619,6 +3633,18 @@ def q125_bm25(spark, sf_dir):
     )
 
 
+def q126_bpe(spark, sf_dir):
+    """Distributed BPE (r7): train 6 merges on the word-frequency table
+    (one corpus scan + 6 vocabulary-sized jobs), then per-doc subword
+    counts under the learned merges."""
+    from rs_graphdb_spark.functions.bpe import bpe_token_counts, bpe_train
+
+    docs = _read(spark, sf_dir, "documents")
+    m, _v = bpe_train(docs, "doc_id", "text", num_merges=6)
+    ml = [(r["l"], r["r"]) for r in m.orderBy("rank").collect()]
+    return bpe_token_counts(docs, "doc_id", "text", ml)
+
+
 def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Pre-fold per-operator registry (kept for bench.py and tests)."""
     return {
@@ -3742,6 +3768,7 @@ def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_banded_ann": q123_banded_ann,
         "q124_stream_join_batch_twin": q124_stream_join_batch_twin,
         "q125_bm25": q125_bm25,
+        "q126_bpe": q126_bpe,
     }
 
 
@@ -5923,6 +5950,12 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
     """
 
+    # BPE twin: generated unrolled merge-stage CTE chain (bpe.bpe_sql —
+    # the html_to_text/PSL generated-twin precedent), 6 merges matching
+    # the Spark q49 training call
+    from rs_graphdb_spark.functions.bpe import bpe_sql as _bpe_sql_gen
+    _bpe_merges_sql, _bpe_counts_sql = _bpe_sql_gen(num_merges=6)
+
     # BM25 query-search twin: per-doc score = fixed-order chain of
     # conditional aggregates over the sorted query terms (hash, join,
     # merge) — identical addition order to the Spark bm25_search form;
@@ -7312,6 +7345,10 @@ def oracle_sql() -> dict[str, str]:
                 WHERE u.i < nc
                 """,
                 k="doc_id * 1000 + chunk_idx", v="n_tokens", s="h"),
+            _sql_quad("bpe_m", _bpe_merges_sql, k="rank", v="pc",
+                      s="l || '+' || r"),
+            _sql_quad("bpe_n", _bpe_counts_sql, k="doc_id",
+                      v="n_bpe_tokens"),
         ),
         "q50_kmeans": _sql_union(
             _sql_metric_quads(base["q97_kmeans"],

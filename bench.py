@@ -70,6 +70,7 @@ EXTRA = [
     "q123_banded_ann",
     "q124_stream_join_batch_twin",
     "q125_bm25",
+    "q126_bpe",
 ]
 
 

@@ -1,0 +1,248 @@
+"""Byte-pair-encoding tokenizer: distributed training + encoding.
+
+Beyond-reference surface (the reference tokenizes by regex only,
+`/root/reference/src/index_advanced.rs:72-88`); BPE subword training is
+the tokenizer-construction step of an LLM data pipeline, and it is
+expressible as plain DataFrame algebra:
+
+- **Training runs on the word-frequency table, not the corpus.** The
+  corpus is scanned ONCE for word counts (map-side combined, Zipf/
+  vocabulary-bounded output); every merge iteration is one aggregation
+  over that small table plus a broadcast 1-row argmax join. 100 TB of
+  text costs one scan + `num_merges` vocabulary-sized jobs.
+- **No driver-side argmax.** The best pair each round is a 1-row
+  DataFrame joined back in-plan, so the whole training loop is
+  declarative; `localCheckpoint` per round cuts the growing lineage
+  (the iterative-algorithm discipline from PLANS.md).
+- **Merges apply by string algebra.** Symbol sequences live in the
+  padded doubled-space form ``' a  b  c '`` — every token is wrapped by
+  its OWN spaces, so replacing ``' a  b '`` with ``' ab '`` merges
+  exactly the adjacent pair (never a token-boundary substring), stays
+  correct across consecutive occurrences, and preserves the invariant
+  for the next round. Pure `replace`, portable to the DuckDB twin
+  verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rs_graphdb_spark.functions.text import tokenize
+
+_PAIR_T = "array<struct<l:string,r:string>>"
+
+
+def _seq_init(word):
+    """Padded doubled-space char sequence: 'abc' -> ' a  b  c '."""
+    spaced = F.trim(F.regexp_replace(word, "(.)", "$1 "))
+    return F.concat(F.lit(" "), F.regexp_replace(spaced, " ", "  "), F.lit(" "))
+
+
+def _pairs(seq_col):
+    """Adjacent symbol pairs of a padded doubled-space sequence.
+
+    The token array is bound ONCE as a lambda variable (single-element
+    ``transform`` idiom) — a plain expression reference would re-inline
+    the split per element (the PLANS.md landmine)."""
+    return F.transform(
+        F.array(F.split(F.trim(seq_col), "  ")),
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda j: F.struct(
+                    F.element_at(t, j).alias("l"),
+                    F.element_at(t, j + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast(_PAIR_T)),
+    )[0]
+
+
+def word_counts(df: DataFrame, id_col: str, text_col: str,
+                mode: str = "ascii") -> DataFrame:
+    """Corpus word-frequency table — the single corpus scan BPE needs."""
+    return (
+        df.select(F.explode(tokenize(text_col, mode)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_merges: int = 8,
+    mode: str = "ascii",
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``num_merges`` BPE merges over the corpus.
+
+    Returns ``(merges, vocab)``: merges = (rank, left, right, pair_count)
+    in learned order (count-weighted argmax per round, ties broken
+    left/right ascending — deterministic across engines); vocab =
+    (word, cnt, seq) with each word's final symbol sequence in the
+    padded doubled-space form.
+
+    A round with no remaining pairs contributes no merge row and leaves
+    the vocabulary unchanged (the 1-row argmax is LEFT-joined, so an
+    empty round cannot wipe the vocabulary)."""
+    vocab = word_counts(df, id_col, text_col, mode).select(
+        "word", "cnt", _seq_init(F.col("word")).alias("seq")
+    ).localCheckpoint()
+    merges = None
+    for rank in range(num_merges):
+        pair_counts = (
+            vocab.select("cnt", F.explode(_pairs(F.col("seq"))).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        best = (
+            pair_counts.orderBy(F.col("pc").desc(), "l", "r").limit(1)
+            .select(F.lit(rank).alias("rank"), "l", "r", "pc")
+            .localCheckpoint()
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        b = F.broadcast(best.select(
+            F.col("l").alias("_l"), F.col("r").alias("_r")))
+        vocab = (
+            vocab.join(b, F.lit(True), "left")
+            .select(
+                "word", "cnt",
+                F.when(
+                    F.col("_l").isNull(), F.col("seq")
+                ).otherwise(
+                    F.replace(
+                        F.col("seq"),
+                        F.concat(F.lit(" "), F.col("_l"), F.lit("  "),
+                                 F.col("_r"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("_l"), F.col("_r"),
+                                 F.lit(" ")),
+                    )
+                ).alias("seq"),
+            )
+            .localCheckpoint()
+        )
+    return merges, vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    mode: str = "ascii",
+) -> DataFrame:
+    """Encode documents with a learned merge list: (id, word_idx, tokens).
+
+    The merge list is tokenizer metadata (num_merges rows — bounded like
+    a centroid table), applied as literal replaces to the DISTINCT words
+    of the input, then broadcast-joined back onto the exploded corpus —
+    one corpus scan, vocabulary-sized merge work, no per-document loop.
+    Unseen words fall back transparently: they enter the distinct-word
+    table and get the same merge applications."""
+    words = (
+        df.select(F.posexplode(tokenize(text_col, mode))
+                  .alias("word_idx", "word"))
+        .select("word").distinct()
+        .select("word", _seq_init(F.col("word")).alias("seq"))
+    )
+    seq = F.col("seq")
+    for left, right in merges:
+        seq = F.replace(
+            seq,
+            F.lit(f" {left}  {right} "),
+            F.lit(f" {left}{right} "),
+        )
+    encoded = words.select("word", F.split(F.trim(seq), "  ").alias("tokens"))
+    return (
+        df.select(F.col(id_col),
+                  F.posexplode(tokenize(text_col, mode))
+                  .alias("word_idx", "word"))
+        .join(F.broadcast(encoded), "word")
+        .select(id_col, "word_idx", "tokens")
+    )
+
+
+def bpe_sql(
+    num_merges: int = 8,
+    mode: str = "ascii",
+    doc_table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[str, str]:
+    """Generated DuckDB twin of :func:`bpe_train` + :func:`bpe_token_counts`
+    (the html_to_text_sql / PSL generated-twin precedent): one CTE chain,
+    one (pairs → argmax → replace) stage unrolled per merge, identical
+    padded doubled-space string algebra. Returns
+    ``(merges_sql, counts_sql)`` sharing the same prefix."""
+    from rs_graphdb_spark.functions.text import tokenize_sql
+
+    toks = tokenize_sql(text_col, mode)
+    ctes = [
+        f"""w AS MATERIALIZED (
+            SELECT word, count(*) AS cnt FROM (
+                SELECT unnest({toks}) AS word FROM {doc_table}
+            ) GROUP BY word
+        )""",
+        r"""v0 AS MATERIALIZED (
+            SELECT word, cnt,
+                   ' ' || replace(trim(regexp_replace(word, '(.)', '\1 ',
+                                                      'g')),
+                                  ' ', '  ') || ' ' AS seq
+            FROM w
+        )""",
+    ]
+    for i in range(num_merges):
+        ctes.append(f"""p{i} AS (
+            SELECT p.l AS l, p.r AS r, sum(cnt) AS pc FROM (
+                SELECT cnt,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> struct_pack(l := t[i], r := t[i+1]))) AS p
+                FROM (SELECT cnt, string_split(trim(seq), '  ') AS t
+                      FROM v{i})
+            ) GROUP BY 1, 2
+        )""")
+        ctes.append(f"""b{i} AS MATERIALIZED (
+            SELECT l, r, pc FROM p{i}
+            ORDER BY pc DESC, l, r LIMIT 1
+        )""")
+        ctes.append(f"""v{i + 1} AS MATERIALIZED (
+            SELECT word, cnt,
+                   CASE WHEN b.l IS NULL THEN seq
+                        ELSE replace(seq, ' ' || b.l || '  ' || b.r || ' ',
+                                     ' ' || b.l || b.r || ' ')
+                   END AS seq
+            FROM v{i} LEFT JOIN b{i} b ON TRUE
+        )""")
+    prefix = "WITH " + ",\n".join(ctes)
+    merges_sql = prefix + "\n" + "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, l, r, pc FROM b{i}" for i in range(num_merges)
+    )
+    counts_sql = prefix + f""",
+        enc AS (SELECT word,
+                       len(string_split(trim(seq), '  ')) AS ntok
+                FROM v{num_merges}),
+        docw AS (SELECT {id_col}, unnest({toks}) AS word FROM {doc_table})
+        SELECT {id_col}, sum(ntok) AS n_bpe_tokens
+        FROM docw JOIN enc USING (word) GROUP BY {id_col}
+    """
+    return merges_sql, counts_sql
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    mode: str = "ascii",
+) -> DataFrame:
+    """Per-document BPE token count under a learned merge list — the
+    token-budget accountant for mixture planning / packing when budgets
+    are in subword units rather than words."""
+    enc = bpe_encode(df, id_col, text_col, merges, mode)
+    return (
+        enc.groupBy(id_col)
+        .agg(F.sum(F.size("tokens")).alias("n_bpe_tokens"))
+    )

@@ -1,0 +1,98 @@
+"""Distributed BPE tokenizer — known-answer tests (Sennrich fixture)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from rs_graphdb_spark.functions.bpe import (
+    bpe_encode,
+    bpe_sql,
+    bpe_token_counts,
+    bpe_train,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # the classic BPE walkthrough corpus: low x5, lower x2, newest x6,
+    # widest x3 (word-level counts drive the merges)
+    text1 = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                     + ["widest"] * 3)
+    return spark.createDataFrame(
+        [(1, text1), (2, "low lower newest widest")],
+        "doc_id long, text string")
+
+
+def test_merge_order_matches_sennrich(corpus):
+    m, v = bpe_train(corpus, "doc_id", "text", num_merges=6)
+    merges = [(r["l"], r["r"], r["pc"]) for r in m.orderBy("rank").collect()]
+    # es(11) -> est(11) -> lo(9) -> low(9) -> ew(7) -> ewest(7); ties at
+    # equal count break lexicographically (e,s < e,w at count 11? no —
+    # counts differ; the deterministic order below is pinned)
+    assert merges == [("e", "s", 11), ("es", "t", 11), ("l", "o", 9),
+                      ("lo", "w", 9), ("e", "w", 7), ("ew", "est", 7)]
+    seqs = {r["word"]: r["seq"] for r in v.collect()}
+    assert seqs["low"] == " low "
+    assert seqs["newest"] == " n  ewest "
+
+
+def test_boundary_never_merges_across_tokens(spark):
+    # 'aa b' contains the substring 'a b' but the pair ('a','b') must
+    # only merge where BOTH tokens match exactly
+    df = spark.createDataFrame(
+        [(1, "xab xab ab")], "doc_id long, text string")
+    m, v = bpe_train(df, "doc_id", "text", num_merges=1)
+    (row,) = m.collect()
+    assert (row["l"], row["r"]) == ("a", "b")  # pair count 3 beats x,a
+    seqs = {r["word"]: r["seq"] for r in v.collect()}
+    assert seqs["xab"] == " x  ab "
+    assert seqs["ab"] == " ab "
+
+
+def test_consecutive_pair_occurrences_all_merge(spark):
+    df = spark.createDataFrame(
+        [(1, "abab abab")], "doc_id long, text string")
+    m, v = bpe_train(df, "doc_id", "text", num_merges=1)
+    (row,) = m.collect()
+    assert (row["l"], row["r"]) == ("a", "b")
+    # ' a  b  a  b ' must become ' ab  ab ' (both occurrences)
+    assert {r["seq"] for r in v.collect()} == {" ab  ab "}
+
+
+def test_exhausted_merges_leave_vocab_intact(spark):
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    m, v = bpe_train(df, "doc_id", "text", num_merges=4)
+    # round 0 merges (a,b); rounds 1-3 have no pairs left -> no rows,
+    # vocab unchanged rather than wiped
+    assert m.count() == 1
+    assert [r["seq"] for r in v.collect()] == [" ab "]
+
+
+def test_encode_and_counts(corpus):
+    m, _ = bpe_train(corpus, "doc_id", "text", num_merges=6)
+    ml = [(r["l"], r["r"]) for r in m.orderBy("rank").collect()]
+    enc = {(r["doc_id"], r["word_idx"]): r["tokens"]
+           for r in bpe_encode(corpus, "doc_id", "text", ml).collect()}
+    assert enc[(2, 0)] == ["low"]
+    assert enc[(2, 2)] == ["n", "ewest"]
+    counts = {r["doc_id"]: r["n_bpe_tokens"]
+              for r in bpe_token_counts(
+                  corpus, "doc_id", "text", ml).collect()}
+    # doc 2: low(1) + lower(3: low,e,r) + newest(2) + widest(4)
+    assert counts[2] == 10
+
+
+def test_duckdb_twin_matches(spark, corpus):
+    import duckdb
+    pdf = corpus.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    m_sql, c_sql = bpe_sql(num_merges=6)
+    m, _ = bpe_train(corpus, "doc_id", "text", num_merges=6)
+    ml = [(r["l"], r["r"]) for r in m.orderBy("rank").collect()]
+    got = [(r[1], r[2]) for r in con.execute(m_sql + " ORDER BY rank").fetchall()]
+    assert got == ml
+    cnt_spark = {r["doc_id"]: r["n_bpe_tokens"]
+                 for r in bpe_token_counts(
+                     corpus, "doc_id", "text", ml).collect()}
+    cnt_duck = dict(con.execute(c_sql).fetchall())
+    assert cnt_spark == cnt_duck
