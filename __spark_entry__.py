@@ -3251,11 +3251,52 @@ def q48_splits(spark, sf_dir):
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("sum_tokens"))
     )
+    # end-to-end pipeline composition (r7): quality filter → exact-dedup
+    # keepers → token-budget mixture → shuffle-shard, all four stages in
+    # ONE chained plan whose oracle is the same composition in SQL — the
+    # per-stage survivor counts pin every hand-off, the final shard
+    # layout pins the whole pipeline's output
+    kept_p = docs.filter(TX.quality_filter("text"))
+    dd_p = (
+        kept_p.withColumn("fp", F.md5("text"))
+        .withColumn("rn", F.row_number().over(
+            W.partitionBy("fp").orderBy("doc_id")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source",
+                TX.token_count("text").cast("long").alias("n_tok"))
+        .localCheckpoint()  # reused by plan, apply, and the stage count
+    )
+    plan_p = mixture_plan(
+        dd_p, "source", "n_tok", token_budget=20_000.0,
+        weights={"src0": 0.3, "src1": 0.2}, default_weight=0.02,
+    )
+    mixed_p = apply_token_mixture(
+        dd_p, "doc_id", "source", plan_p, seed=1).localCheckpoint()
+    shards_p = (
+        shuffle_shard(mixed_p, "doc_id", 8, seed=0)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tok").alias("sum_tokens"))
+    )
+    stage_p = (
+        docs.agg(F.count("*").alias("cnt"))
+        .select(F.lit("s0_input").alias("stage"), "cnt")
+        .unionByName(kept_p.agg(F.count("*").alias("cnt"))
+                     .select(F.lit("s1_filtered").alias("stage"), "cnt"))
+        .unionByName(dd_p.agg(F.count("*").alias("cnt"))
+                     .select(F.lit("s2_deduped").alias("stage"), "cnt"))
+        .unionByName(mixed_p.agg(F.count("*").alias("cnt"))
+                     .select(F.lit("s3_mixed").alias("stage"), "cnt"))
+    )
     return _quads(
         _metric_quads(shards,
                       {"shard_docs": "n_docs", "shard_tokens": "sum_tokens"},
                       k="shard", s="first_key"),
         _quad("mix_frac", plan, v="keep_frac", s="source"),
+        _quad("pipe_stage", stage_p, v="cnt", s="stage"),
+        _metric_quads(shards_p,
+                      {"pipe_docs": "n_docs", "pipe_tokens": "sum_tokens"},
+                      k="shard"),
         _metric_quads(mixed,
                       {"mix_docs": "n_docs", "mix_tokens": "sum_tokens"},
                       s="source"),
@@ -3645,6 +3686,39 @@ def q126_bpe(spark, sf_dir):
     return bpe_token_counts(docs, "doc_id", "text", ml)
 
 
+def q127_pipeline(spark, sf_dir):
+    """End-to-end training-data pipeline (r7): quality filter →
+    exact-dedup keepers → token-budget mixture → shuffle-shard, one
+    chained plan — the composition throughput number."""
+    from rs_graphdb_spark.functions.cleaning import shuffle_shard
+    from rs_graphdb_spark.functions.sampling import (
+        apply_token_mixture, mixture_plan)
+
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    kept = docs.filter(TX.quality_filter("text"))
+    dd = (
+        kept.withColumn("fp", F.md5("text"))
+        .withColumn("rn", F.row_number().over(
+            W.partitionBy("fp").orderBy("doc_id")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source",
+                TX.token_count("text").cast("long").alias("n_tok"))
+        .localCheckpoint()
+    )
+    plan = mixture_plan(dd, "source", "n_tok", token_budget=20_000.0,
+                        weights={"src0": 0.3, "src1": 0.2},
+                        default_weight=0.02)
+    mixed = apply_token_mixture(dd, "doc_id", "source", plan, seed=1)
+    return (
+        shuffle_shard(mixed, "doc_id", 8, seed=0)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tok").alias("sum_tokens"))
+    )
+
+
 def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Pre-fold per-operator registry (kept for bench.py and tests)."""
     return {
@@ -3769,6 +3843,7 @@ def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_stream_join_batch_twin": q124_stream_join_batch_twin,
         "q125_bm25": q125_bm25,
         "q126_bpe": q126_bpe,
+        "q127_pipeline": q127_pipeline,
     }
 
 
@@ -5950,6 +6025,85 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
     """
 
+    # end-to-end pipeline twin (r7): the same four-stage composition as
+    # SQL CTEs — filter expression identical to the q36 filter_keep twin,
+    # dedup keeper = row_number over md5(text), mixture plan/threshold
+    # identical to the q48 mix twins but computed over the DEDUPED set,
+    # shard layout identical to the shuffle_shard twin
+    _pipe_ctes = """
+        WITH t AS (
+            SELECT doc_id, source, text,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, source, text, tk, CASE WHEN len(tk) >= 3 THEN
+                list_transform(range(len(tk) - 2),
+                               i -> array_to_string(tk[i + 1:i + 3], ' '))
+                ELSE [] END AS gr
+            FROM t
+        ),
+        f AS MATERIALIZED (
+            SELECT doc_id, source, text,
+                   CAST(len(tk) AS BIGINT) AS n_tok,
+                   (len(tk) >= 20 AND len(tk) <= 100000
+                    AND len(array_to_string(tk, '')) * 1.0
+                        / greatest(len(tk), 1) >= 2.0
+                    AND len(array_to_string(tk, '')) * 1.0
+                        / greatest(len(tk), 1) <= 12.0
+                    AND round(CASE WHEN len(gr) > 0
+                          THEN 1.0 - len(list_distinct(gr)) * 1.0 / len(gr)
+                          ELSE 0.0 END, 6) <= 0.3
+                    AND (len(text)
+                         - len(regexp_replace(text, '[a-zA-Z]', '', 'g')))
+                        * 1.0 / greatest(len(text), 1) >= 0.6) AS keep
+            FROM g
+        ),
+        kept AS MATERIALIZED (SELECT * FROM f WHERE keep),
+        dd AS MATERIALIZED (
+            SELECT doc_id, source, n_tok FROM (
+                SELECT doc_id, source, n_tok,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM kept
+            ) WHERE rn = 1
+        ),
+        tot AS (SELECT source, sum(n_tok) AS total_tokens
+                FROM dd GROUP BY source),
+        w AS (SELECT * FROM (VALUES
+                ('src0', CAST(0.3 AS DOUBLE)),
+                ('src1', CAST(0.2 AS DOUBLE))) w(source, wt)),
+        plan AS (
+            SELECT tot.source,
+                   CASE WHEN tot.total_tokens <= 0 THEN CAST(0 AS DOUBLE)
+                        ELSE least(CAST(1 AS DOUBLE),
+                                   (coalesce(w.wt, CAST(0.02 AS DOUBLE))
+                                    * CAST(20000 AS DOUBLE))
+                                   / tot.total_tokens)
+                   END AS keep_frac
+            FROM tot LEFT JOIN w USING (source)
+        ),
+        mixed AS MATERIALIZED (
+            SELECT dd.doc_id, dd.n_tok FROM dd JOIN plan USING (source)
+            WHERE ('0x' || substr(md5('1:' || CAST(dd.doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT % 1000000
+                  < CAST(floor(plan.keep_frac * 1000000) AS BIGINT)
+        )
+    """
+    _pipe_stage_sql = _pipe_ctes + """
+        SELECT 's0_input' AS stage, count(*) AS cnt FROM documents
+        UNION ALL SELECT 's1_filtered', count(*) FROM kept
+        UNION ALL SELECT 's2_deduped', count(*) FROM dd
+        UNION ALL SELECT 's3_mixed', count(*) FROM mixed
+    """
+    _pipe_shard_sql = _pipe_ctes + """
+        SELECT ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)),
+                               1, 8))::BIGINT % 8 AS shard,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        FROM mixed GROUP BY 1
+    """
+
     # BPE twin: generated unrolled merge-stage CTE chain (bpe.bpe_sql —
     # the html_to_text/PSL generated-twin precedent), 6 merges matching
     # the Spark q49 training call
@@ -7168,6 +7322,11 @@ def oracle_sql() -> dict[str, str]:
                                "shard_tokens": "sum_tokens"},
                               k="shard", s="first_key"),
             _sql_quad("mix_frac", mix_plan_sql, v="keep_frac", s="source"),
+            _sql_quad("pipe_stage", _pipe_stage_sql, v="cnt", s="stage"),
+            _sql_metric_quads(_pipe_shard_sql,
+                              {"pipe_docs": "n_docs",
+                               "pipe_tokens": "sum_tokens"},
+                              k="shard"),
             _sql_metric_quads(mix_apply_sql,
                               {"mix_docs": "n_docs",
                                "mix_tokens": "sum_tokens"},

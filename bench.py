@@ -71,6 +71,7 @@ EXTRA = [
     "q124_stream_join_batch_twin",
     "q125_bm25",
     "q126_bpe",
+    "q127_pipeline",
 ]
 
 
