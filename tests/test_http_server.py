@@ -272,6 +272,30 @@ def test_ui_route_serves_html(server):
         assert marker in raw
 
 
+def test_ui_behavior_parity_surface(server):
+    """r7: the single-file UI carries the Vue app's behavioral surface
+    (web-ui/src/stores + components), not just the console: history and
+    favorites stores on the SAME localStorage keys, the :commands over
+    /sysinfo //queries //dbs, force layout + expand-neighbors, and
+    JSON+CSV export."""
+    _status, _ct, raw = _get(server, "/ui")
+    # stores (queryHistory.ts / favorites.ts key + cap parity)
+    for marker in (b"graphdb_query_history", b"graphdb_favorites",
+                   b"MAX_HISTORY = 100", b"Query history", b"Favorites"):
+        assert marker in raw
+    # commands store (commands.ts) over the parity routes
+    for marker in (b":sysinfo", b":queries", b":dbs", b"/sysinfo"):
+        assert marker in raw
+    # GraphView behaviors: force iteration, physics toggle, dblclick
+    # expand, drag-to-pin, per-label colors, arrowheads
+    for marker in (b"forceTick", b"physics", b"expandNeighbors",
+                   b"labelColor", b"marker-end"):
+        assert marker in raw
+    # ExportDialog parity: both formats
+    for marker in (b"exportRows('json')", b"exportRows('csv')"):
+        assert marker in raw
+
+
 def test_cache_cleanup_route(server):
     status, out = _post(server, "/cache/cleanup", {})
     assert status == 200 and out["ok"] is True and out["evicted"] >= 0
