@@ -641,6 +641,122 @@ def bm25_search(df, id_col: str, text_col: str, query_terms: list[str],
     return scored.groupBy("doc_id").agg(total.alias("score"))
 
 
+def _term_prefix_py(term: str, n_prefix: int) -> int:
+    """Python twin of the index's term-partition derivation (md5 hex
+    first byte mod n_prefix) — a query computes its partition list
+    driver-side from this, so the probe scan is partition-pruned."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:2], 16) % n_prefix
+
+
+def write_bm25_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    mode: str = "ascii",
+    n_prefix: int = 16,
+) -> None:
+    """Persist a DENORMALIZED BM25 scoring index — the standing-index
+    layout (the write_minhash_index precedent) for ranked retrieval:
+
+    - ``postings/`` partitioned by ``tp = md5(term)[0] % n_prefix`` and
+      sorted by ``term`` within files; each row carries (term, doc_id,
+      tf, df, dl) with the term-level document frequency and doc-level
+      length DENORMALIZED onto the posting, so scoring a query is pure
+      arithmetic over a pruned scan — ZERO joins at query time.
+    - ``_meta.json`` carries the two corpus scalars (nd, total_tokens).
+
+    A query's partition list comes from the same md5 derivation
+    driver-side (``PartitionFilters`` in the plan) and the exact
+    ``term IN (...)`` pushdown skips non-matching row groups via parquet
+    min/max stats — the probe cost is O(postings of the query terms),
+    independent of corpus size. At 100 TB, n_prefix grows (two hex
+    chars → 256 dirs) and the layout is otherwise unchanged."""
+    import json
+    import os
+
+    inv = inverted_index(df, id_col, text_col, mode)
+    dl = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(text_col, mode)).alias("dl"),
+    )
+    stats = dl.agg(F.sum("dl").alias("total"), F.count("*").alias("nd")).first()
+    doc_freq = inv.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    tp = (
+        F.conv(F.substring(F.md5("term"), 1, 2), 16, 10).cast("int")
+        % F.lit(n_prefix)
+    )
+    (
+        inv.join(doc_freq, "term")
+        .join(dl, "doc_id")
+        .withColumn("tp", tp)
+        .repartition(n_prefix, "tp")
+        .sortWithinPartitions("term")
+        .write.partitionBy("tp")
+        .mode("overwrite")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
+    meta = {"nd": int(stats["nd"]), "total_tokens": int(stats["total"]),
+            "n_prefix": n_prefix, "mode": mode}
+    tmp = os.path.join(index_dir, "_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "_meta.json"))
+
+
+def bm25_search_indexed(
+    spark,
+    index_dir: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k against a :func:`write_bm25_index` standing index:
+    one partition-pruned, row-group-pushed scan of the query terms'
+    postings, arithmetic scoring (df/dl ride on the rows; nd/avgdl come
+    from the index meta), fixed-order per-doc sum, top-k. Equal to
+    :func:`bm25_search` over the same corpus (pytest-pinned)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    terms = sorted(set(query_terms))
+    tps = sorted({_term_prefix_py(t, meta["n_prefix"]) for t in terms})
+    k1p1 = float(k1 + 1.0)
+    one_minus_b = float(1.0 - b)
+    nd = F.lit(int(meta["nd"]))
+    avgdl = F.lit(int(meta["total_tokens"])).cast("double") / nd
+    posts = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("tp").isin(tps))
+        .filter(F.col("term").isin(terms))
+    )
+    idf = F.log(1.0 + ((nd - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+    denom = F.col("tf") + (
+        F.lit(float(k1))
+        * (F.lit(one_minus_b) + (F.lit(float(b)) * (F.col("dl") / avgdl)))
+    )
+    scored = posts.select(
+        "doc_id", "term",
+        (idf * ((F.col("tf") * F.lit(k1p1)) / denom)).alias("score"),
+    )
+    total = None
+    for t in terms:
+        piece = F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("score"))), F.lit(0.0))
+        total = piece if total is None else (total + piece)
+    return (
+        scored.groupBy("doc_id").agg(total.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+
+
 def chunk_documents(
     df: "DataFrame",
     id_col: str,

@@ -80,6 +80,46 @@ def test_bm25_search_sums_query_terms(spark, corpus):
     assert max(got, key=got.get) == 1
 
 
+def test_indexed_search_equals_direct(spark, corpus, tmp_path):
+    from rs_graphdb_spark.functions.text import (
+        bm25_search_indexed, write_bm25_index)
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string")
+    idx = str(tmp_path / "bm25idx")
+    write_bm25_index(df, "doc_id", "text", idx)
+    direct = {r["doc_id"]: r["score"]
+              for r in bm25_search(df, "doc_id", "text",
+                                   ["hash", "join", "merge"]).collect()}
+    indexed = {r["doc_id"]: r["score"]
+               for r in bm25_search_indexed(
+                   spark, idx, ["hash", "join", "merge"], k=10).collect()}
+    assert indexed == direct  # identical doubles: same association, same ints
+
+
+def test_indexed_search_plan_is_pruned(spark, corpus, tmp_path):
+    """The probe scan must show PartitionFilters on tp AND a term
+    pushdown — the O(query-postings) contract, independent of corpus."""
+    import io
+    from contextlib import redirect_stdout
+
+    from rs_graphdb_spark.functions.text import (
+        bm25_search_indexed, write_bm25_index)
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string")
+    idx = str(tmp_path / "bm25idx2")
+    write_bm25_index(df, "doc_id", "text", idx)
+    out = bm25_search_indexed(spark, idx, ["hash"], k=5)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain(extended=False)
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "tp" in pf[0].split("PartitionFilters", 1)[1][:200]
+    assert any("PushedFilters" in ln
+               and "term" in ln.split("PushedFilters", 1)[1][:300]
+               for ln in plan.splitlines())
+
+
 def test_bm25_search_duplicate_terms_count_once(spark, corpus):
     df = spark.createDataFrame(
         list(corpus.items()), "doc_id long, text string")
