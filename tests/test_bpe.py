@@ -81,6 +81,29 @@ def test_encode_and_counts(corpus):
     assert counts[2] == 10
 
 
+def test_unicode_mode_merges_latin_and_passes_cjk(spark):
+    """mode='unicode': CJK codepoints are single-symbol words (BERT-style
+    pre-tokenization — nothing to merge within them), Latin words still
+    learn merges; both survive encoding."""
+    df = spark.createDataFrame(
+        [(1, "newest newest newest 数据 数据")],
+        "doc_id long, text string")
+    m, v = bpe_train(df, "doc_id", "text", num_merges=2, mode="unicode")
+    merges = [(r["l"], r["r"]) for r in m.orderBy("rank").collect()]
+    # all Latin pairs tie at count 3 after (e,s); the deterministic
+    # (count desc, l, r) tie-break then picks (e,w) — 'e' < 'es'
+    assert merges == [("e", "s"), ("e", "w")]  # from 'newest' only
+    seqs = {r["word"]: r["seq"] for r in v.collect()}
+    # each CJK codepoint is its own one-symbol word — already atomic
+    assert seqs["数"] == " 数 " and seqs["据"] == " 据 "
+    assert seqs["newest"] == " n  ew  es  t "
+    counts = {r["doc_id"]: r["n_bpe_tokens"]
+              for r in bpe_token_counts(
+                  df, "doc_id", "text", merges, mode="unicode").collect()}
+    # newest -> n,ew,es,t (4) x3 + 4 CJK codepoint tokens
+    assert counts[1] == 12 + 4
+
+
 def test_duckdb_twin_matches(spark, corpus):
     import duckdb
     pdf = corpus.toPandas()

@@ -1,0 +1,86 @@
+"""Two-axis scale probe for the round-7 BPE tokenizer.
+
+The claim under test: `bpe_train` cost = ONE corpus scan (word counts)
+plus num_merges VOCABULARY-sized jobs. Therefore:
+
+- **Corpus axis** (fixed 40-word vocabulary, 20k/200k/2M docs): the
+  word-count scan grows linearly, the merge loop is FLAT — total wall
+  should approach scan-dominated linear growth with a constant merge
+  floor.
+- **Vocabulary axis** (fixed 200k docs, 40/400/4000 distinct words):
+  the merge loop grows with distinct words (rows in the pair table),
+  the scan is flat — superlinear growth in either axis is an operator
+  defect.
+
+Usage: python tools/bpe_scale_probe.py
+Prints one markdown row per (axis, rung) for PLANS.md.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def synth_docs(spark, n_docs: int, vocab_size: int):
+    """~50-token docs drawn deterministically from a sized vocabulary
+    (multi-char words so merges have work to do)."""
+    par = spark.sparkContext.defaultParallelism
+    d = spark.range(n_docs).repartition(par)
+    vocab = [f"word{i}x{i % 7}" for i in range(vocab_size)]
+    tok = lambda j: F.array(*[F.lit(w) for w in vocab])[  # noqa: E731
+        F.pmod(
+            F.hash(F.concat(F.col("id").cast("string"), F.lit(f":{j}"))),
+            F.lit(vocab_size),
+        )
+    ]
+    text = F.concat_ws(" ", *[tok(j) for j in range(50)])
+    return d.select(F.col("id").alias("doc_id"), text.alias("text")) \
+        .localCheckpoint(eager=True)
+
+
+def main() -> None:
+    from rs_graphdb_spark.functions.bpe import (
+        bpe_token_counts, bpe_train, word_counts)
+    from rs_graphdb_spark.session import get_spark
+
+    spark = get_spark("bpe-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(tag, fn):
+        fn()  # warm
+        t0 = time.time()
+        fn()
+        print(f"| {tag} | {time.time() - t0:.2f} s |", flush=True)
+
+    def train_and_count(docs):
+        m, _v = bpe_train(docs, "doc_id", "text", num_merges=6)
+        ml = [(r["l"], r["r"]) for r in m.orderBy("rank").collect()]
+        bpe_token_counts(docs, "doc_id", "text", ml) \
+            .write.mode("overwrite").format("noop").save()
+
+    print("axis A: corpus decades, vocab fixed at 40")
+    for n in (20_000, 200_000, 2_000_000):
+        docs = synth_docs(spark, n, 40)
+        docs.count()
+        run(f"word-count scan, {n:,} docs",
+            lambda: word_counts(docs, "doc_id", "text")
+            .write.mode("overwrite").format("noop").save())
+        run(f"train(6)+encode, {n:,} docs", lambda: train_and_count(docs))
+        docs.unpersist()
+
+    print("axis B: vocabulary decades, corpus fixed at 200k docs")
+    for v in (40, 400, 4000):
+        docs = synth_docs(spark, 200_000, v)
+        docs.count()
+        run(f"train(6)+encode, {v:,} distinct words",
+            lambda: train_and_count(docs))
+        docs.unpersist()
+
+
+if __name__ == "__main__":
+    main()
