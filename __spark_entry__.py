@@ -3342,6 +3342,22 @@ def q49_pack_sequences(spark, sf_dir):
     m, _v = bpe_train(docs_b, "doc_id", "text", num_merges=6)
     ml = [(r["l"], r["r"]) for r in m.orderBy("rank").collect()]
     bpe_cnt = bpe_token_counts(docs_b, "doc_id", "text", ml)
+    # RAG retrieval composition (r7): BM25 ranked top-20 CHUNKS for a
+    # 3-term query — chunking and retrieval chained in one plan, the
+    # oracle recomputes the same composition (chunk slicing → postings →
+    # fixed-order score sum → top-k)
+    from rs_graphdb_spark.functions.text import bm25_search
+    ch_ids = ch.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("cid"),
+        "chunk_text",
+    )
+    rag = (
+        bm25_search(ch_ids, "cid", "chunk_text", ["hash", "join", "merge"])
+        .orderBy(F.col("score").desc(), "doc_id")  # bm25 output key name
+        .limit(20)
+        .select(F.col("doc_id").alias("cid"),
+                F.round("score", 6).alias("score"))
+    )
     return _quads(
         _metric_quads(q85_pack_sequences(spark, sf_dir),
                       {"pk_docs": "n_docs", "pk_tok": "sum_tokens"},
@@ -3361,6 +3377,7 @@ def q49_pack_sequences(spark, sf_dir):
                        F.concat_ws("+", "l", "r").alias("s")),
               k="rank", v="pc", s="s"),
         _quad("bpe_n", bpe_cnt, k="doc_id", v="n_bpe_tokens"),
+        _quad("rag", rag, k="cid", v="score"),
     )
 
 
@@ -6104,6 +6121,68 @@ def oracle_sql() -> dict[str, str]:
         FROM mixed GROUP BY 1
     """
 
+    # RAG retrieval twin (r7): the q49 chunk slicing feeding the BM25
+    # machinery keyed by chunk id — same _bm25_score expression (the dl
+    # CTE here is chunk-keyed), fixed-order sum, top-20 ordered by the
+    # UNROUNDED sum (the Spark side orders pre-round too)
+    _rag_sql = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, t,
+                   greatest(1, CAST(ceil((len(t) - 8) / 32.0)
+                               AS BIGINT)) AS nc
+            FROM d
+        ),
+        ch AS MATERIALIZED (
+            SELECT doc_id * 1000 + u.i AS cid,
+                   array_to_string(list_slice(t, u.i * 32 + 1,
+                                              u.i * 32 + 40), ' ') AS text
+            FROM c, (SELECT unnest(range(0, 1000)) AS i) u
+            WHERE u.i < nc
+        ),
+        inv AS (SELECT cid, unnest(regexp_extract_all(lower(text),
+                                                      '[a-z0-9]+')) AS term
+                FROM ch),
+        tf AS (SELECT term, cid, count(*) AS tf FROM inv
+               GROUP BY term, cid),
+        dl AS (SELECT cid,
+                      len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+               FROM ch),
+        dfreq AS (SELECT term, count(DISTINCT cid) AS df
+                  FROM tf GROUP BY term),
+        st AS (SELECT sum(dl) AS total, count(*) AS nd FROM dl),
+        sc AS (
+            SELECT tf.cid, tf.term, {{score}} AS score
+            FROM tf JOIN dfreq ON dfreq.term = tf.term
+                    JOIN dl ON dl.cid = tf.cid
+                    CROSS JOIN st
+            WHERE tf.term IN ('hash', 'join', 'merge')
+        ),
+        agg AS (
+            SELECT cid,
+                   coalesce(max(CASE WHEN term = 'hash' THEN score END),
+                            0.0e0)
+                   + coalesce(max(CASE WHEN term = 'join' THEN score END),
+                              0.0e0)
+                   + coalesce(max(CASE WHEN term = 'merge' THEN score END),
+                              0.0e0) AS s_raw
+            FROM sc GROUP BY cid
+        )
+        SELECT cid, round(s_raw, 6) AS score FROM agg
+        ORDER BY s_raw DESC, cid LIMIT 20
+    """.format(score=(
+        f"ln(1.0e0 + ((st.nd - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0)))"
+        f" * ((tf.tf * {repr(1.2 + 1.0)}e0)"
+        f" / (tf.tf + ({repr(1.2)}e0 * ({repr(1.0 - 0.75)}e0"
+        f" + ({repr(0.75)}e0 * (dl.dl / (CAST(st.total AS DOUBLE)"
+        f" / st.nd)))))))"
+    ))
+
     # BPE twin: generated unrolled merge-stage CTE chain (bpe.bpe_sql —
     # the html_to_text/PSL generated-twin precedent), 6 merges matching
     # the Spark q49 training call
@@ -7508,6 +7587,7 @@ def oracle_sql() -> dict[str, str]:
                       s="l || '+' || r"),
             _sql_quad("bpe_n", _bpe_counts_sql, k="doc_id",
                       v="n_bpe_tokens"),
+            _sql_quad("rag", _rag_sql, k="cid", v="score"),
         ),
         "q50_kmeans": _sql_union(
             _sql_metric_quads(base["q97_kmeans"],
