@@ -165,6 +165,84 @@ def bpe_encode(
     )
 
 
+def bpe_artifact(merges: DataFrame, vocab: DataFrame) -> dict:
+    """Tokenizer artifact from a :func:`bpe_train` result: the ordered
+    merge list plus the training alphabet (distinct characters of the
+    word table). ids assign 0..|alphabet|−1 to the sorted alphabet and
+    one new id per merge in rank order — the standard BPE vocab shape."""
+    ml = [[r["l"], r["r"]] for r in merges.orderBy("rank").collect()]
+    alphabet = sorted({
+        ch
+        for r in vocab.select(
+            F.explode(F.split("word", "")).alias("c")
+        ).filter(F.col("c") != "").distinct().collect()
+        for ch in r["c"]
+    })
+    return {"merges": ml, "alphabet": alphabet}
+
+
+def save_bpe_artifact(artifact: dict, path: str) -> None:
+    """Persist the tokenizer artifact (staged + atomic rename — the
+    repo's manifest discipline)."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(artifact, f, ensure_ascii=False)
+    os.replace(tmp, path)
+
+
+def load_bpe_artifact(path: str) -> dict:
+    import json
+
+    with open(path) as f:
+        a = json.load(f)
+    a["merges"] = [tuple(m) for m in a["merges"]]
+    return a
+
+
+def token_ids(artifact: dict) -> dict[str, int]:
+    """token string → integer id: alphabet first (sorted), then one new
+    symbol per merge in learned order (the id a trained model embeds)."""
+    ids = {c: i for i, c in enumerate(artifact["alphabet"])}
+    nxt = len(ids)
+    for left, right in artifact["merges"]:
+        sym = left + right
+        if sym not in ids:
+            ids[sym] = nxt
+            nxt += 1
+    return ids
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    artifact: dict,
+    mode: str = "ascii",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Encode documents to integer token-id sequences under a trained
+    artifact: (id, word_idx, ids ARRAY<INT>). The vocab is bounded
+    (alphabet + merges), so the id lookup is a plan-literal MAP — the
+    encode stays one corpus scan plus the vocabulary-sized merge work;
+    symbols outside the vocab (unseen characters) map to ``unk_id``."""
+    ids = token_ids(artifact)
+    entries = []
+    for tok, i in ids.items():
+        entries.extend([F.lit(tok), F.lit(i)])
+    idmap = F.create_map(*entries)
+    enc = bpe_encode(df, id_col, text_col, list(artifact["merges"]), mode)
+    return enc.select(
+        id_col, "word_idx",
+        F.transform(
+            "tokens",
+            lambda t: F.coalesce(F.element_at(idmap, t), F.lit(unk_id)),
+        ).alias("ids"),
+    )
+
+
 def bpe_sql(
     num_merges: int = 8,
     mode: str = "ascii",

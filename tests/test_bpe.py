@@ -104,6 +104,41 @@ def test_unicode_mode_merges_latin_and_passes_cjk(spark):
     assert counts[1] == 12 + 4
 
 
+def test_artifact_roundtrip_and_ids(spark, corpus, tmp_path):
+    from rs_graphdb_spark.functions.bpe import (
+        bpe_artifact, bpe_encode_ids, load_bpe_artifact,
+        save_bpe_artifact, token_ids)
+    m, v = bpe_train(corpus, "doc_id", "text", num_merges=6)
+    art = bpe_artifact(m, v)
+    p = str(tmp_path / "tok.json")
+    save_bpe_artifact(art, p)
+    art2 = load_bpe_artifact(p)
+    assert art2["merges"] == [tuple(x) for x in art["merges"]]
+    assert art2["alphabet"] == art["alphabet"]
+    ids = token_ids(art2)
+    # alphabet d,e,i,l,n,o,r,s,t,w gets 0..9; merges mint es,est,lo,low,
+    # ew,ewest in learned order
+    assert ids["d"] == 0 and len(art2["alphabet"]) == 10
+    assert ids["es"] == 10 and ids["low"] == 13 and ids["ewest"] == 15
+    enc = {(r["doc_id"], r["word_idx"]): r["ids"]
+           for r in bpe_encode_ids(
+               corpus, "doc_id", "text", art2).collect()}
+    assert enc[(2, 0)] == [ids["low"]]
+    assert enc[(2, 2)] == [ids["n"], ids["ewest"]]
+
+
+def test_encode_ids_unknown_char_maps_to_unk(spark, tmp_path):
+    from rs_graphdb_spark.functions.bpe import bpe_artifact, bpe_encode_ids
+    train = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    m, v = bpe_train(train, "doc_id", "text", num_merges=1)
+    art = bpe_artifact(m, v)
+    new = spark.createDataFrame([(9, "ab zq")], "doc_id long, text string")
+    enc = {(r["doc_id"], r["word_idx"]): r["ids"]
+           for r in bpe_encode_ids(new, "doc_id", "text", art).collect()}
+    assert enc[(9, 0)] == [2]          # merged 'ab' = id 2 after a,b
+    assert enc[(9, 1)] == [-1, -1]     # z, q unseen -> unk
+
+
 def test_duckdb_twin_matches(spark, corpus):
     import duckdb
     pdf = corpus.toPandas()
