@@ -238,6 +238,29 @@ def main() -> None:
     sample_video_frames(
         documents_as_video(docs, corrupt_every=83), every_n=2
     ).groupBy("width").count().orderBy("width").show()
+
+    print("-- 9. BPE tokenizer: train 6 merges, encode to token ids")
+    from rs_graphdb_spark.functions.bpe import (
+        bpe_artifact, bpe_encode_ids, bpe_train)
+
+    m, v = bpe_train(docs, "doc_id", "text", num_merges=6)
+    m.orderBy("rank").show()
+    art = bpe_artifact(m, v)
+    bpe_encode_ids(docs, "doc_id", "text", art).select(
+        "doc_id", F.size("ids").alias("n_ids")
+    ).groupBy().agg(F.sum("n_ids").alias("corpus_token_ids")).show()
+
+    print("-- 10. BM25 retrieval: direct + standing-index search")
+    import tempfile
+
+    from rs_graphdb_spark.functions.text import (
+        bm25_search, bm25_search_indexed, write_bm25_index)
+
+    bm25_search(docs, "doc_id", "text", ["hash", "join", "merge"]) \
+        .orderBy(F.col("score").desc()).limit(5).show()
+    with tempfile.TemporaryDirectory() as d:
+        write_bm25_index(docs, "doc_id", "text", d)
+        bm25_search_indexed(spark, d, ["hash", "join", "merge"], k=5).show()
     spark.stop()
 
 
