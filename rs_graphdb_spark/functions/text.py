@@ -657,6 +657,7 @@ def write_bm25_index(
     index_dir: str,
     mode: str = "ascii",
     n_prefix: int = 16,
+    appendable: bool = False,
 ) -> None:
     """Persist a DENORMALIZED BM25 scoring index — the standing-index
     layout (the write_minhash_index precedent) for ranked retrieval:
@@ -673,7 +674,16 @@ def write_bm25_index(
     ``term IN (...)`` pushdown skips non-matching row groups via parquet
     min/max stats — the probe cost is O(postings of the query terms),
     independent of corpus size. At 100 TB, n_prefix grows (two hex
-    chars → 256 dirs) and the layout is otherwise unchanged."""
+    chars → 256 dirs) and the layout is otherwise unchanged.
+
+    ``appendable=True`` writes the INCREMENTAL layout instead: df moves
+    off the posting rows into a ``termstats/`` table (same ``tp=``
+    partitioning). Postings become append-only IMMUTABLE (tf and dl are
+    doc-local facts that never change), term stats are the only mergeable
+    part, and the two corpus scalars live in the atomic meta — so
+    :func:`append_bm25_index` ingests a new batch at O(batch) cost.
+    Search pays one broadcast join against the (query-term-pruned,
+    few-row) stats side instead of zero joins."""
     import json
     import os
 
@@ -689,18 +699,115 @@ def write_bm25_index(
         F.conv(F.substring(F.md5("term"), 1, 2), 16, 10).cast("int")
         % F.lit(n_prefix)
     )
+    posts = inv.join(dl, "doc_id")
+    if not appendable:
+        posts = posts.join(doc_freq, "term")
     (
-        inv.join(doc_freq, "term")
-        .join(dl, "doc_id")
-        .withColumn("tp", tp)
+        posts.withColumn("tp", tp)
         .repartition(n_prefix, "tp")
         .sortWithinPartitions("term")
         .write.partitionBy("tp")
         .mode("overwrite")
         .parquet(os.path.join(index_dir, "postings"))
     )
+    if appendable:
+        (
+            doc_freq.withColumn("tp", tp)
+            .repartition(n_prefix, "tp")
+            .sortWithinPartitions("term")
+            .write.partitionBy("tp")
+            .mode("overwrite")
+            .parquet(os.path.join(index_dir, "termstats"))
+        )
     meta = {"nd": int(stats["nd"]), "total_tokens": int(stats["total"]),
-            "n_prefix": n_prefix, "mode": mode}
+            "n_prefix": n_prefix, "mode": mode,
+            "layout": "stats" if appendable else "denorm"}
+    tmp = os.path.join(index_dir, "_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "_meta.json"))
+
+
+def append_bm25_index(
+    spark,
+    index_dir: str,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Incremental BM25 index ingest (requires the ``appendable=True``
+    layout; the continuous-ingest shape of the minhash standing index):
+
+    - new postings APPEND into the same ``tp=`` dirs — existing posting
+      files are never touched (tf/dl are doc-local facts);
+    - per-term df increments merge into ``termstats/``, rewriting ONLY
+      the partitions whose terms the batch contains (staged dir +
+      atomic ``os.replace`` per partition);
+    - the two corpus scalars update with one atomic meta replace.
+
+    Per-batch cost is O(batch postings) + O(affected stats partitions);
+    the standing postings are untouched regardless of index size.
+    Single-writer contract (the dedup_ingest_sink precedent)."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("layout") != "stats":
+        raise ValueError(
+            "append_bm25_index requires write_bm25_index(appendable=True)")
+    n_prefix, mode = meta["n_prefix"], meta["mode"]
+    inv = inverted_index(new_docs, id_col, text_col, mode)
+    dl = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(text_col, mode)).alias("dl"),
+    )
+    batch = dl.agg(F.sum("dl").alias("total"), F.count("*").alias("nd")).first()
+    tp = (
+        F.conv(F.substring(F.md5("term"), 1, 2), 16, 10).cast("int")
+        % F.lit(n_prefix)
+    )
+    (
+        inv.join(dl, "doc_id")
+        .withColumn("tp", tp)
+        .repartition(1, "tp")
+        .sortWithinPartitions("term")
+        .write.partitionBy("tp")
+        .mode("append")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
+    # merge df increments into ONLY the affected termstats partitions
+    inc = (
+        inv.groupBy("term").agg(F.countDistinct("doc_id").alias("d_inc"))
+        .withColumn("tp", tp)
+        .localCheckpoint()
+    )
+    affected = sorted(r["tp"] for r in inc.select("tp").distinct().collect())
+    ts_dir = os.path.join(index_dir, "termstats")
+    for p in affected:
+        cur_dir = os.path.join(ts_dir, f"tp={p}")
+        cur = (
+            spark.read.parquet(cur_dir).select("term", "df")
+            if os.path.isdir(cur_dir) else None
+        )
+        add = inc.filter(F.col("tp") == p).select(
+            "term", F.col("d_inc").alias("df"))
+        merged = (
+            cur.unionByName(add) if cur is not None else add
+        ).groupBy("term").agg(F.sum("df").alias("df"))
+        staging = os.path.join(ts_dir, f"_stage-{uuid.uuid4().hex[:8]}")
+        merged.coalesce(1).sortWithinPartitions("term") \
+            .write.mode("overwrite").parquet(staging)
+        retired = os.path.join(ts_dir, f"_old-{p}")
+        shutil.rmtree(retired, ignore_errors=True)
+        if os.path.isdir(cur_dir):
+            os.replace(cur_dir, retired)
+        os.replace(staging, cur_dir)
+        shutil.rmtree(retired, ignore_errors=True)
+    meta["nd"] = int(meta["nd"]) + int(batch["nd"])
+    meta["total_tokens"] = int(meta["total_tokens"]) + int(batch["total"])
     tmp = os.path.join(index_dir, "_meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -736,6 +843,16 @@ def bm25_search_indexed(
         .filter(F.col("tp").isin(tps))
         .filter(F.col("term").isin(terms))
     )
+    if meta.get("layout") == "stats":
+        # appendable layout: df rides in termstats — one broadcast join
+        # against the (query-term-pruned, few-row) stats side
+        stats_side = (
+            spark.read.parquet(os.path.join(index_dir, "termstats"))
+            .filter(F.col("tp").isin(tps))
+            .filter(F.col("term").isin(terms))
+            .select("term", "df")
+        )
+        posts = posts.drop("df").join(F.broadcast(stats_side), "term")
     idf = F.log(1.0 + ((nd - F.col("df") + 0.5) / (F.col("df") + 0.5)))
     denom = F.col("tf") + (
         F.lit(float(k1))

@@ -120,6 +120,61 @@ def test_indexed_search_plan_is_pruned(spark, corpus, tmp_path):
                for ln in plan.splitlines())
 
 
+def test_appendable_index_ingest_equals_full_rebuild(spark, corpus, tmp_path):
+    """Append-only ingest: index A, append B -> search equals the direct
+    BM25 over A∪B exactly, and A's posting files are byte-untouched."""
+    import hashlib
+    import os
+
+    from rs_graphdb_spark.functions.text import (
+        append_bm25_index, bm25_search_indexed, write_bm25_index)
+
+    a = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(10, "merge probe merge hash scan"), (11, "join join filter")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "inc")
+    write_bm25_index(a, "doc_id", "text", idx, appendable=True)
+
+    def file_md5s(root):
+        out = {}
+        for r, _d, fs in os.walk(os.path.join(root, "postings")):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(r, f)
+                    out[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    before = file_md5s(idx)
+    append_bm25_index(spark, idx, b, "doc_id", "text")
+    after = file_md5s(idx)
+    for p, h in before.items():
+        assert after[p] == h  # immutable standing postings
+    assert len(after) > len(before)
+
+    direct = {r["doc_id"]: r["score"]
+              for r in bm25_search(a.unionByName(b), "doc_id", "text",
+                                   ["hash", "join", "merge"]).collect()}
+    indexed = {r["doc_id"]: r["score"]
+               for r in bm25_search_indexed(
+                   spark, idx, ["hash", "join", "merge"], k=20).collect()}
+    assert indexed == direct
+
+
+def test_append_requires_appendable_layout(spark, corpus, tmp_path):
+    import pytest as _pytest
+
+    from rs_graphdb_spark.functions.text import (
+        append_bm25_index, write_bm25_index)
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string")
+    idx = str(tmp_path / "denorm")
+    write_bm25_index(df, "doc_id", "text", idx)
+    with _pytest.raises(ValueError):
+        append_bm25_index(spark, idx, df, "doc_id", "text")
+
+
 def test_bm25_search_duplicate_terms_count_once(spark, corpus):
     df = spark.createDataFrame(
         list(corpus.items()), "doc_id long, text string")
