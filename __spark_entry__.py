@@ -2650,11 +2650,25 @@ def q36_text_features(spark, sf_dir):
         "doc_id",
         "left",
     ).select("doc_id", F.coalesce("_zm", F.lit(0)).cast("long").alias("zm"))
+    # distributed classifier TRAINING (r7): two quantized-GD iterations
+    # on hashed features, label = contains 'spark' — the trained
+    # micro-weights AND the post-training integer margins are both
+    # value-checked against the unrolled two-iteration CTE twin
+    from rs_graphdb_spark.functions.train import (
+        score_logreg_hashed, train_logreg_hashed)
+    lab = docs.select(
+        "doc_id", "text",
+        F.col("text").contains("spark").cast("int").alias("_y"))
+    wt = train_logreg_hashed(lab, "doc_id", "text", "_y",
+                             dim=1 << 16, iterations=2, lr=0.5)
+    clt_z = score_logreg_hashed(docs, "doc_id", "text", wt, dim=1 << 16)
     return _quads(
         _metric_quads(pii,
                       {"pii_email": "email", "pii_ip": "ip",
                        "pii_phone": "phone", "pii_num": "id_number"},
                       k="doc_id", s="scrubbed"),
+        _quad("clt_w", wt, k="feature", v="w_micro"),
+        _quad("clt_z", clt_z, k="doc_id", v="zm"),
         _quad("url_norm", urlq, k="doc_id", s="nu"),
         _quad("url_dom", urlq, k="doc_id", s="dom"),
         _quad("url_psl", pslq, k="doc_id", s="dom"),
@@ -5702,6 +5716,78 @@ def oracle_sql() -> dict[str, str]:
         ) z ON z.doc_id = d.doc_id
     """
 
+    # classifier-TRAINING twin (r7): two GD iterations unrolled; every
+    # aggregate is an integer sum (micro-quantized per-example gradient),
+    # the doubles (sigma, err*C) computed with identical association;
+    # C = lr*1e6/n expressed as 500000.0e0 / n so both engines divide
+    # the same operands
+    _clt_step = ("CAST(floor((e * (500000.0e0 / nn.n)) + 0.5e0)"
+                 " AS BIGINT)")
+    _clt_ctes = f"""
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+            FROM documents
+        ),
+        gm AS (
+            SELECT doc_id, list_distinct(list_transform(
+                list_concat(tk,
+                    CASE WHEN len(tk) >= 2 THEN
+                        list_transform(range(len(tk) - 1),
+                                       i -> tk[i + 1] || ' ' || tk[i + 2])
+                    ELSE [] END),
+                s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % 65536)) AS fs
+            FROM t
+        ),
+        f AS MATERIALIZED (SELECT doc_id, unnest(fs) AS feature FROM gm),
+        y AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS y
+            FROM documents
+        ),
+        nn AS (SELECT count(*) AS n FROM documents),
+        e1 AS (
+            SELECT y.doc_id,
+                   ((1.0e0 / (1.0e0 + exp(-(CAST(0 AS BIGINT)
+                                            / 1000000.0e0)))) - y) AS e
+            FROM y
+        ),
+        g1 AS MATERIALIZED (
+            SELECT feature, sum({_clt_step}) AS g
+            FROM f JOIN e1 USING (doc_id) CROSS JOIN nn GROUP BY feature
+        ),
+        w1 AS MATERIALIZED (SELECT feature, -g AS wm FROM g1),
+        z2 AS (
+            SELECT f.doc_id, sum(coalesce(w1.wm, 0)) AS zm
+            FROM f LEFT JOIN w1 USING (feature) GROUP BY f.doc_id
+        ),
+        e2 AS (
+            SELECT y.doc_id,
+                   ((1.0e0 / (1.0e0 + exp(-(CAST(coalesce(z2.zm, 0)
+                                                 AS DOUBLE)
+                                            / 1000000.0e0)))) - y) AS e
+            FROM y LEFT JOIN z2 USING (doc_id)
+        ),
+        g2 AS MATERIALIZED (
+            SELECT feature, sum({_clt_step}) AS g
+            FROM f JOIN e2 USING (doc_id) CROSS JOIN nn GROUP BY feature
+        ),
+        w2 AS MATERIALIZED (
+            SELECT coalesce(w1.feature, g2.feature) AS feature,
+                   coalesce(w1.wm, 0) - coalesce(g2.g, 0) AS wm
+            FROM w1 FULL OUTER JOIN g2 ON g2.feature = w1.feature
+        ),
+        zf AS (
+            SELECT f.doc_id, sum(coalesce(w2.wm, 0)) AS zm
+            FROM f LEFT JOIN w2 USING (feature) GROUP BY f.doc_id
+        )
+    """
+    clt_w_sql = _clt_ctes + \
+        " SELECT feature, CAST(wm AS BIGINT) AS w_micro FROM w2"
+    clt_z_sql = _clt_ctes + """
+        SELECT d.doc_id, CAST(coalesce(zf.zm, 0) AS BIGINT) AS zm
+        FROM documents d LEFT JOIN zf ON zf.doc_id = d.doc_id
+    """
+
     # token-mixture twin: identical double op order (coalesce(w, default)
     # * budget, then least(1, target/total)) — every literal cast to
     # DOUBLE or DuckDB would run the arithmetic in DECIMAL and drift
@@ -6963,6 +7049,8 @@ def oracle_sql() -> dict[str, str]:
             _sql_quad("url_dom", url_sql, k="doc_id", s="dom"),
             _sql_quad("url_psl", psl_sql, k="doc_id", s="dom"),
             _sql_quad("clf_z", clf_sql, k="doc_id", v="zm"),
+            _sql_quad("clt_w", clt_w_sql, k="feature", v="w_micro"),
+            _sql_quad("clt_z", clt_z_sql, k="doc_id", v="zm"),
             _sql_quad("uni_norm", uni_sql, k="doc_id", s="nm"),
             _sql_quad("lang", base["q50_lang_id"], v="cnt", s="lang_guess"),
             _sql_metric_quads(base["q51_quality_scores"],
