@@ -2769,14 +2769,17 @@ def q37_tfidf(spark, sf_dir):
     # BM25 ranked retrieval (r7): postings top-100 + a 3-term query
     # search whose per-doc sum is a FIXED-ORDER conditional-aggregate
     # chain — both engines add the same doubles in the same order
-    from rs_graphdb_spark.functions.text import bm25_search
+    from rs_graphdb_spark.functions.text import bm25_search, phrase_search
     bmq = bm25_search(docs, "doc_id", "text", ["hash", "join", "merge"]).select(
         "doc_id", F.round("score", 6).alias("score"))
+    # positional phrase search (r7): consecutive-occurrence counts
+    ph = phrase_search(docs, "doc_id", "text", ["hash", "join"])
     return _quads(
         _quad("inv", q74_inverted_index(spark, sf_dir), k="doc_id", v="tf", s="term"),
         _quad("tfidf", q75_tfidf(spark, sf_dir), k="doc_id", v="tfidf", s="term"),
         _quad("bm25", q125_bm25(spark, sf_dir), k="doc_id", v="score", s="term"),
         _quad("bm25q", bmq, k="doc_id", v="score"),
+        _quad("phrase", ph, k="doc_id", v="n_occurrences"),
         _metric_quads(lmq,
                       {"lm_nb": "n_bigrams", "lm_match": "n_matched",
                        "lm_cb": "sum_cb", "lm_nll": "nll"},
@@ -7139,6 +7142,27 @@ def oracle_sql() -> dict[str, str]:
             _sql_quad("tfidf", base["q75_tfidf"], k="doc_id", v="tfidf", s="term"),
             _sql_quad("bm25", base["q125_bm25"], k="doc_id", v="score", s="term"),
             _sql_quad("bm25q", _bm25q_sql, k="doc_id", v="score"),
+            _sql_quad(
+                "phrase",
+                """
+                WITH t AS (
+                    SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                    FROM documents
+                ),
+                p AS (
+                    SELECT doc_id, unnest(list_transform(range(len(tk)),
+                        i -> struct_pack(p := i, w := tk[i + 1]))) AS u
+                    FROM t
+                ),
+                inv AS (SELECT doc_id, u.p AS pos, u.w AS term FROM p)
+                SELECT a.doc_id, count(*) AS n_occurrences
+                FROM inv a JOIN inv b
+                  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                WHERE a.term = 'hash' AND b.term = 'join'
+                GROUP BY a.doc_id
+                """,
+                k="doc_id", v="n_occurrences"),
             _sql_metric_quads(lm_sql,
                               {"lm_nb": "n_bigrams", "lm_match": "n_matched",
                                "lm_cb": "sum_cb", "lm_nll": "nll"},

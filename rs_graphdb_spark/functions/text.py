@@ -641,6 +641,51 @@ def bm25_search(df, id_col: str, text_col: str, query_terms: list[str],
     return scored.groupBy("doc_id").agg(total.alias("score"))
 
 
+def inverted_index_positional(df, id_col: str, text_col: str,
+                              mode: str = "ascii"):
+    """Positional postings: one (term, doc_id, pos) row per token
+    occurrence (pos 0-based) — the layout phrase/proximity queries need.
+    Same standing-index posture as :func:`inverted_index`: write it
+    partitioned by term prefix and a phrase probe is a pruned scan."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(text_col, mode)).alias("pos", "term"),
+    ).select("term", "doc_id", "pos")
+
+
+def phrase_search(df, id_col: str, text_col: str, phrase: list[str],
+                  mode: str = "ascii"):
+    """Exact phrase match over positional postings: docs where the query
+    terms occur CONSECUTIVELY, with the occurrence count per doc.
+
+    Plan shape: the positional postings are filtered to the phrase's
+    terms BEFORE any join (term-pruned against a standing positional
+    index), then len(phrase)−1 equi-joins on (doc_id, pos+i) — each join
+    side is query-term-sized, never corpus-sized; the final agg is
+    doc-keyed. Returns (doc_id, n_occurrences)."""
+    from pyspark.sql import functions as F
+
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    inv = inverted_index_positional(df, id_col, text_col, mode).filter(
+        F.col("term").isin(sorted(set(phrase)))
+    )
+    cur = inv.filter(F.col("term") == phrase[0]).select(
+        "doc_id", F.col("pos").alias("p0"))
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = inv.filter(F.col("term") == t).select(
+            F.col("doc_id").alias("_d"), F.col("pos").alias("_p"))
+        cur = cur.join(
+            nxt,
+            (F.col("doc_id") == F.col("_d"))
+            & (F.col("_p") == F.col("p0") + i),
+        ).drop("_d", "_p")
+    return cur.groupBy("doc_id").agg(
+        F.count("*").alias("n_occurrences"))
+
+
 def _term_prefix_py(term: str, n_prefix: int) -> int:
     """Python twin of the index's term-partition derivation (md5 hex
     first byte mod n_prefix) — a query computes its partition list

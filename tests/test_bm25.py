@@ -175,6 +175,24 @@ def test_append_requires_appendable_layout(spark, corpus, tmp_path):
         append_bm25_index(spark, idx, df, "doc_id", "text")
 
 
+def test_phrase_search_counts_consecutive_occurrences(spark):
+    from rs_graphdb_spark.functions.text import phrase_search
+    df = spark.createDataFrame(
+        [(1, "hash join hash join merge"),   # two occurrences
+         (2, "join hash merge"),             # reversed -> none
+         (3, "hash scan join"),              # gap -> none
+         (4, "a a a")],                      # overlapping self-phrase
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_search(df, "doc_id", "text",
+                                  ["hash", "join"]).collect()}
+    assert got == {1: 2}
+    tri = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_search(df, "doc_id", "text",
+                                  ["a", "a"]).collect()}
+    assert tri == {4: 2}  # positions (0,1) and (1,2) both match
+
+
 def test_bm25_search_duplicate_terms_count_once(spark, corpus):
     df = spark.createDataFrame(
         list(corpus.items()), "doc_id long, text string")
