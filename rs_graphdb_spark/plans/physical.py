@@ -193,3 +193,69 @@ class CompositeIndexCatalog:
                 (F.col(p) == F.lit(v)) if p in df.columns else F.lit(False)
             )
         return df.filter(cond).select("id")
+
+
+def zorder_value(
+    cols: list, mins: list[float], maxs: list[float], bits: int = 8
+):
+    """Morton (Z-order) key for up to a handful of numeric columns: each
+    column is width-bucketed to ``2**bits`` cells over its [min, max]
+    range, and the cell bits are INTERLEAVED — so rows close in EVERY
+    dimension get close keys, and a range predicate on any participating
+    column prunes parquet row groups after a sort by this key.
+
+    Pure integer arithmetic (shift/AND/OR composition) — one codegen'd
+    expression, no UDF; mins/maxs come from one bounded aggregate at
+    write time (or table statistics at real scale).
+    """
+    n = len(cols)
+    cells = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        c = F.col(c) if isinstance(c, str) else c
+        span = float(hi) - float(lo)
+        if span <= 0:
+            cells.append(F.lit(0).cast("long"))
+            continue
+        raw = F.floor(
+            ((c.cast("double") - F.lit(float(lo))) / F.lit(span))
+            * F.lit(float(1 << bits))
+        ).cast("long")
+        cells.append(F.least(F.lit((1 << bits) - 1), F.greatest(F.lit(0), raw)))
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for d, cell in enumerate(cells):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(cell, bit).bitwiseAND(F.lit(1)),
+                    bit * n + d,
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    n_files: int = 32,
+) -> None:
+    """Persist ``df`` Z-ORDER clustered on ``cols``: range-partitioned +
+    sorted by the Morton key, so every output file covers a compact
+    hyper-rectangle and parquet min/max footer stats prune multi-column
+    range queries that a single-column sort can only prune on ONE axis.
+    The lakehouse OPTIMIZE ZORDER shape, as a plain write."""
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"_mn{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"_mx{i}") for i, c in enumerate(cols)],
+    ).first()
+    mins = [stats[f"_mn{i}"] for i in range(len(cols))]
+    maxs = [stats[f"_mx{i}"] for i in range(len(cols))]
+    (
+        df.withColumn("_z", zorder_value(cols, mins, maxs, bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
