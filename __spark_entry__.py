@@ -2416,6 +2416,26 @@ def q35_sources(spark, sf_dir):
          ("export_json_rows", None, float(n_json), None)],
         "part string, k long, v double, s string",
     )
+    # Z-order clustered write/reload (r7): the reload must be
+    # content-identical — per-bucket counts and exact value sums over
+    # the round-tripped table equal the oracle's direct aggregation
+    # (file compactness itself is pytest-pinned; this pins the WRITE)
+    import tempfile as _tf
+
+    from rs_graphdb_spark.plans.physical import write_zordered
+    zdir = _tf.mkdtemp(prefix="zord_q35_")
+    ev = _events_projected(spark, sf_dir).select("user_id", "t_us")
+    write_zordered(ev, zdir, ["user_id", "t_us"], bits=8, n_files=8)
+    zagg = (
+        spark.read.parquet(zdir)
+        .groupBy((F.col("user_id") % 16).alias("ub"))
+        .agg(F.count("*").alias("cnt"),
+             # DECIMAL sum: epoch-microsecond longs overflow int64 sums
+             F.sum(F.col("t_us").cast("decimal(38,0)")).alias("sum_t"))
+        .select("ub", "cnt",
+                (F.col("sum_t") % F.lit(1_000_000_007))
+                .cast("long").alias("sm"))
+    )
     return _quads(
         _quad("json_src", q71_json_query_source(spark, sf_dir), k="id", v="totalprice"),
         _quad("persist", q73_persistence_roundtrip(spark, sf_dir), v="n_nations", s="r_name"),
@@ -2427,6 +2447,7 @@ def q35_sources(spark, sf_dir):
         _metric_quads(q98_circle_layout(spark, sf_dir),
                       {"lay_x": "x", "lay_y": "y"}, k="id"),
         export_parts,
+        _metric_quads(zagg, {"zord_n": "cnt", "zord_s": "sm"}, k="ub"),
     )
 
 
@@ -7041,6 +7062,19 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT (SELECT count(*) FROM nation)"
                 " + (SELECT count(*) FROM region) AS n",
                 v="n",
+            ),
+            # z-order write/reload content twin: direct aggregation over
+            # events (HUGEINT sum — epoch-microsecond longs overflow
+            # int64 sums at sf1)
+            _sql_metric_quads(
+                """
+                SELECT CAST(user_id % 16 AS BIGINT) AS ub,
+                       count(*) AS cnt,
+                       CAST(sum(CAST(epoch_us(ts) AS HUGEINT))
+                            % 1000000007 AS BIGINT) AS sm
+                FROM events GROUP BY 1
+                """,
+                {"zord_n": "cnt", "zord_s": "sm"}, k="ub",
             ),
         ),
         "q36_text_features": _sql_union(
