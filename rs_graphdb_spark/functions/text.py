@@ -686,6 +686,45 @@ def phrase_search(df, id_col: str, text_col: str, phrase: list[str],
         F.count("*").alias("n_occurrences"))
 
 
+def proximity_search(df, id_col: str, text_col: str, terms: list[str],
+                     window: int = 8, mode: str = "ascii"):
+    """Proximity match over positional postings: docs where ALL query
+    terms co-occur inside a token window of width ``window`` (any
+    order). Returns (doc_id, span) with the tightest such span.
+
+    Same pruned plan shape as :func:`phrase_search` — postings filtered
+    to the query terms before any join; the per-doc candidate frame is
+    query-term occurrences only, and the tightest span is one doc-keyed
+    aggregation over the joined position tuples."""
+    from pyspark.sql import functions as F
+
+    uniq = sorted(set(terms))
+    if len(uniq) < 2:
+        raise ValueError("proximity_search needs >= 2 distinct terms")
+    inv = inverted_index_positional(df, id_col, text_col, mode).filter(
+        F.col("term").isin(uniq))
+    sides = [
+        inv.filter(F.col("term") == t)
+        .select(F.col("doc_id").alias(f"_d{i}"), F.col("pos").alias(f"_p{i}"))
+        for i, t in enumerate(uniq)
+    ]
+    joined = sides[0]
+    for i in range(1, len(sides)):
+        joined = joined.join(
+            sides[i],
+            (F.col(f"_d{i}") == F.col("_d0"))
+            # pre-bound the join so a frequent term cannot explode:
+            # only position tuples already inside the window survive
+            & (F.abs(F.col(f"_p{i}") - F.col("_p0")) < window),
+        )
+    pos_cols = [F.col(f"_p{i}") for i in range(len(sides))]
+    span = F.greatest(*pos_cols) - F.least(*pos_cols) if len(pos_cols) > 1 \
+        else F.lit(0)
+    spans = joined.select(F.col("_d0").alias("doc_id"), span.alias("_s")) \
+        .filter(F.col("_s") < window)
+    return spans.groupBy("doc_id").agg(F.min("_s").alias("span"))
+
+
 def _term_prefix_py(term: str, n_prefix: int) -> int:
     """Python twin of the index's term-partition derivation (md5 hex
     first byte mod n_prefix) — a query computes its partition list

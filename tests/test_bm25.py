@@ -193,6 +193,26 @@ def test_phrase_search_counts_consecutive_occurrences(spark):
     assert tri == {4: 2}  # positions (0,1) and (1,2) both match
 
 
+def test_proximity_search_window_and_tightest_span(spark):
+    from rs_graphdb_spark.functions.text import proximity_search
+    df = spark.createDataFrame(
+        [(1, "hash x y join"),                 # span 3
+         (2, "join a b c d e f g hash"),       # span 8 -> outside w=8
+         (3, "merge hash join"),               # hash..join span 1
+         (4, "hash only here")],               # missing 'join'
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["span"]
+           for r in proximity_search(df, "doc_id", "text",
+                                     ["hash", "join"], window=8).collect()}
+    assert got == {1: 3, 3: 1}
+    # three-term proximity: all must co-occur
+    tri = {r["doc_id"]: r["span"]
+           for r in proximity_search(df, "doc_id", "text",
+                                     ["merge", "hash", "join"],
+                                     window=8).collect()}
+    assert tri == {3: 2}
+
+
 def test_bm25_search_duplicate_terms_count_once(spark, corpus):
     df = spark.createDataFrame(
         list(corpus.items()), "doc_id long, text string")
