@@ -3377,7 +3377,7 @@ def q49_pack_sequences(spark, sf_dir):
     # merges close the loop end-to-end (bpe_n)
     from rs_graphdb_spark.functions.bpe import bpe_token_counts, bpe_train
     docs_b = _read(spark, sf_dir, "documents")
-    m, _v = bpe_train(docs_b, "doc_id", "text", num_merges=6)
+    m, _v = bpe_train(docs_b, "text", num_merges=6)
     ml = [(r["l"], r["r"]) for r in m.orderBy("rank").collect()]
     bpe_cnt = bpe_token_counts(docs_b, "doc_id", "text", ml)
     # RAG retrieval composition (r7): BM25 ranked top-20 CHUNKS for a
@@ -3736,7 +3736,7 @@ def q126_bpe(spark, sf_dir):
     from rs_graphdb_spark.functions.bpe import bpe_token_counts, bpe_train
 
     docs = _read(spark, sf_dir, "documents")
-    m, _v = bpe_train(docs, "doc_id", "text", num_merges=6)
+    m, _v = bpe_train(docs, "text", num_merges=6)
     ml = [(r["l"], r["r"]) for r in m.orderBy("rank").collect()]
     return bpe_token_counts(docs, "doc_id", "text", ml)
 

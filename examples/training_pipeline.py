@@ -243,7 +243,7 @@ def main() -> None:
     from rs_graphdb_spark.functions.bpe import (
         bpe_artifact, bpe_encode_ids, bpe_train)
 
-    m, v = bpe_train(docs, "doc_id", "text", num_merges=6)
+    m, v = bpe_train(docs, "text", num_merges=6)
     m.orderBy("rank").show()
     art = bpe_artifact(m, v)
     bpe_encode_ids(docs, "doc_id", "text", art).select(

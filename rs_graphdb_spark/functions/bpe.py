@@ -25,6 +25,8 @@ expressible as plain DataFrame algebra:
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -37,6 +39,58 @@ def _seq_init(word):
     """Padded doubled-space char sequence: 'abc' -> ' a  b  c '."""
     spaced = F.trim(F.regexp_replace(word, "(.)", "$1 "))
     return F.concat(F.lit(" "), F.regexp_replace(spaced, " ", "  "), F.lit(" "))
+
+
+@functools.lru_cache(maxsize=1)
+def bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte↔unicode table (public BPE convention): every byte
+    0..255 maps to a PRINTABLE single codepoint with no whitespace, so
+    byte symbols survive the padded doubled-space string algebra intact.
+    Printable latin bytes keep their own codepoint; the rest take
+    256, 257, … in byte order."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAD))
+        + list(range(0xAE, 0x100))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+@functools.lru_cache(maxsize=1)
+def unicode_to_bytes() -> dict[str, int]:
+    return {c: b for b, c in bytes_to_unicode().items()}
+
+
+def _byte_map_col():
+    """Plan-literal MAP from 2-hex-digit byte value to its GPT-2 byte
+    symbol (256 entries — bounded tokenizer metadata, like the id map)."""
+    b2u = bytes_to_unicode()
+    entries = []
+    for b in range(256):
+        entries.extend([F.lit(f"{b:02X}"), F.lit(b2u[b])])
+    return F.create_map(*entries)
+
+
+def _byte_seq_init(word):
+    """Padded doubled-space BYTE-symbol sequence: each UTF-8 byte of the
+    word becomes one symbol via the GPT-2 byte table ('hi' -> ' h  i ';
+    a 2-byte codepoint yields two byte symbols). Pure codegen: hex the
+    UTF-8 bytes, split into 2-digit groups, map through the literal
+    byte table."""
+    m = _byte_map_col()
+    hexs = F.hex(F.encode(word, "UTF-8"))
+    toks = F.split(F.trim(F.regexp_replace(hexs, "(..)", "$1 ")), " ")
+    mapped = F.transform(toks, lambda h: F.element_at(m, h))
+    return F.when(F.length(word) == 0, F.lit(" ")).otherwise(
+        F.concat(F.lit(" "), F.array_join(mapped, "  "), F.lit(" "))
+    )
 
 
 def _pairs(seq_col):
@@ -60,9 +114,12 @@ def _pairs(seq_col):
     )[0]
 
 
-def word_counts(df: DataFrame, id_col: str, text_col: str,
+def word_counts(df: DataFrame, text_col: str,
                 mode: str = "ascii") -> DataFrame:
-    """Corpus word-frequency table — the single corpus scan BPE needs."""
+    """Corpus word-frequency table — the single corpus scan BPE needs.
+
+    A corpus-level aggregation: only the text column matters (no id
+    parameter — r7 advisor note)."""
     return (
         df.select(F.explode(tokenize(text_col, mode)).alias("word"))
         .groupBy("word")
@@ -72,10 +129,10 @@ def word_counts(df: DataFrame, id_col: str, text_col: str,
 
 def bpe_train(
     df: DataFrame,
-    id_col: str,
     text_col: str,
     num_merges: int = 8,
     mode: str = "ascii",
+    byte_level: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``num_merges`` BPE merges over the corpus.
 
@@ -87,9 +144,15 @@ def bpe_train(
 
     A round with no remaining pairs contributes no merge row and leaves
     the vocabulary unchanged (the 1-row argmax is LEFT-joined, so an
-    empty round cannot wipe the vocabulary)."""
-    vocab = word_counts(df, id_col, text_col, mode).select(
-        "word", "cnt", _seq_init(F.col("word")).alias("seq")
+    empty round cannot wipe the vocabulary).
+
+    ``byte_level=True`` trains over UTF-8 BYTE symbols (GPT-2 byte
+    table) instead of characters: the base alphabet is the fixed 256
+    byte symbols, so a trained tokenizer encodes ANY string losslessly
+    (see :func:`bpe_encode_ids` byte fallback)."""
+    init = _byte_seq_init if byte_level else _seq_init
+    vocab = word_counts(df, text_col, mode).select(
+        "word", "cnt", init(F.col("word")).alias("seq")
     ).localCheckpoint()
     merges = None
     for rank in range(num_merges):
@@ -133,20 +196,36 @@ def bpe_encode(
     text_col: str,
     merges: list[tuple[str, str]],
     mode: str = "ascii",
+    byte_level: bool = False,
+    broadcast_words: bool | str = "auto",
 ) -> DataFrame:
     """Encode documents with a learned merge list: (id, word_idx, tokens).
 
     The merge list is tokenizer metadata (num_merges rows — bounded like
     a centroid table), applied as literal replaces to the DISTINCT words
-    of the input, then broadcast-joined back onto the exploded corpus —
-    one corpus scan, vocabulary-sized merge work, no per-document loop.
-    Unseen words fall back transparently: they enter the distinct-word
-    table and get the same merge applications."""
+    of the input, then joined back onto the exploded corpus — one corpus
+    scan, vocabulary-sized merge work, no per-document loop. Unseen
+    words fall back transparently: they enter the distinct-word table
+    and get the same merge applications.
+
+    ``broadcast_words`` gates the word-table join strategy (the
+    ``score_bigram_lm(broadcast_lm=...)`` precedent): the distinct-word
+    table is CORPUS-derived and unbounded at open-vocabulary web scale
+    (URLs, typos, code tokens — 10⁸⁺ rows at 100 TB), so a forced
+    broadcast would OOM executors there.
+
+    - ``"auto"`` (default): no hint — AQE picks broadcast at runtime
+      when the measured build side is small, shuffle join otherwise.
+    - ``True``: force broadcast (known-bounded vocabulary only).
+    - ``False``: force a shuffle join (``shuffle_hash`` hint) — the
+      open-vocabulary plan; no ``BroadcastExchange`` appears.
+    """
+    init = _byte_seq_init if byte_level else _seq_init
     words = (
         df.select(F.posexplode(tokenize(text_col, mode))
                   .alias("word_idx", "word"))
         .select("word").distinct()
-        .select("word", _seq_init(F.col("word")).alias("seq"))
+        .select("word", init(F.col("word")).alias("seq"))
     )
     seq = F.col("seq")
     for left, right in merges:
@@ -156,29 +235,47 @@ def bpe_encode(
             F.lit(f" {left}{right} "),
         )
     encoded = words.select("word", F.split(F.trim(seq), "  ").alias("tokens"))
+    if broadcast_words is True:
+        encoded = F.broadcast(encoded)
+    elif broadcast_words is False:
+        encoded = encoded.hint("shuffle_hash")
+    elif broadcast_words != "auto":
+        raise ValueError(
+            f"broadcast_words must be True|False|'auto', got"
+            f" {broadcast_words!r}")
     return (
         df.select(F.col(id_col),
                   F.posexplode(tokenize(text_col, mode))
                   .alias("word_idx", "word"))
-        .join(F.broadcast(encoded), "word")
+        .join(encoded, "word")
         .select(id_col, "word_idx", "tokens")
     )
 
 
-def bpe_artifact(merges: DataFrame, vocab: DataFrame) -> dict:
+def bpe_artifact(merges: DataFrame, vocab: DataFrame,
+                 byte_level: bool = False) -> dict:
     """Tokenizer artifact from a :func:`bpe_train` result: the ordered
-    merge list plus the training alphabet (distinct characters of the
-    word table). ids assign 0..|alphabet|−1 to the sorted alphabet and
-    one new id per merge in rank order — the standard BPE vocab shape."""
+    merge list plus the base alphabet. ids assign 0..|alphabet|−1 to the
+    alphabet and one new id per merge in rank order — the standard BPE
+    vocab shape.
+
+    ``byte_level=True`` (pair with ``bpe_train(byte_level=True)``): the
+    alphabet is the FIXED 256 GPT-2 byte symbols in byte order (ids 0-255
+    == byte values), independent of the training corpus — the byte
+    fallback that makes every string encodable with zero unks."""
     ml = [[r["l"], r["r"]] for r in merges.orderBy("rank").collect()]
-    alphabet = sorted({
-        ch
-        for r in vocab.select(
-            F.explode(F.split("word", "")).alias("c")
-        ).filter(F.col("c") != "").distinct().collect()
-        for ch in r["c"]
-    })
-    return {"merges": ml, "alphabet": alphabet}
+    if byte_level:
+        b2u = bytes_to_unicode()
+        alphabet = [b2u[b] for b in range(256)]
+    else:
+        alphabet = sorted({
+            ch
+            for r in vocab.select(
+                F.explode(F.split("word", "")).alias("c")
+            ).filter(F.col("c") != "").distinct().collect()
+            for ch in r["c"]
+        })
+    return {"merges": ml, "alphabet": alphabet, "byte_level": byte_level}
 
 
 def save_bpe_artifact(artifact: dict, path: str) -> None:
@@ -222,18 +319,28 @@ def bpe_encode_ids(
     artifact: dict,
     mode: str = "ascii",
     unk_id: int = -1,
+    broadcast_words: bool | str = "auto",
 ) -> DataFrame:
     """Encode documents to integer token-id sequences under a trained
     artifact: (id, word_idx, ids ARRAY<INT>). The vocab is bounded
     (alphabet + merges), so the id lookup is a plan-literal MAP — the
-    encode stays one corpus scan plus the vocabulary-sized merge work;
-    symbols outside the vocab (unseen characters) map to ``unk_id``."""
+    encode stays one corpus scan plus the vocabulary-sized merge work.
+
+    Char-level artifacts map symbols outside the vocab (unseen
+    characters) to ``unk_id``; BYTE-LEVEL artifacts
+    (``artifact["byte_level"]``) decompose every word into UTF-8 byte
+    symbols whose 256 base ids always exist — zero unks on any input,
+    and :func:`bpe_decode_ids` restores the exact word."""
     ids = token_ids(artifact)
     entries = []
     for tok, i in ids.items():
         entries.extend([F.lit(tok), F.lit(i)])
     idmap = F.create_map(*entries)
-    enc = bpe_encode(df, id_col, text_col, list(artifact["merges"]), mode)
+    enc = bpe_encode(
+        df, id_col, text_col, list(artifact["merges"]), mode,
+        byte_level=bool(artifact.get("byte_level")),
+        broadcast_words=broadcast_words,
+    )
     return enc.select(
         id_col, "word_idx",
         F.transform(
@@ -241,6 +348,80 @@ def bpe_encode_ids(
             lambda t: F.coalesce(F.element_at(idmap, t), F.lit(unk_id)),
         ).alias("ids"),
     )
+
+
+def bpe_encode_strings(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    artifact: dict,
+    broadcast_words: bool | str = "auto",
+) -> DataFrame:
+    """Encode a STRING column verbatim — no tokenizer — to token ids:
+    (id, ids ARRAY<INT>). Byte-level artifacts only: every codepoint
+    (emoji, punctuation, whitespace, any script) decomposes into UTF-8
+    byte symbols whose 256 base ids always exist, so
+    ``bpe_decode_ids(ids) == value`` for ANY string value. The byte
+    symbols are space-free (GPT-2 table), so the padded doubled-space
+    merge algebra is safe even for values containing literal spaces.
+
+    Same join discipline as :func:`bpe_encode`: merges apply to the
+    DISTINCT values, joined back under the ``broadcast_words`` gate."""
+    if not artifact.get("byte_level"):
+        raise ValueError("bpe_encode_strings requires a byte_level "
+                         "artifact (char-level vocabularies are lossy)")
+    ids = token_ids(artifact)
+    entries = []
+    for tok, i in ids.items():
+        entries.extend([F.lit(tok), F.lit(i)])
+    idmap = F.create_map(*entries)
+    vals = (df.select(F.col(str_col).alias("_v")).distinct()
+            .select("_v", _byte_seq_init(F.col("_v")).alias("seq")))
+    seq = F.col("seq")
+    for left, right in artifact["merges"]:
+        seq = F.replace(seq, F.lit(f" {left}  {right} "),
+                        F.lit(f" {left}{right} "))
+    enc = vals.select(
+        "_v",
+        F.transform(
+            F.array(F.split(F.trim(seq), "  ")),
+            lambda t: F.when(
+                F.length(F.col("_v")) == 0, F.array().cast("array<int>")
+            ).otherwise(
+                F.transform(t, lambda s: F.element_at(idmap, s))
+            ),
+        )[0].alias("ids"),
+    )
+    if broadcast_words is True:
+        enc = F.broadcast(enc)
+    elif broadcast_words is False:
+        enc = enc.hint("shuffle_hash")
+    elif broadcast_words != "auto":
+        raise ValueError(
+            f"broadcast_words must be True|False|'auto', got"
+            f" {broadcast_words!r}")
+    return (
+        df.select(F.col(id_col), F.col(str_col).alias("_v"))
+        .join(enc, "_v")
+        .select(id_col, "ids")
+    )
+
+
+def bpe_decode_ids(ids: list[int], artifact: dict) -> str:
+    """Inverse of :func:`bpe_encode_ids` for one token-id sequence
+    (driver-side tokenizer metadata work — vocab-bounded, not a corpus
+    job). Byte-level artifacts map symbols back through the GPT-2 byte
+    table and UTF-8-decode, so ``decode(encode(word)) == word`` for ANY
+    word; char-level artifacts concatenate symbols (unk ids raise)."""
+    inv = {i: tok for tok, i in token_ids(artifact).items()}
+    try:
+        s = "".join(inv[i] for i in ids)
+    except KeyError as e:
+        raise ValueError(f"unknown token id {e.args[0]}") from None
+    if artifact.get("byte_level"):
+        u2b = unicode_to_bytes()
+        return bytes(u2b[c] for c in s).decode("utf-8")
+    return s
 
 
 def bpe_sql(
@@ -315,11 +496,14 @@ def bpe_token_counts(
     text_col: str,
     merges: list[tuple[str, str]],
     mode: str = "ascii",
+    byte_level: bool = False,
+    broadcast_words: bool | str = "auto",
 ) -> DataFrame:
     """Per-document BPE token count under a learned merge list — the
     token-budget accountant for mixture planning / packing when budgets
     are in subword units rather than words."""
-    enc = bpe_encode(df, id_col, text_col, merges, mode)
+    enc = bpe_encode(df, id_col, text_col, merges, mode,
+                     byte_level=byte_level, broadcast_words=broadcast_words)
     return (
         enc.groupBy(id_col)
         .agg(F.sum(F.size("tokens")).alias("n_bpe_tokens"))

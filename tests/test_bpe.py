@@ -23,7 +23,7 @@ def corpus(spark):
 
 
 def test_merge_order_matches_sennrich(corpus):
-    m, v = bpe_train(corpus, "doc_id", "text", num_merges=6)
+    m, v = bpe_train(corpus, "text", num_merges=6)
     merges = [(r["l"], r["r"], r["pc"]) for r in m.orderBy("rank").collect()]
     # es(11) -> est(11) -> lo(9) -> low(9) -> ew(7) -> ewest(7); ties at
     # equal count break lexicographically (e,s < e,w at count 11? no —
@@ -40,7 +40,7 @@ def test_boundary_never_merges_across_tokens(spark):
     # only merge where BOTH tokens match exactly
     df = spark.createDataFrame(
         [(1, "xab xab ab")], "doc_id long, text string")
-    m, v = bpe_train(df, "doc_id", "text", num_merges=1)
+    m, v = bpe_train(df, "text", num_merges=1)
     (row,) = m.collect()
     assert (row["l"], row["r"]) == ("a", "b")  # pair count 3 beats x,a
     seqs = {r["word"]: r["seq"] for r in v.collect()}
@@ -51,7 +51,7 @@ def test_boundary_never_merges_across_tokens(spark):
 def test_consecutive_pair_occurrences_all_merge(spark):
     df = spark.createDataFrame(
         [(1, "abab abab")], "doc_id long, text string")
-    m, v = bpe_train(df, "doc_id", "text", num_merges=1)
+    m, v = bpe_train(df, "text", num_merges=1)
     (row,) = m.collect()
     assert (row["l"], row["r"]) == ("a", "b")
     # ' a  b  a  b ' must become ' ab  ab ' (both occurrences)
@@ -60,7 +60,7 @@ def test_consecutive_pair_occurrences_all_merge(spark):
 
 def test_exhausted_merges_leave_vocab_intact(spark):
     df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
-    m, v = bpe_train(df, "doc_id", "text", num_merges=4)
+    m, v = bpe_train(df, "text", num_merges=4)
     # round 0 merges (a,b); rounds 1-3 have no pairs left -> no rows,
     # vocab unchanged rather than wiped
     assert m.count() == 1
@@ -68,7 +68,7 @@ def test_exhausted_merges_leave_vocab_intact(spark):
 
 
 def test_encode_and_counts(corpus):
-    m, _ = bpe_train(corpus, "doc_id", "text", num_merges=6)
+    m, _ = bpe_train(corpus, "text", num_merges=6)
     ml = [(r["l"], r["r"]) for r in m.orderBy("rank").collect()]
     enc = {(r["doc_id"], r["word_idx"]): r["tokens"]
            for r in bpe_encode(corpus, "doc_id", "text", ml).collect()}
@@ -88,7 +88,7 @@ def test_unicode_mode_merges_latin_and_passes_cjk(spark):
     df = spark.createDataFrame(
         [(1, "newest newest newest 数据 数据")],
         "doc_id long, text string")
-    m, v = bpe_train(df, "doc_id", "text", num_merges=2, mode="unicode")
+    m, v = bpe_train(df, "text", num_merges=2, mode="unicode")
     merges = [(r["l"], r["r"]) for r in m.orderBy("rank").collect()]
     # all Latin pairs tie at count 3 after (e,s); the deterministic
     # (count desc, l, r) tie-break then picks (e,w) — 'e' < 'es'
@@ -108,7 +108,7 @@ def test_artifact_roundtrip_and_ids(spark, corpus, tmp_path):
     from rs_graphdb_spark.functions.bpe import (
         bpe_artifact, bpe_encode_ids, load_bpe_artifact,
         save_bpe_artifact, token_ids)
-    m, v = bpe_train(corpus, "doc_id", "text", num_merges=6)
+    m, v = bpe_train(corpus, "text", num_merges=6)
     art = bpe_artifact(m, v)
     p = str(tmp_path / "tok.json")
     save_bpe_artifact(art, p)
@@ -130,7 +130,7 @@ def test_artifact_roundtrip_and_ids(spark, corpus, tmp_path):
 def test_encode_ids_unknown_char_maps_to_unk(spark, tmp_path):
     from rs_graphdb_spark.functions.bpe import bpe_artifact, bpe_encode_ids
     train = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
-    m, v = bpe_train(train, "doc_id", "text", num_merges=1)
+    m, v = bpe_train(train, "text", num_merges=1)
     art = bpe_artifact(m, v)
     new = spark.createDataFrame([(9, "ab zq")], "doc_id long, text string")
     enc = {(r["doc_id"], r["word_idx"]): r["ids"]
@@ -145,7 +145,7 @@ def test_duckdb_twin_matches(spark, corpus):
     con = duckdb.connect()
     con.register("documents", pdf)
     m_sql, c_sql = bpe_sql(num_merges=6)
-    m, _ = bpe_train(corpus, "doc_id", "text", num_merges=6)
+    m, _ = bpe_train(corpus, "text", num_merges=6)
     ml = [(r["l"], r["r"]) for r in m.orderBy("rank").collect()]
     got = [(r[1], r[2]) for r in con.execute(m_sql + " ORDER BY rank").fetchall()]
     assert got == ml
@@ -154,3 +154,139 @@ def test_duckdb_twin_matches(spark, corpus):
                      corpus, "doc_id", "text", ml).collect()}
     cnt_duck = dict(con.execute(c_sql).fetchall())
     assert cnt_spark == cnt_duck
+
+
+# ---------------------------------------------------------------- r8:
+# byte-level (GPT-2 byte table) BPE + the broadcast_words gate
+
+
+def test_byte_table_is_a_bijection():
+    from rs_graphdb_spark.functions.bpe import (
+        bytes_to_unicode, unicode_to_bytes)
+    b2u = bytes_to_unicode()
+    assert sorted(b2u) == list(range(256))
+    assert len(set(b2u.values())) == 256
+    # every byte symbol is ONE codepoint with no whitespace — the padded
+    # doubled-space algebra's invariant
+    assert all(len(c) == 1 and not c.isspace() for c in b2u.values())
+    assert unicode_to_bytes() == {c: b for b, c in b2u.items()}
+
+
+def test_byte_level_train_matches_char_level_on_ascii(corpus):
+    # on pure-ASCII text every char is one byte, so byte-level training
+    # must learn the identical merge list (symbols differ only by table)
+    mc, _ = bpe_train(corpus, "text", num_merges=6)
+    mb, _ = bpe_train(corpus, "text", num_merges=6, byte_level=True)
+    char_merges = [(r["l"], r["r"], r["pc"])
+                   for r in mc.orderBy("rank").collect()]
+    byte_merges = [(r["l"], r["r"], r["pc"])
+                   for r in mb.orderBy("rank").collect()]
+    assert byte_merges == char_merges  # ascii printable maps to itself
+
+
+def test_byte_level_word_roundtrip_no_unks(spark, corpus):
+    from rs_graphdb_spark.functions.bpe import (
+        bpe_artifact, bpe_decode_ids, bpe_encode_ids)
+    from rs_graphdb_spark.functions.text import tokenize
+    m, v = bpe_train(corpus, "text", num_merges=6, byte_level=True)
+    art = bpe_artifact(m, v, byte_level=True)
+    assert len(art["alphabet"]) == 256 and art["byte_level"]
+    docs = spark.createDataFrame(
+        [(1, "low lower café 東京 naïve"), (2, "newest русский 한국어")],
+        "doc_id long, text string")
+    words = {(r["doc_id"], r["word_idx"]): r["word"]
+             for r in docs.select(
+                 "doc_id",
+                 F.posexplode(tokenize("text", "unicode"))
+                 .alias("word_idx", "word")).collect()}
+    enc = bpe_encode_ids(docs, "doc_id", "text", art,
+                         mode="unicode").collect()
+    assert len(enc) == len(words)
+    for r in enc:
+        assert all(i >= 0 for i in r["ids"]), r  # byte fallback: no unks
+        assert bpe_decode_ids(r["ids"], art) == \
+            words[(r["doc_id"], r["word_idx"])]
+
+
+def test_encode_strings_lossless_arbitrary_unicode(spark, corpus):
+    from rs_graphdb_spark.functions.bpe import (
+        bpe_artifact, bpe_decode_ids, bpe_encode_strings)
+    m, v = bpe_train(corpus, "text", num_merges=6, byte_level=True)
+    art = bpe_artifact(m, v, byte_level=True)
+    cases = ["hello world", "東京タワー 2024", "naïve café ☕",
+             "emoji: 😀🎉👍", "mixed  sp\taces\nand newlines", "",
+             "русский текст", "한국어", "\U0001F469‍\U0001F4BB",
+             "punct!@#$%^&*()[]{};:'\",.<>/?\\|`~"]
+    sdf = spark.createDataFrame(list(enumerate(cases)), "id long, s string")
+    out = {r["id"]: r["ids"]
+           for r in bpe_encode_strings(sdf, "id", "s", art).collect()}
+    for i, c in enumerate(cases):
+        assert all(x is not None and x >= 0 for x in out[i])
+        assert bpe_decode_ids(out[i], art) == c
+    # learned ascii merges still apply inside byte space
+    lows = spark.createDataFrame([(0, "low")], "id long, s string")
+    (row,) = bpe_encode_strings(lows, "id", "s", art).collect()
+    assert len(row["ids"]) == 1  # 'low' merged to a single token
+
+
+def test_encode_strings_rejects_char_level_artifact(spark, corpus):
+    from rs_graphdb_spark.functions.bpe import (
+        bpe_artifact, bpe_encode_strings)
+    m, v = bpe_train(corpus, "text", num_merges=2)
+    art = bpe_artifact(m, v)
+    sdf = spark.createDataFrame([(0, "x")], "id long, s string")
+    with pytest.raises(ValueError, match="byte_level"):
+        bpe_encode_strings(sdf, "id", "s", art)
+
+
+def test_byte_level_token_budget_parity(spark, corpus):
+    from rs_graphdb_spark.functions.bpe import (
+        bpe_artifact, bpe_encode_ids)
+    m, v = bpe_train(corpus, "text", num_merges=6, byte_level=True)
+    art = bpe_artifact(m, v, byte_level=True)
+    ml = [tuple(x) for x in art["merges"]]
+    budget = {r["doc_id"]: r["n_bpe_tokens"]
+              for r in bpe_token_counts(
+                  corpus, "doc_id", "text", ml, byte_level=True).collect()}
+    per_word = (bpe_encode_ids(corpus, "doc_id", "text", art)
+                .groupBy("doc_id")
+                .agg(F.sum(F.size("ids")).alias("n")).collect())
+    assert budget == {r["doc_id"]: r["n"] for r in per_word}
+
+
+def test_broadcast_words_gate_plan_shape(corpus):
+    m, _ = bpe_train(corpus, "text", num_merges=2)
+    ml = [(r["l"], r["r"]) for r in m.orderBy("rank").collect()]
+
+    def plan(bw):
+        df = bpe_encode(corpus, "doc_id", "text", ml,
+                        broadcast_words=bw)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # the open-vocabulary plan: a real shuffle join, NO BroadcastExchange
+    off = plan(False)
+    assert "BroadcastExchange" not in off
+    assert "ShuffledHashJoin" in off or "SortMergeJoin" in off
+    # the bounded-vocabulary plan keeps the broadcast
+    assert "BroadcastExchange" in plan(True)
+    with pytest.raises(ValueError, match="broadcast_words"):
+        bpe_encode(corpus, "doc_id", "text", ml, broadcast_words="yes")
+
+
+def test_broadcast_words_false_same_answers(corpus):
+    m, _ = bpe_train(corpus, "text", num_merges=6)
+    ml = [(r["l"], r["r"]) for r in m.orderBy("rank").collect()]
+    base = {(r["doc_id"], r["word_idx"]): r["tokens"]
+            for r in bpe_encode(corpus, "doc_id", "text", ml).collect()}
+    off = {(r["doc_id"], r["word_idx"]): r["tokens"]
+           for r in bpe_encode(corpus, "doc_id", "text", ml,
+                               broadcast_words=False).collect()}
+    assert base == off
+
+
+def test_decode_rejects_unknown_id(corpus):
+    from rs_graphdb_spark.functions.bpe import bpe_artifact, bpe_decode_ids
+    m, v = bpe_train(corpus, "text", num_merges=1)
+    art = bpe_artifact(m, v)
+    with pytest.raises(ValueError, match="unknown token id"):
+        bpe_decode_ids([99999], art)

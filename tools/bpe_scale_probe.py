@@ -58,7 +58,7 @@ def main() -> None:
         print(f"| {tag} | {time.time() - t0:.2f} s |", flush=True)
 
     def train_and_count(docs):
-        m, _v = bpe_train(docs, "doc_id", "text", num_merges=6)
+        m, _v = bpe_train(docs, "text", num_merges=6)
         ml = [(r["l"], r["r"]) for r in m.orderBy("rank").collect()]
         bpe_token_counts(docs, "doc_id", "text", ml) \
             .write.mode("overwrite").format("noop").save()
@@ -68,7 +68,7 @@ def main() -> None:
         docs = synth_docs(spark, n, 40)
         docs.count()
         run(f"word-count scan, {n:,} docs",
-            lambda: word_counts(docs, "doc_id", "text")
+            lambda: word_counts(docs, "text")
             .write.mode("overwrite").format("noop").save())
         run(f"train(6)+encode, {n:,} docs", lambda: train_and_count(docs))
         docs.unpersist()
