@@ -2683,7 +2683,47 @@ def q36_text_features(spark, sf_dir):
     wt = train_logreg_hashed(lab, "doc_id", "text", "_y",
                              dim=1 << 16, iterations=2, lr=0.5)
     clt_z = score_logreg_hashed(docs, "doc_id", "text", wt, dim=1 << 16)
+    # WARC container ingestion (r8, VERDICT item #2): docs → REAL
+    # multi-member warc.gz fixtures (warcinfo + request + response per
+    # doc; every 97th doc's response member corrupted) → gzip-member
+    # walk → WARC header grammar → HTTP split → WET text + URL hygiene.
+    # Every stage is pinned: record-type/corrupt counts, normalized
+    # URLs + statuses, WARC dates, and md5s of the extracted WET text —
+    # the oracle rebuilds the identical page/url/date strings from the
+    # SAME token templates (fixture_*_sql) and runs the generated
+    # html_to_text chain, never touching a WARC byte, so the container
+    # walk itself is what the hash check proves.
+    from rs_graphdb_spark.sources.warc import (
+        documents_as_warc, read_warc, warc_responses, warc_to_wet)
+
+    wfiles = documents_as_warc(docs, corrupt_every=97).localCheckpoint()
+    wrecs = read_warc(wfiles)
+    wtypes = wrecs.groupBy(
+        F.coalesce("rec_type", F.lit("corrupt")).alias("rt")
+    ).agg(F.count("*").alias("cnt"))
+    _wid = F.regexp_extract("url", "doc(\\d+)\\?", 1).cast("long")
+    wurl = warc_responses(records=wrecs).select(
+        _wid.alias("doc_id"),
+        F.col("http_status").cast("long").alias("st"),
+        url_normalize("url").alias("nu"),
+        F.col("warc_date").alias("wd"),
+    )
+    wetq = warc_to_wet(records=wrecs).select(
+        _wid.alias("doc_id"),
+        F.transform(
+            F.array(F.col("wet_text")),
+            lambda t: F.struct(
+                F.length(t).cast("long").alias("wl"),
+                F.md5(t).alias("wm"),
+            ),
+        )[0].alias("_w"),
+    ).select("doc_id", F.col("_w.wl").alias("wl"),
+             F.col("_w.wm").alias("wm"))
     return _quads(
+        _quad("warc_types", wtypes, v="cnt", s="rt"),
+        _quad("warc_url", wurl, k="doc_id", v="st", s="nu"),
+        _quad("warc_date", wurl, k="doc_id", s="wd"),
+        _quad("warc_wet", wetq, k="doc_id", v="wl", s="wm"),
         _metric_quads(pii,
                       {"pii_email": "email", "pii_ip": "ip",
                        "pii_phone": "phone", "pii_num": "id_number"},
@@ -3774,6 +3814,20 @@ def q127_pipeline(spark, sf_dir):
     )
 
 
+def q128_warc_wet(spark, sf_dir):
+    """WARC→WET throughput (r8): render docs into real multi-member
+    warc.gz files, then the full upstream composition — gzip-member
+    walk, WARC grammar, HTTP split, html_to_text — per-doc WET md5s."""
+    from rs_graphdb_spark.sources.warc import documents_as_warc, warc_to_wet
+
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    wet = warc_to_wet(documents_as_warc(docs, corrupt_every=97))
+    return wet.select(
+        "warc_id", "url", F.md5("wet_text").alias("wm"))
+
+
 def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Pre-fold per-operator registry (kept for bench.py and tests)."""
     return {
@@ -3899,6 +3953,7 @@ def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_bm25": q125_bm25,
         "q126_bpe": q126_bpe,
         "q127_pipeline": q127_pipeline,
+        "q128_warc_wet": q128_warc_wet,
     }
 
 
@@ -5975,6 +6030,43 @@ def oracle_sql() -> dict[str, str]:
         FROM x
     """
 
+    # WARC twins (r8): rebuild the response page / url / date from the
+    # SAME token templates the fixture writer renders
+    # (sources/warc.py fixture_*_sql — single source of truth), drop the
+    # docs whose response member the fixture corrupts (doc_id % 97), and
+    # run the SAME generated html_to_text chain. The normalized-URL twin
+    # states the EXPECTED canonical form independently (stronger than
+    # re-running the normalizer).
+    from rs_graphdb_spark.sources.warc import (
+        fixture_date_sql, fixture_page_sql)
+
+    warc_wet_sql = f"""
+        WITH p AS (
+            SELECT doc_id, {fixture_page_sql('doc_id', 'text')} AS page
+            FROM documents WHERE doc_id % 97 <> 0
+        ),
+        x AS (SELECT doc_id, {html_to_text_sql('page')} AS xt FROM p)
+        SELECT doc_id, CAST(length(xt) AS BIGINT) AS wl, md5(xt) AS wm
+        FROM x
+    """
+    warc_url_sql = f"""
+        SELECT doc_id, CAST(200 AS BIGINT) AS st,
+               'https://crawl' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com/arc/doc' || CAST(doc_id AS VARCHAR)
+               || '?z=' || CAST(doc_id % 3 AS VARCHAR) AS nu,
+               {fixture_date_sql('doc_id')} AS wd
+        FROM documents WHERE doc_id % 97 <> 0
+    """
+    warc_types_sql = """
+        SELECT 'warcinfo' AS rt, count(DISTINCT doc_id // 16) AS cnt
+        FROM documents
+        UNION ALL SELECT 'request' AS rt, count(*) AS cnt FROM documents
+        UNION ALL SELECT 'response' AS rt, count(*) AS cnt
+        FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL SELECT 'corrupt' AS rt, count(*) AS cnt
+        FROM documents WHERE doc_id % 97 = 0
+    """
+
     # CCNet bigram-LM twin: identical BOS-prefixed bigram stream, add-1
     # smoothing, LM trained on the doc_id%10<8 split. Integer mechanism
     # columns are bit-exact; nll compares at 6 dp (classifier-sigmoid
@@ -7078,6 +7170,10 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "q36_text_features": _sql_union(
+            _sql_quad("warc_types", warc_types_sql, v="cnt", s="rt"),
+            _sql_quad("warc_url", warc_url_sql, k="doc_id", v="st", s="nu"),
+            _sql_quad("warc_date", warc_url_sql, k="doc_id", s="wd"),
+            _sql_quad("warc_wet", warc_wet_sql, k="doc_id", v="wl", s="wm"),
             _sql_metric_quads(pii_sql,
                               {"pii_email": "email", "pii_ip": "ip",
                                "pii_phone": "phone", "pii_num": "id_number"},

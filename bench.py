@@ -72,7 +72,37 @@ EXTRA = [
     "q125_bm25",
     "q126_bpe",
     "q127_pipeline",
+    # round-8 additions
+    "q128_warc_wet",
 ]
+
+
+def _loadavg1() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return -1.0
+
+
+def _steal_calib(n: int = 2_000_000) -> float:
+    """Single-thread busy-loop calibration time (min of 3), seconds.
+
+    Host CPU steal is invisible to in-VM loadavg (r7 VERDICT #3: judge
+    runs saw UNIFORM ~1.25x inflation on a loadavg-0 box). A fixed
+    arithmetic loop has a machine constant cost on an idle core
+    (~0.08 s here); a ratio between two artifacts' calibration values
+    IS the steal/contention factor between their windows — comparable
+    within a run (start vs end) and across runs on the same box."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(n):
+            x += i
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+    return round(best, 4)
 
 
 def main() -> None:
@@ -80,13 +110,21 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    # sample loadavg BEFORE the bench adds its own 32-thread load — the
-    # quiet/contaminated verdict is about OUTSIDE load at start time
-    try:
-        with open("/proc/loadavg") as f:
-            la_start = float(f.read().split()[0])
-    except OSError:
-        la_start = -1.0
+    # Quiet-by-construction (r7 VERDICT item #5): sample loadavg BEFORE
+    # the bench adds its own 32-thread load, and if the box is busy,
+    # WAIT (bounded) for it to drain rather than writing a contaminated
+    # round artifact — three rounds running the round-named artifact was
+    # captured under load. Budget via SPARK_GRAFT_QUIET_WAIT_SEC
+    # (default 600 s, poll every 10 s); on timeout the run proceeds but
+    # self-flags quiet:false and records how long it waited.
+    la_start = _loadavg1()
+    quiet_waited = 0.0
+    wait_budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "600"))
+    while la_start >= 2.0 and quiet_waited < wait_budget:
+        time.sleep(10.0)
+        quiet_waited += 10.0
+        la_start = _loadavg1()
+    steal_calib_start = _steal_calib()
 
     from rs_graphdb_spark.session import get_spark
 
@@ -173,6 +211,7 @@ def main() -> None:
             la1, la5, la15 = (float(x) for x in f.read().split()[:3])
     except OSError:  # non-Linux fallback
         la1 = la5 = la15 = -1.0
+    steal_calib_end = _steal_calib()
     spread = {
         n: round(max(ts) - min(ts), 3) for n, ts in passes.items()
     }
@@ -195,6 +234,11 @@ def main() -> None:
         "loadavg1_start": la_start,
         "max_pass_spread_sec": round(max(spread.values()), 3) if spread else 0.0,
         "quiet": 0.0 <= la_start < 2.0,
+        "quiet_wait_sec": quiet_waited,
+        # steal proxy (r7 VERDICT #3/#5): single-thread busy-loop calib
+        # time at start/end — host CPU steal shows up here even when
+        # loadavg reads 0; ratio between artifacts = contention factor.
+        "steal_calib_sec": [steal_calib_start, steal_calib_end],
     })
     print(compact)
     print(json.dumps({

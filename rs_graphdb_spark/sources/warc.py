@@ -1,0 +1,423 @@
+"""WARC container ingestion — the upstream operator of a web-crawl
+training pipeline (r7 VERDICT item #2).
+
+The repo already decodes HTML (`cleaning.html_to_text`), images, audio
+and video, but a real pretraining pipeline STARTS from WARC files
+(CommonCrawl ships ~1 GB ``.warc.gz`` members). This module supplies
+that missing parse step with the multimodal-codec discipline
+(`multimodal.py`: header grammar, per-record corrupt isolation,
+encoder-generated fixtures so the decode path is value-checked end to
+end):
+
+- **gzip-member walk via stdlib zlib.** A ``.warc.gz`` file is a
+  CONCATENATION of gzip members, one WARC record each (the public WARC
+  1.0 / CommonCrawl convention) — ``zlib.decompressobj(wbits=31)``
+  decodes one member and hands back ``unused_data``; a member that
+  fails to decompress or parse yields ONE corrupt row and the walk
+  RESYNCS by scanning for the next gzip magic, so a damaged record
+  never poisons its file.
+- **WARC header grammar.** ``WARC/1.x`` version line, ``Name: value``
+  headers (case-insensitive) to a blank line, ``Content-Length`` bytes
+  of block. ``WARC-Type: response`` records additionally split the
+  HTTP-response block into status line / headers / payload.
+- **100 TB posture.** The unit of parallelism is the WARC FILE (one
+  binary row each — `read_warc_files` wraps Spark's ``binaryFile``
+  source): 100 TB of crawl is ~100k independent ~1 GB members, an
+  embarrassingly parallel scan stage with ZERO shuffles; the record
+  walk is one pass over the file bytes, and everything downstream of
+  the Arrow-batched parse (`html_to_text`, `url_normalize`,
+  fingerprints) is whole-stage codegen. Per-task memory is bounded by
+  one file (the CommonCrawl contract); split oversized files upstream.
+
+Fixtures: `documents_as_warc` renders the `documents` table into REAL
+multi-member warc.gz payloads (warcinfo + request + response per doc,
+deterministic gzip members) with optional whole-member corruption, and
+the `fixture_*_sql` generators emit the IDENTICAL url/date/page strings
+for the DuckDB oracle — the `documents_as_images` precedent: the full
+container walk, header parse and HTTP split are value-checked because
+the extracted text/urls must hash-match a twin that never touches a
+byte of WARC.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Shared fixture templates — ONE token list drives both the Python writer
+# and the generated DuckDB twin, so the two engines cannot drift.
+# Sentinels: ("id",) = doc id, ("idm", n) = doc_id % n, ("text",) = doc text.
+# ---------------------------------------------------------------------------
+
+_ID = ("id",)
+_TEXT = ("text",)
+
+
+def _idm(n: int) -> tuple:
+    return ("idm", n)
+
+
+#: deliberately non-canonical URL (mixed case, default port, utm_ param,
+#: fragment) so the WET composition exercises `url_normalize` for real
+_URL_TOKENS = [
+    "https://Crawl", _idm(7), ".Example.COM:443/arc/doc", _ID,
+    "?utm_campaign=w&z=", _idm(3), "#sec",
+]
+
+#: page wrapper with a style body, a comment and entities so
+#: `html_to_text` does real work on the payload
+_PAGE_TOKENS = [
+    "<html><head><title>Doc ", _ID,
+    "</title><style>p{color:blue}</style></head><body><h1>Doc ", _ID,
+    "</h1><p>", _TEXT, "</p><ul><li>a &amp; b</li><li>&lt;", _ID,
+    "&gt;</li></ul><!-- crawl ", _ID, " --><div>footer ", _ID,
+    "</div></body></html>",
+]
+
+_EPOCH0 = "2024-01-01 00:00:00"
+
+
+def _render(tokens: list, doc_id: int, text: str = "") -> str:
+    out = []
+    for t in tokens:
+        if t == _ID:
+            out.append(str(doc_id))
+        elif isinstance(t, tuple) and t[0] == "idm":
+            out.append(str(doc_id % t[1]))
+        elif t == _TEXT:
+            out.append(text)
+        else:
+            out.append(t)
+    return "".join(out)
+
+
+def _render_sql(tokens: list, id_expr: str, text_expr: str = "''") -> str:
+    parts = []
+    for t in tokens:
+        if t == _ID:
+            parts.append(f"CAST({id_expr} AS VARCHAR)")
+        elif isinstance(t, tuple) and t[0] == "idm":
+            parts.append(f"CAST({id_expr} % {t[1]} AS VARCHAR)")
+        elif t == _TEXT:
+            parts.append(text_expr)
+        else:
+            parts.append("'" + t.replace("'", "''") + "'")
+    return " || ".join(parts)
+
+
+def fixture_url(doc_id: int) -> str:
+    return _render(_URL_TOKENS, doc_id)
+
+
+def fixture_url_sql(id_expr: str) -> str:
+    """DuckDB twin of :func:`fixture_url` (same token list)."""
+    return _render_sql(_URL_TOKENS, id_expr)
+
+
+def fixture_page(doc_id: int, text: str) -> str:
+    return _render(_PAGE_TOKENS, doc_id, text)
+
+
+def fixture_page_sql(id_expr: str, text_expr: str) -> str:
+    """DuckDB twin of :func:`fixture_page` (same token list)."""
+    return _render_sql(_PAGE_TOKENS, id_expr, text_expr)
+
+
+def fixture_date(doc_id: int) -> str:
+    """Deterministic WARC-Date: epoch 2024-01-01T00:00:00Z + doc_id s."""
+    import datetime
+
+    t0 = datetime.datetime.strptime(_EPOCH0, "%Y-%m-%d %H:%M:%S")
+    t = t0 + datetime.timedelta(seconds=doc_id)
+    return t.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def fixture_date_sql(id_expr: str) -> str:
+    """DuckDB twin of :func:`fixture_date`."""
+    return (f"strftime(TIMESTAMP '{_EPOCH0}' + to_seconds({id_expr}),"
+            f" '%Y-%m-%dT%H:%M:%SZ')")
+
+
+# ---------------------------------------------------------------------------
+# Record / member encoders (fixture writer)
+# ---------------------------------------------------------------------------
+
+
+def _gzip_member(data: bytes) -> bytes:
+    """One deterministic gzip member (zlib's default header: mtime 0)."""
+    c = zlib.compressobj(9, zlib.DEFLATED, 31)
+    return c.compress(data) + c.flush()
+
+
+def _warc_record(rec_type: str, headers: list[tuple[str, str]],
+                 block: bytes) -> bytes:
+    head = [b"WARC/1.0", f"WARC-Type: {rec_type}".encode()]
+    head += [f"{k}: {v}".encode() for k, v in headers]
+    head.append(f"Content-Length: {len(block)}".encode())
+    return b"\r\n".join(head) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def _http_response(doc_id: int, text: str) -> bytes:
+    body = fixture_page(doc_id, text).encode("utf-8")
+    head = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            + f"Content-Length: {len(body)}\r\n".encode()
+            + f"X-Doc: {doc_id}\r\n".encode())
+    return head + b"\r\n" + body
+
+
+def encode_warc_file(
+    docs: list[tuple[int, str]],
+    corrupt_ids: set[int] | None = None,
+) -> tuple[bytes, int]:
+    """Build one multi-member ``.warc.gz`` payload: a ``warcinfo``
+    record, then a ``request`` + ``response`` pair per doc (ascending
+    id). Docs in ``corrupt_ids`` get their RESPONSE member replaced by
+    same-length garbage containing no gzip magic — exactly one corrupt
+    row, resync finds the next member. Returns (payload, n_members)."""
+    corrupt_ids = corrupt_ids or set()
+    members: list[bytes] = [
+        _gzip_member(_warc_record(
+            "warcinfo",
+            [("WARC-Date", fixture_date(docs[0][0] if docs else 0)),
+             ("WARC-Record-ID", "<urn:uuid:warcinfo-0>"),
+             ("Content-Type", "application/warc-fields")],
+            b"software: rs-graphdb-spark-fixture\r\n",
+        ))
+    ]
+    for doc_id, text in sorted(docs):
+        url = fixture_url(doc_id)
+        date = fixture_date(doc_id)
+        members.append(_gzip_member(_warc_record(
+            "request",
+            [("WARC-Target-URI", url), ("WARC-Date", date),
+             ("WARC-Record-ID", f"<urn:uuid:req-{doc_id}>"),
+             ("Content-Type", "application/http; msgtype=request")],
+            f"GET /arc/doc{doc_id} HTTP/1.1\r\nHost: example.com\r\n\r\n"
+            .encode(),
+        )))
+        resp = _gzip_member(_warc_record(
+            "response",
+            [("WARC-Target-URI", url), ("WARC-Date", date),
+             ("WARC-Record-ID", f"<urn:uuid:resp-{doc_id}>"),
+             ("Content-Type", "application/http; msgtype=response")],
+            _http_response(doc_id, text),
+        ))
+        if doc_id in corrupt_ids:
+            resp = b"X" * len(resp)  # no 1f8b magic anywhere
+        members.append(resp)
+    return b"".join(members), len(members)
+
+
+def documents_as_warc(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_per_file: int = 16,
+    corrupt_every: int | None = None,
+) -> DataFrame:
+    """Render the documents table into real ``.warc.gz`` payloads, one
+    file per ``doc_id // docs_per_file`` group: (warc_id, payload,
+    n_members). ``corrupt_every``: docs with ``doc_id % corrupt_every
+    == 0`` get a corrupted response member (SQL-expressible rule, so
+    the oracle can predict exactly which docs drop out)."""
+    fid = (F.col(id_col) / docs_per_file).cast("long").alias("warc_id")
+    src = docs.select(fid, F.col(id_col).alias("_id"),
+                      F.col(text_col).alias("_text"))
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(zip(pdf["_id"], pdf["_text"]))
+        corrupt = {
+            int(i) for i, _ in rows
+            if corrupt_every and int(i) % corrupt_every == 0
+        }
+        payload, n = encode_warc_file(
+            [(int(i), str(t)) for i, t in rows], corrupt)
+        return pd.DataFrame({
+            "warc_id": [int(pdf["warc_id"].iloc[0])],
+            "payload": [payload],
+            "n_members": [n],
+        })
+
+    return src.groupBy("warc_id").applyInPandas(
+        _build, "warc_id long, payload binary, n_members long")
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+_GZ_MAGIC = b"\x1f\x8b\x08"
+
+_REC_SCHEMA = ("rec_idx int, rec_type string, url string, "
+               "warc_date string, record_id string, http_status int, "
+               "content_type string, body binary, ok boolean, "
+               "error string")
+
+
+def _parse_record(raw: bytes) -> dict:
+    """One decompressed WARC record → field dict (raises on bad grammar)."""
+    if not raw.startswith(b"WARC/"):
+        raise ValueError("not a WARC record")
+    head, sep, rest = raw.partition(b"\r\n\r\n")
+    if not sep:
+        raise ValueError("unterminated WARC header")
+    hdrs: dict[bytes, bytes] = {}
+    for ln in head.split(b"\r\n")[1:]:
+        k, s, v = ln.partition(b":")
+        if not s:
+            raise ValueError("malformed WARC header line")
+        hdrs[k.strip().lower()] = v.strip()
+    clen = int(hdrs.get(b"content-length", b"-1"))
+    if clen < 0 or clen > len(rest):
+        raise ValueError("bad Content-Length")
+    block = rest[:clen]
+    rec_type = hdrs.get(b"warc-type", b"").decode("ascii", "replace")
+    out = {
+        "rec_type": rec_type,
+        "url": hdrs.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+        or None,
+        "warc_date": hdrs.get(b"warc-date", b"").decode("ascii", "replace")
+        or None,
+        "record_id": hdrs.get(b"warc-record-id", b"").decode(
+            "ascii", "replace") or None,
+        "http_status": None,
+        "content_type": None,
+        "body": block,
+    }
+    if rec_type == "response" and block[:5] == b"HTTP/":
+        hhead, hsep, hbody = block.partition(b"\r\n\r\n")
+        if not hsep:
+            raise ValueError("unterminated HTTP header")
+        lines = hhead.split(b"\r\n")
+        status_parts = lines[0].split()
+        if len(status_parts) < 2 or not status_parts[1].isdigit():
+            raise ValueError("malformed HTTP status line")
+        out["http_status"] = int(status_parts[1])
+        for ln in lines[1:]:
+            k, s, v = ln.partition(b":")
+            if s and k.strip().lower() == b"content-type":
+                out["content_type"] = v.strip().decode("ascii", "replace")
+        out["body"] = hbody
+    return out
+
+
+def _walk_members(buf: bytes) -> Iterator[dict]:
+    """Gzip-member walk with per-member corrupt isolation + resync."""
+    off, rec_idx = 0, 0
+    n = len(buf)
+    while off < n:
+        row = {
+            "rec_idx": rec_idx, "rec_type": None, "url": None,
+            "warc_date": None, "record_id": None, "http_status": None,
+            "content_type": None, "body": None, "ok": False, "error": None,
+        }
+        try:
+            if buf[off:off + 3] != _GZ_MAGIC:
+                raise ValueError("not a gzip member")
+            d = zlib.decompressobj(31)
+            raw = d.decompress(buf[off:])
+            if not d.eof:
+                raise ValueError("truncated gzip member")
+            consumed = (n - off) - len(d.unused_data)
+            row.update(_parse_record(raw))
+            row["ok"] = True
+            off += consumed
+        except Exception as e:  # noqa: BLE001 — per-record isolation
+            row["error"] = f"{type(e).__name__}: {e}"
+            nxt = buf.find(_GZ_MAGIC, off + 1)
+            off = nxt if nxt != -1 else n
+        yield row
+        rec_idx += 1
+
+
+def read_warc(
+    files: DataFrame,
+    id_col: str = "warc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Parse ``.warc.gz`` payload rows into WARC records: one output row
+    per gzip member — (id, rec_idx, rec_type, url, warc_date, record_id,
+    http_status, content_type, body, ok, error). Corrupt members emit
+    ``ok=false`` + error and never disturb their neighbors (per-record
+    isolation, the multimodal discipline). Arrow-batched ``mapInPandas``
+    — the file is the unit of parallelism; zero shuffles."""
+    id_type = files.schema[id_col].dataType.simpleString()
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for fid, payload in zip(pdf[id_col], pdf[payload_col]):
+                blob = bytes(payload) if payload is not None else b""
+                for row in _walk_members(blob):
+                    row[id_col] = fid
+                    out.append(row)
+            cols = [id_col, "rec_idx", "rec_type", "url", "warc_date",
+                    "record_id", "http_status", "content_type", "body",
+                    "ok", "error"]
+            yield (pd.DataFrame(out, columns=cols) if out
+                   else pd.DataFrame(columns=cols))
+
+    return files.select(id_col, payload_col).mapInPandas(
+        _parse, f"{id_col} {id_type}, {_REC_SCHEMA}")
+
+
+def warc_responses(
+    files: DataFrame | None = None,
+    id_col: str = "warc_id",
+    payload_col: str = "payload",
+    records: DataFrame | None = None,
+) -> DataFrame:
+    """The crawl-pipeline filter: successfully parsed ``response``
+    records with an HTTP status — (id, rec_idx, url, warc_date,
+    http_status, content_type, html). ``html`` is the HTTP payload
+    decoded as UTF-8 (cast, JVM-side), ready for
+    :func:`cleaning.html_to_text` / :func:`cleaning.url_normalize`.
+    Pass ``records`` (a :func:`read_warc` output, possibly checkpointed)
+    to reuse one parse across several consumers."""
+    recs = records if records is not None \
+        else read_warc(files, id_col, payload_col)
+    return (
+        recs.filter(F.col("ok") & (F.col("rec_type") == "response")
+                    & F.col("http_status").isNotNull())
+        .select(id_col, "rec_idx", "url", "warc_date", "http_status",
+                "content_type", F.col("body").cast("string").alias("html"))
+    )
+
+
+def warc_to_wet(
+    files: DataFrame | None = None,
+    id_col: str = "warc_id",
+    payload_col: str = "payload",
+    records: DataFrame | None = None,
+) -> DataFrame:
+    """WARC → WET: the full upstream composition — member walk, header
+    grammar, HTTP split, 200-only filter, then the codegen'd
+    `html_to_text` chain. Returns (id, url, warc_date, wet_text). This
+    is CommonCrawl's WET extraction re-expressed Spark-first: one
+    Arrow-batched parse stage + one codegen projection, zero shuffles."""
+    from rs_graphdb_spark.functions.cleaning import html_to_text
+
+    resp = warc_responses(files, id_col, payload_col, records=records)
+    return (
+        resp.filter(F.col("http_status") == 200)
+        .select(id_col, "url", "warc_date",
+                html_to_text(F.col("html")).alias("wet_text"))
+    )
+
+
+def read_warc_files(spark: SparkSession, path: str) -> DataFrame:
+    """Real-crawl entry point: Spark's ``binaryFile`` source → one row
+    per ``.warc.gz`` file, ready for :func:`read_warc` (id = file path).
+    At 100 TB this is ~100k files fanned across the cluster; partition
+    count follows the file count, no shuffle."""
+    return (
+        spark.read.format("binaryFile").load(path)
+        .select(F.col("path").alias("warc_id"),
+                F.col("content").alias("payload"))
+    )
