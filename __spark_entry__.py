@@ -3175,6 +3175,40 @@ def q44_knn_ann(spark, sf_dir):
         )
         .select("query_id", F.coalesce("hits", F.lit(0)).alias("hits"))
     )
+    # IVF-PQ (r8, VERDICT item #4): m=8 sub-spaces × 16-centroid
+    # codebooks (reusing ivf_centroids' deterministic Lloyd per slice),
+    # base-16 PACKED codes pin the entire assignment per vector
+    # (km_*-style value check), ADC top-10 value-checked like the float
+    # path, recall@10 vs exact value-checked like sq_recall. Note these
+    # embeddings are near-random (neighbors ≈ orthogonal) — PQ's
+    # worst-case input; the structured-data recall evidence lives in
+    # tests/test_pq.py, and the hits here are exact cross-engine either
+    # way.
+    from rs_graphdb_spark.functions.similarity import (
+        knn_pq_adc, pq_encode, pq_train)
+    books = pq_train(emb, "vec_id", "embedding", m=8, ks=16, iters=2)
+    enc = pq_encode(emb, "vec_id", "embedding", books)
+    pq_code = enc.select(
+        "vec_id",
+        F.aggregate("codes", F.lit(0).cast("long"),
+                    lambda a, c: a * 16 + c).alias("packed"),
+    )
+    pqk = knn_pq_adc(
+        emb, queries_df, "vec_id", "embedding", books, k=10, codes_df=enc
+    ).select(
+        "query_id", "neighbor_id", F.round("adc_cos", 6).alias("cos"), "rank"
+    ).localCheckpoint()  # reused by the part row AND the recall part
+    pq_hits = (
+        queries_df.select(F.col("vec_id").alias("query_id"))
+        .join(
+            exact.select("query_id", "neighbor_id")
+            .join(pqk.select("query_id", "neighbor_id"),
+                  ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id").agg(F.count("*").alias("hits")),
+            "query_id", "left",
+        )
+        .select("query_id", F.coalesce("hits", F.lit(0)).alias("hits"))
+    )
     return _quads(
         _quad("exact", exact, k="query_id", v="cos", s="neighbor_id"),
         _quad("lsh", q49_ann_lsh(spark, sf_dir), k="query_id", v="cos", s="neighbor_id"),
@@ -3185,6 +3219,9 @@ def q44_knn_ann(spark, sf_dir):
         _quad("sq_sum", sq_sum, k="vec_id", v="code_sum"),
         _quad("sqknn", sqk, k="query_id", v="cos", s="neighbor_id"),
         _quad("sq_recall", sq_hits, k="query_id", v="hits"),
+        _quad("pq_code", pq_code, k="vec_id", v="packed"),
+        _quad("pqknn", pqk, k="query_id", v="cos", s="neighbor_id"),
+        _quad("pq_recall", pq_hits, k="query_id", v="hits"),
     )
 
 
@@ -4233,6 +4270,97 @@ def _kmeans_assign_ctes(k: int, iterations: int) -> tuple[list[str], str]:
         " (PARTITION BY id ORDER BY d, c) AS rn FROM df) WHERE rn = 1)"
     )
     return ctes, last
+
+
+def _pq_sql_ctes(m: int, ks: int, iters: int, dsub: int) -> str:
+    """Product-quantization twin CTEs (appended after ``_ann_ctes``,
+    which defines ``e(vec_id, v)`` and ``exk``). Mirrors
+    `similarity.pq_train/pq_encode/knn_pq_adc`: per sub-space unrolled
+    Lloyd (seeds = sub-vectors of the ks smallest ids, argmin ties →
+    lowest centroid, EMPTY clusters keep their previous centroid — the
+    `ivf_centroids` keep-empty contract), base-ks big-endian packed
+    codes, and ADC cosine = per-query LUT dot / (‖q‖·‖x̂‖) with
+    ‖x̂‖² = Σⱼ‖centroid‖² summed from the same codebook tables."""
+    ctes = []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        p = f"s{j}"
+        ctes.append(f"{p}e AS MATERIALIZED (SELECT vec_id AS id,"
+                    f" v[{lo}:{hi}] AS v FROM e)")
+        ctes.append(
+            f"{p}c0 AS MATERIALIZED (SELECT CAST(rn - 1 AS INTEGER) AS c,"
+            " generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS val"
+            " FROM (SELECT row_number() OVER (ORDER BY id) AS rn, v"
+            f" FROM {p}e ORDER BY id LIMIT {ks}) t)")
+        for i in range(iters):
+            ctes.append(
+                f"{p}d{i} AS (SELECT e.id, cen.c,"
+                " sum((e.v[cen.pos + 1] - cen.val)"
+                " * (e.v[cen.pos + 1] - cen.val)) AS d"
+                f" FROM {p}e e CROSS JOIN {p}c{i} cen GROUP BY e.id, cen.c)")
+            ctes.append(
+                f"{p}a{i} AS MATERIALIZED (SELECT id, c AS cluster FROM"
+                " (SELECT id, c, row_number() OVER"
+                " (PARTITION BY id ORDER BY d, c) AS rn"
+                f" FROM {p}d{i}) WHERE rn = 1)")
+            ctes.append(
+                f"{p}c{i + 1} AS MATERIALIZED ("
+                "SELECT a.cluster AS c, t.pos, avg(t.val) AS val FROM"
+                " (SELECT id, generate_subscripts(v, 1) - 1 AS pos,"
+                " unnest(v) AS val"
+                f" FROM {p}e) t JOIN {p}a{i} a ON a.id = t.id"
+                " GROUP BY a.cluster, t.pos"
+                f" UNION ALL SELECT c, pos, val FROM {p}c{i} WHERE c NOT IN"
+                f" (SELECT DISTINCT cluster FROM {p}a{i}))")
+        ctes.append(
+            f"{p}df AS (SELECT e.id, cen.c,"
+            " sum((e.v[cen.pos + 1] - cen.val)"
+            " * (e.v[cen.pos + 1] - cen.val)) AS d"
+            f" FROM {p}e e CROSS JOIN {p}c{iters} cen GROUP BY e.id, cen.c)")
+        ctes.append(
+            f"{p}af AS MATERIALIZED (SELECT id, c FROM"
+            " (SELECT id, c, row_number() OVER"
+            " (PARTITION BY id ORDER BY d, c) AS rn"
+            f" FROM {p}df) WHERE rn = 1)")
+    cd_u = " UNION ALL ".join(
+        f"SELECT id, {j} AS j, c FROM s{j}af" for j in range(m))
+    cen_u = " UNION ALL ".join(
+        f"SELECT {j} AS j, c, pos, val FROM s{j}c{iters}" for j in range(m))
+    pack_case = " ".join(
+        f"WHEN {j} THEN {ks ** (m - 1 - j)}" for j in range(m))
+    ctes += [
+        f"pqcd AS MATERIALIZED ({cd_u})",
+        f"pqcen AS MATERIALIZED ({cen_u})",
+        "pqn2 AS MATERIALIZED (SELECT j, c, sum(val * val) AS n2"
+        " FROM pqcen GROUP BY j, c)",
+        "pqpk AS (SELECT id, CAST(sum(CAST(c AS BIGINT) * (CASE j"
+        f" {pack_case} END)) AS BIGINT) AS packed FROM pqcd GROUP BY id)",
+        "pqq AS MATERIALIZED (SELECT vec_id AS id, v FROM e"
+        " WHERE vec_id < 5)",
+        "pqlut AS MATERIALIZED (SELECT q.id AS qid, cen.j, cen.c,"
+        f" sum(q.v[cen.j * {dsub} + cen.pos + 1] * cen.val) AS dp"
+        " FROM pqq q CROSS JOIN pqcen cen GROUP BY 1, 2, 3)",
+        "pqqn AS (SELECT id, sqrt(list_dot_product(v, v)) AS qn FROM pqq)",
+        "pqrn AS MATERIALIZED (SELECT cd.id, sum(n2.n2) AS rn2"
+        " FROM pqcd cd JOIN pqn2 n2 ON n2.j = cd.j AND n2.c = cd.c"
+        " GROUP BY cd.id)",
+        "pqsc AS (SELECT l.qid AS query_id, cd.id AS neighbor_id,"
+        " sum(l.dp) AS dt FROM pqcd cd JOIN pqlut l"
+        " ON l.j = cd.j AND l.c = cd.c AND l.qid <> cd.id GROUP BY 1, 2)",
+        "pqk AS MATERIALIZED (SELECT query_id, neighbor_id,"
+        " round(dt / (qn * sqrt(rn2)), 6) AS cos,"
+        " CAST(row_number() OVER (PARTITION BY query_id"
+        " ORDER BY dt / (qn * sqrt(rn2)) DESC, neighbor_id) AS INTEGER)"
+        " AS rank FROM pqsc JOIN pqqn ON pqqn.id = pqsc.query_id"
+        " JOIN pqrn r ON r.id = pqsc.neighbor_id QUALIFY rank <= 10)",
+        "pqh AS (SELECT qq.vec_id AS query_id, coalesce(h.hits, 0) AS hits"
+        " FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) qq"
+        " LEFT JOIN (SELECT exk.query_id, count(*) AS hits"
+        " FROM exk JOIN pqk ON pqk.query_id = exk.query_id"
+        " AND pqk.neighbor_id = exk.neighbor_id GROUP BY exk.query_id) h"
+        " ON h.query_id = qq.vec_id)",
+    ]
+    return ",\n".join(ctes)
 
 
 def _kmeans_sql(k: int, iterations: int) -> str:
@@ -5500,6 +5628,12 @@ def oracle_sql() -> dict[str, str]:
     )
     sqknn_sql = _ann_ctes + " SELECT query_id, neighbor_id, cos FROM sqk"
     sq_recall_sql = _ann_ctes + " SELECT query_id, hits FROM sqh"
+    # IVF-PQ twins (r8): the PQ CTEs ride in a SEPARATE suffix so the
+    # sq/blsh selects above don't pay the 8-sub-space unrolled Lloyd
+    _pq_full = _ann_ctes + ",\n" + _pq_sql_ctes(m=8, ks=16, iters=2, dsub=8)
+    pq_code_sql = _pq_full + " SELECT id AS vec_id, packed FROM pqpk"
+    pqknn_sql = _pq_full + " SELECT query_id, neighbor_id, cos FROM pqk"
+    pq_recall_sql = _pq_full + " SELECT query_id, hits FROM pqh"
     # the FLOOR claim: the oracle asserts EVERY query reaches the floor
     # (all 5 rows); if the Spark side's recall regresses below it, the
     # driver sees a row-count mismatch — the gate fails, not a probe
@@ -7619,6 +7753,10 @@ def oracle_sql() -> dict[str, str]:
             _sql_quad("sq_sum", sq_sum_sql, k="vec_id", v="code_sum"),
             _sql_quad("sqknn", sqknn_sql, k="query_id", v="cos", s="neighbor_id"),
             _sql_quad("sq_recall", sq_recall_sql, k="query_id", v="hits"),
+            _sql_quad("pq_code", pq_code_sql, k="vec_id", v="packed"),
+            _sql_quad("pqknn", pqknn_sql, k="query_id", v="cos",
+                      s="neighbor_id"),
+            _sql_quad("pq_recall", pq_recall_sql, k="query_id", v="hits"),
         ),
         "q45_sessionize": _sql_union(
             _sql_quad("plain", base["q80_sessionize"], k="user_id",

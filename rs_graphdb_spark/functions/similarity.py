@@ -662,6 +662,175 @@ def knn_ivf(
     )
 
 
+def pq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    ks: int = 16,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al., the IVF-PQ rung
+    above int8 SQ): split the vector into ``m`` contiguous sub-spaces
+    and Lloyd-train an independent ``ks``-centroid codebook per
+    sub-space — ``codebooks[j][c]`` is centroid ``c`` of sub-space
+    ``j``. Training reuses :func:`ivf_centroids` wholesale on the
+    sliced column (deterministic seeds = sub-vectors of the ks smallest
+    ids), so every codebook is reproducible and oracle-checkable by the
+    same unrolled-Lloyd CTE shape as q50:km_*.
+
+    The codebook is tokenizer-grade metadata (m·ks·(dim/m) floats —
+    dim·ks total, independent of corpus size); each of the m trainings
+    is itself distributed. At 100 TB: train on a sample partition,
+    persist the codebook with the table (the no-randomness contract
+    makes retrains reproducible)."""
+    dim = len(corpus.select(F.col(vec_col).alias("v")).first()["v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("_sub"),
+        )
+        books.append(ivf_centroids(sub, id_col, "_sub", k=ks, iters=iters))
+    return books
+
+
+def _pq_n2_lit(codebooks: list[list[list[float]]]):
+    """Literal m×ks table of centroid squared norms (query-independent —
+    sub-space reconstructions are orthogonal, so ‖x̂‖² = Σⱼ ‖c_{j,code}‖²)."""
+    return F.array(*[
+        F.array(*[F.lit(float(sum(w * w for w in c))) for c in book])
+        for book in codebooks
+    ])
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """PQ-encode: (id, codes ARRAY<INT> length m, recon_n2). Each code
+    is the argmin-distance centroid of its sub-space (ties → lowest
+    index, the :func:`ivf_centroids` convention); ``recon_n2`` = ‖x̂‖²
+    of the reconstruction, precomputed from the code-norm table so ADC
+    scoring never touches the codebook per pair.
+
+    Bytes: m small ints (+1 double) per vector — at m=8/ks=256 that is
+    8 bytes against dim·8 for the raw array<double> (512 B at dim 64,
+    8 KB at dim 1024): the 32×-plus width lever for every
+    similarity-family shuffle, one rung past int8 SQ's 8×. Pure
+    scan-stage projection, zero shuffle; codes referenced ONCE via the
+    single-element-transform idiom (the PLANS.md re-inline landmine —
+    each code is a ks-way argmin expression)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    n2 = _pq_n2_lit(codebooks)
+    codes = F.array(*[
+        _nearest_centroid(
+            F.slice(F.col(vec_col), j * dsub + 1, dsub), codebooks[j])
+        for j in range(m)
+    ])
+    row = F.transform(
+        F.array(codes),
+        lambda cd: F.struct(
+            cd.alias("codes"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc + F.element_at(
+                    F.element_at(n2, j + 1),
+                    F.element_at(cd, j + 1) + 1),
+            ).alias("recon_n2"),
+        ),
+    )[0]
+    return corpus.select(
+        F.col(id_col), row.alias("_r")
+    ).select(id_col, F.col("_r.codes").alias("codes"),
+             F.col("_r.recon_n2").alias("recon_n2"))
+
+
+def knn_pq_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query build the
+    m×ks lookup table of sub-space dot products ONCE (query side only —
+    m·ks dots of dim/m each), then score every corpus vector from its
+    codes alone: dot(q, x̂) = Σⱼ LUT[j][codeⱼ] — O(m) per candidate, the
+    PQ speed shape (dim/m fewer flops than brute force, on top of the
+    32× byte cut). Approximate cosine = that dot / (‖q‖·‖x̂‖), with
+    ‖x̂‖ precomputed at encode time.
+
+    Plan: queries (with LUT columns) broadcast; the corpus-side codes
+    table never shuffles. Pass ``codes_df`` (a persisted
+    :func:`pq_encode` output) to score a standing index without
+    touching raw vectors — compose with :func:`knn_ivf`'s cell
+    partitioning for the full IVF-PQ layout (cell = partition key,
+    codes columnar: a probe is a partition-pruned scan of m-byte
+    codes). Production m=8/ks=256 LUTs belong in a mapInArrow GEMM like
+    `_assign_gemm`; the expression path here is exact and right-sized
+    for codebook-bounded m·ks."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qv = F.col(vec_col)
+    lut = F.array(*[
+        F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    F.slice(qv, j * dsub + 1, dsub),
+                    F.array(*[F.lit(float(w)) for w in codebooks[j][c]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0), lambda s, v: s + v,
+            )
+            for c in range(len(codebooks[j]))
+        ])
+        for j in range(m)
+    ])
+    qn = F.sqrt(F.aggregate(
+        F.zip_with(qv, qv, lambda x, y: x * y),
+        F.lit(0.0), lambda s, v: s + v,
+    ))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), lut.alias("lut"), qn.alias("qn"))
+    c = codes_df if codes_df is not None else pq_encode(
+        corpus, id_col, vec_col, codebooks)
+    c = c.select(F.col(id_col).alias("neighbor_id"), "codes", "recon_n2")
+    dot = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            F.element_at(F.col("lut"), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.when(
+                (F.col("recon_n2") > 0.0) & (F.col("qn") > 0.0),
+                dot / (F.col("qn") * F.sqrt(F.col("recon_n2"))),
+            ).otherwise(F.lit(0.0)).alias("adc_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_cos", "rank")
+    )
+
+
 #: above this k, semantic_dedup switches from literal-folded centroids to
 #: the broadcast-centroid-matrix GEMM assignment (Catalyst plan size caps
 #: the literal path around 10³ centroids; the paper's regime is k ∝ N)

@@ -12,9 +12,11 @@ Behavior parity with the Vue stores/components, re-expressed framework-free:
   colors, edge arrowheads, click-select + details, double-click
   expand-neighbors, drag to pin.
 - **queryHistory store** → localStorage ``graphdb_query_history`` (cap
-  100, consecutive-duplicate suppression, recent-20 view, per-entry
-  result count + execution time + success flag) — the same storage key
-  and invariants as `stores/queryHistory.ts`.
+  100, recent-20 view, per-entry id + result count + execution time +
+  success flag; a consecutive duplicate EARLY-RETURNS so the original
+  entry keeps its timestamp/stats, and ``removeHistory`` filters by the
+  ``id`` field) — the same storage key and invariants as
+  `stores/queryHistory.ts` ``addQuery``/``removeQuery``.
 - **favorites store** → localStorage ``graphdb_favorites`` (star the
   current query, click to reload) — `stores/favorites.ts`.
 - **commands store** → ``:help`` ``:sysinfo`` ``:queries`` ``:dbs``
@@ -174,10 +176,19 @@ function loadHistory() {
 }
 function addHistory(query, success, resultCount, executionTime, errorMessage) {
   const h = loadHistory();
-  if (h.length && h[0].query === query.trim()) h.shift(); // dedupe last
-  h.unshift({query: query.trim(), timestamp: new Date().toISOString(),
+  // reference semantics (addQuery): a CONSECUTIVE duplicate is ignored
+  // entirely — the original entry keeps its timestamp/stats
+  if (h.length && h[0].query === query.trim()) { renderHistory(); return; }
+  h.unshift({id: 'qh_' + Date.now() + '_' +
+                 Math.random().toString(36).substr(2, 9),
+             query: query.trim(), timestamp: new Date().toISOString(),
              success, resultCount, executionTime, errorMessage});
   localStorage.setItem(HKEY, JSON.stringify(h.slice(0, MAX_HISTORY)));
+  renderHistory();
+}
+function removeHistory(id) {  // removeQuery: filter by the id field
+  localStorage.setItem(HKEY,
+    JSON.stringify(loadHistory().filter(e => e.id !== id)));
   renderHistory();
 }
 function renderHistory() {
