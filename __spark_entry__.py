@@ -2835,12 +2835,23 @@ def q37_tfidf(spark, sf_dir):
         "doc_id", F.round("score", 6).alias("score"))
     # positional phrase search (r7): consecutive-occurrence counts
     ph = phrase_search(docs, "doc_id", "text", ["hash", "join"])
+    # unicode retrieval salts (r8, VERDICT item #8): BM25 + phrase over
+    # the ru/ja/zh/ko-salted corpus with the unicode tokenizer — a mixed
+    # Latin/Cyrillic/Han query and a CJK phrase, so the retrieval family
+    # is value-checked on exactly the corpus the ASCII tokenizer zeroes
+    ubm = bm25_search(usal, "doc_id", "text", ["hash", "и", "的"],
+                      mode="unicode").select(
+        "doc_id", F.round("score", 6).alias("score"))
+    uph = phrase_search(usal, "doc_id", "text", ["的", "了"],
+                        mode="unicode")
     return _quads(
         _quad("inv", q74_inverted_index(spark, sf_dir), k="doc_id", v="tf", s="term"),
         _quad("tfidf", q75_tfidf(spark, sf_dir), k="doc_id", v="tfidf", s="term"),
         _quad("bm25", q125_bm25(spark, sf_dir), k="doc_id", v="score", s="term"),
         _quad("bm25q", bmq, k="doc_id", v="score"),
         _quad("phrase", ph, k="doc_id", v="n_occurrences"),
+        _quad("ubm25", ubm, k="doc_id", v="score"),
+        _quad("uphrase", uph, k="doc_id", v="n_occurrences"),
         _metric_quads(lmq,
                       {"lm_nb": "n_bigrams", "lm_match": "n_matched",
                        "lm_cb": "sum_cb", "lm_nll": "nll"},
@@ -3080,14 +3091,24 @@ def q42_ngram_jaccard(spark, sf_dir):
     (the MassiveText / Lee-et-al exact-substring family: documents
     sharing any identical 50-token span — boilerplate/quotation dedup
     that whole-document similarity misses)."""
-    from rs_graphdb_spark.functions.dedup import duplicate_spans
+    from rs_graphdb_spark.functions.dedup import (
+        duplicate_span_extents, duplicate_spans)
 
     docs = _read(spark, sf_dir, "documents")
     spans = duplicate_spans(docs, "doc_id", "text", k=50)
+    # merged extents (r8, VERDICT item #7): the grid hits coalesced into
+    # maximal token ranges per pair side — one quad row per extent, the
+    # full (pair, side, start, end, n_spans) tuple pinned
+    ext = duplicate_span_extents(docs, "doc_id", "text", k=50)
+    extq = ext.select(
+        F.col("doc"), F.col("end_tok"),
+        F.concat_ws(":", "a", "b", "start_tok", "n_spans").alias("abs_"),
+    )
     return _quads(
         _quad("pairs", q46_ngram_jaccard(spark, sf_dir),
               k="a", v="jaccard", s="b"),
         _quad("spans", spans, k="a", v="n_spans", s="b"),
+        _quad("spans_merged", extq, k="doc", v="end_tok", s="abs_"),
     )
 
 
@@ -6568,6 +6589,54 @@ def oracle_sql() -> dict[str, str]:
         FROM sc GROUP BY doc_id
     """
 
+    # unicode-retrieval twins (r8): same BM25 chain over the salted
+    # corpus with the GENERATED unicode tokenizer (tokenize_sql — the
+    # shared pattern tables), conditional-aggregate order = python
+    # sorted(['hash','и','的']) exactly as bm25_search sorts; and the
+    # CJK phrase twin over positional unicode postings
+    from rs_graphdb_spark.functions.text import tokenize_sql as _tsql
+    _utoks = _tsql("text", "unicode")
+    _uterms = sorted({"hash", "и", "的"})
+    _uchain = "\n + ".join(
+        f"coalesce(max(CASE WHEN term = '{t}' THEN score END), 0.0e0)"
+        for t in _uterms
+    )
+    _ubm25_sql = f"""
+        WITH u AS (SELECT doc_id, text || {_uni_salt_sql()} AS text
+                   FROM documents),
+        inv AS (SELECT doc_id, unnest({_utoks}) AS term FROM u),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM inv
+               GROUP BY term, doc_id),
+        dl AS (SELECT doc_id, len({_utoks}) AS dl FROM u),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+                  FROM tf GROUP BY term),
+        st AS (SELECT sum(dl) AS total, count(*) AS nd FROM dl),
+        sc AS (
+            SELECT tf.doc_id, tf.term, {_bm25_score} AS score
+            FROM tf JOIN dfreq ON dfreq.term = tf.term
+                    JOIN dl ON dl.doc_id = tf.doc_id
+                    CROSS JOIN st
+            WHERE tf.term IN ({", ".join(f"'{t}'" for t in _uterms)})
+        )
+        SELECT doc_id, round({_uchain}, 6) AS score
+        FROM sc GROUP BY doc_id
+    """
+    _uphrase_sql = f"""
+        WITH u AS (SELECT doc_id, text || {_uni_salt_sql()} AS text
+                   FROM documents),
+        tk AS (SELECT doc_id, {_utoks} AS t FROM u),
+        inv AS MATERIALIZED (
+            SELECT doc_id, unnest(t) AS term,
+                   generate_subscripts(t, 1) - 1 AS pos
+            FROM tk
+        )
+        SELECT p0.doc_id, count(*) AS n_occurrences
+        FROM (SELECT doc_id, pos FROM inv WHERE term = '的') p0
+        JOIN (SELECT doc_id, pos FROM inv WHERE term = '了') p1
+          ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+        GROUP BY p0.doc_id
+    """
+
     # interpolated trigram twin: same double-BOS trigram stream, same
     # add-1 components; the interpolation weights are embedded via repr()
     # so both engines mix with the IDENTICAL doubles (1.0 − 0.7 is
@@ -7406,6 +7475,9 @@ def oracle_sql() -> dict[str, str]:
             _sql_quad("tfidf", base["q75_tfidf"], k="doc_id", v="tfidf", s="term"),
             _sql_quad("bm25", base["q125_bm25"], k="doc_id", v="score", s="term"),
             _sql_quad("bm25q", _bm25q_sql, k="doc_id", v="score"),
+            _sql_quad("ubm25", _ubm25_sql, k="doc_id", v="score"),
+            _sql_quad("uphrase", _uphrase_sql, k="doc_id",
+                      v="n_occurrences"),
             _sql_quad(
                 "phrase",
                 """
@@ -7737,6 +7809,57 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
                 """,
                 k="a", v="n_spans", s="b",
+            ),
+            # merged-extent twin (r8): POSITIONAL spans (no distinct —
+            # the grid keeps every start), shared-span pairs, positions
+            # re-attached on the span string, then the same
+            # gaps-and-islands coalescing (merge while pos − prev ≤ 50)
+            _sql_quad(
+                "spans_merged",
+                """
+                WITH toks AS (
+                    SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                    FROM documents
+                ),
+                shp AS MATERIALIZED (
+                    SELECT doc_id, p AS pos,
+                           array_to_string(t[p + 1:p + 50], ' ') AS s
+                    FROM (SELECT doc_id, t, unnest(range(len(t) - 49)) AS p
+                          FROM toks WHERE len(t) >= 50)
+                ),
+                m AS MATERIALIZED (
+                    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, a.s
+                    FROM shp a JOIN shp b
+                      ON a.s = b.s AND a.doc_id < b.doc_id
+                ),
+                sides AS (
+                    SELECT DISTINCT m.a, m.b, s.doc_id AS doc, s.pos
+                    FROM m JOIN shp s
+                      ON s.s = m.s AND s.doc_id IN (m.a, m.b)
+                ),
+                flg AS (
+                    SELECT a, b, doc, pos,
+                           CASE WHEN pos - lag(pos) OVER
+                                    (PARTITION BY a, b, doc ORDER BY pos)
+                                    <= 50
+                                THEN 0 ELSE 1 END AS f
+                    FROM sides
+                ),
+                isl AS (
+                    SELECT a, b, doc, pos,
+                           sum(f) OVER (PARTITION BY a, b, doc ORDER BY pos
+                                        ROWS UNBOUNDED PRECEDING) AS island
+                    FROM flg
+                )
+                SELECT doc, min(pos) + 0 AS start_tok,
+                       max(pos) + 50 AS end_tok, count(*) AS n_spans,
+                       CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)
+                       || ':' || CAST(min(pos) AS VARCHAR) || ':'
+                       || CAST(count(*) AS VARCHAR) AS abs_
+                FROM isl GROUP BY a, b, doc, island
+                """,
+                k="doc", v="end_tok", s="abs_",
             ),
         ),
         "q43_embedding_dedup": _sql_union(

@@ -1058,6 +1058,95 @@ def duplicate_spans(
     )
 
 
+def duplicate_span_extents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    max_span_df: int | None = 10_000,
+    mode: str = "ascii",
+) -> DataFrame:
+    """Merged duplicate EXTENTS per doc pair (r7 VERDICT item #7 — the
+    Lee-et-al exact-substring output a removal pass needs):
+    :func:`duplicate_spans` reports k-gram GRID hits, so two docs
+    sharing a 500-token boilerplate block emit ~450 overlapping span
+    rows; this coalesces them into the one maximal token range. Returns
+    ``(a, b, doc, start_tok, end_tok, n_spans)`` with a < b — one row
+    per merged extent per SIDE of the pair (``doc`` ∈ {a, b};
+    ``end_tok`` exclusive; a duplicated run of length L ≥ k appears as
+    exactly one extent of length L).
+
+    Plan shape: positional span hashes at scan (60-bit md5, never
+    shuffling span text), one groupBy(h) builds postings, the bounded
+    pair emitter streams co-posting pairs, positions re-attach on the
+    SAME hash key, then gaps-and-islands per (a, b, doc) — the
+    sessionize machinery: two consecutive span starts merge while
+    ``pos − prev ≤ k`` (overlapping or touching). ``max_span_df`` cuts
+    degenerate boilerplate spans as in :func:`duplicate_spans`."""
+    from pyspark.sql.window import Window
+
+    spans = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.transform(
+                F.array(tokenize(text_col, mode)),
+                lambda toks: F.when(
+                    F.size(toks) >= k,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - k),
+                        lambda i: F.conv(
+                            F.substring(
+                                F.md5(F.array_join(
+                                    F.slice(toks, i + 1, k), " ")),
+                                1, 15),
+                            16, 10).cast("long"),
+                    ),
+                ).otherwise(F.array().cast("array<long>")),
+            )[0]
+        ).alias("pos", "h"),
+    ).localCheckpoint()  # scanned twice: postings + position re-attach
+    g = spans.groupBy("h").agg(
+        F.array_distinct(F.sort_array(F.collect_list("doc"))).alias("ds")
+    ).filter(F.size("ds") >= 2)
+    if max_span_df is not None:
+        g = g.filter(F.size("ds") <= max_span_df)
+    ph = (
+        g.select("h", F.col("ds"), F.posexplode("ds").alias("i", "a"))
+        .select(
+            "h", "a",
+            F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("b"),
+        )
+    )
+    sides = (
+        ph.join(spans, "h")
+        .filter((F.col("doc") == F.col("a")) | (F.col("doc") == F.col("b")))
+        .select("a", "b", "doc", "pos")
+        .dropDuplicates(["a", "b", "doc", "pos"])
+    )
+    w = Window.partitionBy("a", "b", "doc").orderBy("pos")
+    isl = (
+        sides.withColumn(
+            "_new",
+            F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0))
+            .otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "island",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return _materialize_result(
+        isl.groupBy("a", "b", "doc", "island")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + k).alias("end_tok"),
+            F.count("*").alias("n_spans"),
+        )
+        .drop("island"),
+        spans,
+    )
+
+
 def ngram_contamination(
     train_df: DataFrame,
     bench_df: DataFrame,

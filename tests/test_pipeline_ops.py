@@ -841,6 +841,62 @@ def test_duplicate_spans_detects_long_shared_runs(spark):
     assert got == {(1, 2): 3}
 
 
+def test_duplicate_span_extents_coalesce_long_block(spark):
+    """r8: a long shared block must collapse to ONE merged extent per
+    pair side with the exact token range, not a row per grid hit; two
+    separated blocks stay two extents; offsets track each side."""
+    from rs_graphdb_spark.functions.dedup import duplicate_span_extents
+    from rs_graphdb_spark.session import local_df
+
+    block = " ".join(f"tok{i}" for i in range(40))   # 40-token block
+    blk2 = " ".join(f"alt{i}" for i in range(15))    # second, separate
+    filler = " ".join(f"pad{i}" for i in range(20))
+    docs = local_df(spark, [
+        (1, block + " " + filler + " " + blk2),
+        (2, "lead0 lead1 lead2 " + block + " " + blk2 + " tail0"),
+        (3, "no overlap with anything here at all zero shared"),
+    ], "doc_id long, text string")
+    rows = [((r["a"], r["b"], r["doc"]),
+             (r["start_tok"], r["end_tok"], r["n_spans"]))
+            for r in duplicate_span_extents(
+                docs, "doc_id", "text", k=10).collect()]
+    # doc1: block at tokens [0,40) -> 31 grid spans merge into ONE
+    # extent; blk2 sits after 20 filler tokens at [60,75) -> its own
+    # extent (6 spans). Two extents, not 37 grid rows.
+    ex1 = sorted(v for k, v in rows if k == (1, 2, 1))
+    assert ex1 == [(0, 40, 31), (60, 75, 6)]
+    # in doc2 the two blocks are ADJACENT (block at [3,43), blk2 at
+    # [43,58): last block span starts at 33, first blk2 span at 43 —
+    # exactly k apart, so the extents touch and coalesce into one)
+    ex2 = sorted(v for k, v in rows if k == (1, 2, 2))
+    assert ex2 == [(3, 58, 37)]
+    assert not [k for k, _ in rows if 3 in k[:2]]
+
+
+def test_duplicate_span_extents_adjacent_islands_merge(spark):
+    """Two grid runs whose extents touch (pos - prev == k) merge into
+    one island; a gap of one token splits them."""
+    from rs_graphdb_spark.functions.dedup import duplicate_span_extents
+    from rs_graphdb_spark.session import local_df
+
+    a = " ".join(f"w{i}" for i in range(10))        # tokens 0..9
+    b = " ".join(f"x{i}" for i in range(10))        # tokens 10..19
+    docs_touch = local_df(spark, [
+        (1, a + " " + b),
+        (2, a + " SEP " + b + " more filler here"),
+    ], "doc_id long, text string")
+    rows = [
+        (r["doc"], r["start_tok"], r["end_tok"], r["n_spans"])
+        for r in duplicate_span_extents(
+            docs_touch, "doc_id", "text", k=10).collect()
+    ]
+    # doc1 has spans at pos 0 (a) and pos 10 (b): 10 - 0 == k -> MERGE
+    assert (1, 0, 20, 2) in rows
+    # doc2 has them at 0 and 11 (SEP between): 11 - 0 > k -> two extents
+    d2 = sorted(t for t in rows if t[0] == 2)
+    assert d2 == [(2, 0, 10, 1), (2, 11, 21, 1)]
+
+
 def test_score_weighted_sample_deterministic_and_proportional(spark):
     """score_weighted_sample keeps rows with probability score/max —
     deterministically (same set twice), monotonically (score 0 never,
