@@ -806,6 +806,8 @@ def write_bm25_index(
     meta = {"nd": int(stats["nd"]), "total_tokens": int(stats["total"]),
             "n_prefix": n_prefix, "mode": mode,
             "layout": "stats" if appendable else "denorm"}
+    if appendable:
+        meta["batches"] = []  # committed ingest batch ids, in order
     tmp = os.path.join(index_dir, "_meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -818,7 +820,8 @@ def append_bm25_index(
     new_docs: DataFrame,
     id_col: str,
     text_col: str,
-) -> None:
+    batch_id: str | None = None,
+) -> str:
     """Incremental BM25 index ingest (requires the ``appendable=True``
     layout; the continuous-ingest shape of the minhash standing index):
 
@@ -831,7 +834,24 @@ def append_bm25_index(
 
     Per-batch cost is O(batch postings) + O(affected stats partitions);
     the standing postings are untouched regardless of index size.
-    Single-writer contract (the dedup_ingest_sink precedent)."""
+    Single-writer contract (the dedup_ingest_sink precedent).
+
+    **Idempotency / crash recovery (r7 advisor note).** The ingest is a
+    multi-step commit: postings append, then per-partition termstats
+    replaces, then the meta flip — the meta is the COMMIT POINT. Pass a
+    caller-stable ``batch_id`` and:
+
+    - a batch already in ``meta["batches"]`` is COMMITTED — the retry
+      returns ``"skipped-duplicate"`` without touching the index (no
+      double-counted df/nd/total);
+    - a ``_batches/<id>.pending`` marker without a committed entry
+      means a previous attempt CRASHED mid-append (postings possibly
+      half-written, stats stale) — the retry raises with the recovery
+      story: rebuild the index from the source corpus with
+      ``write_bm25_index(appendable=True)`` (postings are derivable
+      state; the corpus is the source of truth), then re-ingest.
+
+    Returns ``"committed"`` or ``"skipped-duplicate"``."""
     import json
     import os
     import shutil
@@ -842,6 +862,22 @@ def append_bm25_index(
     if meta.get("layout") != "stats":
         raise ValueError(
             "append_bm25_index requires write_bm25_index(appendable=True)")
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex
+    if batch_id in meta.get("batches", []):
+        return "skipped-duplicate"
+    bdir = os.path.join(index_dir, "_batches")
+    os.makedirs(bdir, exist_ok=True)
+    pending = os.path.join(bdir, f"{batch_id}.pending")
+    if os.path.exists(pending):
+        raise RuntimeError(
+            f"batch {batch_id!r} has a pending marker but never "
+            "committed: a previous ingest crashed mid-append and the "
+            "index may hold partial postings with stale stats. Rebuild "
+            "from the source corpus with "
+            "write_bm25_index(appendable=True), then re-ingest.")
+    with open(pending, "w") as f:
+        f.write(batch_id)
     n_prefix, mode = meta["n_prefix"], meta["mode"]
     inv = inverted_index(new_docs, id_col, text_col, mode)
     dl = new_docs.select(
@@ -892,10 +928,13 @@ def append_bm25_index(
         shutil.rmtree(retired, ignore_errors=True)
     meta["nd"] = int(meta["nd"]) + int(batch["nd"])
     meta["total_tokens"] = int(meta["total_tokens"]) + int(batch["total"])
+    meta.setdefault("batches", []).append(batch_id)
     tmp = os.path.join(index_dir, "_meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(index_dir, "_meta.json"))
+    os.remove(pending)  # after the commit point — the batch is durable
+    return "committed"
 
 
 def bm25_search_indexed(

@@ -175,6 +175,63 @@ def test_append_requires_appendable_layout(spark, corpus, tmp_path):
         append_bm25_index(spark, idx, df, "doc_id", "text")
 
 
+def test_append_batch_id_idempotent_retry(spark, corpus, tmp_path):
+    """r8 (advisor note): a committed batch retried under the same
+    batch_id is SKIPPED — df/nd/total never double-count."""
+    import json
+
+    from rs_graphdb_spark.functions.text import (
+        append_bm25_index, bm25_search_indexed, write_bm25_index)
+    a = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(10, "merge probe merge hash scan")], "doc_id long, text string")
+    idx = str(tmp_path / "idem")
+    write_bm25_index(a, "doc_id", "text", idx, appendable=True)
+    assert append_bm25_index(
+        spark, idx, b, "doc_id", "text", batch_id="b1") == "committed"
+    first = {r["doc_id"]: r["score"]
+             for r in bm25_search_indexed(
+                 spark, idx, ["hash", "merge"], k=20).collect()}
+    meta1 = json.load(open(f"{idx}/_meta.json"))
+    assert meta1["batches"] == ["b1"]
+    # the retry is a no-op: same status, same meta, same scores
+    assert append_bm25_index(
+        spark, idx, b, "doc_id", "text", batch_id="b1") \
+        == "skipped-duplicate"
+    meta2 = json.load(open(f"{idx}/_meta.json"))
+    assert meta2 == meta1
+    again = {r["doc_id"]: r["score"]
+             for r in bm25_search_indexed(
+                 spark, idx, ["hash", "merge"], k=20).collect()}
+    assert again == first
+
+
+def test_append_crashed_batch_detected(spark, corpus, tmp_path):
+    """A pending marker without a committed meta entry = a crash
+    mid-append; the retry must refuse with the rebuild guidance rather
+    than double-append."""
+    import os
+
+    import pytest as _pytest
+
+    from rs_graphdb_spark.functions.text import (
+        append_bm25_index, write_bm25_index)
+    a = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(10, "merge probe")], "doc_id long, text string")
+    idx = str(tmp_path / "crash")
+    write_bm25_index(a, "doc_id", "text", idx, appendable=True)
+    os.makedirs(f"{idx}/_batches", exist_ok=True)
+    open(f"{idx}/_batches/b9.pending", "w").write("b9")  # simulated crash
+    with _pytest.raises(RuntimeError, match="write_bm25_index"):
+        append_bm25_index(spark, idx, b, "doc_id", "text", batch_id="b9")
+    # a DIFFERENT batch id still ingests fine
+    assert append_bm25_index(
+        spark, idx, b, "doc_id", "text", batch_id="b10") == "committed"
+
+
 def test_phrase_search_counts_consecutive_occurrences(spark):
     from rs_graphdb_spark.functions.text import phrase_search
     df = spark.createDataFrame(

@@ -1,0 +1,144 @@
+"""Versioned pipeline composition: crash-between-stages → resume."""
+
+import hashlib
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from rs_graphdb_spark.operators.pipeline_store import (
+    pipeline_state,
+    run_pipeline_versioned,
+)
+
+
+def _docs(spark):
+    rows = [(i, f"src{i % 3}", f"tok{i % 7} tok{i % 5} body text {i} "
+             * (2 + i % 3)) for i in range(120)]
+    return spark.createDataFrame(rows, "doc_id long, source string, "
+                                       "text string")
+
+
+def _stages(calls=None):
+    """The q127 shape, lite: filter → dedup-ish projection → shard agg.
+    Each stage ends sorted + fixed-partitioned so its parquet bytes are
+    deterministic functions of its input."""
+    def rec(name):
+        if calls is not None:
+            calls.append(name)
+
+    def filter_stage(df):
+        rec("filter")
+        return (df.filter(F.length("text") > 30)
+                .repartition(2, "doc_id").sortWithinPartitions("doc_id"))
+
+    def dedup_stage(df):
+        rec("dedup")
+        from pyspark.sql.window import Window
+        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        return (df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("doc_id", "source",
+                        F.size(F.split("text", " ")).alias("n_tok"))
+                .repartition(2, "doc_id").sortWithinPartitions("doc_id"))
+
+    def shard_stage(df):
+        rec("shard")
+        return (df.groupBy((F.col("doc_id") % 4).alias("shard"))
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_tok").alias("sum_tok"))
+                .repartition(1).sortWithinPartitions("shard"))
+
+    return [("filter", filter_stage), ("dedup", dedup_stage),
+            ("shard", shard_stage)]
+
+
+def _shard_md5s(path):
+    """Sorted content-md5s of the FINAL stage's committed shard files
+    (names carry task UUIDs; bytes are the determinism claim)."""
+    from rs_graphdb_spark.operators.pipeline_store import pipeline_state
+    from rs_graphdb_spark.sources.partitioned_dml import read_manifest
+    _ver, manifest = read_manifest(path)
+    rel = manifest["tables"]["stage/shard"]
+    out = []
+    for root, _d, files in os.walk(f"{path}/{rel}"):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "rb") as fh:
+                    out.append(hashlib.md5(fh.read()).hexdigest())
+    return sorted(out)
+
+
+def test_uninterrupted_run_commits_one_version_per_stage(spark, tmp_path):
+    store = str(tmp_path / "a")
+    out = run_pipeline_versioned(spark, store, _docs(spark), _stages())
+    ver, completed = pipeline_state(store)
+    assert ver == 3 and completed == ["filter", "dedup", "shard"]
+    rows = {r["shard"]: (r["n_docs"], r["sum_tok"]) for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+
+
+def test_crash_between_stages_leaves_current_then_resume_byte_identical(
+        spark, tmp_path):
+    ref_store, crash_store = str(tmp_path / "ref"), str(tmp_path / "crash")
+    docs = _docs(spark)
+    run_pipeline_versioned(spark, ref_store, docs, _stages())
+    ref = _shard_md5s(ref_store)
+    assert ref  # non-vacuous
+
+    # crash INSIDE stage 3 (before its staged write commits)
+    stages = _stages()
+
+    def boom(_df):
+        raise RuntimeError("simulated executor loss")
+
+    with pytest.raises(RuntimeError, match="simulated"):
+        run_pipeline_versioned(spark, crash_store, docs,
+                               stages[:2] + [("shard", boom)])
+    ver, completed = pipeline_state(crash_store)
+    assert ver == 2 and completed == ["filter", "dedup"]  # CURRENT intact
+
+    # resume: completed stages are NOT recomputed, the crashed one is
+    calls = []
+    out = run_pipeline_versioned(spark, crash_store, docs, _stages(calls))
+    assert calls == ["shard"]
+    assert pipeline_state(crash_store) == (3, ["filter", "dedup", "shard"])
+    assert _shard_md5s(crash_store) == ref  # byte-identical final shards
+    assert out.count() == 4
+
+
+def test_orphaned_staged_dir_from_hard_kill_is_overwritten(spark, tmp_path):
+    # a kill AFTER the stage parquet write but BEFORE the commit leaves
+    # an orphan dir no manifest references; the retry overwrites it
+    store = str(tmp_path / "orphan")
+    docs = _docs(spark)
+    stages = _stages()
+    with pytest.raises(RuntimeError):
+        run_pipeline_versioned(
+            spark, store, docs,
+            stages[:1] + [("dedup", lambda d: (_ for _ in ()).throw(
+                RuntimeError("x")))] + stages[2:])
+    orphan = f"{store}/stages/dedup/v2"
+    os.makedirs(orphan, exist_ok=True)
+    with open(f"{orphan}/part-garbage.parquet", "w") as f:
+        f.write("not parquet")  # half-written staged output
+    out = run_pipeline_versioned(spark, store, docs, _stages())
+    assert out.count() == 4
+    assert not os.path.exists(f"{orphan}/part-garbage.parquet")
+
+
+def test_pipeline_shape_change_refused(spark, tmp_path):
+    store = str(tmp_path / "shape")
+    docs = _docs(spark)
+    run_pipeline_versioned(spark, store, docs, _stages())
+    renamed = [(n + "_x", f) for n, f in _stages()]
+    with pytest.raises(ValueError, match="pipeline shape changed"):
+        run_pipeline_versioned(spark, store, docs, renamed)
+
+
+def test_duplicate_stage_names_refused(spark, tmp_path):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="duplicate"):
+        run_pipeline_versioned(
+            spark, str(tmp_path / "dup"), docs,
+            [("s", lambda d: d), ("s", lambda d: d)])
