@@ -831,6 +831,104 @@ def knn_pq_adc(
     )
 
 
+def knn_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+) -> DataFrame:
+    """The full IVF-PQ layout (Jégou et al.): coarse Voronoi cells for
+    candidate PRUNING (:func:`knn_ivf`'s machinery) + PQ codes for
+    candidate SCORING (:func:`knn_pq_adc`'s ADC) — the two levers
+    compose multiplicatively: a probe touches n_probe/n_clusters of the
+    corpus, and each touched row costs O(m) lookups over m-byte codes
+    instead of O(dim) flops over dim·8 bytes.
+
+    ``n_probe == n_clusters`` degenerates to exactly
+    :func:`knn_pq_adc` (pytest-pinned). At 100 TB: write the codes
+    table partitioned by ``cell`` (the :func:`pq_encode` output plus
+    this cell column) so a probe is a partition-pruned scan of m-byte
+    codes — raw vectors never leave the encode job."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cents = ivf_centroids(corpus, id_col, vec_col, n_clusters, iters)
+    enc = pq_encode(corpus, id_col, vec_col, codebooks)
+    cell = corpus.select(
+        F.col(id_col),
+        _nearest_centroid(F.col(vec_col), cents).alias("cell"),
+    )
+    c = enc.join(cell, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes", "recon_n2", "cell")
+    qv = F.col(vec_col)
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(qv, F.array(*[F.lit(w) for w in cc]),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda s, v: s + v,
+        )
+        for cc in cents
+    ])
+    order = F.array_sort(
+        F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    )
+    lut = F.array(*[
+        F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    F.slice(qv, j * dsub + 1, dsub),
+                    F.array(*[F.lit(float(w)) for w in codebooks[j][c_]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0), lambda s, v: s + v,
+            )
+            for c_ in range(len(codebooks[j]))
+        ])
+        for j in range(m)
+    ])
+    qn = F.sqrt(F.aggregate(
+        F.zip_with(qv, qv, lambda x, y: x * y),
+        F.lit(0.0), lambda s, v: s + v,
+    ))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), lut.alias("lut"), qn.alias("qn"),
+        F.explode(
+            F.transform(F.slice(order, 1, n_probe),
+                        lambda s: s["i"].cast("int"))
+        ).alias("cell"),
+    )
+    dot = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            F.element_at(F.col("lut"), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.when(
+                (F.col("recon_n2") > 0.0) & (F.col("qn") > 0.0),
+                dot / (F.col("qn") * F.sqrt(F.col("recon_n2"))),
+            ).otherwise(F.lit(0.0)).alias("adc_cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_cos", "rank")
+    )
+
+
 #: above this k, semantic_dedup switches from literal-folded centroids to
 #: the broadcast-centroid-matrix GEMM assignment (Catalyst plan size caps
 #: the literal path around 10³ centroids; the paper's regime is k ∝ N)

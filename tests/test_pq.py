@@ -127,3 +127,32 @@ def test_pq_bytes_reduction(clustered):
     # bytes in a columnar store: 64x raw reduction before overheads
     (row,) = enc.limit(1).collect()
     assert len(row["codes"]) == 4
+
+
+def test_ivf_pq_full_probe_equals_pq_adc(spark, clustered):
+    # n_probe == n_clusters degenerates to exactly the flat ADC search
+    from rs_graphdb_spark.functions.similarity import knn_ivf_pq
+    books = pq_train(clustered, "vec_id", "v", m=4, ks=8, iters=2)
+    q = clustered.filter(F.col("vec_id") < 4)
+    flat = {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in knn_pq_adc(
+                clustered, q, "vec_id", "v", books, k=5).collect()}
+    full = {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in knn_ivf_pq(
+                clustered, q, "vec_id", "v", books, k=5,
+                n_clusters=6, n_probe=6, iters=2).collect()}
+    assert full == flat
+
+
+def test_ivf_pq_pruned_probe_stays_in_neighborhood(spark, clustered):
+    # n_probe=1 on planted clusters: every hit still lands in the true
+    # cluster (the cell prune finds the right Voronoi region)
+    from rs_graphdb_spark.functions.similarity import knn_ivf_pq
+    books = pq_train(clustered, "vec_id", "v", m=4, ks=16, iters=2)
+    q = clustered.filter(F.col("vec_id") < 6)
+    rows = knn_ivf_pq(clustered, q, "vec_id", "v", books, k=10,
+                      n_clusters=12, n_probe=1, iters=3).collect()
+    assert rows  # pruned probe still returns candidates
+    same = sum(1 for r in rows
+               if r["neighbor_id"] % 12 == r["query_id"] % 12)
+    assert same / len(rows) >= 0.9
