@@ -2697,7 +2697,9 @@ def q36_text_features(spark, sf_dir):
         documents_as_warc, read_warc, warc_responses, warc_to_wet)
 
     wfiles = documents_as_warc(docs, corrupt_every=97).localCheckpoint()
-    wrecs = read_warc(wfiles)
+    # checkpoint the parsed records: three consumers below (types, urls,
+    # WET) would otherwise re-run the Arrow parse 3× (r8 advisor note)
+    wrecs = read_warc(wfiles).localCheckpoint()
     wtypes = wrecs.groupBy(
         F.coalesce("rec_type", F.lit("corrupt")).alias("rt")
     ).agg(F.count("*").alias("cnt"))

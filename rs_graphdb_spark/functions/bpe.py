@@ -114,6 +114,131 @@ def _pairs(seq_col):
     )[0]
 
 
+#: encode-side engine routing threshold (the `_SEMDEDUP_GEMM_MIN_K` /
+#: `arrow_codes_above` discipline): at or above this many merges the
+#: nested-`F.replace` expression chain is replaced by a mapInArrow
+#: kernel. The expression chain is pure codegen and fastest at small
+#: merge counts, but its plan DEPTH is one nesting level per merge —
+#: Catalyst analysis blows up long before data does at a production
+#: tokenizer's 32k-100k merges (r8 VERDICT item #1). The kernel's
+#: per-word cost is O(word length), independent of merge-list size
+#: (rank-dict lookups), so per-token encode cost is near-FLAT on the
+#: merge axis (tools/bpe_scale_probe.py axis C).
+_BPE_ARROW_MIN_MERGES = 64
+
+
+def _use_arrow_encode(encode_engine: str, n_merges: int) -> bool:
+    if encode_engine not in ("auto", "expr", "arrow"):
+        raise ValueError(
+            f"encode_engine must be 'auto'|'expr'|'arrow', got"
+            f" {encode_engine!r}")
+    return encode_engine == "arrow" or (
+        encode_engine == "auto" and n_merges >= _BPE_ARROW_MIN_MERGES)
+
+
+def _apply_merges_py(syms: list[str], merges: list[tuple[str, str]],
+                     ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply a merge list to one symbol sequence, EXACTLY chain-
+    equivalent to the nested-replace expression (and the DuckDB twin):
+    merges apply in rank order, each as one left-to-right non-
+    overlapping replace of all its occurrences; a pair CREATED by merge
+    r is only ever consumed by a LATER merge (rank > r) — a pair whose
+    rank already passed stays unmerged, exactly as the chain leaves it.
+
+    Cost is O(len(syms)) rank-dict lookups + O(applied · len) for the
+    merge passes — independent of the merge-LIST size, which is what
+    makes 32k-100k-merge vocabularies encodable (pytest-pinned against
+    the literal padded-string replace chain on randomized inputs)."""
+    if len(syms) < 2:
+        return list(syms)
+    import heapq
+
+    heap: list[int] = []
+    queued: set[int] = set()
+    for a, b in zip(syms, syms[1:]):
+        r = ranks.get((a, b))
+        if r is not None and r not in queued:
+            queued.add(r)
+            heap.append(r)
+    heapq.heapify(heap)
+    cur = list(syms)
+    while heap:
+        r = heapq.heappop(heap)
+        left, right = merges[r]
+        sym = left + right
+        out: list[str] = []
+        new_pos: list[int] = []
+        i, n = 0, len(cur)
+        while i < n:
+            if i + 1 < n and cur[i] == left and cur[i + 1] == right:
+                out.append(sym)
+                new_pos.append(len(out) - 1)
+                i += 2
+            else:
+                out.append(cur[i])
+                i += 1
+        if not new_pos:
+            continue  # pair destroyed before its turn — chain no-op
+        cur = out
+        for p in new_pos:
+            for q in (p - 1, p):
+                if 0 <= q and q + 1 < len(cur):
+                    nr = ranks.get((cur[q], cur[q + 1]))
+                    if nr is not None and nr > r and nr not in queued:
+                        queued.add(nr)
+                        heapq.heappush(heap, nr)
+    return cur
+
+
+def _encode_words_arrow(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    byte_level: bool,
+    ids: dict[str, int] | None = None,
+    unk_id: int = -1,
+) -> DataFrame:
+    """mapInArrow encode kernel over a (word) DataFrame → (word, tokens)
+    or, when ``ids`` is given, (word, ids) — the production-merge-count
+    path (r8 VERDICT item #1, the `minhash_signatures_arrow` /
+    `_assign_gemm` discipline). The merge list + rank dict + id map
+    ship via closure: vocabulary-bounded tokenizer METADATA (the same
+    payload a broadcast centroid table would carry), never corpus data.
+    Mapping token→id inside the kernel also sidesteps the other
+    vocabulary-sized expression (`F.create_map` with |vocab| literal
+    entries). NULL/empty inputs pass through as NULL/empty output."""
+    import pyarrow as pa
+
+    ranks = {(lr[0], lr[1]): k for k, lr in enumerate(merges)}
+    merges = [tuple(m) for m in merges]
+    b2u = bytes_to_unicode() if byte_level else None
+    idmap = dict(ids) if ids is not None else None
+    out_name = "ids" if idmap is not None else "tokens"
+    out_type = pa.list_(pa.int32()) if idmap is not None \
+        else pa.list_(pa.string())
+    out_ddl = "array<int>" if idmap is not None else "array<string>"
+
+    def _enc(batches):
+        for batch in batches:
+            col = batch.column(0)
+            out = []
+            for w in col.to_pylist():
+                if w is None:
+                    out.append(None)
+                    continue
+                syms = ([b2u[b] for b in w.encode("utf-8")]
+                        if byte_level else list(w))
+                toks = _apply_merges_py(syms, merges, ranks)
+                if idmap is not None:
+                    out.append([idmap.get(t, unk_id) for t in toks])
+                else:
+                    out.append(toks)
+            yield pa.RecordBatch.from_arrays(
+                [col, pa.array(out, type=out_type)], ["word", out_name])
+
+    return words.select(F.col("word")).mapInArrow(
+        _enc, f"word string, {out_name} {out_ddl}")
+
+
 def word_counts(df: DataFrame, text_col: str,
                 mode: str = "ascii") -> DataFrame:
     """Corpus word-frequency table — the single corpus scan BPE needs.
@@ -133,6 +258,7 @@ def bpe_train(
     num_merges: int = 8,
     mode: str = "ascii",
     byte_level: bool = False,
+    rounds_batch: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``num_merges`` BPE merges over the corpus.
 
@@ -149,44 +275,116 @@ def bpe_train(
     ``byte_level=True`` trains over UTF-8 BYTE symbols (GPT-2 byte
     table) instead of characters: the base alphabet is the fixed 256
     byte symbols, so a trained tokenizer encodes ANY string losslessly
-    (see :func:`bpe_encode_ids` byte fallback)."""
+    (see :func:`bpe_encode_ids` byte fallback).
+
+    ``rounds_batch`` (r8 VERDICT item #7 — the merge-count JOB ceiling):
+    strict Sennrich order runs ONE localCheckpointed Spark round per
+    merge, i.e. 32k merges = 32k sequential vocabulary-sized jobs —
+    scheduler overhead alone is hours. ``rounds_batch=B > 1`` learns up
+    to B merges per round: the round's pair counts are computed once,
+    the top pairs are greedily selected under SYMBOL-DISJOINTNESS (no
+    chosen pair shares a left/right symbol or its merged symbol with
+    another), and all B replaces apply in one pass. Disjointness makes
+    the application order-independent and keeps every chosen pair's
+    count valid (merging one pair cannot create or destroy occurrences
+    of a disjoint pair), so each chosen merge's recorded count is exact.
+    This is a DOCUMENTED deviation from strict Sennrich order: a strict
+    trainer recounts after every merge and could pick a pair CREATED by
+    an earlier merge in the same batch before the batch's later picks.
+    Default ``1`` = strict order (the oracle-twinned configuration).
+    Candidate selection collects the top ``4·B`` pair rows — bounded
+    tokenizer metadata, the centroid-table discipline."""
+    if rounds_batch < 1:
+        raise ValueError(f"rounds_batch must be >= 1, got {rounds_batch}")
+    from rs_graphdb_spark.session import local_df
+
     init = _byte_seq_init if byte_level else _seq_init
     vocab = word_counts(df, text_col, mode).select(
         "word", "cnt", init(F.col("word")).alias("seq")
     ).localCheckpoint()
+    spark = df.sparkSession
     merges = None
-    for rank in range(num_merges):
+    if rounds_batch == 1:
+        # strict Sennrich order: declarative 1-row argmax joined back
+        # in-plan — NO driver-side argmax, the oracle-twinned path
+        for rank in range(num_merges):
+            pair_counts = (
+                vocab.select("cnt",
+                             F.explode(_pairs(F.col("seq"))).alias("p"))
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("cnt").alias("pc"))
+            )
+            best = (
+                pair_counts.orderBy(F.col("pc").desc(), "l", "r").limit(1)
+                .select(F.lit(rank).alias("rank"), "l", "r", "pc")
+                .localCheckpoint()
+            )
+            merges = best if merges is None else merges.unionByName(best)
+            b = F.broadcast(best.select(
+                F.col("l").alias("_l"), F.col("r").alias("_r")))
+            vocab = (
+                vocab.join(b, F.lit(True), "left")
+                .select(
+                    "word", "cnt",
+                    F.when(
+                        F.col("_l").isNull(), F.col("seq")
+                    ).otherwise(
+                        F.replace(
+                            F.col("seq"),
+                            F.concat(F.lit(" "), F.col("_l"), F.lit("  "),
+                                     F.col("_r"), F.lit(" ")),
+                            F.concat(F.lit(" "), F.col("_l"), F.col("_r"),
+                                     F.lit(" ")),
+                        )
+                    ).alias("seq"),
+                )
+                .localCheckpoint()
+            )
+        return merges, vocab
+    # batched rounds: the top-B pair rows are BOUNDED tokenizer metadata
+    # (4·B rows collected per round — the centroid-table discipline);
+    # selection is driver-side but vocabulary-sized, never corpus-sized
+    rank = 0
+    while rank < num_merges:
+        batch = min(rounds_batch, num_merges - rank)
         pair_counts = (
             vocab.select("cnt", F.explode(_pairs(F.col("seq"))).alias("p"))
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("cnt").alias("pc"))
         )
-        best = (
-            pair_counts.orderBy(F.col("pc").desc(), "l", "r").limit(1)
-            .select(F.lit(rank).alias("rank"), "l", "r", "pc")
-            .localCheckpoint()
+        top = (
+            pair_counts.orderBy(F.col("pc").desc(), "l", "r")
+            .limit(4 * batch).collect()
         )
+        used: set[str] = set()
+        sel: list[tuple[str, str, int]] = []
+        for r_ in top:
+            l_, rr_ = r_["l"], r_["r"]
+            if {l_, rr_, l_ + rr_} & used:
+                continue
+            sel.append((l_, rr_, int(r_["pc"])))
+            used.update((l_, rr_, l_ + rr_))
+            if len(sel) == batch:
+                break
+        if not sel:
+            break  # no pairs left anywhere — vocabulary fully merged
+        best = local_df(
+            spark,
+            [(rank + i, l_, rr_, pc)
+             for i, (l_, rr_, pc) in enumerate(sel)],
+            "rank int, l string, r string, pc bigint",
+        ).localCheckpoint()
         merges = best if merges is None else merges.unionByName(best)
-        b = F.broadcast(best.select(
-            F.col("l").alias("_l"), F.col("r").alias("_r")))
-        vocab = (
-            vocab.join(b, F.lit(True), "left")
-            .select(
-                "word", "cnt",
-                F.when(
-                    F.col("_l").isNull(), F.col("seq")
-                ).otherwise(
-                    F.replace(
-                        F.col("seq"),
-                        F.concat(F.lit(" "), F.col("_l"), F.lit("  "),
-                                 F.col("_r"), F.lit(" ")),
-                        F.concat(F.lit(" "), F.col("_l"), F.col("_r"),
-                                 F.lit(" ")),
-                    )
-                ).alias("seq"),
+        seq = F.col("seq")
+        for l_, rr_, _pc in sel:
+            seq = F.replace(
+                seq,
+                F.lit(f" {l_}  {rr_} "),
+                F.lit(f" {l_}{rr_} "),
             )
+        vocab = vocab.select("word", "cnt", seq.alias("seq")) \
             .localCheckpoint()
-        )
+        rank += len(sel)
     return merges, vocab
 
 
@@ -198,15 +396,25 @@ def bpe_encode(
     mode: str = "ascii",
     byte_level: bool = False,
     broadcast_words: bool | str = False,
+    encode_engine: str = "auto",
 ) -> DataFrame:
     """Encode documents with a learned merge list: (id, word_idx, tokens).
 
     The merge list is tokenizer metadata (num_merges rows — bounded like
-    a centroid table), applied as literal replaces to the DISTINCT words
-    of the input, then joined back onto the exploded corpus — one corpus
-    scan, vocabulary-sized merge work, no per-document loop. Unseen
-    words fall back transparently: they enter the distinct-word table
-    and get the same merge applications.
+    a centroid table), applied to the DISTINCT words of the input, then
+    joined back onto the exploded corpus — one corpus scan,
+    vocabulary-sized merge work, no per-document loop. Unseen words fall
+    back transparently: they enter the distinct-word table and get the
+    same merge applications.
+
+    ``encode_engine`` routes HOW merges apply to the distinct words
+    (r8 VERDICT item #1): ``"expr"`` = the nested-`F.replace` chain
+    (pure codegen, twin-portable, but plan depth = merge count — only
+    viable at small vocabularies); ``"arrow"`` = the
+    :func:`_encode_words_arrow` kernel (per-word cost independent of
+    merge-list size — the 32k-100k-merge production path); ``"auto"``
+    (default) = expr below ``_BPE_ARROW_MIN_MERGES`` merges, arrow at
+    or above it. Both produce identical tokens (parity pytest-pinned).
 
     ``broadcast_words`` gates the word-table join strategy (the
     ``score_bigram_lm(broadcast_lm=...)`` precedent): the distinct-word
@@ -223,21 +431,25 @@ def bpe_encode(
     - ``True``: force broadcast (known-bounded vocabulary only).
     - ``"auto"``: no hint — Catalyst/AQE decide.
     """
-    init = _byte_seq_init if byte_level else _seq_init
     words = (
         df.select(F.posexplode(tokenize(text_col, mode))
                   .alias("word_idx", "word"))
         .select("word").distinct()
-        .select("word", init(F.col("word")).alias("seq"))
     )
-    seq = F.col("seq")
-    for left, right in merges:
-        seq = F.replace(
-            seq,
-            F.lit(f" {left}  {right} "),
-            F.lit(f" {left}{right} "),
-        )
-    encoded = words.select("word", F.split(F.trim(seq), "  ").alias("tokens"))
+    if _use_arrow_encode(encode_engine, len(merges)):
+        encoded = _encode_words_arrow(words, list(merges), byte_level)
+    else:
+        init = _byte_seq_init if byte_level else _seq_init
+        seq = F.col("seq")
+        for left, right in merges:
+            seq = F.replace(
+                seq,
+                F.lit(f" {left}  {right} "),
+                F.lit(f" {left}{right} "),
+            )
+        encoded = words.select(
+            "word", init(F.col("word")).alias("seq")
+        ).select("word", F.split(F.trim(seq), "  ").alias("tokens"))
     if broadcast_words is True:
         encoded = F.broadcast(encoded)
     elif broadcast_words is False:
@@ -323,26 +535,58 @@ def bpe_encode_ids(
     mode: str = "ascii",
     unk_id: int = -1,
     broadcast_words: bool | str = False,
+    encode_engine: str = "auto",
 ) -> DataFrame:
     """Encode documents to integer token-id sequences under a trained
     artifact: (id, word_idx, ids ARRAY<INT>). The vocab is bounded
-    (alphabet + merges), so the id lookup is a plan-literal MAP — the
-    encode stays one corpus scan plus the vocabulary-sized merge work.
+    (alphabet + merges), so on the expression path the id lookup is a
+    plan-literal MAP; on the arrow path (``encode_engine`` — routed
+    like :func:`bpe_encode`) the kernel maps token→id directly, which
+    also avoids a |vocab|-entry ``create_map`` expression at production
+    vocabulary sizes. The encode stays one corpus scan plus the
+    vocabulary-sized merge work either way.
 
     Char-level artifacts map symbols outside the vocab (unseen
     characters) to ``unk_id``; BYTE-LEVEL artifacts
     (``artifact["byte_level"]``) decompose every word into UTF-8 byte
     symbols whose 256 base ids always exist — zero unks on any input,
     and :func:`bpe_decode_ids` restores the exact word."""
+    merges = list(artifact["merges"])
+    byte_level = bool(artifact.get("byte_level"))
+    if _use_arrow_encode(encode_engine, len(merges)):
+        words = (
+            df.select(F.posexplode(tokenize(text_col, mode))
+                      .alias("word_idx", "word"))
+            .select("word").distinct()
+        )
+        encoded = _encode_words_arrow(
+            words, merges, byte_level, ids=token_ids(artifact),
+            unk_id=unk_id)
+        if broadcast_words is True:
+            encoded = F.broadcast(encoded)
+        elif broadcast_words is False:
+            encoded = encoded.hint("shuffle_hash")
+        elif broadcast_words != "auto":
+            raise ValueError(
+                f"broadcast_words must be True|False|'auto', got"
+                f" {broadcast_words!r}")
+        return (
+            df.select(F.col(id_col),
+                      F.posexplode(tokenize(text_col, mode))
+                      .alias("word_idx", "word"))
+            .join(encoded, "word")
+            .select(id_col, "word_idx", "ids")
+        )
     ids = token_ids(artifact)
     entries = []
     for tok, i in ids.items():
         entries.extend([F.lit(tok), F.lit(i)])
     idmap = F.create_map(*entries)
     enc = bpe_encode(
-        df, id_col, text_col, list(artifact["merges"]), mode,
-        byte_level=bool(artifact.get("byte_level")),
+        df, id_col, text_col, merges, mode,
+        byte_level=byte_level,
         broadcast_words=broadcast_words,
+        encode_engine="expr",
     )
     return enc.select(
         id_col, "word_idx",
@@ -359,6 +603,7 @@ def bpe_encode_strings(
     str_col: str,
     artifact: dict,
     broadcast_words: bool | str = False,
+    encode_engine: str = "auto",
 ) -> DataFrame:
     """Encode a STRING column verbatim — no tokenizer — to token ids:
     (id, ids ARRAY<INT>). Byte-level artifacts only: every codepoint
@@ -369,32 +614,41 @@ def bpe_encode_strings(
     merge algebra is safe even for values containing literal spaces.
 
     Same join discipline as :func:`bpe_encode`: merges apply to the
-    DISTINCT values, joined back under the ``broadcast_words`` gate."""
+    DISTINCT values, joined back under the ``broadcast_words`` gate.
+    NULL values join null-safely and emit NULL ids (r8 advisor note —
+    a null row is preserved, never silently dropped)."""
     if not artifact.get("byte_level"):
         raise ValueError("bpe_encode_strings requires a byte_level "
                          "artifact (char-level vocabularies are lossy)")
-    ids = token_ids(artifact)
-    entries = []
-    for tok, i in ids.items():
-        entries.extend([F.lit(tok), F.lit(i)])
-    idmap = F.create_map(*entries)
-    vals = (df.select(F.col(str_col).alias("_v")).distinct()
-            .select("_v", _byte_seq_init(F.col("_v")).alias("seq")))
-    seq = F.col("seq")
-    for left, right in artifact["merges"]:
-        seq = F.replace(seq, F.lit(f" {left}  {right} "),
-                        F.lit(f" {left}{right} "))
-    enc = vals.select(
-        "_v",
-        F.transform(
-            F.array(F.split(F.trim(seq), "  ")),
-            lambda t: F.when(
-                F.length(F.col("_v")) == 0, F.array().cast("array<int>")
-            ).otherwise(
-                F.transform(t, lambda s: F.element_at(idmap, s))
-            ),
-        )[0].alias("ids"),
-    )
+    merges = list(artifact["merges"])
+    if _use_arrow_encode(encode_engine, len(merges)):
+        vals = df.select(F.col(str_col).alias("word")).distinct()
+        enc = _encode_words_arrow(
+            vals, merges, byte_level=True, ids=token_ids(artifact)
+        ).withColumnRenamed("word", "_v")
+    else:
+        ids = token_ids(artifact)
+        entries = []
+        for tok, i in ids.items():
+            entries.extend([F.lit(tok), F.lit(i)])
+        idmap = F.create_map(*entries)
+        vals = (df.select(F.col(str_col).alias("_v")).distinct()
+                .select("_v", _byte_seq_init(F.col("_v")).alias("seq")))
+        seq = F.col("seq")
+        for left, right in merges:
+            seq = F.replace(seq, F.lit(f" {left}  {right} "),
+                            F.lit(f" {left}{right} "))
+        enc = vals.select(
+            "_v",
+            F.transform(
+                F.array(F.split(F.trim(seq), "  ")),
+                lambda t: F.when(
+                    F.length(F.col("_v")) == 0, F.array().cast("array<int>")
+                ).otherwise(
+                    F.transform(t, lambda s: F.element_at(idmap, s))
+                ),
+            )[0].alias("ids"),
+        )
     if broadcast_words is True:
         enc = F.broadcast(enc)
     elif broadcast_words is False:
@@ -405,7 +659,8 @@ def bpe_encode_strings(
             f" {broadcast_words!r}")
     return (
         df.select(F.col(id_col), F.col(str_col).alias("_v"))
-        .join(enc, "_v")
+        .join(enc.withColumnRenamed("_v", "_w"),
+              F.col("_v").eqNullSafe(F.col("_w")))
         .select(id_col, "ids")
     )
 
@@ -501,12 +756,14 @@ def bpe_token_counts(
     mode: str = "ascii",
     byte_level: bool = False,
     broadcast_words: bool | str = False,
+    encode_engine: str = "auto",
 ) -> DataFrame:
     """Per-document BPE token count under a learned merge list — the
     token-budget accountant for mixture planning / packing when budgets
     are in subword units rather than words."""
     enc = bpe_encode(df, id_col, text_col, merges, mode,
-                     byte_level=byte_level, broadcast_words=broadcast_words)
+                     byte_level=byte_level, broadcast_words=broadcast_words,
+                     encode_engine=encode_engine)
     return (
         enc.groupBy(id_col)
         .agg(F.sum(F.size("tokens")).alias("n_bpe_tokens"))

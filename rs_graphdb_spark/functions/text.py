@@ -821,6 +821,7 @@ def append_bm25_index(
     id_col: str,
     text_col: str,
     batch_id: str | None = None,
+    allow_stale_pending: bool = False,
 ) -> str:
     """Incremental BM25 index ingest (requires the ``appendable=True``
     layout; the continuous-ingest shape of the minhash standing index):
@@ -844,12 +845,18 @@ def append_bm25_index(
     - a batch already in ``meta["batches"]`` is COMMITTED — the retry
       returns ``"skipped-duplicate"`` without touching the index (no
       double-counted df/nd/total);
-    - a ``_batches/<id>.pending`` marker without a committed entry
+    - ANY ``_batches/*.pending`` marker without a committed entry
       means a previous attempt CRASHED mid-append (postings possibly
-      half-written, stats stale) — the retry raises with the recovery
-      story: rebuild the index from the source corpus with
+      half-written, stats stale) — the WHOLE index may be inconsistent,
+      not just that batch, so every new ingest (any batch_id, including
+      the default fresh uuid) raises with the recovery story: rebuild
+      the index from the source corpus with
       ``write_bm25_index(appendable=True)`` (postings are derivable
-      state; the corpus is the source of truth), then re-ingest.
+      state; the corpus is the source of truth), then re-ingest
+      (r8 advisor note — previously only a SAME-id retry was refused).
+      ``allow_stale_pending=True`` is the explicit override for a
+      caller that has verified the crash happened before the postings
+      append (marker-only) and accepts the risk.
 
     Returns ``"committed"`` or ``"skipped-duplicate"``."""
     import json
@@ -869,13 +876,18 @@ def append_bm25_index(
     bdir = os.path.join(index_dir, "_batches")
     os.makedirs(bdir, exist_ok=True)
     pending = os.path.join(bdir, f"{batch_id}.pending")
-    if os.path.exists(pending):
+    stale = sorted(
+        p for p in os.listdir(bdir) if p.endswith(".pending")
+    )
+    if stale and not allow_stale_pending:
         raise RuntimeError(
-            f"batch {batch_id!r} has a pending marker but never "
-            "committed: a previous ingest crashed mid-append and the "
-            "index may hold partial postings with stale stats. Rebuild "
-            "from the source corpus with "
-            "write_bm25_index(appendable=True), then re-ingest.")
+            f"stale pending marker(s) {stale} in {bdir}: a previous "
+            "ingest crashed mid-append and the index may hold partial "
+            "postings with stale stats — refusing EVERY new ingest, "
+            "not just a same-id retry (r8 advisor note). Rebuild from "
+            "the source corpus with write_bm25_index(appendable=True), "
+            "then re-ingest; or pass allow_stale_pending=True if the "
+            "crash is known to predate the postings append.")
     with open(pending, "w") as f:
         f.write(batch_id)
     n_prefix, mode = meta["n_prefix"], meta["mode"]

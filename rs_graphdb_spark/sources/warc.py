@@ -307,8 +307,34 @@ def _parse_record(raw: bytes) -> dict:
     return out
 
 
+#: per-member decompressor feed size — bounds BOTH the copy cost per
+#: member (a member only ever touches its own compressed bytes plus at
+#: most one chunk of overshoot) and the size of ``unused_data``
+_GZ_CHUNK = 1 << 20
+
+
+def _inflate_member(mv: memoryview, off: int) -> tuple[bytes, int]:
+    """Decompress ONE gzip member starting at ``off``; returns
+    (raw, consumed). Feeds the decompressor bounded memoryview slices
+    (zero-copy) instead of reslicing the whole remaining buffer — the
+    advisor's O(members × file_size) memcpy fix: total work is linear
+    in file bytes regardless of member count."""
+    d = zlib.decompressobj(31)
+    n = len(mv)
+    pos = off
+    out = []
+    while not d.eof and pos < n:
+        chunk = mv[pos:pos + _GZ_CHUNK]
+        out.append(d.decompress(chunk))
+        pos += len(chunk)
+    if not d.eof:
+        raise ValueError("truncated gzip member")
+    return b"".join(out), (pos - off) - len(d.unused_data)
+
+
 def _walk_members(buf: bytes) -> Iterator[dict]:
     """Gzip-member walk with per-member corrupt isolation + resync."""
+    mv = memoryview(buf)
     off, rec_idx = 0, 0
     n = len(buf)
     while off < n:
@@ -318,13 +344,9 @@ def _walk_members(buf: bytes) -> Iterator[dict]:
             "content_type": None, "body": None, "ok": False, "error": None,
         }
         try:
-            if buf[off:off + 3] != _GZ_MAGIC:
+            if bytes(mv[off:off + 3]) != _GZ_MAGIC:
                 raise ValueError("not a gzip member")
-            d = zlib.decompressobj(31)
-            raw = d.decompress(buf[off:])
-            if not d.eof:
-                raise ValueError("truncated gzip member")
-            consumed = (n - off) - len(d.unused_data)
+            raw, consumed = _inflate_member(mv, off)
             row.update(_parse_record(raw))
             row["ok"] = True
             off += consumed
@@ -380,6 +402,8 @@ def warc_responses(
     :func:`cleaning.html_to_text` / :func:`cleaning.url_normalize`.
     Pass ``records`` (a :func:`read_warc` output, possibly checkpointed)
     to reuse one parse across several consumers."""
+    if files is None and records is None:
+        raise ValueError("pass files or records")
     recs = records if records is not None \
         else read_warc(files, id_col, payload_col)
     return (
@@ -401,6 +425,8 @@ def warc_to_wet(
     `html_to_text` chain. Returns (id, url, warc_date, wet_text). This
     is CommonCrawl's WET extraction re-expressed Spark-first: one
     Arrow-batched parse stage + one codegen projection, zero shuffles."""
+    if files is None and records is None:
+        raise ValueError("pass files or records")
     from rs_graphdb_spark.functions.cleaning import html_to_text
 
     resp = warc_responses(files, id_col, payload_col, records=records)

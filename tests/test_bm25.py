@@ -227,9 +227,18 @@ def test_append_crashed_batch_detected(spark, corpus, tmp_path):
     open(f"{idx}/_batches/b9.pending", "w").write("b9")  # simulated crash
     with _pytest.raises(RuntimeError, match="write_bm25_index"):
         append_bm25_index(spark, idx, b, "doc_id", "text", batch_id="b9")
-    # a DIFFERENT batch id still ingests fine
+    # a DIFFERENT batch id (and the default fresh uuid) must ALSO
+    # refuse: a stale marker means the WHOLE index may be inconsistent,
+    # not just that one batch (r8 advisor note)
+    with _pytest.raises(RuntimeError, match="stale pending"):
+        append_bm25_index(spark, idx, b, "doc_id", "text", batch_id="b10")
+    with _pytest.raises(RuntimeError, match="stale pending"):
+        append_bm25_index(spark, idx, b, "doc_id", "text")
+    # explicit override for a caller that verified the crash predates
+    # the postings append
     assert append_bm25_index(
-        spark, idx, b, "doc_id", "text", batch_id="b10") == "committed"
+        spark, idx, b, "doc_id", "text", batch_id="b10",
+        allow_stale_pending=True) == "committed"
 
 
 def test_phrase_search_counts_consecutive_occurrences(spark):

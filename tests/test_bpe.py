@@ -290,3 +290,199 @@ def test_decode_rejects_unknown_id(corpus):
     art = bpe_artifact(m, v)
     with pytest.raises(ValueError, match="unknown token id"):
         bpe_decode_ids([99999], art)
+
+
+# ---------------------------------------------------------------------------
+# Arrow encode kernel (r8 VERDICT item #1): production merge counts
+# ---------------------------------------------------------------------------
+
+
+def _replace_chain_oracle(word, merges, byte_level=False):
+    """The literal padded-doubled-space replace chain in pure Python —
+    the exact semantics of the expression path and the DuckDB twin."""
+    from rs_graphdb_spark.functions.bpe import bytes_to_unicode
+    if byte_level:
+        b2u = bytes_to_unicode()
+        syms = [b2u[b] for b in word.encode("utf-8")]
+    else:
+        syms = list(word)
+    if not syms:
+        return []
+    s = " " + "  ".join(syms) + " "
+    for left, right in merges:
+        s = s.replace(f" {left}  {right} ", f" {left}{right} ")
+    return s.strip().split("  ")
+
+
+def test_apply_merges_py_matches_replace_chain_randomized():
+    """The heap kernel must be CHAIN-equivalent (not min-rank-first
+    GPT-2 order) — including the case a later merge re-creates an
+    earlier merge's pair, which the chain leaves unmerged."""
+    import random
+
+    from rs_graphdb_spark.functions.bpe import _apply_merges_py
+
+    rng = random.Random(0xBEEF)
+    alpha = "abcd"
+    for trial in range(300):
+        # random merges over growing symbols, duplicates filtered
+        merges, seen, syms_pool = [], set(), list(alpha)
+        for _ in range(rng.randint(1, 12)):
+            p = (rng.choice(syms_pool), rng.choice(syms_pool))
+            if p in seen:
+                continue
+            seen.add(p)
+            merges.append(p)
+            syms_pool.append(p[0] + p[1])
+        ranks = {p: i for i, p in enumerate(merges)}
+        word = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+        got = _apply_merges_py(list(word), merges, ranks)
+        want = _replace_chain_oracle(word, merges)
+        assert got == want, (word, merges, got, want)
+
+
+def test_apply_merges_py_chain_order_not_min_rank():
+    """Directed chain-order case: merge 2 re-creates merge 0's pair;
+    the chain (and the kernel) must NOT go back and apply merge 0."""
+    from rs_graphdb_spark.functions.bpe import _apply_merges_py
+
+    # word 'abcb': merge0 (c,b)->cb applies => a b cb ;
+    # merge1 (b,cb)->bcb applies => a bcb ; merge2 (a,bcb) => abcb.
+    # Now suppose merge0 were (a,b): on 'abcb' it applies FIRST (ab c b),
+    # then (c,b) at rank1 => ab cb, and a rank2 (ab,cb) => abcb.
+    merges = [("a", "b"), ("c", "b"), ("ab", "cb")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = _apply_merges_py(list("abcb"), merges, ranks)
+    assert got == ["abcb"]
+    assert got == _replace_chain_oracle("abcb", merges)
+    # re-creation case: applying (b,c) then (bc,a) leaves a trailing
+    # 'b','c' pair created too late for rank 0 to consume
+    merges2 = [("b", "c"), ("a", "b"), ("ab", "bc")]
+    ranks2 = {p: i for i, p in enumerate(merges2)}
+    for w in ("abbc", "babcbc", "bcabbcbc"):
+        assert _apply_merges_py(list(w), merges2, ranks2) == \
+            _replace_chain_oracle(w, merges2), w
+
+
+def test_arrow_engine_parity_encode(corpus):
+    m, _ = bpe_train(corpus, "text", num_merges=6)
+    ml = [(r["l"], r["r"]) for r in m.orderBy("rank").collect()]
+    expr = {(r["doc_id"], r["word_idx"]): r["tokens"]
+            for r in bpe_encode(corpus, "doc_id", "text", ml,
+                                encode_engine="expr").collect()}
+    arrow = {(r["doc_id"], r["word_idx"]): r["tokens"]
+             for r in bpe_encode(corpus, "doc_id", "text", ml,
+                                 encode_engine="arrow").collect()}
+    assert expr == arrow
+
+
+def test_arrow_engine_parity_encode_ids_byte_level(spark, corpus):
+    from rs_graphdb_spark.functions.bpe import bpe_artifact, bpe_encode_ids
+    m, v = bpe_train(corpus, "text", num_merges=6, byte_level=True)
+    art = bpe_artifact(m, v, byte_level=True)
+    expr = {(r["doc_id"], r["word_idx"]): r["ids"]
+            for r in bpe_encode_ids(corpus, "doc_id", "text", art,
+                                    encode_engine="expr").collect()}
+    arrow = {(r["doc_id"], r["word_idx"]): r["ids"]
+             for r in bpe_encode_ids(corpus, "doc_id", "text", art,
+                                     encode_engine="arrow").collect()}
+    assert expr == arrow and expr
+
+
+def test_arrow_engine_parity_encode_strings(spark, corpus):
+    from rs_graphdb_spark.functions.bpe import (
+        bpe_artifact, bpe_encode_strings)
+    m, v = bpe_train(corpus, "text", num_merges=6, byte_level=True)
+    art = bpe_artifact(m, v, byte_level=True)
+    cases = ["hello world", "東京タワー 2024", "naïve café ☕", "",
+             "low lower newest"]
+    sdf = spark.createDataFrame(list(enumerate(cases)), "id long, s string")
+    expr = {r["id"]: r["ids"]
+            for r in bpe_encode_strings(sdf, "id", "s", art,
+                                        encode_engine="expr").collect()}
+    arrow = {r["id"]: r["ids"]
+             for r in bpe_encode_strings(sdf, "id", "s", art,
+                                         encode_engine="arrow").collect()}
+    assert expr == arrow and len(expr) == len(cases)
+
+
+def test_encode_strings_preserves_null_rows(spark, corpus):
+    """r8 advisor note: a NULL value row must survive the join (null-
+    safe) and emit NULL ids — not vanish."""
+    from rs_graphdb_spark.functions.bpe import (
+        bpe_artifact, bpe_encode_strings)
+    m, v = bpe_train(corpus, "text", num_merges=2, byte_level=True)
+    art = bpe_artifact(m, v, byte_level=True)
+    sdf = spark.createDataFrame(
+        [(0, "low"), (1, None), (2, "")], "id long, s string")
+    for eng in ("expr", "arrow"):
+        out = {r["id"]: r["ids"]
+               for r in bpe_encode_strings(sdf, "id", "s", art,
+                                           encode_engine=eng).collect()}
+        assert set(out) == {0, 1, 2}, eng
+        assert out[1] is None and out[2] == [], eng
+        assert out[0] and all(i >= 0 for i in out[0]), eng
+
+
+def test_encode_engine_routing_and_plan_shape(corpus):
+    """auto = expr below the threshold (no Python node), arrow at or
+    above it (MapInArrow in the plan); bad engine name raises."""
+    from rs_graphdb_spark.functions.bpe import _BPE_ARROW_MIN_MERGES
+    m, _ = bpe_train(corpus, "text", num_merges=2)
+    ml = [(r["l"], r["r"]) for r in m.orderBy("rank").collect()]
+
+    def plan(engine, merges):
+        df = bpe_encode(corpus, "doc_id", "text", merges,
+                        encode_engine=engine)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "MapInArrow" not in plan("auto", ml)
+    assert "MapInArrow" in plan("arrow", ml)
+    # pad with never-applying merges to cross the auto threshold
+    big = ml + [(f"Z{i}", f"Q{i}") for i in range(_BPE_ARROW_MIN_MERGES)]
+    assert "MapInArrow" in plan("auto", big)
+    with pytest.raises(ValueError, match="encode_engine"):
+        bpe_encode(corpus, "doc_id", "text", ml, encode_engine="numpy")
+
+
+def test_arrow_engine_large_merge_list_encodes(corpus):
+    """The production regime the expression chain cannot express: a
+    32k-entry merge list. The kernel's cost is rank-dict lookups, so
+    this runs in seconds; answers must equal the 6-merge expr result
+    because the 32k padding merges never apply."""
+    m, _ = bpe_train(corpus, "text", num_merges=6)
+    ml = [(r["l"], r["r"]) for r in m.orderBy("rank").collect()]
+    big = ml + [(f"z{i}x", f"q{i}y") for i in range(32_000)]
+    want = {(r["doc_id"], r["word_idx"]): r["tokens"]
+            for r in bpe_encode(corpus, "doc_id", "text", ml,
+                                encode_engine="expr").collect()}
+    got = {(r["doc_id"], r["word_idx"]): r["tokens"]
+           for r in bpe_encode(corpus, "doc_id", "text", big,
+                               encode_engine="auto").collect()}
+    assert got == want
+
+
+def test_rounds_batch_training(corpus):
+    """Batched rounds (r8 VERDICT item #7): B symbol-disjoint merges
+    per round. The FIRST merge always equals strict order's first (the
+    global argmax is selected first in every greedy round); each
+    round's picks are symbol-disjoint; the learned merges still encode
+    (lossless under byte level is covered elsewhere)."""
+    strict, _ = bpe_train(corpus, "text", num_merges=6)
+    batched, _ = bpe_train(corpus, "text", num_merges=6, rounds_batch=3)
+    s = [(r["l"], r["r"], r["pc"]) for r in strict.orderBy("rank").collect()]
+    b = [(r["l"], r["r"], r["pc"]) for r in batched.orderBy("rank").collect()]
+    assert len(b) == 6
+    assert b[0] == s[0]  # global argmax heads every greedy selection
+    # disjointness within each 3-round: no shared symbols or products
+    for lo in (0, 3):
+        used = set()
+        for l_, r_, _pc in b[lo:lo + 3]:
+            assert not ({l_, r_, l_ + r_} & used)
+            used.update((l_, r_, l_ + r_))
+    # learned merges drive a working encode
+    ml = [(x[0], x[1]) for x in b]
+    out = bpe_encode(corpus, "doc_id", "text", ml).collect()
+    assert out and all(r["tokens"] for r in out)
+    with pytest.raises(ValueError, match="rounds_batch"):
+        bpe_train(corpus, "text", num_merges=2, rounds_batch=0)

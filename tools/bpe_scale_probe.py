@@ -11,6 +11,19 @@ plus num_merges VOCABULARY-sized jobs. Therefore:
   the merge loop grows with distinct words (rows in the pair table),
   the scan is flat — superlinear growth in either axis is an operator
   defect.
+- **Merge axis (r8 VERDICT item #1)** (fixed 200k docs / 400 words,
+  8 → 1k → 10k → 32k merges): ENCODE cost must stay near-flat — the
+  mapInArrow kernel's per-word work is rank-dict lookups, independent
+  of merge-list size. The merge list is the 6 trained merges padded
+  with structured synthetic merges over the trained symbol space (some
+  apply, most don't — the realistic shape: a 32k vocabulary applies
+  only ~word-length merges per word). The expression path is measured
+  at the 8-merge rung only (it cannot compile at 32k — that ceiling is
+  the finding).
+- **Train merge axis (r8 VERDICT item #7)** (fixed corpus, 64 / 256
+  merges, rounds_batch 1 vs 32): one localCheckpointed Spark round per
+  merge makes strict-order training linear in SEQUENTIAL jobs; batched
+  rounds (top-B symbol-disjoint pairs per round) cut job count B×.
 
 Usage: python tools/bpe_scale_probe.py
 Prints one markdown row per (axis, rung) for PLANS.md.
@@ -80,6 +93,47 @@ def main() -> None:
         run(f"train(6)+encode, {v:,} distinct words",
             lambda: train_and_count(docs))
         docs.unpersist()
+
+    print("axis C: merge-list size, encode only (200k docs, 400 words)")
+    docs = synth_docs(spark, 200_000, 400)
+    docs.count()
+    m, _v = bpe_train(docs, "text", num_merges=6)
+    ml = [(r["l"], r["r"]) for r in m.orderBy("rank").collect()]
+
+    def pad_merges(n: int) -> list:
+        """Trained merges + structured synthetic pads: chains over the
+        trained symbols (some apply) and never-applying fillers — the
+        realistic large-vocabulary shape: most merges miss any word."""
+        out = list(ml)
+        syms = [a + b for a, b in ml] + list("wordx0123456789")
+        i = 0
+        while len(out) < n:
+            a = syms[i % len(syms)]
+            b = syms[(i * 7 + 3) % len(syms)]
+            if (a, b) not in out:
+                out.append((a, b))
+                syms.append(a + b)
+            i += 1
+        return out[:n]
+
+    def enc(merges, engine):
+        return lambda: bpe_token_counts(
+            docs, "doc_id", "text", merges, encode_engine=engine
+        ).write.mode("overwrite").format("noop").save()
+
+    run("encode expr, 8 merges", enc(pad_merges(8), "expr"))
+    for n in (8, 1_000, 10_000, 32_000):
+        run(f"encode arrow, {n:,} merges", enc(pad_merges(n), "arrow"))
+    docs.unpersist()
+
+    print("train merge axis: rounds_batch (200k docs, 400 words)")
+    docs = synth_docs(spark, 200_000, 400)
+    docs.count()
+    for nm, rb in ((64, 1), (64, 32), (256, 32)):
+        run(f"train({nm}) rounds_batch={rb}",
+            lambda: bpe_train(docs, "text", num_merges=nm,
+                              rounds_batch=rb)[0].count())
+    docs.unpersist()
 
 
 if __name__ == "__main__":
