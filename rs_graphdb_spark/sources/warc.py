@@ -69,6 +69,15 @@ _URL_TOKENS = [
     "?utm_campaign=w&z=", _idm(3), "#sec",
 ]
 
+#: unicode URL variant (r8 VERDICT item #8): a Cyrillic+CJK path
+#: segment, so the WARC-Target-URI header grammar and the downstream
+#: normalize are value-checked on non-Latin BYTES (the header line is
+#: UTF-8 on the wire)
+_URL_TOKENS_U = [
+    "https://Crawl", _idm(7), ".Example.COM:443/arc/документы/東京-", _ID,
+    "?utm_campaign=w&z=", _idm(3), "#sec",
+]
+
 #: page wrapper with a style body, a comment and entities so
 #: `html_to_text` does real work on the payload
 _PAGE_TOKENS = [
@@ -119,6 +128,15 @@ def fixture_url_sql(id_expr: str) -> str:
     return _render_sql(_URL_TOKENS, id_expr)
 
 
+def fixture_url_u(doc_id: int) -> str:
+    return _render(_URL_TOKENS_U, doc_id)
+
+
+def fixture_url_u_sql(id_expr: str) -> str:
+    """DuckDB twin of :func:`fixture_url_u` (same token list)."""
+    return _render_sql(_URL_TOKENS_U, id_expr)
+
+
 def fixture_page(doc_id: int, text: str) -> str:
     return _render(_PAGE_TOKENS, doc_id, text)
 
@@ -162,10 +180,12 @@ def _warc_record(rec_type: str, headers: list[tuple[str, str]],
     return b"\r\n".join(head) + b"\r\n\r\n" + block + b"\r\n\r\n"
 
 
-def _http_response(doc_id: int, text: str) -> bytes:
+def _http_response(doc_id: int, text: str,
+                   utf8_variant: bool = False) -> bytes:
     body = fixture_page(doc_id, text).encode("utf-8")
-    head = (b"HTTP/1.1 200 OK\r\n"
-            b"Content-Type: text/html; charset=utf-8\r\n"
+    ct = (b"Content-Type: text/html;charset=UTF-8\r\n" if utf8_variant
+          else b"Content-Type: text/html; charset=utf-8\r\n")
+    head = (b"HTTP/1.1 200 OK\r\n" + ct
             + f"Content-Length: {len(body)}\r\n".encode()
             + f"X-Doc: {doc_id}\r\n".encode())
     return head + b"\r\n" + body
@@ -174,13 +194,19 @@ def _http_response(doc_id: int, text: str) -> bytes:
 def encode_warc_file(
     docs: list[tuple[int, str]],
     corrupt_ids: set[int] | None = None,
+    unicode_ids: set[int] | None = None,
 ) -> tuple[bytes, int]:
     """Build one multi-member ``.warc.gz`` payload: a ``warcinfo``
     record, then a ``request`` + ``response`` pair per doc (ascending
     id). Docs in ``corrupt_ids`` get their RESPONSE member replaced by
     same-length garbage containing no gzip magic — exactly one corrupt
-    row, resync finds the next member. Returns (payload, n_members)."""
+    row, resync finds the next member. Docs in ``unicode_ids`` use the
+    Cyrillic+CJK URL template and the spaceless uppercase
+    ``text/html;charset=UTF-8`` content type (r8 VERDICT item #8 — the
+    header grammar value-checked on non-Latin bytes). Returns
+    (payload, n_members)."""
     corrupt_ids = corrupt_ids or set()
+    unicode_ids = unicode_ids or set()
     members: list[bytes] = [
         _gzip_member(_warc_record(
             "warcinfo",
@@ -191,7 +217,8 @@ def encode_warc_file(
         ))
     ]
     for doc_id, text in sorted(docs):
-        url = fixture_url(doc_id)
+        url = (fixture_url_u(doc_id) if doc_id in unicode_ids
+               else fixture_url(doc_id))
         date = fixture_date(doc_id)
         members.append(_gzip_member(_warc_record(
             "request",
@@ -206,7 +233,8 @@ def encode_warc_file(
             [("WARC-Target-URI", url), ("WARC-Date", date),
              ("WARC-Record-ID", f"<urn:uuid:resp-{doc_id}>"),
              ("Content-Type", "application/http; msgtype=response")],
-            _http_response(doc_id, text),
+            _http_response(doc_id, text,
+                           utf8_variant=doc_id in unicode_ids),
         ))
         if doc_id in corrupt_ids:
             resp = b"X" * len(resp)  # no 1f8b magic anywhere
@@ -220,12 +248,16 @@ def documents_as_warc(
     text_col: str = "text",
     docs_per_file: int = 16,
     corrupt_every: int | None = None,
+    unicode_every: int | None = None,
 ) -> DataFrame:
     """Render the documents table into real ``.warc.gz`` payloads, one
     file per ``doc_id // docs_per_file`` group: (warc_id, payload,
     n_members). ``corrupt_every``: docs with ``doc_id % corrupt_every
     == 0`` get a corrupted response member (SQL-expressible rule, so
-    the oracle can predict exactly which docs drop out)."""
+    the oracle can predict exactly which docs drop out).
+    ``unicode_every``: docs with ``doc_id % unicode_every == 0`` use
+    the Cyrillic+CJK URL template + UTF-8 content-type variant (same
+    SQL-expressible contract)."""
     fid = (F.col(id_col) / docs_per_file).cast("long").alias("warc_id")
     src = docs.select(fid, F.col(id_col).alias("_id"),
                       F.col(text_col).alias("_text"))
@@ -236,8 +268,12 @@ def documents_as_warc(
             int(i) for i, _ in rows
             if corrupt_every and int(i) % corrupt_every == 0
         }
+        uni = {
+            int(i) for i, _ in rows
+            if unicode_every and int(i) % unicode_every == 0
+        }
         payload, n = encode_warc_file(
-            [(int(i), str(t)) for i, t in rows], corrupt)
+            [(int(i), str(t)) for i, t in rows], corrupt, uni)
         return pd.DataFrame({
             "warc_id": [int(pdf["warc_id"].iloc[0])],
             "payload": [payload],
@@ -441,9 +477,148 @@ def read_warc_files(spark: SparkSession, path: str) -> DataFrame:
     """Real-crawl entry point: Spark's ``binaryFile`` source → one row
     per ``.warc.gz`` file, ready for :func:`read_warc` (id = file path).
     At 100 TB this is ~100k files fanned across the cluster; partition
-    count follows the file count, no shuffle."""
+    count follows the file count, no shuffle.
+
+    ``binaryFile`` materializes each file as ONE binary cell: a 2 GB
+    JVM-array hard cap and per-task memory = file size. Fine inside the
+    CommonCrawl ~1 GB contract; for oversized members use
+    :func:`read_warc_stream`, which never holds a whole file."""
     return (
         spark.read.format("binaryFile").load(path)
         .select(F.col("path").alias("warc_id"),
                 F.col("content").alias("payload"))
     )
+
+
+def _open_stream(path: str):
+    """Open a file path/URI for streaming reads: plain local paths and
+    ``file:`` URIs via the stdlib, anything with a scheme via
+    ``pyarrow.fs`` (the public Arrow filesystem layer — local/S3/HDFS
+    uniformly)."""
+    if path.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return open(unquote(urlparse(path).path), "rb")
+    if "://" not in path:
+        return open(path, "rb")
+    import pyarrow.fs as pafs
+
+    fs, rel = pafs.FileSystem.from_uri(path)
+    return fs.open_input_stream(rel)
+
+
+def _walk_members_stream(read, chunk_size: int = 4 << 20,
+                         stats: dict | None = None) -> Iterator[dict]:
+    """Gzip-member walk over a STREAMING reader (r8 VERDICT item #5):
+    same per-member corrupt isolation + magic resync as
+    :func:`_walk_members`, but the input arrives via ``read(n)`` calls
+    and the working buffer holds at most one chunk plus the
+    decompressor's push-back — peak memory is O(chunk_size + one
+    record's decompressed size), NEVER the file (no 2 GB cap, no
+    per-task spike at 1 GB members).
+
+    Resync difference vs the in-memory walk (documented): bytes already
+    fed to the decompressor are gone, so after a mid-member failure the
+    magic rescan starts at the CURRENT stream position rather than the
+    failed member's start+1 — identical behavior for whole-member
+    corruption (the fixture/CommonCrawl shape), where parsing fails on
+    the first bytes. ``stats["peak_buffer"]`` records the high-water
+    mark when a dict is passed (the bounded-memory pytest hook)."""
+    buf = bytearray()
+    eof = False
+    rec_idx = 0
+
+    def fill() -> bool:
+        nonlocal eof
+        if eof:
+            return False
+        b = read(chunk_size)
+        if not b:
+            eof = True
+            return False
+        buf.extend(b)
+        if stats is not None:
+            stats["peak_buffer"] = max(stats.get("peak_buffer", 0),
+                                       len(buf))
+        return True
+
+    while True:
+        while len(buf) < 3 and fill():
+            pass
+        if not buf:
+            return
+        row = {
+            "rec_idx": rec_idx, "rec_type": None, "url": None,
+            "warc_date": None, "record_id": None, "http_status": None,
+            "content_type": None, "body": None, "ok": False, "error": None,
+        }
+        try:
+            if bytes(buf[:3]) != _GZ_MAGIC:
+                raise ValueError("not a gzip member")
+            d = zlib.decompressobj(31)
+            out = []
+            while not d.eof:
+                if not buf and not fill():
+                    break
+                chunk = bytes(buf)
+                del buf[:]
+                out.append(d.decompress(chunk))
+            if not d.eof:
+                raise ValueError("truncated gzip member")
+            buf[:0] = d.unused_data  # push back the overshoot
+            row.update(_parse_record(b"".join(out)))
+            row["ok"] = True
+        except Exception as e:  # noqa: BLE001 — per-record isolation
+            row["error"] = f"{type(e).__name__}: {e}"
+            del buf[:1]
+            while True:
+                i = buf.find(_GZ_MAGIC)
+                if i != -1:
+                    del buf[:i]
+                    break
+                if len(buf) > 2:
+                    del buf[:len(buf) - 2]  # magic may straddle chunks
+                if not fill():
+                    buf.clear()
+                    break
+        yield row
+        rec_idx += 1
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    chunk_size: int = 4 << 20,
+    rows_per_batch: int = 256,
+) -> DataFrame:
+    """Streaming twin of ``read_warc_files → read_warc`` (r8 VERDICT
+    item #5): the FILE LISTING distributes (one path string per row —
+    Spark's binaryFile source does the listing, with the content column
+    pruned away), and each task opens its files and walks gzip members
+    incrementally via :func:`_walk_members_stream`. Identical output
+    schema/rows to :func:`read_warc` over :func:`read_warc_files`
+    (pytest-pinned), but per-task memory is O(chunk + record), so
+    >2 GB files and oversized members — which ``binaryFile`` cannot
+    even represent as a row — stream through. Emits output in
+    ``rows_per_batch`` slices so one huge file never materializes as a
+    single pandas frame. Zero shuffles; file = unit of parallelism."""
+    files = spark.read.format("binaryFile").load(path).select("path")
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["warc_id", "rec_idx", "rec_type", "url", "warc_date",
+                "record_id", "http_status", "content_type", "body",
+                "ok", "error"]
+        for pdf in batches:
+            for p in pdf["path"]:
+                rows: list[dict] = []
+                with _open_stream(p) as fh:
+                    for row in _walk_members_stream(fh.read, chunk_size):
+                        row["warc_id"] = p
+                        rows.append(row)
+                        if len(rows) >= rows_per_batch:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(_parse, f"warc_id string, {_REC_SCHEMA}")

@@ -156,3 +156,179 @@ def test_ivf_pq_pruned_probe_stays_in_neighborhood(spark, clustered):
     same = sum(1 for r in rows
                if r["neighbor_id"] % 12 == r["query_id"] % 12)
     assert same / len(rows) >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# r8 VERDICT items #2/#3: GEMM engines + standing index layout
+# ---------------------------------------------------------------------------
+
+
+def test_encode_arrow_parity_ks16(clustered):
+    """expr ≡ arrow on codes + recon_n2 at the suite's regime — same
+    argmin convention (ties to lowest index), same norm table."""
+    books = pq_train(clustered, "vec_id", "v", m=4, ks=8, iters=2)
+    expr = {r["vec_id"]: (r["codes"], r["recon_n2"])
+            for r in pq_encode(clustered, "vec_id", "v", books,
+                               encode_engine="expr").collect()}
+    arrow = {r["vec_id"]: (r["codes"], r["recon_n2"])
+             for r in pq_encode(clustered, "vec_id", "v", books,
+                                encode_engine="arrow").collect()}
+    assert set(expr) == set(arrow)
+    for i in expr:
+        assert expr[i][0] == arrow[i][0], i
+        assert arrow[i][1] == pytest.approx(expr[i][1], abs=1e-9)
+
+
+def test_adc_arrow_parity_ks16(spark, clustered):
+    """expr ≡ arrow ADC top-k: same neighbors, same ranks, scores to
+    float tolerance (fold order differs between engines)."""
+    books = pq_train(clustered, "vec_id", "v", m=4, ks=8, iters=2)
+    qs = clustered.filter(F.col("vec_id") < 4)
+    expr = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_cos"])
+            for r in knn_pq_adc(clustered, qs, "vec_id", "v", books,
+                                k=5, adc_engine="expr").collect()}
+    arrow = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_cos"])
+             for r in knn_pq_adc(clustered, qs, "vec_id", "v", books,
+                                 k=5, adc_engine="arrow").collect()}
+    assert set(expr) == set(arrow) and len(expr) == 4 * 5
+    for key in expr:
+        assert expr[key][0] == arrow[key][0], key
+        assert arrow[key][1] == pytest.approx(expr[key][1], abs=1e-9)
+
+
+def test_adc_engine_routing_and_validation(spark, clustered):
+    from rs_graphdb_spark.functions.similarity import (
+        _PQ_ARROW_MIN_CELLS, _use_pq_arrow)
+    assert not _use_pq_arrow("auto", 8, 16)        # 128 cells → expr
+    assert _use_pq_arrow("auto", 8, 256)           # 2048 cells → arrow
+    assert _use_pq_arrow("auto", 8, _PQ_ARROW_MIN_CELLS // 8)
+    with pytest.raises(ValueError, match="engine"):
+        _use_pq_arrow("numpy", 8, 16)
+
+
+def test_production_ks256_adc_runs_via_arrow(spark):
+    """The regime the expression plan cannot express: m=8/ks=256 LUTs
+    (2048 cells). auto must route to arrow and return exact ADC top-k
+    vs a numpy reference."""
+    import numpy as np
+
+    rows = _clustered_vectors(n=300, dim=64, n_clusters=20)
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    books = pq_train(df, "vec_id", "v", m=8, ks=256, iters=1)
+    qs = df.filter(F.col("vec_id") < 3)
+    got = knn_pq_adc(df, qs, "vec_id", "v", books, k=5).collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2}
+    # numpy reference: encode + LUT scoring, identical formulas
+    bk = np.asarray(books)
+    m, ks, dsub = bk.shape
+    v = np.asarray([r[1] for r in rows])
+    codes = np.stack([
+        np.argmin(((v[:, j * dsub:(j + 1) * dsub][:, None, :]
+                    - bk[j][None, :, :]) ** 2).sum(axis=2), axis=1)
+        for j in range(m)
+    ], axis=1)
+    rn = np.sqrt(np.stack([
+        (bk[j][codes[:, j]] ** 2).sum(axis=1) for j in range(m)
+    ], axis=1).sum(axis=1))
+    for q in range(3):
+        qv = v[q]
+        lut = np.stack([bk[j] @ qv[j * dsub:(j + 1) * dsub]
+                        for j in range(m)])
+        dots = lut[np.arange(m)[:, None], codes.T].sum(axis=0)
+        qn = np.sqrt((qv * qv).sum())
+        sc = np.where((rn > 0) & (qn > 0), dots / (qn * rn), 0.0)
+        want = sorted(
+            ((i, s) for i, s in enumerate(sc) if i != q),
+            key=lambda t: (-t[1], t[0]))[:5]
+        mine = sorted(
+            ((r["neighbor_id"], r["adc_cos"]) for r in got
+             if r["query_id"] == q),
+            key=lambda t: (-t[1], t[0]))
+        assert [w[0] for w in want] == [g[0] for g in mine]
+        for (wi, ws), (gi, gs) in zip(want, mine):
+            assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_ivf_pq_arrow_full_probe_equals_flat_adc(spark, clustered):
+    from rs_graphdb_spark.functions.similarity import knn_ivf_pq
+    books = pq_train(clustered, "vec_id", "v", m=4, ks=8, iters=2)
+    qs = clustered.filter(F.col("vec_id") < 3)
+    flat = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in knn_pq_adc(clustered, qs, "vec_id", "v", books,
+                                k=5, adc_engine="arrow").collect()}
+    full = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in knn_ivf_pq(clustered, qs, "vec_id", "v", books,
+                                k=5, n_clusters=6, n_probe=6,
+                                adc_engine="arrow").collect()}
+    assert flat == full
+
+
+def test_standing_index_equals_direct(spark, clustered, tmp_path):
+    """write_pq_index + knn_pq_indexed ≡ knn_ivf_pq on the same
+    codebooks/centroids — the standing layout changes WHERE codes live,
+    never a score (r8 VERDICT item #3)."""
+    from rs_graphdb_spark.functions.similarity import (
+        ivf_centroids, knn_ivf_pq, knn_pq_indexed, write_pq_index)
+    books = pq_train(clustered, "vec_id", "v", m=4, ks=8, iters=2)
+    cents = ivf_centroids(clustered, "vec_id", "v", 6, 2)
+    idx = str(tmp_path / "pqidx")
+    meta = write_pq_index(clustered, "vec_id", "v", idx,
+                          codebooks=books, centroids=cents)
+    assert meta["m"] == 4 and meta["n_clusters"] == 6
+    for n_probe in (2, 6):
+        direct = {(r["query_id"], r["rank"]): (r["neighbor_id"],
+                                               round(r["adc_cos"], 9))
+                  for r in knn_ivf_pq(
+                      clustered, clustered.filter(F.col("vec_id") < 4),
+                      "vec_id", "v", books, k=5, n_clusters=6,
+                      n_probe=n_probe, adc_engine="expr").collect()}
+        # recomputed centroids inside knn_ivf_pq must match the stored
+        # ones (deterministic Lloyd) for this equality to be exact
+        indexed = {(r["query_id"], r["rank"]): (r["neighbor_id"],
+                                                round(r["adc_cos"], 9))
+                   for r in knn_pq_indexed(
+                       spark, idx, clustered.filter(F.col("vec_id") < 4),
+                       "vec_id", "v", k=5, n_probe=n_probe,
+                       adc_engine="expr").collect()}
+        assert direct == indexed, n_probe
+
+
+def test_standing_index_probe_is_partition_pruned(spark, clustered,
+                                                  tmp_path):
+    """The probe's cell filter must reach the parquet source as a
+    PartitionFilter (the bm25/zorder precedent) — a probe scans only
+    its cell= directories."""
+    from rs_graphdb_spark.functions.similarity import (
+        ivf_centroids, knn_pq_indexed, write_pq_index)
+    books = pq_train(clustered, "vec_id", "v", m=4, ks=8, iters=2)
+    cents = ivf_centroids(clustered, "vec_id", "v", 6, 2)
+    idx = str(tmp_path / "pqidx2")
+    write_pq_index(clustered, "vec_id", "v", idx,
+                   codebooks=books, centroids=cents)
+    out = knn_pq_indexed(
+        spark, idx, clustered.filter(F.col("vec_id") < 2),
+        "vec_id", "v", k=3, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "cell" in pf  # non-empty partition filter on the cell key
+
+
+def test_standing_index_arrow_engine_same_neighbors(spark, clustered,
+                                                    tmp_path):
+    from rs_graphdb_spark.functions.similarity import (
+        ivf_centroids, knn_pq_indexed, write_pq_index)
+    books = pq_train(clustered, "vec_id", "v", m=4, ks=8, iters=2)
+    cents = ivf_centroids(clustered, "vec_id", "v", 6, 2)
+    idx = str(tmp_path / "pqidx3")
+    write_pq_index(clustered, "vec_id", "v", idx,
+                   codebooks=books, centroids=cents)
+    qs = clustered.filter(F.col("vec_id") < 3)
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in knn_pq_indexed(spark, idx, qs, "vec_id", "v", k=5,
+                                 n_probe=3, adc_engine="expr").collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in knn_pq_indexed(spark, idx, qs, "vec_id", "v", k=5,
+                                 n_probe=3, adc_engine="arrow").collect()}
+    assert a == b

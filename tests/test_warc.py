@@ -206,3 +206,112 @@ def test_warc_zero_shuffle_plan(spark):
     wf = documents_as_warc(docs, docs_per_file=4).localCheckpoint()
     plan = warc_to_wet(wf)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------------- streaming reader (r9)
+
+
+def _write_fixture_files(tmp_path, n_files=3, docs_per=4, corrupt=True):
+    paths = []
+    base = 0
+    for fi in range(n_files):
+        docs = [(base + i, f"stream body {base + i} text") for i in
+                range(docs_per)]
+        corrupt_ids = {base + 1} if corrupt and fi == 1 else set()
+        payload, _ = encode_warc_file(docs, corrupt_ids)
+        p = tmp_path / f"part-{fi:03d}.warc.gz"
+        p.write_bytes(payload)
+        paths.append(str(p))
+        base += docs_per
+    return paths
+
+
+def _rows_key(df):
+    return {
+        (r["warc_id"].rsplit("/", 1)[-1], r["rec_idx"]):
+        (r["rec_type"], r["url"], r["warc_date"], r["record_id"],
+         r["http_status"], r["content_type"],
+         bytes(r["body"]) if r["body"] is not None else None,
+         r["ok"], r["error"])
+        for r in df.collect()
+    }
+
+
+def test_stream_reader_equals_binaryfile_path(spark, tmp_path):
+    """read_warc_stream ≡ read_warc(read_warc_files(...)) exactly —
+    same records, same corrupt isolation, same resync — without ever
+    holding a whole file (r8 VERDICT item #5)."""
+    from rs_graphdb_spark.sources.warc import read_warc_stream
+    _write_fixture_files(tmp_path)
+    want = _rows_key(read_warc(read_warc_files(spark, str(tmp_path))))
+    got = _rows_key(read_warc_stream(spark, str(tmp_path)))
+    assert want and got == want
+
+
+def test_stream_reader_tiny_chunks_and_batches(spark, tmp_path):
+    """Members straddling chunk boundaries and resync across refills:
+    a 64-byte chunk forces every member through many fills; 2-row
+    output batches force the slicing path."""
+    from rs_graphdb_spark.sources.warc import read_warc_stream
+    _write_fixture_files(tmp_path)
+    want = _rows_key(read_warc(read_warc_files(spark, str(tmp_path))))
+    got = _rows_key(read_warc_stream(spark, str(tmp_path),
+                                     chunk_size=64, rows_per_batch=2))
+    assert got == want
+
+
+def test_stream_walk_bounded_memory():
+    """The binaryFile path holds the WHOLE file; the streaming walk's
+    peak buffer must stay O(chunk + record) — far below file size for
+    a many-member file (the >2 GB-file story in miniature)."""
+    import io
+
+    from rs_graphdb_spark.sources.warc import _walk_members_stream
+    docs = [(i, "x" * 2000) for i in range(400)]
+    payload, n = encode_warc_file(docs)
+    assert len(payload) > 200_000
+    stats = {}
+    rows = list(_walk_members_stream(
+        io.BytesIO(payload).read, chunk_size=8192, stats=stats))
+    assert len(rows) == n and all(r["ok"] for r in rows)
+    assert stats["peak_buffer"] < len(payload) / 10
+    assert stats["peak_buffer"] <= 8192 * 3
+
+
+def test_stream_walk_truncated_and_garbage():
+    import io
+
+    from rs_graphdb_spark.sources.warc import _walk_members_stream
+    good, _ = encode_warc_file([(1, "alpha")])
+    garbage = b"Y" * 57
+    tail, _ = encode_warc_file([(2, "beta")])
+    payload = good + garbage + tail[:-9]  # truncate the final member
+    rows = list(_walk_members_stream(io.BytesIO(payload).read,
+                                     chunk_size=32))
+    errs = [r for r in rows if not r["ok"]]
+    oks = [r for r in rows if r["ok"]]
+    assert any("not a gzip member" in r["error"] for r in errs)
+    assert any("truncated" in r["error"] for r in errs)
+    # the good file's members all survive (warcinfo + request + resp)
+    assert len(oks) >= 3
+
+
+def test_unicode_fixture_variant(spark):
+    """r8 VERDICT item #8: CJK/Cyrillic URL bytes survive the header
+    grammar and the charset-variant content type parses — value-checked
+    end to end by q36:warc_uurl; this pins the writer/reader pair."""
+    from rs_graphdb_spark.sources.warc import fixture_url_u
+    docs = _docs(spark, 6)
+    wf = documents_as_warc(docs, docs_per_file=6, unicode_every=2)
+    resp = warc_responses(records=read_warc(wf)).collect()
+    by_url = {r["url"]: r for r in resp}
+    assert fixture_url_u(0) in by_url
+    assert fixture_url_u(2) in by_url
+    assert "документы/東京-2" in fixture_url_u(2)
+    assert by_url[fixture_url_u(2)]["content_type"] == \
+        "text/html;charset=UTF-8"
+    # odd ids keep the ascii template + spaced lowercase charset
+    from rs_graphdb_spark.sources.warc import fixture_url
+    assert by_url[fixture_url(1)]["content_type"] == \
+        "text/html; charset=utf-8"
+    assert all(r["http_status"] == 200 for r in resp)
