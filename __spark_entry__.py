@@ -3463,12 +3463,66 @@ def q48_splits(spark, sf_dir):
         .unionByName(mixed_p.agg(F.count("*").alias("cnt"))
                      .select(F.lit("s3_mixed").alias("stage"), "cnt"))
     )
+    # WARC → WET → quality → minhash-dedup as THREE manifest-committed
+    # stages of the versioned pipeline store (r9, VERDICT item #6): a
+    # real crawl pipeline's stage 0 is container ingest, and each
+    # hand-off here is a durable manifest commit (crash between stages
+    # resumes from committed bytes — the test_pipeline_store
+    # discipline, pytest-pinned for this exact pipeline). The driver
+    # pins per-stage counts read back from the COMMITTED store plus the
+    # final keeper ids; the oracle recomputes WET text from the shared
+    # fixture templates, applies the same gopher rule, and states the
+    # dedup decision via exact-jaccard pairs + min-label components.
+    import tempfile as _tf
+
+    from rs_graphdb_spark.functions.dedup import near_dup_clusters
+    from rs_graphdb_spark.operators.pipeline_store import (
+        run_pipeline_versioned)
+    from rs_graphdb_spark.sources.partitioned_dml import read_manifest
+    from rs_graphdb_spark.sources.warc import documents_as_warc
+    from rs_graphdb_spark.sources.warc import warc_to_wet as _w2w
+
+    wdocs = docs.filter(F.col("doc_id") % 11 == 0)
+    wfiles_p = documents_as_warc(wdocs, corrupt_every=97).localCheckpoint()
+    _widp = F.regexp_extract("url", "doc(\\d+)\\?", 1).cast("long")
+
+    def _st_wet(prev):
+        return (_w2w(prev).select(_widp.alias("doc_id"), "wet_text")
+                .repartition(2, "doc_id").sortWithinPartitions("doc_id"))
+
+    def _st_quality(prev):
+        return (prev.filter(TX.quality_filter("wet_text"))
+                .repartition(2, "doc_id").sortWithinPartitions("doc_id"))
+
+    def _st_dedup(prev):
+        return (near_dup_clusters(prev, "doc_id", "wet_text")
+                .filter(F.col("keep")).select("doc_id")
+                .repartition(1).sortWithinPartitions("doc_id"))
+
+    _wstore = _tf.mkdtemp(prefix="wpipe_q48_")
+    wkeep = run_pipeline_versioned(
+        spark, _wstore, wfiles_p,
+        [("wet", _st_wet), ("quality", _st_quality),
+         ("dedup", _st_dedup)],
+    )
+    _ver, _wman = read_manifest(_wstore)
+
+    def _stcnt(name):
+        rel = _wman["tables"][f"stage/{name}"]
+        return (spark.read.parquet(f"{_wstore}/{rel}")
+                .agg(F.count("*").alias("cnt"))
+                .select(F.lit(name).alias("stage"), "cnt"))
+
+    wp_stage = (_stcnt("wet").unionByName(_stcnt("quality"))
+                .unionByName(_stcnt("dedup")))
     return _quads(
         _metric_quads(shards,
                       {"shard_docs": "n_docs", "shard_tokens": "sum_tokens"},
                       k="shard", s="first_key"),
         _quad("mix_frac", plan, v="keep_frac", s="source"),
         _quad("pipe_stage", stage_p, v="cnt", s="stage"),
+        _quad("wp_stage", wp_stage, v="cnt", s="stage"),
+        _quad("wp_keep", wkeep, k="doc_id"),
         _metric_quads(shards_p,
                       {"pipe_docs": "n_docs", "pipe_tokens": "sum_tokens"},
                       k="shard"),
@@ -6537,6 +6591,94 @@ def oracle_sql() -> dict[str, str]:
         FROM mixed GROUP BY 1
     """
 
+    # WARC→WET→quality→dedup pipeline twin (r9): WET text rebuilt from
+    # the shared fixture templates (never a WARC byte), the identical
+    # gopher rule as the f CTE above, minhash-output contract stated as
+    # exact-jaccard-≥0.8 pairs (3-gram shingles, the same relative DF
+    # cap as JACCARD_PAIRS), components via unrolled min-label
+    # propagation (the _dedup_clusters_sql shape over the wq universe).
+    _wpipe_rounds = 8
+    _wpipe_prop = ",\n".join(
+        f"wc{i} AS MATERIALIZED (SELECT c.id,"
+        f" least(c.comp, coalesce(m.mn, c.comp)) AS comp"
+        f" FROM wc{i - 1} c LEFT JOIN ("
+        f"SELECT u.dst AS id, min(cc.comp) AS mn"
+        f" FROM wc{i - 1} cc JOIN wund u ON u.src = cc.id"
+        f" GROUP BY u.dst) m USING (id))"
+        for i in range(1, _wpipe_rounds + 1)
+    )
+    _wpipe_ctes = f"""
+        WITH wsrc AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id % 11 = 0),
+        wpg AS (
+            SELECT doc_id, {fixture_page_sql('doc_id', 'text')} AS page
+            FROM wsrc WHERE doc_id % 97 <> 0
+        ),
+        wwet AS MATERIALIZED (
+            SELECT doc_id, {html_to_text_sql('page')} AS wt FROM wpg
+        ),
+        wg AS (
+            SELECT doc_id, wt, tk, CASE WHEN len(tk) >= 3 THEN
+                list_transform(range(len(tk) - 2),
+                               i -> array_to_string(tk[i + 1:i + 3], ' '))
+                ELSE [] END AS gr
+            FROM (SELECT doc_id, wt,
+                         regexp_extract_all(lower(wt), '[a-z0-9]+') AS tk
+                  FROM wwet)
+        ),
+        wq AS MATERIALIZED (
+            SELECT doc_id, wt FROM wg
+            WHERE len(tk) >= 20 AND len(tk) <= 100000
+              AND len(array_to_string(tk, '')) * 1.0
+                  / greatest(len(tk), 1) >= 2.0
+              AND len(array_to_string(tk, '')) * 1.0
+                  / greatest(len(tk), 1) <= 12.0
+              AND round(CASE WHEN len(gr) > 0
+                    THEN 1.0 - len(list_distinct(gr)) * 1.0 / len(gr)
+                    ELSE 0.0 END, 6) <= 0.3
+              AND (len(wt)
+                   - len(regexp_replace(wt, '[a-zA-Z]', '', 'g')))
+                  * 1.0 / greatest(len(wt), 1) >= 0.6
+        ),
+        wsh AS MATERIALIZED (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(len(t) - 2),
+                       i -> array_to_string(t[i + 1:i + 3], ' ')))) AS s
+            FROM (SELECT doc_id,
+                         regexp_extract_all(lower(wt), '[a-z0-9]+') AS t
+                  FROM wq)
+            WHERE len(t) >= 3
+        ),
+        wsz AS (SELECT doc_id, count(*) AS n FROM wsh GROUP BY 1),
+        winter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+            FROM wsh a JOIN wsh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        wpairs AS MATERIALIZED (
+            SELECT da AS a, db AS b
+            FROM winter JOIN wsz x ON x.doc_id = winter.da
+                        JOIN wsz y ON y.doc_id = winter.db
+            WHERE i * 1.0 / (x.n + y.n - i) >= 0.8
+        ),
+        wund AS MATERIALIZED (SELECT a AS src, b AS dst FROM wpairs
+                              UNION ALL SELECT b, a FROM wpairs),
+        wn AS (SELECT DISTINCT src AS id FROM wund),
+        wc0 AS MATERIALIZED (SELECT id, id AS comp FROM wn),
+        {_wpipe_prop},
+        wkeep AS MATERIALIZED (
+            SELECT q.doc_id FROM wq q
+            LEFT JOIN wc{_wpipe_rounds} c ON c.id = q.doc_id
+            WHERE coalesce(c.comp, q.doc_id) = q.doc_id
+        )
+    """
+    _wp_stage_sql = _wpipe_ctes + """
+        SELECT 'wet' AS stage, count(*) AS cnt FROM wwet
+        UNION ALL SELECT 'quality', count(*) FROM wq
+        UNION ALL SELECT 'dedup', count(*) FROM wkeep
+    """
+    _wp_keep_sql = _wpipe_ctes + " SELECT doc_id FROM wkeep"
+
     # RAG retrieval twin (r7): the q49 chunk slicing feeding the BM25
     # machinery keyed by chunk id — same _bm25_score expression (the dl
     # CTE here is chunk-keyed), fixed-order sum, top-20 ordered by the
@@ -7970,6 +8112,8 @@ def oracle_sql() -> dict[str, str]:
                               k="shard", s="first_key"),
             _sql_quad("mix_frac", mix_plan_sql, v="keep_frac", s="source"),
             _sql_quad("pipe_stage", _pipe_stage_sql, v="cnt", s="stage"),
+            _sql_quad("wp_stage", _wp_stage_sql, v="cnt", s="stage"),
+            _sql_quad("wp_keep", _wp_keep_sql, k="doc_id"),
             _sql_metric_quads(_pipe_shard_sql,
                               {"pipe_docs": "n_docs",
                                "pipe_tokens": "sum_tokens"},
