@@ -3979,6 +3979,31 @@ def q128_warc_wet(spark, sf_dir):
         "warc_id", "url", F.md5("wet_text").alias("wm"))
 
 
+def q129_warc_stream(spark, sf_dir):
+    """Streaming WARC→WET throughput (r9): same composition as q128 but
+    through `read_warc_stream` — file paths distribute, gzip members
+    walk incrementally (bounded memory, no whole-file rows). Fixture
+    files are written to disk ONCE per (sf, session) and reused."""
+    import os
+
+    from rs_graphdb_spark.sources.warc import (
+        documents_as_warc, read_warc_stream, warc_to_wet)
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = f"{__file__.rsplit('/', 1)[0]}/.tmp/warcfiles_{tag}"
+    if not os.path.isdir(root) or not os.listdir(root):
+        os.makedirs(root, exist_ok=True)
+        files = documents_as_warc(
+            _read(spark, sf_dir, "documents"), corrupt_every=97).collect()
+        for r in files:
+            with open(f"{root}/part-{int(r['warc_id']):06d}.warc.gz",
+                      "wb") as f:
+                f.write(bytes(r["payload"]))
+    recs = read_warc_stream(spark, root)
+    wet = warc_to_wet(records=recs)
+    return wet.select("warc_id", "url", F.md5("wet_text").alias("wm"))
+
+
 def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Pre-fold per-operator registry (kept for bench.py and tests)."""
     return {
@@ -4105,6 +4130,7 @@ def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_bpe": q126_bpe,
         "q127_pipeline": q127_pipeline,
         "q128_warc_wet": q128_warc_wet,
+        "q129_warc_stream": q129_warc_stream,
     }
 
 

@@ -74,6 +74,8 @@ EXTRA = [
     "q127_pipeline",
     # round-8 additions
     "q128_warc_wet",
+    # round-9 additions
+    "q129_warc_stream",
 ]
 
 
@@ -85,24 +87,31 @@ def _loadavg1() -> float:
         return -1.0
 
 
-def _steal_calib(n: int = 2_000_000) -> float:
-    """Single-thread busy-loop calibration time (min of 3), seconds.
+#: a single calibration sample at/above this reads as a contaminated
+#: window on this box (idle ≈ 0.061-0.065; documented storms ≥ 0.075).
+#: r8 VERDICT item #2: endpoint-only sampling let bursts land BETWEEN
+#: calibrations — passes are now gated individually (see `measure`).
+_CALIB_BAD = 0.07
 
-    Host CPU steal is invisible to in-VM loadavg (r7 VERDICT #3: judge
-    runs saw UNIFORM ~1.25x inflation on a loadavg-0 box). A fixed
-    arithmetic loop has a machine constant cost on an idle core
-    (~0.08 s here); a ratio between two artifacts' calibration values
-    IS the steal/contention factor between their windows — comparable
-    within a run (start vs end) and across runs on the same box."""
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        x = 0
-        for i in range(n):
-            x += i
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-    return round(best, 4)
+
+def _calib1(n: int = 2_000_000) -> float:
+    """ONE busy-loop calibration sample, seconds. Host CPU steal is
+    invisible to in-VM loadavg (r7 VERDICT #3); a fixed arithmetic loop
+    has a machine-constant cost on an idle core, so a high sample IS
+    contamination in that instant. Deliberately a single sample (not
+    min-of-3): per-pass gating wants burst SENSITIVITY; a spurious high
+    read just retries one pass."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x += i
+    return round(time.perf_counter() - t0, 4)
+
+
+def _steal_calib() -> float:
+    """Min-of-3 calibration (the artifact's start/end stamps — the
+    cross-run comparable machine constant)."""
+    return round(min(_calib1() for _ in range(3)), 4)
 
 
 def main() -> None:
@@ -155,7 +164,9 @@ def main() -> None:
     # steady-state cost on a box with background load.
     times: dict[str, float] = {}
     passes: dict[str, list[float]] = {}
-    remeasured: list[str] = []
+    pass_calibs: dict[str, list[list[float]]] = {}
+    rejected_passes: dict[str, int] = {}
+    unquiet: list[str] = []
 
     def one_pass(name: str) -> float:
         t0 = time.time()
@@ -163,27 +174,40 @@ def main() -> None:
         return round(time.time() - t0, 3)
 
     def measure(name: str) -> float:
-        # min-of-2, plus outlier re-measure (r6 VERDICT item #8): when
-        # the two passes disagree badly (bimodal suite-interaction mode —
-        # both could be slow, or one caught a load spike), take up to two
-        # extra passes until the newest lands within 25% of the running
-        # min. The committed number is min over all passes; `remeasured`
-        # names the queries that needed it.
-        ts = [one_pass(name), one_pass(name)]
-        attempts = 0
-        while (
-            attempts < 2
-            and max(ts) > max(1.5 * min(ts), min(ts) + 0.3)
-        ):
-            attempts += 1
+        # Storm-proof by construction (r8 VERDICT item #2): calibrate
+        # BEFORE AND AFTER every measured pass; a pass whose window
+        # calib reads >= _CALIB_BAD is REJECTED (outside-VM steal —
+        # loadavg can't see it, and endpoint-only sampling let bursts
+        # land between calibrations for four rounds running). Keep
+        # measuring until TWO ACCEPTED passes agree within 25%, cap 6
+        # passes; a query that can't produce that lands in `unquiet`
+        # and flips the artifact's quiet flag — the committed number is
+        # then explicitly untrusted rather than silently contaminated.
+        accepted: list[float] = []
+        ts: list[float] = []
+        calibs: list[list[float]] = []
+        rejected = 0
+        while len(ts) < 6:
+            c0 = _calib1()
             t = one_pass(name)
+            c1 = _calib1()
             ts.append(t)
-            if t <= min(ts[:-1]) * 1.25:
-                break
-        if attempts:
-            remeasured.append(name)
+            calibs.append([c0, c1])
+            if max(c0, c1) < _CALIB_BAD:
+                accepted.append(t)
+                s = sorted(accepted)
+                if len(s) >= 2 and s[1] <= 1.25 * s[0]:
+                    break
+            else:
+                rejected += 1
         passes[name] = ts
-        return min(ts)
+        pass_calibs[name] = calibs
+        rejected_passes[name] = rejected
+        s = sorted(accepted)
+        if len(s) >= 2 and s[1] <= 1.25 * s[0]:
+            return s[0]
+        unquiet.append(name)
+        return s[0] if s else min(ts)
 
     for name in HEADLINE:
         if name not in qs:
@@ -233,7 +257,13 @@ def main() -> None:
         "sf": sf,
         "loadavg1_start": la_start,
         "max_pass_spread_sec": round(max(spread.values()), 3) if spread else 0.0,
-        "quiet": 0.0 <= la_start < 2.0,
+        # quiet = loadavg gate passed AND every query produced two
+        # calib-accepted agreeing passes (r8 VERDICT item #2 — the
+        # round artifact is quiet BY CONSTRUCTION on the steal axis or
+        # it says so here)
+        "quiet": (0.0 <= la_start < 2.0) and not unquiet,
+        "unquiet_queries": sorted(unquiet),
+        "calib_rejected_passes": sum(rejected_passes.values()),
         "quiet_wait_sec": quiet_waited,
         # steal proxy (r7 VERDICT #3/#5): single-thread busy-loop calib
         # time at start/end — host CPU steal shows up here even when
@@ -244,11 +274,14 @@ def main() -> None:
     print(json.dumps({
         "metric": "headline_detail",
         "extra_queries": extra,
-        "runs_per_query": "2 + outlier re-measure",
-        "remeasured": sorted(remeasured),
+        "runs_per_query": "until 2 calib-accepted passes agree in 25%"
+                          " (cap 6); per-pass calib gate at"
+                          f" {_CALIB_BAD}",
+        "rejected_passes": {n: r for n, r in rejected_passes.items() if r},
         "loadavg_start": la_start,
         "loadavg_end": [la1, la5, la15],
         "pass_spread_sec": spread,
+        "pass_calib_sec": pass_calibs,
     }))
     print(compact)
 

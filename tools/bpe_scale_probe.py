@@ -61,6 +61,7 @@ def main() -> None:
         bpe_token_counts, bpe_train, word_counts)
     from rs_graphdb_spark.session import get_spark
 
+    axes = set(sys.argv[1] if len(sys.argv) > 1 else "ABCT")
     spark = get_spark("bpe-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -76,24 +77,29 @@ def main() -> None:
         bpe_token_counts(docs, "doc_id", "text", ml) \
             .write.mode("overwrite").format("noop").save()
 
-    print("axis A: corpus decades, vocab fixed at 40")
-    for n in (20_000, 200_000, 2_000_000):
-        docs = synth_docs(spark, n, 40)
-        docs.count()
-        run(f"word-count scan, {n:,} docs",
-            lambda: word_counts(docs, "text")
-            .write.mode("overwrite").format("noop").save())
-        run(f"train(6)+encode, {n:,} docs", lambda: train_and_count(docs))
-        docs.unpersist()
+    if "A" in axes:
+        print("axis A: corpus decades, vocab fixed at 40")
+        for n in (20_000, 200_000, 2_000_000):
+            docs = synth_docs(spark, n, 40)
+            docs.count()
+            run(f"word-count scan, {n:,} docs",
+                lambda: word_counts(docs, "text")
+                .write.mode("overwrite").format("noop").save())
+            run(f"train(6)+encode, {n:,} docs",
+                lambda: train_and_count(docs))
+            docs.unpersist()
 
-    print("axis B: vocabulary decades, corpus fixed at 200k docs")
-    for v in (40, 400, 4000):
-        docs = synth_docs(spark, 200_000, v)
-        docs.count()
-        run(f"train(6)+encode, {v:,} distinct words",
-            lambda: train_and_count(docs))
-        docs.unpersist()
+    if "B" in axes:
+        print("axis B: vocabulary decades, corpus fixed at 200k docs")
+        for v in (40, 400, 4000):
+            docs = synth_docs(spark, 200_000, v)
+            docs.count()
+            run(f"train(6)+encode, {v:,} distinct words",
+                lambda: train_and_count(docs))
+            docs.unpersist()
 
+    if "C" not in axes and "T" not in axes:
+        return
     print("axis C: merge-list size, encode only (200k docs, 400 words)")
     docs = synth_docs(spark, 200_000, 400)
     docs.count()
@@ -105,14 +111,17 @@ def main() -> None:
         trained symbols (some apply) and never-applying fillers — the
         realistic large-vocabulary shape: most merges miss any word."""
         out = list(ml)
+        seen = set(out)
         syms = [a + b for a, b in ml] + list("wordx0123456789")
         i = 0
         while len(out) < n:
             a = syms[i % len(syms)]
             b = syms[(i * 7 + 3) % len(syms)]
-            if (a, b) not in out:
+            if (a, b) not in seen:
+                seen.add((a, b))
                 out.append((a, b))
-                syms.append(a + b)
+                if len(a) + len(b) <= 32:  # cap symbol growth — real
+                    syms.append(a + b)     # vocab symbols are short
             i += 1
         return out[:n]
 
@@ -121,19 +130,21 @@ def main() -> None:
             docs, "doc_id", "text", merges, encode_engine=engine
         ).write.mode("overwrite").format("noop").save()
 
-    run("encode expr, 8 merges", enc(pad_merges(8), "expr"))
-    for n in (8, 1_000, 10_000, 32_000):
-        run(f"encode arrow, {n:,} merges", enc(pad_merges(n), "arrow"))
+    if "C" in axes:
+        run("encode expr, 8 merges", enc(pad_merges(8), "expr"))
+        for n in (8, 1_000, 10_000, 32_000):
+            run(f"encode arrow, {n:,} merges", enc(pad_merges(n), "arrow"))
     docs.unpersist()
 
-    print("train merge axis: rounds_batch (200k docs, 400 words)")
-    docs = synth_docs(spark, 200_000, 400)
-    docs.count()
-    for nm, rb in ((64, 1), (64, 32), (256, 32)):
-        run(f"train({nm}) rounds_batch={rb}",
-            lambda: bpe_train(docs, "text", num_merges=nm,
-                              rounds_batch=rb)[0].count())
-    docs.unpersist()
+    if "T" in axes:
+        print("train merge axis: rounds_batch (200k docs, 400 words)")
+        docs = synth_docs(spark, 200_000, 400)
+        docs.count()
+        for nm, rb in ((64, 1), (64, 32), (256, 32)):
+            run(f"train({nm}) rounds_batch={rb}",
+                lambda: bpe_train(docs, "text", num_merges=nm,
+                                  rounds_batch=rb)[0].count())
+        docs.unpersist()
 
 
 if __name__ == "__main__":
