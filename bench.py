@@ -187,8 +187,20 @@ def main() -> None:
         ts: list[float] = []
         calibs: list[list[float]] = []
         rejected = 0
+
+        def wait_quiet(budget: float = 45.0) -> float:
+            # don't START a pass inside a storm burst: spin (bounded)
+            # until one calib sample reads clean; the post-pass sample
+            # still catches bursts that begin mid-pass
+            t0 = time.time()
+            while True:
+                c = _calib1()
+                if c < _CALIB_BAD or time.time() - t0 > budget:
+                    return c
+                time.sleep(2.0)
+
         while len(ts) < 6:
-            c0 = _calib1()
+            c0 = wait_quiet()
             t = one_pass(name)
             c1 = _calib1()
             ts.append(t)

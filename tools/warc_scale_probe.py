@@ -64,6 +64,31 @@ def main() -> None:
         print(f"| file-shape | {dpf} docs/file | {wall} | {rows} |",
               flush=True)
 
+    # streaming-reader axis (r9): same WET composition from ON-DISK
+    # files through read_warc_stream — binaryFile parity at normal
+    # sizes; the differentiator (bounded memory, no 2 GB cap) is
+    # pytest-pinned, this row shows throughput parity
+    import os
+    import tempfile
+
+    from rs_graphdb_spark.sources.warc import (
+        documents_as_warc, read_warc_stream, warc_to_wet)
+
+    for n in (20_000, 200_000):
+        docs = synth_docs(spark, n)
+        root = tempfile.mkdtemp(prefix="warc_probe_stream_")
+        for r in documents_as_warc(docs, corrupt_every=97).collect():
+            with open(os.path.join(
+                    root, f"part-{int(r['warc_id']):06d}.warc.gz"),
+                    "wb") as f:
+                f.write(bytes(r["payload"]))
+        t0 = time.time()
+        wet = warc_to_wet(records=read_warc_stream(spark, root))
+        rows = wet.select(F.md5("wet_text")).count()
+        print(f"| streaming | {n} docs (on-disk) | "
+              f"{round(time.time() - t0, 2)} | {rows} |", flush=True)
+        docs.unpersist()
+
 
 if __name__ == "__main__":
     main()
