@@ -647,10 +647,10 @@ def knn_ivf(
     cents = ivf_centroids(corpus, id_col, vec_col, n_clusters, iters)
     par = corpus.sparkSession.sparkContext.defaultParallelism
     corpus = corpus.repartition(par, id_col)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _nearest_centroid(F.col(vec_col), cents).alias("cell"),
+    c = _with_cell(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv")),
+        "cv", cents,
     )
     # per-query probe list: n_probe nearest centroids
     dists = F.array(*[
@@ -1085,10 +1085,8 @@ def knn_ivf_pq(
     cents = ivf_centroids(corpus, id_col, vec_col, n_clusters, iters)
     enc = pq_encode(corpus, id_col, vec_col, codebooks,
                     encode_engine=adc_engine)
-    cell = corpus.select(
-        F.col(id_col),
-        _nearest_centroid(F.col(vec_col), cents).alias("cell"),
-    )
+    cell = _with_cell(corpus.select(id_col, vec_col), vec_col, cents) \
+        .select(id_col, "cell")
     c = enc.join(cell, id_col).select(
         F.col(id_col).alias("neighbor_id"), "codes", "recon_n2", "cell")
     if _use_pq_arrow(adc_engine, m, len(codebooks[0])):
@@ -1185,6 +1183,20 @@ SEMDEDUP_LITERAL_K_MAX = 256
 SEMDEDUP_PAIR_EXPR_DIM_MAX = 64
 
 
+def _with_cell(df: DataFrame, vec_col: str, cents) -> DataFrame:
+    """Append the coarse-cell column: `_nearest_centroid` literal
+    expression below `_IVF_GEMM_MIN_KDIM` = k·dim (the oracle-twinned
+    path), `clustering._assign_gemm`'s broadcast-centroid numpy GEMM at
+    or above it — production IVF uses 4k-65k coarse cells, where the
+    literal plan is both Catalyst-heavy and interpreted-HOF-slow."""
+    if cents and len(cents) * len(cents[0]) >= _IVF_GEMM_MIN_KDIM:
+        from rs_graphdb_spark.functions.clustering import _assign_gemm
+
+        return _assign_gemm(df, vec_col, cents).withColumnRenamed(
+            "cluster", "cell")
+    return df.withColumn("cell", _nearest_centroid(F.col(vec_col), cents))
+
+
 def _probe_cells_np(qvec, cents, n_probe: int) -> frozenset:
     """Driver-side probe list: the n_probe nearest coarse centroids by
     squared euclidean, ties to the lowest index — the same (d, i)
@@ -1231,10 +1243,8 @@ def write_pq_index(
         centroids = ivf_centroids(corpus, id_col, vec_col, n_clusters,
                                   iters)
     enc = pq_encode(corpus, id_col, vec_col, codebooks)
-    cell = corpus.select(
-        F.col(id_col),
-        _nearest_centroid(F.col(vec_col), centroids).alias("cell"),
-    )
+    cell = _with_cell(corpus.select(id_col, vec_col), vec_col,
+                      centroids).select(id_col, "cell")
     os.makedirs(path, exist_ok=True)
     (
         enc.join(cell, id_col)
@@ -1265,6 +1275,75 @@ def load_pq_index_meta(path: str) -> dict:
 
     with open(os.path.join(path, "_meta.json")) as f:
         return json.load(f)
+
+
+def append_pq_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    batch_id: str | None = None,
+    allow_stale_pending: bool = False,
+) -> str:
+    """Incremental ingest into a standing :func:`write_pq_index` layout
+    (the `append_bm25_index` / dedup_ingest_sink shape — a production
+    embedding table GROWS; re-encoding the corpus per batch defeats the
+    standing index): the new batch is encoded with the STORED codebooks
+    and assigned to cells with the STORED centroids (so scores for old
+    vectors never change and the index stays one consistent quantizer),
+    then APPENDED into the same ``cell=`` partition dirs — existing
+    code files are never touched. Per-batch cost is O(batch).
+
+    Idempotency/crash contract mirrors ``append_bm25_index``: committed
+    batch_ids live in ``_meta.json["batches"]`` (a retry returns
+    ``"skipped-duplicate"``); a ``_batches/*.pending`` marker without a
+    commit means a crashed append may have left partial code files, so
+    EVERY new ingest refuses until the index is rebuilt
+    (``write_pq_index`` from the source table — codes are derivable
+    state) or the caller passes ``allow_stale_pending=True``. The meta
+    flip is the commit point. Single-writer contract."""
+    import json
+    import os
+    import uuid
+
+    meta = load_pq_index_meta(path)
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex
+    if batch_id in meta.get("batches", []):
+        return "skipped-duplicate"
+    bdir = os.path.join(path, "_batches")
+    os.makedirs(bdir, exist_ok=True)
+    stale = sorted(p for p in os.listdir(bdir) if p.endswith(".pending"))
+    if stale and not allow_stale_pending:
+        raise RuntimeError(
+            f"stale pending marker(s) {stale} in {bdir}: a previous "
+            "ingest crashed mid-append and the codes table may hold "
+            "partial files. Rebuild with write_pq_index from the "
+            "source table, then re-ingest; or pass "
+            "allow_stale_pending=True if the crash is known to predate "
+            "the codes append.")
+    pending = os.path.join(bdir, f"{batch_id}.pending")
+    with open(pending, "w") as f:
+        f.write(batch_id)
+    books = meta["codebooks"]
+    enc = pq_encode(new_vectors, id_col, vec_col, books)
+    cell = _with_cell(new_vectors.select(id_col, vec_col), vec_col,
+                      meta["centroids"]).select(id_col, "cell")
+    (
+        enc.join(cell, id_col)
+        .withColumnRenamed(id_col, meta["id_col"])
+        .repartition("cell")
+        .write.partitionBy("cell").mode("append")
+        .parquet(os.path.join(path, "codes"))
+    )
+    meta.setdefault("batches", []).append(batch_id)
+    tmp = os.path.join(path, "_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "_meta.json"))
+    os.remove(pending)  # after the commit point — the batch is durable
+    return "committed"
 
 
 def knn_pq_indexed(

@@ -332,3 +332,85 @@ def test_standing_index_arrow_engine_same_neighbors(spark, clustered,
          for r in knn_pq_indexed(spark, idx, qs, "vec_id", "v", k=5,
                                  n_probe=3, adc_engine="arrow").collect()}
     assert a == b
+
+
+def test_append_pq_index_equals_full_rebuild(spark, tmp_path):
+    """Append B onto an index built over A (same codebooks/centroids)
+    ≡ building over A∪B directly — probes return identical results;
+    old code files are byte-untouched by the append."""
+    import hashlib
+    import os
+
+    from rs_graphdb_spark.functions.similarity import (
+        append_pq_index, ivf_centroids, knn_pq_indexed, write_pq_index)
+    rows = _clustered_vectors(n=300, dim=32, n_clusters=10)
+    full = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    a = full.filter(F.col("vec_id") < 200)
+    b = full.filter(F.col("vec_id") >= 200)
+    books = pq_train(a, "vec_id", "v", m=4, ks=8, iters=2)
+    cents = ivf_centroids(a, "vec_id", "v", 6, 2)
+
+    ref = str(tmp_path / "ref")
+    write_pq_index(full, "vec_id", "v", ref,
+                   codebooks=books, centroids=cents)
+    inc = str(tmp_path / "inc")
+    write_pq_index(a, "vec_id", "v", inc,
+                   codebooks=books, centroids=cents)
+
+    def code_md5s(p):
+        out = {}
+        for root, _d, files in os.walk(f"{p}/codes"):
+            for f in files:
+                if f.endswith(".parquet"):
+                    with open(os.path.join(root, f), "rb") as fh:
+                        out[os.path.join(root, f)] = hashlib.md5(
+                            fh.read()).hexdigest()
+        return out
+
+    before = code_md5s(inc)
+    assert append_pq_index(spark, inc, b, "vec_id", "v",
+                           batch_id="b1") == "committed"
+    after = code_md5s(inc)
+    for f, h in before.items():  # standing files never rewritten
+        assert after[f] == h
+    qs = full.filter(F.col("vec_id") < 4)
+    for n_probe in (2, 6):
+        want = {(r["query_id"], r["rank"]): (r["neighbor_id"],
+                                             round(r["adc_cos"], 9))
+                for r in knn_pq_indexed(spark, ref, qs, "vec_id", "v",
+                                        k=5, n_probe=n_probe).collect()}
+        got = {(r["query_id"], r["rank"]): (r["neighbor_id"],
+                                            round(r["adc_cos"], 9))
+               for r in knn_pq_indexed(spark, inc, qs, "vec_id", "v",
+                                       k=5, n_probe=n_probe).collect()}
+        assert want == got, n_probe
+
+
+def test_append_pq_index_idempotency_and_crash_guard(spark, tmp_path):
+    import os
+
+    from rs_graphdb_spark.functions.similarity import (
+        append_pq_index, ivf_centroids, write_pq_index)
+    rows = _clustered_vectors(n=120, dim=32, n_clusters=6)
+    a = spark.createDataFrame(rows[:80], "vec_id long, v array<double>")
+    b = spark.createDataFrame(rows[80:], "vec_id long, v array<double>")
+    books = pq_train(a, "vec_id", "v", m=4, ks=8, iters=1)
+    cents = ivf_centroids(a, "vec_id", "v", 4, 1)
+    idx = str(tmp_path / "pq")
+    write_pq_index(a, "vec_id", "v", idx,
+                   codebooks=books, centroids=cents)
+    assert append_pq_index(spark, idx, b, "vec_id", "v",
+                           batch_id="x") == "committed"
+    # committed retry: no double ingest
+    assert append_pq_index(spark, idx, b, "vec_id", "v",
+                           batch_id="x") == "skipped-duplicate"
+    # stale marker: EVERY new ingest refused until rebuild/override
+    os.makedirs(f"{idx}/_batches", exist_ok=True)
+    open(f"{idx}/_batches/dead.pending", "w").write("dead")
+    with pytest.raises(RuntimeError, match="stale pending"):
+        append_pq_index(spark, idx, b, "vec_id", "v", batch_id="y")
+    with pytest.raises(RuntimeError, match="stale pending"):
+        append_pq_index(spark, idx, b, "vec_id", "v")
+    assert append_pq_index(
+        spark, idx, b.filter(F.col("vec_id") >= 115), "vec_id", "v",
+        batch_id="y", allow_stale_pending=True) == "committed"
