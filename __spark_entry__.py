@@ -3122,11 +3122,20 @@ def q42_ngram_jaccard(spark, sf_dir):
         F.col("doc"), F.col("end_tok"),
         F.concat_ws(":", "a", "b", "start_tok", "n_spans").alias("abs_"),
     )
+    # removal pass (r9): the extents CONSUMED — duplicated runs cut
+    # from the higher-id copy, per-doc intervals merged, surviving
+    # token stream + removed-token count pinned for every affected doc
+    from rs_graphdb_spark.functions.dedup import remove_duplicate_spans
+
+    rmq = remove_duplicate_spans(docs, "doc_id", "text", k=50) \
+        .filter(F.col("n_removed") > 0) \
+        .select("doc_id", "n_removed", F.md5("clean_text").alias("cm"))
     return _quads(
         _quad("pairs", q46_ngram_jaccard(spark, sf_dir),
               k="a", v="jaccard", s="b"),
         _quad("spans", spans, k="a", v="n_spans", s="b"),
         _quad("spans_merged", extq, k="doc", v="end_tok", s="abs_"),
+        _quad("spans_removed", rmq, k="doc_id", v="n_removed", s="cm"),
     )
 
 
@@ -8089,6 +8098,100 @@ def oracle_sql() -> dict[str, str]:
                 FROM isl GROUP BY a, b, doc, island
                 """,
                 k="doc", v="end_tok", s="abs_",
+            ),
+            # removal-pass twin (r9): same extent chain, then b-side
+            # extents merged into per-doc disjoint intervals (islands
+            # again, overlap-aware via running max(e)), covered token
+            # positions anti-joined away, surviving stream re-joined in
+            # order — md5 + removed count per affected doc
+            _sql_quad(
+                "spans_removed",
+                """
+                WITH toks AS (
+                    SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                    FROM documents
+                ),
+                shp AS MATERIALIZED (
+                    SELECT doc_id, p AS pos,
+                           array_to_string(t[p + 1:p + 50], ' ') AS s
+                    FROM (SELECT doc_id, t, unnest(range(len(t) - 49)) AS p
+                          FROM toks WHERE len(t) >= 50)
+                ),
+                m AS MATERIALIZED (
+                    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, a.s
+                    FROM shp a JOIN shp b
+                      ON a.s = b.s AND a.doc_id < b.doc_id
+                ),
+                sides AS (
+                    SELECT DISTINCT m.a, m.b, s.doc_id AS doc, s.pos
+                    FROM m JOIN shp s
+                      ON s.s = m.s AND s.doc_id IN (m.a, m.b)
+                ),
+                flg AS (
+                    SELECT a, b, doc, pos,
+                           CASE WHEN pos - lag(pos) OVER
+                                    (PARTITION BY a, b, doc ORDER BY pos)
+                                    <= 50
+                                THEN 0 ELSE 1 END AS f
+                    FROM sides
+                ),
+                isl AS (
+                    SELECT a, b, doc, pos,
+                           sum(f) OVER (PARTITION BY a, b, doc ORDER BY pos
+                                        ROWS UNBOUNDED PRECEDING) AS island
+                    FROM flg
+                ),
+                ext AS (
+                    SELECT a, b, doc, min(pos) AS s, max(pos) + 50 AS e
+                    FROM isl GROUP BY a, b, doc, island
+                ),
+                rem AS (SELECT doc, s, e FROM ext WHERE doc = b),
+                rflg AS (
+                    SELECT doc, s, e,
+                           CASE WHEN s <= max(e) OVER
+                                    (PARTITION BY doc ORDER BY s, e
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                                THEN 0 ELSE 1 END AS f
+                    FROM rem
+                ),
+                risl AS (
+                    SELECT doc, s, e,
+                           sum(f) OVER (PARTITION BY doc ORDER BY s, e
+                                        ROWS UNBOUNDED PRECEDING) AS isl2
+                    FROM rflg
+                ),
+                riv AS MATERIALIZED (
+                    SELECT doc, min(s) AS s, max(e) AS e
+                    FROM risl GROUP BY doc, isl2
+                ),
+                pos AS (
+                    SELECT doc_id, t, unnest(range(len(t))) AS p
+                    FROM toks
+                    WHERE doc_id IN (SELECT DISTINCT doc FROM riv)
+                ),
+                keptp AS (
+                    SELECT pos.doc_id, pos.p, pos.t
+                    FROM pos LEFT JOIN riv ON riv.doc = pos.doc_id
+                         AND pos.p >= riv.s AND pos.p < riv.e
+                    WHERE riv.doc IS NULL
+                ),
+                clean AS (
+                    SELECT doc_id,
+                           string_agg(t[p + 1], ' ' ORDER BY p) AS ct,
+                           count(*) AS n_kept
+                    FROM keptp GROUP BY doc_id
+                )
+                SELECT d.doc_id,
+                       CAST(len(d.t) - coalesce(c.n_kept, 0) AS BIGINT)
+                           AS n_removed,
+                       md5(coalesce(c.ct, '')) AS cm
+                FROM toks d
+                JOIN (SELECT DISTINCT doc FROM riv) rd ON rd.doc = d.doc_id
+                LEFT JOIN clean c ON c.doc_id = d.doc_id
+                """,
+                k="doc_id", v="n_removed", s="cm",
             ),
         ),
         "q43_embedding_dedup": _sql_union(

@@ -167,6 +167,12 @@ def main() -> None:
     pass_calibs: dict[str, list[list[float]]] = {}
     rejected_passes: dict[str, int] = {}
     unquiet: list[str] = []
+    # GLOBAL pre-pass wait budget: per-pass spins are 45 s each, which
+    # on an all-day-storm box could add hours across ~44 queries × 6
+    # passes — cap the total spent waiting; once exhausted, passes
+    # start immediately and the calib gate alone adjudicates
+    wait_pool = [float(os.environ.get("SPARK_GRAFT_PASS_WAIT_POOL",
+                                      "420"))]
 
     def one_pass(name: str) -> float:
         t0 = time.time()
@@ -189,13 +195,16 @@ def main() -> None:
         rejected = 0
 
         def wait_quiet(budget: float = 45.0) -> float:
-            # don't START a pass inside a storm burst: spin (bounded)
-            # until one calib sample reads clean; the post-pass sample
-            # still catches bursts that begin mid-pass
+            # don't START a pass inside a storm burst: spin (bounded
+            # per pass AND by the run-global pool) until one calib
+            # sample reads clean; the post-pass sample still catches
+            # bursts that begin mid-pass
             t0 = time.time()
             while True:
                 c = _calib1()
-                if c < _CALIB_BAD or time.time() - t0 > budget:
+                waited = time.time() - t0
+                if c < _CALIB_BAD or waited > budget or wait_pool[0] <= 0:
+                    wait_pool[0] -= waited
                     return c
                 time.sleep(2.0)
 

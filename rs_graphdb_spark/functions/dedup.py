@@ -1147,6 +1147,80 @@ def duplicate_span_extents(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    max_span_df: int | None = 10_000,
+    mode: str = "ascii",
+) -> DataFrame:
+    """The exact-substring REMOVAL pass (Lee et al. "Deduplicating
+    Training Data Makes Language Models Better") that CONSUMES
+    :func:`duplicate_span_extents`: for every pair (a < b) sharing a
+    duplicated run, the run is cut from the HIGHER id (the b side) so
+    exactly one copy of each duplicated block survives corpus-wide for
+    a pair; a doc in many pairs loses the UNION of its b-side extents
+    (overlapping extents merged into disjoint intervals first — the
+    same gaps-and-islands machinery, this time keyed per doc).
+
+    Returns ``(doc_id, clean_text, n_removed)`` for every input doc:
+    ``clean_text`` is the surviving TOKEN stream rejoined with single
+    spaces (removal operates in token space — the positions the extents
+    are expressed in), ``n_removed`` the count of tokens cut. Docs
+    untouched by any extent pass through with ``n_removed = 0``.
+
+    Plan shape: the extent computation is the audited
+    `duplicate_span_extents` plan; the removal itself is one window
+    pass over the extent set (sized by the duplicate subgraph, not the
+    corpus) + one equi-join of per-doc interval arrays back onto the
+    corpus scan — left UNFORCED so AQE broadcasts it when the dup set
+    is small and falls back to a shuffle when it is not — where a
+    codegen two-arg `filter` drops covered token positions."""
+    from pyspark.sql.window import Window
+
+    ext = duplicate_span_extents(df, id_col, text_col, k, max_span_df,
+                                 mode)
+    rem = ext.filter(F.col("doc") == F.col("b")).select(
+        "doc", "start_tok", "end_tok")
+    w = Window.partitionBy("doc").orderBy("start_tok", "end_tok")
+    flg = rem.withColumn(
+        "_pe",
+        F.max("end_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    ).withColumn(
+        "_new",
+        F.when(F.col("start_tok") <= F.col("_pe"), F.lit(0))
+        .otherwise(F.lit(1)),
+    ).withColumn(
+        "island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ivs = (
+        flg.groupBy("doc", "island")
+        .agg(F.min("start_tok").alias("s"), F.max("end_tok").alias("e"))
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs"))
+    )
+    docs = df.select(F.col(id_col).alias("doc"),
+                     tokenize(text_col, mode).alias("t"))
+    kept = F.when(F.col("ivs").isNull(), F.col("t")).otherwise(
+        F.filter(
+            F.col("t"),
+            lambda _x, i: ~F.exists(
+                F.col("ivs"),
+                lambda v: (i >= v["s"]) & (i < v["e"]),
+            ),
+        )
+    )
+    cleaned = docs.join(ivs, "doc", "left") \
+        .select("doc", "t", kept.alias("kt"))
+    return cleaned.select(
+        F.col("doc").alias("doc_id"),
+        F.array_join("kt", " ").alias("clean_text"),
+        (F.size("t") - F.size("kt")).cast("long").alias("n_removed"),
+    )
+
+
 def ngram_contamination(
     train_df: DataFrame,
     bench_df: DataFrame,

@@ -1911,3 +1911,56 @@ def test_banded_ann_arrow_codes_parity(spark):
 
     expr, arrow = run(10**9), run(0)
     assert expr == arrow and len(expr) > 0
+
+
+def test_remove_duplicate_spans_cuts_higher_id_copy(spark):
+    """r9: the removal pass — duplicated runs cut from the HIGHER id of
+    each pair, lower id keeps its copy, untouched docs pass through,
+    and a doc in two pairs loses the union of its b-side extents."""
+    from rs_graphdb_spark.functions.dedup import remove_duplicate_spans
+    from rs_graphdb_spark.session import local_df
+
+    block = " ".join(f"tok{i}" for i in range(12))   # shared 12 tokens
+    blk2 = " ".join(f"alt{i}" for i in range(11))
+    docs = local_df(spark, [
+        (1, block + " solo1 solo2"),
+        (2, "lead " + block + " tail"),               # b of (1,2)
+        (3, blk2 + " three3"),
+        (4, "x0 x1 " + blk2 + " " + block),           # b of (1,4)+(3,4)
+        (5, "independent text nothing shared here"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in remove_duplicate_spans(
+               docs, "doc_id", "text", k=10).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # lower ids keep their text verbatim (token-joined)
+    assert out[1] == (block + " solo1 solo2", 0)
+    assert out[3] == (blk2 + " three3", 0)
+    assert out[5][1] == 0
+    # doc2 loses the block, keeps lead/tail
+    assert out[2] == ("lead tail", 12)
+    # doc4 is the b side of BOTH pairs: loses blk2 AND block
+    assert out[4] == ("x0 x1", 23)
+
+
+def test_remove_duplicate_spans_overlapping_intervals_union(spark):
+    """Extents from different pairs overlapping in one doc must merge
+    before cutting (no double-count, no split)."""
+    from rs_graphdb_spark.functions.dedup import remove_duplicate_spans
+    from rs_graphdb_spark.session import local_df
+
+    run = [f"t{i}" for i in range(20)]                # 20-token run
+    left = " ".join(run[:14])                          # tokens 0..13
+    right = " ".join(run[6:])                          # tokens 6..19
+    docs = local_df(spark, [
+        (1, left),
+        (2, right),
+        (3, " ".join(run) + " end0 end1"),  # b of both, overlapping cuts
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in remove_duplicate_spans(
+               docs, "doc_id", "text", k=10).collect()}
+    # doc3: [0,14) from pair (1,3) and [6,20) from (2,3) union to
+    # [0,20) — exactly the 20-token run removed once
+    assert out[3] == ("end0 end1", 20)
+    assert out[1][1] == 0 and out[2][1] == 0
