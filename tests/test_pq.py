@@ -414,3 +414,15 @@ def test_append_pq_index_idempotency_and_crash_guard(spark, tmp_path):
     assert append_pq_index(
         spark, idx, b.filter(F.col("vec_id") >= 115), "vec_id", "v",
         batch_id="y", allow_stale_pending=True) == "committed"
+
+
+def test_adc_arrow_empty_query_set(spark, clustered):
+    """Arrow ADC with zero queries returns an empty, well-typed frame
+    (the kernel must not choke on an empty LUT list)."""
+    books = pq_train(clustered, "vec_id", "v", m=4, ks=8, iters=1)
+    qs = clustered.filter(F.col("vec_id") < 0)
+    out = knn_pq_adc(clustered, qs, "vec_id", "v", books, k=5,
+                     adc_engine="arrow")
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "neighbor_id", "adc_cos",
+                                "rank"}

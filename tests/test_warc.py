@@ -315,3 +315,17 @@ def test_unicode_fixture_variant(spark):
     assert by_url[fixture_url(1)]["content_type"] == \
         "text/html; charset=utf-8"
     assert all(r["http_status"] == 200 for r in resp)
+
+
+def test_stream_reader_listing_prunes_content(spark, tmp_path):
+    """The streaming reader's claim: binaryFile does the LISTING only —
+    the content column must be pruned out of the scan (ReadSchema
+    carries just the path), or every file would be read twice."""
+    from rs_graphdb_spark.sources.warc import read_warc_stream
+    _write_fixture_files(tmp_path, n_files=1, corrupt=False)
+    df = read_warc_stream(spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "content" not in m.group(1), m
+    assert "path" in m.group(1)
