@@ -766,13 +766,38 @@ def _pq_codes_arrow(
     all ks squared distances at once — argmin ties break to the lowest
     index, the `_nearest_centroid` convention. The codebook ships via
     closure (dim·ks floats — bounded metadata). Output schema matches
-    the expression path exactly: (id, codes ARRAY<INT>, recon_n2)."""
+    the expression path exactly: (id, codes ARRAY<INT>, recon_n2).
+
+    Null/ragged vectors carry the EXPRESSION path's per-subspace
+    semantics (r9 advisor, pinned by probe + pytest): a sub-slice with
+    exactly dsub non-null elements still encodes; any other sub-slice
+    (null vector, short vector, null element) yields a NULL code; and
+    ``recon_n2`` is NULL whenever any code is (the expr aggregate over
+    a null). Long vectors truncate to m·dsub like ``F.slice``. The
+    clean-batch fast path is untouched — dirty rows are split out per
+    batch, so 'auto' routing can never turn a null-tolerant encode
+    into a job-killing reshape."""
     import numpy as np
     import pyarrow as pa
 
     books = _pq_books_np(codebooks)
     m, ks, dsub = books.shape
     c2 = (books * books).sum(axis=2)  # (m, ks)
+    width = m * dsub
+
+    def _encode_clean(v):
+        codes = np.empty((v.shape[0], m), dtype=np.int32)
+        recon = np.zeros(v.shape[0], dtype=np.float64)
+        for j in range(m):
+            s = v[:, j * dsub:(j + 1) * dsub]          # (n, dsub)
+            d2 = (
+                (s * s).sum(axis=1)[:, None]
+                - 2.0 * (s @ books[j].T)
+                + c2[j][None, :]
+            )                                           # (n, ks)
+            codes[:, j] = np.argmin(d2, axis=1)
+            recon += c2[j][codes[:, j]]
+        return codes, recon
 
     def _fn(batches):
         for batch in batches:
@@ -781,24 +806,59 @@ def _pq_codes_arrow(
             n = len(vecs)
             if n == 0:
                 continue
-            v = np.asarray(vecs, dtype=np.float64).reshape(n, m * dsub)
-            codes = np.empty((n, m), dtype=np.int32)
-            recon = np.zeros(n, dtype=np.float64)
-            for j in range(m):
-                s = v[:, j * dsub:(j + 1) * dsub]          # (n, dsub)
-                d2 = (
-                    (s * s).sum(axis=1)[:, None]
-                    - 2.0 * (s @ books[j].T)
-                    + c2[j][None, :]
-                )                                           # (n, ks)
-                codes[:, j] = np.argmin(d2, axis=1)
-                recon += c2[j][codes[:, j]]
+            clean = [
+                v is not None and len(v) >= width
+                and all(x is not None for x in v[:width])
+                for v in vecs
+            ]
+            if all(clean):
+                v = np.asarray(
+                    [x[:width] for x in vecs], dtype=np.float64)
+                codes, recon = _encode_clean(v)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array(codes.tolist(),
+                                 type=pa.list_(pa.int32())),
+                        pa.array(recon, type=pa.float64()),
+                    ],
+                    ["_pqid", "codes", "recon_n2"],
+                )
+                continue
+            codes_out: list = [None] * n
+            recon_out: list = [None] * n
+            cidx = [i for i in range(n) if clean[i]]
+            if cidx:
+                v = np.asarray([vecs[i][:width] for i in cidx],
+                               dtype=np.float64)
+                codes, recon = _encode_clean(v)
+                for p, i in enumerate(cidx):
+                    codes_out[i] = codes[p].tolist()
+                    recon_out[i] = float(recon[p])
+            for i in range(n):
+                if clean[i]:
+                    continue
+                v = vecs[i]
+                row = []
+                for j in range(m):
+                    sub = (None if v is None
+                           else v[j * dsub:(j + 1) * dsub])
+                    if (sub is None or len(sub) != dsub
+                            or any(x is None for x in sub)):
+                        row.append(None)
+                    else:
+                        s = np.asarray(sub, dtype=np.float64)
+                        d2 = ((books[j] - s[None, :]) ** 2).sum(axis=1)
+                        row.append(int(np.argmin(d2)))
+                codes_out[i] = row
+                recon_out[i] = (
+                    float(sum(c2[j][row[j]] for j in range(m)))
+                    if all(c is not None for c in row) else None)
             yield pa.RecordBatch.from_arrays(
                 [
                     ids,
-                    pa.array(codes.tolist(),
-                             type=pa.list_(pa.int32())),
-                    pa.array(recon, type=pa.float64()),
+                    pa.array(codes_out, type=pa.list_(pa.int32())),
+                    pa.array(recon_out, type=pa.float64()),
                 ],
                 ["_pqid", "codes", "recon_n2"],
             )
@@ -834,11 +894,22 @@ def _pq_query_luts(queries: DataFrame, id_col: str, vec_col: str,
     return out
 
 
+def _pa_type(dtype):
+    """pyarrow type for a Spark DataType (PySpark's own converter; the
+    Arrow kernels must emit exactly the declared schema — r9 advisor:
+    inferring 'long vs string' from the first qid value broke every
+    other id type)."""
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return to_arrow_type(dtype)
+
+
 def _adc_candidates_arrow(
     codes: DataFrame,
     qluts: list[tuple],
     k: int,
     probe_cells: dict | None = None,
+    qid_dtype=None,
 ) -> DataFrame:
     """mapInArrow ADC scan over a (neighbor_id, codes, recon_n2[, cell])
     table: per batch, scoring one query is ONE fancy-indexing gather —
@@ -847,51 +918,82 @@ def _adc_candidates_arrow(
     never displace a true neighbor), so Arrow traffic is O(batches ·
     queries · k), not O(n · queries). Callers post-filter self-pairs
     and take the global window top-k. ``probe_cells`` (query_id →
-    frozenset of cells) masks each query to its probed IVF cells."""
+    frozenset of cells) masks each query to its probed IVF cells.
+
+    ``qid_dtype`` is the Spark DataType of the query id column — the
+    output schema is derived from it (r9 advisor note; defaults to the
+    neighbor_id type, the self-join case). Null/ragged codes rows
+    (null vectors at encode time) score 0.0, exactly the expression
+    path's ``F.when(null-cond).otherwise(0.0)``; null cells are never
+    probed, matching the expr join-on-cell drop."""
     import numpy as np
     import pyarrow as pa
 
     has_cell = probe_cells is not None
+    nbr_dt = codes.schema["neighbor_id"].dataType
+    qid_dt = qid_dtype if qid_dtype is not None else nbr_dt
+    pa_nbr, pa_qid = _pa_type(nbr_dt), _pa_type(qid_dt)
+    mwidth = int(qluts[0][1].shape[0]) if qluts else 0
 
     def _fn(batches):
         for batch in batches:
-            nbr = np.asarray(batch.column(0).to_pylist())
-            if len(nbr) == 0:
+            nbr_raw = batch.column(0).to_pylist()
+            n = len(nbr_raw)
+            if n == 0:
                 continue
-            cd = np.asarray(batch.column(1).to_pylist(), dtype=np.int64)
-            rn2 = np.asarray(batch.column(2).to_pylist(), dtype=np.float64)
-            cells = (np.asarray(batch.column(3).to_pylist(), dtype=np.int64)
-                     if has_cell else None)
-            rsqrt = np.sqrt(np.maximum(rn2, 0.0))
-            jdx = np.arange(cd.shape[1])
+            cd_raw = batch.column(1).to_pylist()
+            rn_raw = batch.column(2).to_pylist()
+            valid = np.array([
+                c is not None and len(c) == mwidth and r is not None
+                and all(x is not None for x in c)
+                for c, r in zip(cd_raw, rn_raw)
+            ], dtype=bool)
+            nbr = np.asarray(nbr_raw)
+            vsel = np.flatnonzero(valid)
+            cd = (np.asarray([cd_raw[i] for i in vsel], dtype=np.int64)
+                  if len(vsel) else np.empty((0, mwidth), dtype=np.int64))
+            rsqrt = np.sqrt(np.maximum(np.asarray(
+                [rn_raw[i] for i in vsel], dtype=np.float64), 0.0))
+            valid_pos = np.cumsum(valid) - 1  # row → compacted index
+            cells = (np.asarray(
+                [c if c is not None else -1
+                 for c in batch.column(3).to_pylist()], dtype=np.int64)
+                if has_cell else None)
+            jdx = np.arange(mwidth)
             out_q, out_n, out_s = [], [], []
             for qid, lut, qn, _qv in qluts:
                 if has_cell:
                     mask = np.isin(cells, list(probe_cells[qid]))
                     if not mask.any():
                         continue
-                    cdq, nbrq = cd[mask], nbr[mask]
-                    rq = rsqrt[mask]
+                    sel = np.flatnonzero(mask)
                 else:
-                    cdq, nbrq, rq = cd, nbr, rsqrt
-                dots = lut[jdx[:, None], cdq.T].sum(axis=0)  # (n,)
-                ok = (rq > 0.0) & (qn > 0.0)
-                sc = np.where(ok, dots / np.where(ok, qn * rq, 1.0), 0.0)
+                    sel = np.arange(n)
+                sc = np.zeros(len(sel), dtype=np.float64)
+                mv = valid[sel]
+                if mv.any() and qn > 0.0:
+                    vp = valid_pos[sel[mv]]
+                    dots = lut[jdx[:, None], cd[vp].T].sum(axis=0)
+                    ok = rsqrt[vp] > 0.0
+                    sc[mv] = np.where(
+                        ok, dots / np.where(ok, qn * rsqrt[vp], 1.0), 0.0)
+                nbrq = nbr[sel]
                 top = min(k + 1, len(sc))
                 order = np.lexsort((nbrq, -sc))[:top]
                 out_q.extend([qid] * top)
                 out_n.extend(nbrq[order].tolist())
                 out_s.extend(sc[order].tolist())
             yield pa.RecordBatch.from_arrays(
-                [pa.array(out_q), pa.array(out_n),
+                [pa.array(out_q, type=pa_qid),
+                 pa.array(out_n, type=pa_nbr),
                  pa.array(out_s, type=pa.float64())],
                 ["query_id", "neighbor_id", "adc_cos"],
             )
 
     cols = ["neighbor_id", "codes", "recon_n2"] + (
         ["cell"] if has_cell else [])
-    nbr_t = codes.schema["neighbor_id"].dataType.simpleString()
-    qid_t = "long" if not qluts or isinstance(qluts[0][0], int) else "string"
+    nbr_t = nbr_dt.simpleString()
+    qid_t = qid_dt.simpleString()
     return codes.select(*cols).mapInArrow(
         _fn,
         f"query_id {qid_t}, neighbor_id {nbr_t}, adc_cos double",
@@ -991,8 +1093,9 @@ def knn_pq_adc(
         c = c.select(F.col(id_col).alias("neighbor_id"),
                      "codes", "recon_n2")
         qluts = _pq_query_luts(queries, id_col, vec_col, codebooks)
-        cand = _adc_candidates_arrow(c, qluts, k).filter(
-            F.col("query_id") != F.col("neighbor_id"))
+        cand = _adc_candidates_arrow(
+            c, qluts, k, qid_dtype=queries.schema[id_col].dataType,
+        ).filter(F.col("query_id") != F.col("neighbor_id"))
         w = Window.partitionBy("query_id").orderBy(
             F.col("adc_cos").desc(), F.col("neighbor_id"))
         return (
@@ -1097,6 +1200,7 @@ def knn_ivf_pq(
         cand = _adc_candidates_arrow(
             c.filter(F.col("cell").isin(all_cells)), qluts, k,
             probe_cells=probes,
+            qid_dtype=queries.schema[id_col].dataType,
         ).filter(F.col("query_id") != F.col("neighbor_id"))
         w = Window.partitionBy("query_id").orderBy(
             F.col("adc_cos").desc(), F.col("neighbor_id"))
@@ -1314,7 +1418,18 @@ def append_pq_index(
         return "skipped-duplicate"
     bdir = os.path.join(path, "_batches")
     os.makedirs(bdir, exist_ok=True)
-    stale = sorted(p for p in os.listdir(bdir) if p.endswith(".pending"))
+    committed = set(meta.get("batches", []))
+    stale = []
+    for p in sorted(os.listdir(bdir)):
+        if not p.endswith(".pending"):
+            continue
+        if p[:-len(".pending")] in committed:
+            # provably committed: meta flip landed, only the marker
+            # cleanup was lost (crash between os.replace and os.remove
+            # — r9 advisor note). Clear instead of refusing forever.
+            os.remove(os.path.join(bdir, p))
+        else:
+            stale.append(p)
     if stale and not allow_stale_pending:
         raise RuntimeError(
             f"stale pending marker(s) {stale} in {bdir}: a previous "
@@ -1344,6 +1459,42 @@ def append_pq_index(
     os.replace(tmp, os.path.join(path, "_meta.json"))
     os.remove(pending)  # after the commit point — the batch is durable
     return "committed"
+
+
+def rebuild_pq_index(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> dict:
+    """Recovery path for a stale-pending standing index (r9 VERDICT
+    item #5): re-encode the source corpus with the STORED codebooks and
+    coarse centroids (one consistent quantizer — every surviving
+    vector's code and score is bit-identical to the pre-crash index) in
+    a STAGED sibling directory, then atomically swap it into place,
+    clearing all pending markers. ``batches`` resets — a rebuild is a
+    new ingest epoch, so ``corpus`` must be the full source of truth
+    including any batch whose crash triggered the rebuild.
+
+    The swap is two directory renames; a crash between them leaves the
+    complete staged tree beside the path (resumable by re-running).
+    Returns the fresh meta."""
+    import os
+    import shutil
+    import uuid
+
+    meta = load_pq_index_meta(path)
+    staged = path.rstrip("/") + f"._rebuild-{uuid.uuid4().hex[:8]}"
+    write_pq_index(corpus, id_col, vec_col, staged,
+                   codebooks=meta["codebooks"],
+                   centroids=meta["centroids"])
+    retired = path.rstrip("/") + "._retired"
+    shutil.rmtree(retired, ignore_errors=True)
+    os.replace(path, retired)
+    os.replace(staged, path)
+    shutil.rmtree(retired, ignore_errors=True)
+    return load_pq_index_meta(path)
 
 
 def knn_pq_indexed(
@@ -1382,7 +1533,9 @@ def knn_pq_indexed(
         "codes", "recon_n2", "cell")
     if _use_pq_arrow(adc_engine, meta["m"], meta["ks"]):
         qluts = _pq_query_luts(queries, id_col, vec_col, books)
-        cand = _adc_candidates_arrow(c, qluts, k, probe_cells=probes)
+        cand = _adc_candidates_arrow(
+            c, qluts, k, probe_cells=probes,
+            qid_dtype=queries.schema[id_col].dataType)
         scored = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     else:
         m, dsub = meta["m"], meta["dsub"]

@@ -876,9 +876,19 @@ def append_bm25_index(
     bdir = os.path.join(index_dir, "_batches")
     os.makedirs(bdir, exist_ok=True)
     pending = os.path.join(bdir, f"{batch_id}.pending")
-    stale = sorted(
-        p for p in os.listdir(bdir) if p.endswith(".pending")
-    )
+    committed = set(meta.get("batches", []))
+    stale = []
+    for p in sorted(os.listdir(bdir)):
+        if not p.endswith(".pending"):
+            continue
+        if p[:-len(".pending")] in committed:
+            # provably committed: the meta flip happened, only the
+            # marker cleanup was lost (crash between os.replace and
+            # os.remove — r9 advisor note). Clear it instead of
+            # refusing every future ingest for a batch that IS durable.
+            os.remove(os.path.join(bdir, p))
+        else:
+            stale.append(p)
     if stale and not allow_stale_pending:
         raise RuntimeError(
             f"stale pending marker(s) {stale} in {bdir}: a previous "
@@ -947,6 +957,49 @@ def append_bm25_index(
     os.replace(tmp, os.path.join(index_dir, "_meta.json"))
     os.remove(pending)  # after the commit point — the batch is durable
     return "committed"
+
+
+def rebuild_bm25_index(
+    spark,
+    index_dir: str,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> dict:
+    """Recovery path for a stale-pending appendable index (r9 VERDICT
+    item #5 — the refusal in :func:`append_bm25_index` previously left
+    only a manual rebuild): re-derive the whole index from the source
+    corpus in a STAGED sibling directory (same ``mode``/``n_prefix`` as
+    the live meta, so probe plans and scores are layout-identical to a
+    clean build), then atomically swap it into place. The swap clears
+    every pending marker and resets ``batches`` — a rebuild is a new
+    ingest epoch, so the corpus passed MUST be the full source of
+    truth, including any batch whose crash triggered the rebuild.
+
+    The swap is two directory renames; a crash between them leaves the
+    complete staged tree beside the path (resumable by re-running).
+    Returns the fresh meta."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("layout") != "stats":
+        raise ValueError(
+            "rebuild_bm25_index requires the appendable layout")
+    staged = index_dir.rstrip("/") + f"._rebuild-{uuid.uuid4().hex[:8]}"
+    write_bm25_index(corpus, id_col, text_col, staged,
+                     mode=meta["mode"], n_prefix=meta["n_prefix"],
+                     appendable=True)
+    retired = index_dir.rstrip("/") + "._retired"
+    shutil.rmtree(retired, ignore_errors=True)
+    os.replace(index_dir, retired)
+    os.replace(staged, index_dir)
+    shutil.rmtree(retired, ignore_errors=True)
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        return json.load(f)
 
 
 def bm25_search_indexed(

@@ -288,3 +288,85 @@ def test_bm25_search_duplicate_terms_count_once(spark, corpus):
              for r in bm25_search(df, "doc_id", "text",
                                   ["join", "join"]).collect()}
     assert once == twice
+
+
+def test_committed_pending_marker_autoclears(spark, corpus, tmp_path):
+    """r9 advisor: a pending marker whose batch_id is already in
+    meta['batches'] is provably committed (the crash fell between the
+    meta flip and the marker cleanup) — the stale scan clears it
+    instead of refusing every future ingest for a durable batch."""
+    import os
+
+    from rs_graphdb_spark.functions.text import (
+        append_bm25_index, write_bm25_index)
+    a = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(10, "merge probe")], "doc_id long, text string")
+    c = spark.createDataFrame(
+        [(11, "hash scan")], "doc_id long, text string")
+    idx = str(tmp_path / "autoclear")
+    write_bm25_index(a, "doc_id", "text", idx, appendable=True)
+    assert append_bm25_index(
+        spark, idx, b, "doc_id", "text", batch_id="b1") == "committed"
+    # simulate the crash window: the commit landed but the marker remove
+    # was lost
+    open(f"{idx}/_batches/b1.pending", "w").write("b1")
+    assert append_bm25_index(
+        spark, idx, c, "doc_id", "text", batch_id="b2") == "committed"
+    assert not os.path.exists(f"{idx}/_batches/b1.pending")
+
+
+def test_rebuild_bm25_index_recovers_from_crash(spark, corpus, tmp_path):
+    """r9 VERDICT item #5: crash marker → refuse → rebuild → ingest
+    proceeds; the rebuilt index matches a clean build row-for-row
+    (postings + termstats + meta scalars) and serves the same scores."""
+    import json
+    import os
+
+    from rs_graphdb_spark.functions.text import (
+        append_bm25_index, bm25_search_indexed, rebuild_bm25_index,
+        write_bm25_index)
+    a = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(10, "merge probe merge")], "doc_id long, text string")
+    full = a.unionByName(b)
+    idx = str(tmp_path / "rebuild")
+    write_bm25_index(a, "doc_id", "text", idx, appendable=True)
+    os.makedirs(f"{idx}/_batches", exist_ok=True)
+    open(f"{idx}/_batches/dead.pending", "w").write("dead")
+    with pytest.raises(RuntimeError, match="stale pending"):
+        append_bm25_index(spark, idx, b, "doc_id", "text", batch_id="x")
+    meta = rebuild_bm25_index(spark, idx, full, "doc_id", "text")
+    assert meta["batches"] == [] and meta["nd"] == full.count()
+    assert not os.path.exists(f"{idx}/_batches/dead.pending")
+    # ≡ a clean build over the same corpus
+    clean = str(tmp_path / "clean")
+    write_bm25_index(full, "doc_id", "text", clean, appendable=True)
+    for sub in ("postings", "termstats"):
+        got = sorted(map(tuple, spark.read.parquet(
+            f"{idx}/{sub}").collect()))
+        want = sorted(map(tuple, spark.read.parquet(
+            f"{clean}/{sub}").collect()))
+        assert got == want, sub
+    cm = json.load(open(f"{clean}/_meta.json"))
+    assert {k: meta[k] for k in ("nd", "total_tokens", "n_prefix",
+                                 "mode", "layout")} \
+        == {k: cm[k] for k in ("nd", "total_tokens", "n_prefix",
+                               "mode", "layout")}
+    # and ingest proceeds after recovery
+    nxt = spark.createDataFrame(
+        [(11, "hash scan hash")], "doc_id long, text string")
+    assert append_bm25_index(
+        spark, idx, nxt, "doc_id", "text", batch_id="y") == "committed"
+    got = {r["doc_id"]: round(r["score"], 9)
+           for r in bm25_search_indexed(
+               spark, idx, ["hash", "merge"], k=20).collect()}
+    ref2 = str(tmp_path / "ref2")
+    write_bm25_index(full.unionByName(nxt), "doc_id", "text", ref2,
+                     appendable=True)
+    want = {r["doc_id"]: round(r["score"], 9)
+            for r in bm25_search_indexed(
+                spark, ref2, ["hash", "merge"], k=20).collect()}
+    assert got == want

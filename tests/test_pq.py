@@ -426,3 +426,167 @@ def test_adc_arrow_empty_query_set(spark, clustered):
     assert out.count() == 0
     assert set(out.columns) == {"query_id", "neighbor_id", "adc_cos",
                                 "rank"}
+
+
+# ---------------------------------------------------------------------------
+# r9 advisor: null/ragged vectors, typed ids, committed-marker recovery
+# ---------------------------------------------------------------------------
+
+
+_DIRTY_ROWS = [
+    (1, [1.0, 2.0, 3.0, 4.0]),        # clean
+    (2, None),                        # null vector
+    (3, [1.0, 2.0]),                  # short: sub0 encodes, sub1 null
+    (4, [1.0, None, 3.0, 4.0]),       # null element: sub0 null, sub1 ok
+    (5, [1.0, 2.0, 3.0, 4.0, 5.0]),   # long: truncates like F.slice
+    (6, [1.0, 2.0, 3.0]),             # ragged: sub1 incomplete
+    (7, []),                          # empty
+]
+_DIRTY_BOOKS = [[[0.0, 0.0], [1.0, 2.0]], [[3.0, 4.0], [9.0, 9.0]]]
+
+
+def test_pq_encode_null_ragged_expr_arrow_parity(spark):
+    """r9 advisor (medium): the arrow kernel previously crashed on a
+    null/ragged vector (np.reshape) while the expr path emitted a
+    null-codes row — 'auto' silently changed semantics at m·ks ≥ 512.
+    Both engines must now agree per-subspace: a complete sub-slice
+    still encodes, anything else yields a NULL code, and recon_n2 is
+    NULL whenever any code is."""
+    df = spark.createDataFrame(_DIRTY_ROWS, "vec_id long, v array<double>")
+    expr = {r["vec_id"]: (r["codes"], r["recon_n2"])
+            for r in pq_encode(df, "vec_id", "v", _DIRTY_BOOKS,
+                               encode_engine="expr").collect()}
+    arrow = {r["vec_id"]: (r["codes"], r["recon_n2"])
+             for r in pq_encode(df, "vec_id", "v", _DIRTY_BOOKS,
+                                encode_engine="arrow").collect()}
+    assert set(expr) == set(arrow) == {1, 2, 3, 4, 5, 6, 7}
+    for i in expr:
+        assert arrow[i][0] == expr[i][0], i
+        if expr[i][1] is None:
+            assert arrow[i][1] is None, i
+        else:
+            assert arrow[i][1] == pytest.approx(expr[i][1], abs=1e-12), i
+    # the pinned semantics themselves (probe-derived, not just parity)
+    assert expr[1] == ([1, 0], 30.0)
+    assert expr[2] == ([None, None], None)
+    assert expr[3] == ([1, None], None)
+    assert expr[4] == ([None, 0], None)
+    assert expr[5] == ([1, 0], 30.0)
+    assert expr[6] == ([1, None], None)
+    assert expr[7] == ([None, None], None)
+
+
+def test_adc_arrow_null_vector_rows_match_expr(spark, clustered):
+    """A null-vector corpus row scores 0.0 in the expr ADC (the
+    when().otherwise(0.0)); the arrow kernel must agree instead of
+    crashing on the null codes."""
+    from pyspark.sql import functions as F2
+    dirty = clustered.limit(20).unionByName(
+        spark.createDataFrame([(999, None), (998, [1.0, None])],
+                              "vec_id long, v array<double>"))
+    books = pq_train(clustered, "vec_id", "v", m=4, ks=8, iters=1)
+    qs = clustered.filter(F2.col("vec_id") < 2)
+    expr = {(r["query_id"], r["rank"]): (r["neighbor_id"],
+                                         round(r["adc_cos"], 9))
+            for r in knn_pq_adc(dirty, qs, "vec_id", "v", books, k=22,
+                                adc_engine="expr").collect()}
+    arrow = {(r["query_id"], r["rank"]): (r["neighbor_id"],
+                                          round(r["adc_cos"], 9))
+             for r in knn_pq_adc(dirty, qs, "vec_id", "v", books, k=22,
+                                 adc_engine="arrow").collect()}
+    assert expr == arrow
+    # the null rows ARE in the candidate pool at 0.0, not dropped
+    assert any(n in (998, 999) and s == 0.0
+               for n, s in expr.values())
+
+
+def test_adc_arrow_nonlong_ids(spark, clustered):
+    """r9 advisor: the arrow ADC schema was inferred as long-or-string
+    from the first query id; int32/double ids crashed with an Arrow
+    schema mismatch. The DDL now derives from the actual column type."""
+    from pyspark.sql import functions as F2
+    for t in ("int", "double", "string"):
+        df = clustered.limit(40).select(
+            F2.col("vec_id").cast(t).alias("vec_id"), "v")
+        books = pq_train(df, "vec_id", "v", m=4, ks=8, iters=1)
+        qs = df.limit(2)
+        rows = knn_pq_adc(df, qs, "vec_id", "v", books, k=3,
+                          adc_engine="arrow").collect()
+        assert len(rows) == 6, t
+        assert dict(knn_pq_adc(df, qs, "vec_id", "v", books, k=3,
+                               adc_engine="arrow").dtypes)["query_id"] \
+            == t, t
+
+
+def test_pq_committed_pending_marker_autoclears(spark, tmp_path):
+    """r9 advisor: a pending marker for a batch that IS in
+    meta['batches'] (crash between meta flip and marker remove) is
+    provably committed — auto-cleared, not refused."""
+    import os
+
+    from rs_graphdb_spark.functions.similarity import (
+        append_pq_index, ivf_centroids, write_pq_index)
+    rows = _clustered_vectors(n=120, dim=32, n_clusters=6)
+    a = spark.createDataFrame(rows[:80], "vec_id long, v array<double>")
+    b = spark.createDataFrame(rows[80:100],
+                              "vec_id long, v array<double>")
+    c = spark.createDataFrame(rows[100:],
+                              "vec_id long, v array<double>")
+    books = pq_train(a, "vec_id", "v", m=4, ks=8, iters=1)
+    cents = ivf_centroids(a, "vec_id", "v", 4, 1)
+    idx = str(tmp_path / "pqauto")
+    write_pq_index(a, "vec_id", "v", idx,
+                   codebooks=books, centroids=cents)
+    assert append_pq_index(spark, idx, b, "vec_id", "v",
+                           batch_id="b1") == "committed"
+    open(f"{idx}/_batches/b1.pending", "w").write("b1")
+    assert append_pq_index(spark, idx, c, "vec_id", "v",
+                           batch_id="b2") == "committed"
+    assert not os.path.exists(f"{idx}/_batches/b1.pending")
+
+
+def test_rebuild_pq_index_recovers_from_crash(spark, tmp_path):
+    """r9 VERDICT item #5: crash marker → refuse → rebuild (stored
+    quantizer) → ingest proceeds; rebuilt probes ≡ a clean build's
+    probes exactly."""
+    import os
+
+    from rs_graphdb_spark.functions.similarity import (
+        append_pq_index, ivf_centroids, knn_pq_indexed, rebuild_pq_index,
+        write_pq_index)
+    rows = _clustered_vectors(n=240, dim=32, n_clusters=8)
+    full = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    a = full.filter(F.col("vec_id") < 160)
+    b = full.filter(F.col("vec_id") >= 160)
+    books = pq_train(a, "vec_id", "v", m=4, ks=8, iters=2)
+    cents = ivf_centroids(a, "vec_id", "v", 6, 2)
+    idx = str(tmp_path / "pqreb")
+    write_pq_index(a, "vec_id", "v", idx,
+                   codebooks=books, centroids=cents)
+    os.makedirs(f"{idx}/_batches", exist_ok=True)
+    open(f"{idx}/_batches/dead.pending", "w").write("dead")
+    with pytest.raises(RuntimeError, match="stale pending"):
+        append_pq_index(spark, idx, b, "vec_id", "v", batch_id="x")
+    meta = rebuild_pq_index(spark, idx, full, "vec_id", "v")
+    assert meta.get("batches", []) == []
+    assert not os.path.exists(f"{idx}/_batches/dead.pending")
+    clean = str(tmp_path / "pqclean")
+    write_pq_index(full, "vec_id", "v", clean,
+                   codebooks=books, centroids=cents)
+    qs = full.filter(F.col("vec_id") < 4)
+    for n_probe in (2, 6):
+        want = {(r["query_id"], r["rank"]): (r["neighbor_id"],
+                                             round(r["adc_cos"], 9))
+                for r in knn_pq_indexed(spark, clean, qs, "vec_id", "v",
+                                        k=5, n_probe=n_probe).collect()}
+        got = {(r["query_id"], r["rank"]): (r["neighbor_id"],
+                                            round(r["adc_cos"], 9))
+               for r in knn_pq_indexed(spark, idx, qs, "vec_id", "v",
+                                       k=5, n_probe=n_probe).collect()}
+        assert want == got, n_probe
+    # ingest proceeds after recovery
+    nxt = spark.createDataFrame(
+        _clustered_vectors(n=250, dim=32, n_clusters=8)[240:],
+        "vec_id long, v array<double>")
+    assert append_pq_index(spark, idx, nxt, "vec_id", "v",
+                           batch_id="y") == "committed"
