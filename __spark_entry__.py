@@ -2725,6 +2725,19 @@ def q36_text_features(spark, sf_dir):
         F.concat(url_normalize("url"), F.lit("|"),
                  F.col("content_type")).alias("uu"),
     )
+    # streaming-reader twin of warc_types (r9 VERDICT item #4): the
+    # SAME docs rendered to on-disk warc.gz fixtures
+    # (`_warc_fixture_dir`, atomic-commit cache) and walked by
+    # `read_warc_stream` — listing-only binaryFile + incremental
+    # gzip-member walk — must reproduce the identical per-type counts
+    # the in-memory reader feeds warc_types; shares its DuckDB twin.
+    from rs_graphdb_spark.sources.warc import read_warc_stream
+
+    stypes = read_warc_stream(
+        spark, _warc_fixture_dir(spark, sf_dir)
+    ).groupBy(
+        F.coalesce("rec_type", F.lit("corrupt")).alias("rt")
+    ).agg(F.count("*").alias("cnt"))
     wetq = warc_to_wet(records=wrecs).select(
         _wid.alias("doc_id"),
         F.transform(
@@ -2742,6 +2755,7 @@ def q36_text_features(spark, sf_dir):
         _quad("warc_date", wurl, k="doc_id", s="wd"),
         _quad("warc_wet", wetq, k="doc_id", v="wl", s="wm"),
         _quad("warc_uurl", wuq, k="doc_id", v="st", s="uu"),
+        _quad("warc_stream_types", stypes, v="cnt", s="rt"),
         _metric_quads(pii,
                       {"pii_email": "email", "pii_ip": "ip",
                        "pii_phone": "phone", "pii_num": "id_number"},
@@ -3580,6 +3594,43 @@ def q49_pack_sequences(spark, sf_dir):
     m, _v = bpe_train(docs_b, "text", num_merges=6)
     ml = [(r["l"], r["r"]) for r in m.orderBy("rank").collect()]
     bpe_cnt = bpe_token_counts(docs_b, "doc_id", "text", ml)
+    # tokenize-and-pack serving composition (r9 VERDICT item #6): the
+    # SAME trained merges as an artifact → bpe_encode_ids (per-doc
+    # integer id sequences, word order) → pack_greedy md5-shard bins at
+    # a 2048-id budget. Per (shard, bin) the id count AND an md5 over
+    # the concatenated ids (doc order) pin the packed-sequence
+    # CONTENTS — ids, not tokens; the twin re-derives the id
+    # assignment (sorted alphabet, then merges in rank order) itself
+    # (bpe_tokpack_sql). A 32k-merge pytest pins the kernel-path
+    # packing equal to this expr-scale answer (tests/test_bpe.py).
+    from rs_graphdb_spark.functions.bpe import bpe_artifact, bpe_encode_ids
+    from rs_graphdb_spark.functions.sampling import pack_greedy
+
+    art = bpe_artifact(m, _v)
+    doc_ids = (
+        bpe_encode_ids(docs_b, "doc_id", "text", art)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(
+            F.struct(F.col("word_idx"), F.col("ids")))).alias("ws"))
+        .select("doc_id",
+                F.flatten(F.transform("ws", lambda s: s["ids"]))
+                .alias("ids"))
+        .select("doc_id", F.size("ids").cast("long").alias("n_ids"),
+                F.concat_ws(",", F.col("ids").cast("array<string>"))
+                .alias("ids_str"))
+    )
+    tokpack = (
+        pack_greedy(doc_ids, "doc_id", "n_ids", budget=2048, shards=8)
+        .groupBy("shard", "bin")
+        .agg(
+            F.count("*").cast("long").alias("nd"),
+            F.sum("n_ids").cast("long").alias("nt"),
+            F.md5(F.concat_ws("|", F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("doc_id"), F.col("ids_str")))),
+                lambda s: s["ids_str"]))).alias("h"),
+        )
+    )
     # RAG retrieval composition (r7): BM25 ranked top-20 CHUNKS for a
     # 3-term query — chunking and retrieval chained in one plan, the
     # oracle recomputes the same composition (chunk slicing → postings →
@@ -3615,6 +3666,10 @@ def q49_pack_sequences(spark, sf_dir):
                        F.concat_ws("+", "l", "r").alias("s")),
               k="rank", v="pc", s="s"),
         _quad("bpe_n", bpe_cnt, k="doc_id", v="n_bpe_tokens"),
+        _quad("tokpack", tokpack,
+              k=F.col("shard") * 100_000 + F.col("bin"), v="nt",
+              s=F.concat_ws(":", F.col("nd").cast("string"),
+                            F.col("h"))),
         _quad("rag", rag, k="cid", v="score"),
     )
 
@@ -3988,26 +4043,80 @@ def q128_warc_wet(spark, sf_dir):
         "warc_id", "url", F.md5("wet_text").alias("wm"))
 
 
+#: fixture dirs already validated this session (skip the per-call
+#: fingerprint job; the on-disk sentinel is the cross-process truth)
+_WARC_FIX_OK: set = set()
+
+
+def _warc_fixture_dir(spark, sf_dir) -> str:
+    """warc.gz fixture files on local disk for the streaming reader
+    (q129 + q36:warc_stream_types). r9 advisor note #4: the old cache
+    keyed on directory non-emptiness, so a run killed mid-write left a
+    partial dir that passed forever, and regenerated sf data under the
+    same path was never invalidated. Now the files are written to a
+    temp sibling and COMMITTED by one atomic rename, with a
+    ``_FIXTURE.json`` sentinel recording the expected file count and a
+    fingerprint of the source docs (count + crc32 sum over
+    doc_id|md5(text)); the cache is valid only if the sentinel exists,
+    its fingerprint matches the CURRENT table, and the file count on
+    disk agrees."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from rs_graphdb_spark.sources.warc import documents_as_warc
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = f"{__file__.rsplit('/', 1)[0]}/.tmp/warcfiles_{tag}"
+    if root in _WARC_FIX_OK:
+        return root
+    docs = _read(spark, sf_dir, "documents")
+    fp = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.crc32(F.concat_ws("|", F.col("doc_id"),
+                                  F.md5("text")))).alias("c"),
+    ).first()
+    want = {"n_docs": int(fp["n"]), "fp": int(fp["c"] or 0),
+            "corrupt_every": 97}
+    sent = os.path.join(root, "_FIXTURE.json")
+    if os.path.isfile(sent):
+        try:
+            with open(sent) as f:
+                have = json.load(f)
+        except ValueError:
+            have = {}
+        n_disk = len([p for p in os.listdir(root)
+                      if p.endswith(".warc.gz")])
+        if (have.get("meta") == want
+                and have.get("n_files") == n_disk):
+            _WARC_FIX_OK.add(root)
+            return root
+    files = documents_as_warc(docs, corrupt_every=97).collect()
+    tmp = f"{root}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    for r in files:
+        with open(f"{tmp}/part-{int(r['warc_id']):06d}.warc.gz",
+                  "wb") as f:
+            f.write(bytes(r["payload"]))
+    with open(os.path.join(tmp, "_FIXTURE.json"), "w") as f:
+        json.dump({"meta": want, "n_files": len(files)}, f)
+    shutil.rmtree(root, ignore_errors=True)
+    os.replace(tmp, root)
+    _WARC_FIX_OK.add(root)
+    return root
+
+
 def q129_warc_stream(spark, sf_dir):
     """Streaming WARC→WET throughput (r9): same composition as q128 but
     through `read_warc_stream` — file paths distribute, gzip members
     walk incrementally (bounded memory, no whole-file rows). Fixture
-    files are written to disk ONCE per (sf, session) and reused."""
-    import os
-
+    files are committed atomically once per sf and reused
+    (`_warc_fixture_dir`)."""
     from rs_graphdb_spark.sources.warc import (
-        documents_as_warc, read_warc_stream, warc_to_wet)
+        read_warc_stream, warc_to_wet)
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    root = f"{__file__.rsplit('/', 1)[0]}/.tmp/warcfiles_{tag}"
-    if not os.path.isdir(root) or not os.listdir(root):
-        os.makedirs(root, exist_ok=True)
-        files = documents_as_warc(
-            _read(spark, sf_dir, "documents"), corrupt_every=97).collect()
-        for r in files:
-            with open(f"{root}/part-{int(r['warc_id']):06d}.warc.gz",
-                      "wb") as f:
-                f.write(bytes(r["payload"]))
+    root = _warc_fixture_dir(spark, sf_dir)
     recs = read_warc_stream(spark, root)
     wet = warc_to_wet(records=recs)
     return wet.select("warc_id", "url", F.md5("wet_text").alias("wm"))
@@ -6780,7 +6889,11 @@ def oracle_sql() -> dict[str, str]:
     # the html_to_text/PSL generated-twin precedent), 6 merges matching
     # the Spark q49 training call
     from rs_graphdb_spark.functions.bpe import bpe_sql as _bpe_sql_gen
+    from rs_graphdb_spark.functions.bpe import (
+        bpe_tokpack_sql as _bpe_tokpack_gen,
+    )
     _bpe_merges_sql, _bpe_counts_sql = _bpe_sql_gen(num_merges=6)
+    _tokpack_sql = _bpe_tokpack_gen(num_merges=6, budget=2048, shards=8)
 
     # BM25 query-search twin: per-doc score = fixed-order chain of
     # conditional aggregates over the sorted query terms (hash, join,
@@ -7615,6 +7728,10 @@ def oracle_sql() -> dict[str, str]:
             _sql_quad("warc_wet", warc_wet_sql, k="doc_id", v="wl", s="wm"),
             _sql_quad("warc_uurl", warc_uurl_sql, k="doc_id", v="st",
                       s="uu"),
+            # the streaming reader must land exactly the in-memory
+            # reader's per-type counts (r9 VERDICT item #4)
+            _sql_quad("warc_stream_types", warc_types_sql, v="cnt",
+                      s="rt"),
             _sql_metric_quads(pii_sql,
                               {"pii_email": "email", "pii_ip": "ip",
                                "pii_phone": "phone", "pii_num": "id_number"},
@@ -8428,6 +8545,9 @@ def oracle_sql() -> dict[str, str]:
                       s="l || '+' || r"),
             _sql_quad("bpe_n", _bpe_counts_sql, k="doc_id",
                       v="n_bpe_tokens"),
+            _sql_quad("tokpack", _tokpack_sql,
+                      k="shard * 100000 + bin", v="nt",
+                      s="CAST(nd AS VARCHAR) || ':' || h"),
             _sql_quad("rag", _rag_sql, k="cid", v="score"),
         ),
         "q50_kmeans": _sql_union(

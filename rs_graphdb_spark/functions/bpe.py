@@ -694,6 +694,30 @@ def bpe_sql(
     one (pairs → argmax → replace) stage unrolled per merge, identical
     padded doubled-space string algebra. Returns
     ``(merges_sql, counts_sql)`` sharing the same prefix."""
+    ctes, toks = _bpe_stage_ctes(num_merges, mode, doc_table, text_col)
+    prefix = "WITH " + ",\n".join(ctes)
+    merges_sql = prefix + "\n" + "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, l, r, pc FROM b{i}" for i in range(num_merges)
+    )
+    counts_sql = prefix + f""",
+        enc AS (SELECT word,
+                       len(string_split(trim(seq), '  ')) AS ntok
+                FROM v{num_merges}),
+        docw AS (SELECT {id_col}, unnest({toks}) AS word FROM {doc_table})
+        SELECT {id_col}, sum(ntok) AS n_bpe_tokens
+        FROM docw JOIN enc USING (word) GROUP BY {id_col}
+    """
+    return merges_sql, counts_sql
+
+
+def _bpe_stage_ctes(
+    num_merges: int,
+    mode: str,
+    doc_table: str,
+    text_col: str,
+) -> tuple[list[str], str]:
+    """The shared (pairs → argmax → replace)-per-merge CTE prefix of the
+    generated BPE twins (:func:`bpe_sql`, :func:`bpe_tokpack_sql`)."""
     from rs_graphdb_spark.functions.text import tokenize_sql
 
     toks = tokenize_sql(text_col, mode)
@@ -733,19 +757,98 @@ def bpe_sql(
                    END AS seq
             FROM v{i} LEFT JOIN b{i} b ON TRUE
         )""")
-    prefix = "WITH " + ",\n".join(ctes)
-    merges_sql = prefix + "\n" + "\nUNION ALL\n".join(
-        f"SELECT {i} AS rank, l, r, pc FROM b{i}" for i in range(num_merges)
+    return ctes, toks
+
+
+def bpe_tokpack_sql(
+    num_merges: int = 6,
+    budget: int = 2048,
+    shards: int = 8,
+    mode: str = "ascii",
+    doc_table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Generated DuckDB twin of the tokenize-and-pack serving
+    composition (r9 VERDICT item #6): :func:`bpe_train` →
+    :func:`bpe_artifact` id assignment (sorted alphabet first, then one
+    id per merge in rank order, first-wins on duplicate merge symbols —
+    :func:`token_ids` exactly) → :func:`bpe_encode_ids` per-doc id
+    sequences (word order) → ``pack_greedy`` md5-shard/prefix-sum
+    bins. One row per (shard, bin): doc count ``nd``, id count ``nt``,
+    and ``h`` = md5 over the bin's comma-joined ids in doc order — the
+    packed-sequence CONTENTS, ids not tokens."""
+    ctes, toks = _bpe_stage_ctes(num_merges, mode, doc_table, text_col)
+    msym_union = "\nUNION ALL\n".join(
+        f"SELECT l || r AS sym, {i} AS rank FROM b{i}"
+        for i in range(num_merges)
     )
-    counts_sql = prefix + f""",
-        enc AS (SELECT word,
-                       len(string_split(trim(seq), '  ')) AS ntok
-                FROM v{num_merges}),
-        docw AS (SELECT {id_col}, unnest({toks}) AS word FROM {doc_table})
-        SELECT {id_col}, sum(ntok) AS n_bpe_tokens
-        FROM docw JOIN enc USING (word) GROUP BY {id_col}
+    ctes += [
+        # alphabet ids: v0's seq tokens ARE the corpus characters
+        """alpha AS MATERIALIZED (
+            SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS id
+            FROM (SELECT DISTINCT unnest(string_split(trim(seq), '  '))
+                         AS sym FROM v0)
+        )""",
+        f"msyms AS ({msym_union})",
+        # one id per NEW merge symbol in rank order (token_ids shape)
+        """mfirst AS (
+            SELECT sym, min(rank) AS rank FROM msyms
+            WHERE sym NOT IN (SELECT sym FROM alpha) GROUP BY sym
+        )""",
+        """mid AS (
+            SELECT sym, (SELECT count(*) FROM alpha) - 1
+                        + row_number() OVER (ORDER BY rank) AS id
+            FROM mfirst
+        )""",
+        """idmap AS MATERIALIZED (
+            SELECT sym, id FROM alpha UNION ALL SELECT sym, id FROM mid
+        )""",
+        f"""wtok AS (
+            SELECT word, generate_subscripts(t, 1) AS ti,
+                   unnest(t) AS tok
+            FROM (SELECT word, string_split(trim(seq), '  ') AS t
+                  FROM v{num_merges})
+        )""",
+        """wids AS MATERIALIZED (
+            SELECT word,
+                   string_agg(CAST(id AS VARCHAR), ',' ORDER BY ti)
+                       AS ids_str,
+                   count(*) AS ntok
+            FROM wtok JOIN idmap ON wtok.tok = idmap.sym
+            GROUP BY word
+        )""",
+        f"""docw AS (
+            SELECT {id_col}, generate_subscripts({toks}, 1) AS wi,
+                   unnest({toks}) AS word
+            FROM {doc_table}
+        )""",
+        f"""dids AS MATERIALIZED (
+            SELECT {id_col} AS doc_id,
+                   string_agg(ids_str, ',' ORDER BY wi) AS ids_str,
+                   CAST(sum(ntok) AS BIGINT) AS n_ids
+            FROM docw JOIN wids USING (word) GROUP BY 1
+        )""",
+        f"""pk AS (
+            SELECT doc_id, n_ids, ids_str, shard,
+                   coalesce(sum(n_ids) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS pre
+            FROM (SELECT doc_id, n_ids, ids_str,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 8))::BIGINT % {shards}
+                             AS shard
+                  FROM dids)
+        )""",
+    ]
+    return "WITH " + ",\n".join(ctes) + f"""
+        SELECT shard, CAST(floor(pre / {budget}) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(n_ids) AS BIGINT) AS nt,
+               md5(string_agg(ids_str, '|' ORDER BY doc_id)) AS h
+        FROM pk GROUP BY 1, 2
     """
-    return merges_sql, counts_sql
 
 
 def bpe_token_counts(

@@ -692,6 +692,7 @@ def pq_train(
     m: int = 4,
     ks: int = 16,
     iters: int = 2,
+    residual_centroids: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jégou et al., the IVF-PQ rung
     above int8 SQ): split the vector into ``m`` contiguous sub-spaces
@@ -706,10 +707,27 @@ def pq_train(
     dim·ks total, independent of corpus size); each of the m trainings
     is itself distributed. At 100 TB: train on a sample partition,
     persist the codebook with the table (the no-randomness contract
-    makes retrains reproducible)."""
-    dim = len(corpus.select(F.col(vec_col).alias("v")).first()["v"])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
+    makes retrains reproducible).
+
+    ``residual_centroids`` (r9 VERDICT item #3 — FAISS ``IndexIVFPQ``'s
+    residual encoding): train the codebooks on ``v − c_cell(v)``
+    (each vector minus its assigned coarse centroid) instead of the
+    raw vectors. Residuals concentrate the per-sub-space variance the
+    coarse quantizer already explained away, so the same m·ks byte
+    budget buys materially better recall (measured in PLANS.md).
+    Rows whose vector is null/short/ragged carry no residual and are
+    excluded from training (they PQ-encode to null codes anyway)."""
+    if residual_centroids is not None:
+        dim = len(residual_centroids[0])
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        res = _pq_residuals(corpus, id_col, vec_col, residual_centroids)
+        corpus = res.filter(F.col("_rv").isNotNull()).select(
+            F.col(id_col), F.col("_rv").alias(vec_col))
+    else:
+        dim = len(corpus.select(F.col(vec_col).alias("v")).first()["v"])
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     books = []
     for j in range(m):
@@ -910,6 +928,7 @@ def _adc_candidates_arrow(
     k: int,
     probe_cells: dict | None = None,
     qid_dtype=None,
+    cents_np=None,
 ) -> DataFrame:
     """mapInArrow ADC scan over a (neighbor_id, codes, recon_n2[, cell])
     table: per batch, scoring one query is ONE fancy-indexing gather —
@@ -925,11 +944,23 @@ def _adc_candidates_arrow(
     neighbor_id type, the self-join case). Null/ragged codes rows
     (null vectors at encode time) score 0.0, exactly the expression
     path's ``F.when(null-cond).otherwise(0.0)``; null cells are never
-    probed, matching the expr join-on-cell drop."""
+    probed, matching the expr join-on-cell drop.
+
+    ``cents_np`` (residual indexes, r9 VERDICT item #3): the coarse
+    centroid matrix — each valid candidate's dot gains the
+    per-(query, cell) scalar dot(q, c_cell), the additive cell term of
+    residual-encoded reconstructions (cosine ADC needs no per-cell LUT
+    rebuild). Requires ``probe_cells`` (cells ride the batch)."""
     import numpy as np
     import pyarrow as pa
 
     has_cell = probe_cells is not None
+    if cents_np is not None and not has_cell:
+        raise ValueError("residual ADC requires probe_cells")
+    qc_by_qid = (
+        {qid: np.asarray(cents_np, dtype=np.float64) @ qv
+         for qid, _lut, _qn, qv in qluts}
+        if cents_np is not None else None)
     nbr_dt = codes.schema["neighbor_id"].dataType
     qid_dt = qid_dtype if qid_dtype is not None else nbr_dt
     pa_nbr, pa_qid = _pa_type(nbr_dt), _pa_type(qid_dt)
@@ -974,6 +1005,8 @@ def _adc_candidates_arrow(
                 if mv.any() and qn > 0.0:
                     vp = valid_pos[sel[mv]]
                     dots = lut[jdx[:, None], cd[vp].T].sum(axis=0)
+                    if qc_by_qid is not None:
+                        dots = dots + qc_by_qid[qid][cells[sel[mv]]]
                     ok = rsqrt[vp] > 0.0
                     sc[mv] = np.where(
                         ok, dots / np.where(ok, qn * rsqrt[vp], 1.0), 0.0)
@@ -1000,12 +1033,89 @@ def _adc_candidates_arrow(
     )
 
 
+#: residual pq_encode's expression path folds a k·m·ks cross-term
+#: literal table (dot of each coarse-centroid sub-slice with each
+#: codebook centroid) — exact and oracle-friendly at suite scale, but
+#: Catalyst-heavy beyond it; 'auto' routes to the arrow kernel at or
+#: above this many cross-term cells even when m·ks alone is small.
+_PQ_RESIDUAL_EXPR_MAX = 8192
+
+
+def _pq_codes_res_arrow(
+    res: DataFrame,
+    id_col: str,
+    codebooks: list[list[list[float]]],
+    cents: list[list[float]],
+) -> DataFrame:
+    """mapInArrow RESIDUAL PQ encode over :func:`_pq_residuals` rows:
+    codes = per-sub-space argmin over the residual (GEMM per sub-space,
+    ties → lowest index), ``recon_n2`` = ‖c_cell + r̂‖² computed on the
+    actual reconstruction (the coarse centroid plus the gathered
+    codebook picks) — the cross terms the raw-vector path's orthogonal
+    sub-space shortcut cannot see. Null-residual rows (null cell) emit
+    null codes/recon_n2, matching the expression path."""
+    import numpy as np
+    import pyarrow as pa
+
+    books = _pq_books_np(codebooks)
+    m, ks, dsub = books.shape
+    C = np.asarray(cents, dtype=np.float64)
+
+    def _fn(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            cells = batch.column(1).to_pylist()
+            rvs = batch.column(2).to_pylist()
+            n = len(rvs)
+            if n == 0:
+                continue
+            codes_out: list = [None] * n
+            recon_out: list = [None] * n
+            cidx = [i for i in range(n) if rvs[i] is not None]
+            if cidx:
+                V = np.asarray([rvs[i] for i in cidx], dtype=np.float64)
+                cl = np.asarray([cells[i] for i in cidx], dtype=np.int64)
+                codes = np.empty((len(cidx), m), dtype=np.int32)
+                rec = C[cl].copy()
+                for j in range(m):
+                    s = V[:, j * dsub:(j + 1) * dsub]
+                    d2 = (
+                        (s * s).sum(axis=1)[:, None]
+                        - 2.0 * (s @ books[j].T)
+                        + (books[j] * books[j]).sum(axis=1)[None, :]
+                    )
+                    codes[:, j] = np.argmin(d2, axis=1)
+                    rec[:, j * dsub:(j + 1) * dsub] += books[j][codes[:, j]]
+                r2 = (rec * rec).sum(axis=1)
+                for p, i in enumerate(cidx):
+                    codes_out[i] = codes[p].tolist()
+                    recon_out[i] = float(r2[p])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    batch.column(1),
+                    pa.array(codes_out, type=pa.list_(pa.int32())),
+                    pa.array(recon_out, type=pa.float64()),
+                ],
+                ["_pqid", "cell", "codes", "recon_n2"],
+            )
+
+    id_type = res.schema[id_col].dataType.simpleString()
+    return res.select(
+        F.col(id_col).alias("_pqid"), "cell", "_rv"
+    ).mapInArrow(
+        _fn,
+        f"_pqid {id_type}, cell int, codes array<int>, recon_n2 double",
+    ).withColumnRenamed("_pqid", id_col)
+
+
 def pq_encode(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
     codebooks: list[list[list[float]]],
     encode_engine: str = "auto",
+    residual_centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """PQ-encode: (id, codes ARRAY<INT> length m, recon_n2). Each code
     is the argmin-distance centroid of its sub-space (ties → lowest
@@ -1025,7 +1135,93 @@ def pq_encode(
     below ``_PQ_ARROW_MIN_CELLS`` = m·ks cells (pure codegen, the
     oracle-twinned path), the :func:`_pq_codes_arrow` numpy GEMM at or
     above it — production m=8/ks=256 encodes in one batched GEMM per
-    sub-space instead of a 2048-expression plan."""
+    sub-space instead of a 2048-expression plan.
+
+    ``residual_centroids`` (r9 VERDICT item #3): encode the RESIDUAL
+    ``v − c_cell(v)`` against codebooks trained with the same centroids
+    (:func:`pq_train`), and return an extra ``cell`` column — the
+    output is the complete IVF-PQ row. ``recon_n2`` becomes
+    ‖c_cell + r̂‖² (coarse norm + 2·cross-terms + residual-recon norm;
+    the sub-space-orthogonality shortcut only covers the last term).
+    ADC scoring then needs one extra per-(query, probed-cell) scalar
+    dot(q, c_cell) — for cosine/dot the cell contribution separates
+    ADDITIVELY (dot(q, c+r̂) = dot(q,c) + Σⱼ LUT[j][codeⱼ]), so unlike
+    L2-convention FAISS no per-cell LUT rebuild is needed. Null/short/
+    ragged vectors are all-or-nothing here: null cell + null codes
+    (no per-sub-space salvage without a cell). 'auto' also routes to
+    the arrow kernel when the k·m·ks cross-term table would exceed
+    ``_PQ_RESIDUAL_EXPR_MAX`` literals."""
+    if residual_centroids is not None:
+        m = len(codebooks)
+        ks = len(codebooks[0])
+        dsub = len(codebooks[0][0])
+        if len(residual_centroids[0]) != m * dsub:
+            raise ValueError(
+                f"centroid dim {len(residual_centroids[0])} != "
+                f"m*dsub {m * dsub}")
+        res = _pq_residuals(corpus, id_col, vec_col, residual_centroids)
+        kc = len(residual_centroids)
+        if (_use_pq_arrow(encode_engine, m, ks)
+                or (encode_engine == "auto"
+                    and kc * m * ks >= _PQ_RESIDUAL_EXPR_MAX)):
+            return _pq_codes_res_arrow(res, id_col, codebooks,
+                                       residual_centroids)
+        import numpy as np
+
+        bk = _pq_books_np(codebooks)
+        C = np.asarray(residual_centroids, dtype=np.float64)
+        n2 = _pq_n2_lit(codebooks)
+        cn2_lit = F.array(*[
+            F.lit(float((c * c).sum())) for c in C])
+        # cross[cell][j][code] = dot(c_cell sub-slice j, book_j[code])
+        cross_lit = F.array(*[
+            F.array(*[
+                F.array(*[
+                    F.lit(float(
+                        C[ci, j * dsub:(j + 1) * dsub] @ bk[j][co]))
+                    for co in range(ks)
+                ])
+                for j in range(m)
+            ])
+            for ci in range(kc)
+        ])
+        codes = F.when(
+            F.col("_rv").isNotNull(),
+            F.array(*[
+                _nearest_centroid(
+                    F.slice(F.col("_rv"), j * dsub + 1, dsub),
+                    codebooks[j])
+                for j in range(m)
+            ]),
+        ).otherwise(F.lit(None).cast("array<int>"))
+        # bind cell AND codes once (re-inline landmine)
+        row = F.transform(
+            F.array(F.struct(F.col("cell").alias("cl"),
+                             codes.alias("cd"))),
+            lambda s: F.struct(
+                s["cd"].alias("codes"),
+                (
+                    F.element_at(cn2_lit, s["cl"] + 1)
+                    + F.aggregate(
+                        F.sequence(F.lit(0), F.lit(m - 1)),
+                        F.lit(0.0),
+                        lambda acc, j: acc
+                        + 2.0 * F.element_at(
+                            F.element_at(
+                                F.element_at(cross_lit, s["cl"] + 1),
+                                j + 1),
+                            F.element_at(s["cd"], j + 1) + 1)
+                        + F.element_at(
+                            F.element_at(n2, j + 1),
+                            F.element_at(s["cd"], j + 1) + 1),
+                    )
+                ).alias("recon_n2"),
+            ),
+        )[0]
+        return res.select(
+            F.col(id_col), F.col("cell"), row.alias("_r")
+        ).select(id_col, "cell", F.col("_r.codes").alias("codes"),
+                 F.col("_r.recon_n2").alias("recon_n2"))
     if _use_pq_arrow(encode_engine, len(codebooks), len(codebooks[0])):
         return _pq_codes_arrow(corpus, id_col, vec_col, codebooks)
     m = len(codebooks)
@@ -1159,12 +1355,14 @@ def knn_ivf_pq(
     queries: DataFrame,
     id_col: str,
     vec_col: str,
-    codebooks: list[list[list[float]]],
+    codebooks: list[list[list[float]]] | None,
     k: int = 10,
     n_clusters: int = 16,
     n_probe: int = 4,
     iters: int = 3,
     adc_engine: str = "auto",
+    residual: bool = False,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """The full IVF-PQ layout (Jégou et al.): coarse Voronoi cells for
     candidate PRUNING (:func:`knn_ivf`'s machinery) + PQ codes for
@@ -1182,16 +1380,38 @@ def knn_ivf_pq(
     probe list per query is computed driver-side from the same
     centroid table (queries are the bounded collected side either
     way) — :func:`write_pq_index` + :func:`knn_pq_indexed` make this
-    layout STANDING (r8 VERDICT item #3)."""
+    layout STANDING (r8 VERDICT item #3).
+
+    ``residual=True`` (r9 VERDICT item #3, the FAISS ``IndexIVFPQ``
+    recipe): codes quantize ``v − c_cell(v)`` instead of the raw
+    vector — same byte budget, materially better recall (PLANS.md) —
+    and ADC gains the additive per-(query, probed-cell) scalar
+    dot(q, c_cell). ``codebooks=None`` trains them here (residual
+    codebooks need the centroids first); ``centroids`` reuses a
+    precomputed coarse table."""
+    cents = (centroids if centroids is not None
+             else ivf_centroids(corpus, id_col, vec_col, n_clusters,
+                                iters))
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, id_col, vec_col,
+            residual_centroids=cents if residual else None)
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    cents = ivf_centroids(corpus, id_col, vec_col, n_clusters, iters)
-    enc = pq_encode(corpus, id_col, vec_col, codebooks,
-                    encode_engine=adc_engine)
-    cell = _with_cell(corpus.select(id_col, vec_col), vec_col, cents) \
-        .select(id_col, "cell")
-    c = enc.join(cell, id_col).select(
-        F.col(id_col).alias("neighbor_id"), "codes", "recon_n2", "cell")
+    if residual:
+        c = pq_encode(
+            corpus, id_col, vec_col, codebooks,
+            encode_engine=adc_engine, residual_centroids=cents,
+        ).select(F.col(id_col).alias("neighbor_id"),
+                 "codes", "recon_n2", "cell")
+    else:
+        enc = pq_encode(corpus, id_col, vec_col, codebooks,
+                        encode_engine=adc_engine)
+        cell = _with_cell(corpus.select(id_col, vec_col), vec_col,
+                          cents).select(id_col, "cell")
+        c = enc.join(cell, id_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            "codes", "recon_n2", "cell")
     if _use_pq_arrow(adc_engine, m, len(codebooks[0])):
         qluts = _pq_query_luts(queries, id_col, vec_col, codebooks)
         probes = {qid: _probe_cells_np(qvec, cents, n_probe)
@@ -1201,6 +1421,7 @@ def knn_ivf_pq(
             c.filter(F.col("cell").isin(all_cells)), qluts, k,
             probe_cells=probes,
             qid_dtype=queries.schema[id_col].dataType,
+            cents_np=cents if residual else None,
         ).filter(F.col("query_id") != F.col("neighbor_id"))
         w = Window.partitionBy("query_id").orderBy(
             F.col("adc_cos").desc(), F.col("neighbor_id"))
@@ -1241,11 +1462,25 @@ def knn_ivf_pq(
     ))
     q = queries.select(
         F.col(id_col).alias("query_id"), lut.alias("lut"), qn.alias("qn"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
         F.explode(
             F.transform(F.slice(order, 1, n_probe),
                         lambda s: s["i"].cast("int"))
         ).alias("cell"),
     )
+    if residual:
+        # additive cell term: dot(q, c_cell) per (query, probed cell)
+        lit_cents = F.array(*[
+            F.array(*[F.lit(float(w)) for w in cc]) for cc in cents])
+        q = q.withColumn(
+            "qc",
+            F.aggregate(
+                F.zip_with(F.col("_qv"),
+                           F.element_at(lit_cents, F.col("cell") + 1),
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda s, v: s + v,
+            ))
+    q = q.drop("_qv")
     dot = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
@@ -1253,6 +1488,7 @@ def knn_ivf_pq(
             F.element_at(F.col("lut"), j + 1),
             F.element_at(F.col("codes"), j + 1) + 1),
     )
+    num = (F.col("qc") + dot) if residual else dot
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1260,7 +1496,7 @@ def knn_ivf_pq(
             "query_id", "neighbor_id",
             F.when(
                 (F.col("recon_n2") > 0.0) & (F.col("qn") > 0.0),
-                dot / (F.col("qn") * F.sqrt(F.col("recon_n2"))),
+                num / (F.col("qn") * F.sqrt(F.col("recon_n2"))),
             ).otherwise(F.lit(0.0)).alias("adc_cos"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -1301,6 +1537,245 @@ def _with_cell(df: DataFrame, vec_col: str, cents) -> DataFrame:
     return df.withColumn("cell", _nearest_centroid(F.col(vec_col), cents))
 
 
+def _pq_residuals(df: DataFrame, id_col: str, vec_col: str,
+                  cents) -> DataFrame:
+    """(id, cell, _rv) rows for residual PQ (r9 VERDICT item #3):
+    ``cell`` = nearest coarse centroid over the vector's first ``dim``
+    elements (`_nearest_centroid` tie convention), ``_rv`` = that slice
+    minus the centroid. Residual encoding is all-or-nothing — without a
+    cell there is no residual — so a null/short/ragged vector yields
+    NULL cell and NULL _rv (downstream: null codes + null recon_n2,
+    never probed). Long vectors truncate to dim like ``F.slice``.
+    Routes expr/GEMM on k·dim like :func:`_with_cell`; the kernel
+    assigns and subtracts in one blocked GEMM pass."""
+    dim = len(cents[0])
+    if cents and len(cents) * dim >= _IVF_GEMM_MIN_KDIM:
+        import numpy as np
+        import pandas as pd
+
+        C = np.ascontiguousarray(np.asarray(cents, dtype=np.float64))
+        c2 = (C * C).sum(axis=1)
+        id_t = df.schema[id_col].dataType.simpleString()
+
+        def _fn(batches):
+            for pdf in batches:
+                vecs = pdf[vec_col].tolist()
+                n = len(vecs)
+                if n == 0:
+                    continue
+                ok = np.array([
+                    v is not None and len(v) >= dim
+                    and not any(x is None for x in v[:dim])
+                    for v in vecs], dtype=bool)
+                cell: list = [None] * n
+                rv: list = [None] * n
+                if ok.any():
+                    vsel = np.flatnonzero(ok)
+                    V = np.asarray([vecs[i][:dim] for i in vsel],
+                                   dtype=np.float64)
+                    cl = np.argmin(c2[None, :] - 2.0 * (V @ C.T),
+                                   axis=1)
+                    R = V - C[cl]
+                    for p, i in enumerate(vsel):
+                        cell[i] = int(cl[p])
+                        rv[i] = R[p].tolist()
+                yield pd.DataFrame({id_col: pdf[id_col], "cell": cell,
+                                    "_rv": rv})
+
+        return df.select(
+            id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
+        ).mapInPandas(_fn, f"{id_col} {id_t}, cell int,"
+                           " _rv array<double>")
+    sl = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+    valid = (F.col(vec_col).isNotNull()
+             & (F.size(vec_col) >= dim)
+             & F.forall(sl, lambda x: x.isNotNull()))
+    lit_cents = F.array(*[
+        F.array(*[F.lit(float(w)) for w in c]) for c in cents])
+    cell = F.when(valid, _nearest_centroid(sl, cents)).otherwise(
+        F.lit(None).cast("int"))
+    # bind cell ONCE (re-inline landmine): it indexes lit_cents AND is
+    # a projected column
+    row = F.transform(
+        F.array(cell),
+        lambda cl: F.struct(
+            cl.alias("cell"),
+            F.zip_with(sl, F.element_at(lit_cents, cl + 1),
+                       lambda x, y: x - y).alias("_rv"),
+        ),
+    )[0]
+    return df.select(F.col(id_col), row.alias("_r")).select(
+        id_col, F.col("_r.cell").alias("cell"),
+        F.col("_r._rv").alias("_rv"))
+
+
+def _with_probe_cells(df: DataFrame, vec_col: str, cents,
+                      n_probe: int) -> DataFrame:
+    """DISTRIBUTED probe-cell assignment (r9 VERDICT item #2 — the
+    n_probe generalization of :func:`_with_cell`): explode each row
+    into its ``n_probe`` nearest coarse cells, never collecting the
+    query side. Below ``_IVF_GEMM_MIN_KDIM`` = k·dim the ranking is the
+    expression (d, i) struct-sort (ties → lowest index, exactly the
+    expr IVF path); at or above it, a mapInPandas kernel GEMMs each
+    row block against the broadcast centroid matrix and takes a stable
+    argsort prefix (same tie convention). Null/ragged vectors emit no
+    probe rows on either path (the expr sort is null, the kernel
+    filters them)."""
+    kc = len(cents)
+    n_probe = min(n_probe, kc)
+    if cents and kc * len(cents[0]) >= _IVF_GEMM_MIN_KDIM:
+        import numpy as np
+
+        C = np.ascontiguousarray(np.asarray(cents, dtype=np.float64))
+        c2 = (C * C).sum(axis=1)
+        dim = C.shape[1]
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields
+        ) + ", cell int"
+
+        def _fn(batches):
+            for pdf in batches:
+                ok = pdf[vec_col].map(
+                    lambda v: v is not None and len(v) == dim
+                    and not any(x is None for x in v))
+                pdf = pdf[ok]
+                if len(pdf) == 0:
+                    continue
+                vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                d2 = c2[None, :] - 2.0 * (vecs @ C.T)  # +‖v‖² is const
+                order = np.argsort(d2, axis=1,
+                                   kind="stable")[:, :n_probe]
+                rep = pdf.loc[pdf.index.repeat(n_probe)].copy()
+                rep["cell"] = order.reshape(-1).astype("int32")
+                yield rep
+
+        return df.mapInPandas(_fn, out_schema)
+    qv = F.col(vec_col)
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(qv, F.array(*[F.lit(float(w)) for w in cc]),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda s, v: s + v,
+        )
+        for cc in cents
+    ])
+    order = F.array_sort(
+        F.transform(dists,
+                    lambda d, i: F.struct(d.alias("d"), i.alias("i"))))
+    return df.withColumn(
+        "cell",
+        F.explode(F.transform(F.slice(order, 1, n_probe),
+                              lambda s: s["i"].cast("int"))))
+
+
+def _pq_batch_adc_cogrouped(
+    qcells: DataFrame,
+    codes: DataFrame,
+    books,
+    k: int,
+    cents=None,
+) -> DataFrame:
+    """Per-cell cogrouped ADC for BATCH-mode probing: queries and codes
+    each shuffle ONCE on ``cell``; inside a cell, all probing queries
+    build their LUTs with one GEMM per sub-space and score every code
+    row by fancy-indexed gather — (query, candidate) pair rows never
+    materialize, and only per-(query, cell) top-(k+1) rows leave Python
+    (a query probing p cells yields ≤ p·(k+1) candidates; its global
+    top-k is within its per-cell top-(k+1) sets). Score semantics match
+    :func:`_adc_candidates_arrow` exactly, null-codes rows scoring 0.0
+    included. The candidate axis is blocked so the per-group score
+    matrix stays ~32 MB regardless of cell size. ``cents`` (residual
+    indexes): every query×candidate dot in the group gains
+    dot(q, c_cell) — one GEMV per group, since a cogroup IS one
+    cell."""
+    import numpy as np
+    import pandas as pd
+
+    bk = _pq_books_np(books)
+    m, ks, dsub = bk.shape
+    C = (np.asarray(cents, dtype=np.float64)
+         if cents is not None else None)
+    qt = qcells.schema["query_id"].dataType.simpleString()
+    nt = codes.schema["neighbor_id"].dataType.simpleString()
+
+    def _fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype=object),
+             "neighbor_id": pd.Series(dtype=object),
+             "adc_cos": pd.Series(dtype=float)})
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        Q = np.array(left["_qv"].tolist(), dtype=np.float64)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        qc = (Q @ C[int(left["cell"].iloc[0])]
+              if C is not None else None)
+        luts = np.stack(
+            [Q[:, j * dsub:(j + 1) * dsub] @ bk[j].T for j in range(m)],
+            axis=1)                                   # (q, m, ks)
+        nq = len(left)
+        cd_raw = right["codes"].tolist()
+        rn_raw = right["recon_n2"].tolist()
+        nbr_all = right["neighbor_id"].to_numpy()
+        valid = np.array([
+            c is not None and len(c) == m and r is not None
+            and not pd.isna(r) and not any(
+                x is None or (isinstance(x, float) and np.isnan(x))
+                for x in c)
+            for c, r in zip(cd_raw, rn_raw)], dtype=bool)
+        vsel = np.flatnonzero(valid)
+        cd = (np.asarray([cd_raw[i] for i in vsel], dtype=np.int64)
+              if len(vsel) else np.empty((0, m), dtype=np.int64))
+        rsq = np.sqrt(np.maximum(np.asarray(
+            [rn_raw[i] for i in vsel], dtype=np.float64), 0.0))
+        nbr_v = nbr_all[vsel]
+        nbr_i = nbr_all[~valid]
+        topn = k + 1
+        bn = max(256, (1 << 22) // max(1, nq))  # ~32 MB score blocks
+        run_s = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+        run_n = [np.empty(0, dtype=object) for _ in range(nq)]
+
+        def _fold(qi, sc, nb):
+            s = np.concatenate([run_s[qi], sc])
+            b = np.concatenate([run_n[qi], nb])
+            keep = np.lexsort((b, -s))[:topn]
+            run_s[qi], run_n[qi] = s[keep], b[keep]
+
+        for s0 in range(0, len(cd), bn):
+            cdb, rqb = cd[s0:s0 + bn], rsq[s0:s0 + bn]
+            nbb = nbr_v[s0:s0 + bn]
+            S = np.zeros((nq, len(cdb)), dtype=np.float64)
+            for j in range(m):
+                S += luts[:, j, :][:, cdb[:, j]]
+            if qc is not None:
+                S += qc[:, None]
+            ok = (rqb[None, :] > 0.0) & (qn[:, None] > 0.0)
+            S = np.where(ok, S / np.where(ok, qn[:, None] * rqb[None, :],
+                                          1.0), 0.0)
+            nbbo = nbb.astype(object)
+            for qi in range(nq):
+                _fold(qi, S[qi], nbbo)
+        if len(nbr_i):  # null-codes rows: 0.0 like the expr path
+            zs = np.zeros(min(topn, len(nbr_i)))
+            nb = np.sort(nbr_i)[:topn].astype(object)
+            for qi in range(nq):
+                _fold(qi, zs, nb)
+        qids = left["query_id"].to_numpy()
+        out_q, out_n, out_s = [], [], []
+        for qi in range(nq):
+            out_q.extend([qids[qi]] * len(run_s[qi]))
+            out_n.extend(run_n[qi].tolist())
+            out_s.extend(run_s[qi].tolist())
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "adc_cos": out_s})
+
+    return qcells.groupby("cell").cogroup(codes.groupby("cell")) \
+        .applyInPandas(
+            _fn, f"query_id {qt}, neighbor_id {nt}, adc_cos double")
+
+
 def _probe_cells_np(qvec, cents, n_probe: int) -> frozenset:
     """Driver-side probe list: the n_probe nearest coarse centroids by
     squared euclidean, ties to the lowest index — the same (d, i)
@@ -1325,6 +1800,7 @@ def write_pq_index(
     iters: int = 2,
     codebooks: list[list[list[float]]] | None = None,
     centroids: list[list[float]] | None = None,
+    residual: bool = False,
 ) -> dict:
     """Materialize the STANDING IVF-PQ layout (r8 VERDICT item #3 —
     :func:`knn_ivf_pq` recomputes cells+codes per call; a standing
@@ -1336,23 +1812,31 @@ def write_pq_index(
 
     A probe then reads ONLY its ``cell=`` directories (PartitionFilters
     — plan-asserted in tests) of m-byte codes; raw vectors never leave
-    this job. Returns the meta dict."""
+    this job. ``residual=True`` (r9 VERDICT item #3): codes quantize
+    ``v − c_cell(v)`` (codebooks trained on residuals when trained
+    here), recorded in the meta so every probe path adds the
+    per-(query, cell) dot term automatically. Returns the meta dict."""
     import json
     import os
 
-    if codebooks is None:
-        codebooks = pq_train(corpus, id_col, vec_col, m=m, ks=ks,
-                             iters=iters)
     if centroids is None:
         centroids = ivf_centroids(corpus, id_col, vec_col, n_clusters,
                                   iters)
-    enc = pq_encode(corpus, id_col, vec_col, codebooks)
-    cell = _with_cell(corpus.select(id_col, vec_col), vec_col,
-                      centroids).select(id_col, "cell")
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, id_col, vec_col, m=m, ks=ks, iters=iters,
+            residual_centroids=centroids if residual else None)
     os.makedirs(path, exist_ok=True)
+    if residual:
+        rows = pq_encode(corpus, id_col, vec_col, codebooks,
+                         residual_centroids=centroids)
+    else:
+        enc = pq_encode(corpus, id_col, vec_col, codebooks)
+        cell = _with_cell(corpus.select(id_col, vec_col), vec_col,
+                          centroids).select(id_col, "cell")
+        rows = enc.join(cell, id_col)
     (
-        enc.join(cell, id_col)
-        .repartition("cell")
+        rows.repartition("cell")
         .write.partitionBy("cell").mode("overwrite")
         .parquet(os.path.join(path, "codes"))
     )
@@ -1362,6 +1846,7 @@ def write_pq_index(
         "ks": len(codebooks[0]),
         "dsub": len(codebooks[0][0]),
         "n_clusters": len(centroids),
+        "residual": bool(residual),
         "codebooks": [[[float(w) for w in c] for c in b]
                       for b in codebooks],
         "centroids": [[float(w) for w in c] for c in centroids],
@@ -1442,11 +1927,16 @@ def append_pq_index(
     with open(pending, "w") as f:
         f.write(batch_id)
     books = meta["codebooks"]
-    enc = pq_encode(new_vectors, id_col, vec_col, books)
-    cell = _with_cell(new_vectors.select(id_col, vec_col), vec_col,
-                      meta["centroids"]).select(id_col, "cell")
+    if meta.get("residual"):
+        rows = pq_encode(new_vectors, id_col, vec_col, books,
+                         residual_centroids=meta["centroids"])
+    else:
+        enc = pq_encode(new_vectors, id_col, vec_col, books)
+        cell = _with_cell(new_vectors.select(id_col, vec_col), vec_col,
+                          meta["centroids"]).select(id_col, "cell")
+        rows = enc.join(cell, id_col)
     (
-        enc.join(cell, id_col)
+        rows
         .withColumnRenamed(id_col, meta["id_col"])
         .repartition("cell")
         .write.partitionBy("cell").mode("append")
@@ -1488,13 +1978,106 @@ def rebuild_pq_index(
     staged = path.rstrip("/") + f"._rebuild-{uuid.uuid4().hex[:8]}"
     write_pq_index(corpus, id_col, vec_col, staged,
                    codebooks=meta["codebooks"],
-                   centroids=meta["centroids"])
+                   centroids=meta["centroids"],
+                   residual=bool(meta.get("residual")))
     retired = path.rstrip("/") + "._retired"
     shutil.rmtree(retired, ignore_errors=True)
     os.replace(path, retired)
     os.replace(staged, path)
     shutil.rmtree(retired, ignore_errors=True)
     return load_pq_index_meta(path)
+
+
+def _knn_pq_batch(
+    meta: dict,
+    codes: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probe: int,
+    adc_engine: str,
+) -> DataFrame:
+    """Batch-mode scoring body of :func:`knn_pq_indexed` — no
+    driver-side query collect anywhere: probe cells via
+    :func:`_with_probe_cells`, then either the cogrouped ADC kernel
+    (arrow) or the LUT expressions joined on ``cell`` (expr). Residual
+    indexes add the per-(query, cell) dot term on both engines."""
+    books = meta["codebooks"]
+    cents = meta["centroids"]
+    res = bool(meta.get("residual"))
+    m, dsub = meta["m"], meta["dsub"]
+    c = codes.select(
+        F.col(meta["id_col"]).alias("neighbor_id"),
+        "codes", "recon_n2", "cell")
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"))
+    qc = _with_probe_cells(qbase, "_qv", cents, n_probe)
+    if _use_pq_arrow(adc_engine, m, meta["ks"]):
+        scored = _pq_batch_adc_cogrouped(
+            qc, c, books, k, cents=cents if res else None,
+        ).filter(F.col("query_id") != F.col("neighbor_id"))
+    else:
+        qv = F.col("_qv")
+        lut = F.array(*[
+            F.array(*[
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(qv, j * dsub + 1, dsub),
+                        F.array(*[F.lit(float(w)) for w in books[j][ci]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0), lambda s, v: s + v,
+                )
+                for ci in range(len(books[j]))
+            ])
+            for j in range(m)
+        ])
+        qn = F.sqrt(F.aggregate(
+            F.zip_with(qv, qv, lambda x, y: x * y),
+            F.lit(0.0), lambda s, v: s + v,
+        ))
+        extra = []
+        if res:
+            lit_cents = F.array(*[
+                F.array(*[F.lit(float(w)) for w in cc])
+                for cc in cents])
+            extra = [F.aggregate(
+                F.zip_with(F.col("_qv"),
+                           F.element_at(lit_cents, F.col("cell") + 1),
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda s, v: s + v,
+            ).alias("qc")]
+        q = qc.select("query_id", lut.alias("lut"), qn.alias("qn"),
+                      "cell", *extra)
+        dot = F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc + F.element_at(
+                F.element_at(F.col("lut"), j + 1),
+                F.element_at(F.col("codes"), j + 1) + 1),
+        )
+        num = (F.col("qc") + dot) if res else dot
+        scored = (
+            c.join(q.hint("shuffle_hash"), "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id", "neighbor_id",
+                F.when(
+                    (F.col("recon_n2") > 0.0) & (F.col("qn") > 0.0),
+                    num / (F.col("qn") * F.sqrt(F.col("recon_n2"))),
+                ).otherwise(F.lit(0.0)).alias("adc_cos"),
+            )
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_cos", "rank")
+    )
 
 
 def knn_pq_indexed(
@@ -1506,6 +2089,7 @@ def knn_pq_indexed(
     k: int = 10,
     n_probe: int = 4,
     adc_engine: str = "auto",
+    batch_mode: bool = False,
 ) -> DataFrame:
     """Probe a standing :func:`write_pq_index` layout: per query pick
     the ``n_probe`` nearest coarse cells (driver-side — the centroid
@@ -1514,13 +2098,32 @@ def knn_pq_indexed(
     PartitionFilter), ADC-score the codes, exact window top-k.
     Full probe (``n_probe == n_clusters``) equals :func:`knn_pq_adc`
     on the same codebooks exactly (pytest-pinned). Engine routing as
-    :func:`knn_pq_adc`."""
+    :func:`knn_pq_adc`.
+
+    ``batch_mode=True`` (r9 VERDICT item #2) is the CORPUS-SIZED query
+    path — an index-join dedup or embedding-table self-join where
+    collecting the query vectors driver-side (the serving contract
+    above) would OOM the driver: probe cells are assigned DISTRIBUTED
+    (:func:`_with_probe_cells` — expr struct-sort below k·dim =
+    ``_IVF_GEMM_MIN_KDIM``, blocked GEMM kernel above), and scoring
+    joins queries to codes on ``cell``. Results equal the collected
+    path exactly (pytest-pinned; probe-cell near-ties under float
+    rounding are the only theoretical divergence). On the arrow engine
+    the join IS :func:`_pq_batch_adc_cogrouped` — one shuffle per side,
+    pair rows never materialized, O(q·n_probe·k) kernel egress; the
+    expr engine keeps the oracle-twinned LUT expressions, evaluated per
+    probe row. The whole-cell scan trade is inherent: a corpus-sized
+    batch probes essentially every cell, so there is no ``cell IN``
+    prune — use the default serving mode for bounded query sets."""
     meta = load_pq_index_meta(path)
     books = meta["codebooks"]
     cents = meta["centroids"]
     import os
 
     codes = spark.read.parquet(os.path.join(path, "codes"))
+    if batch_mode:
+        return _knn_pq_batch(meta, codes, queries, id_col, vec_col,
+                             k, n_probe, adc_engine)
     qrows = queries.select(
         F.col(id_col).alias("i"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -1531,11 +2134,13 @@ def knn_pq_indexed(
     c = codes.filter(F.col("cell").isin(all_cells)).select(
         F.col(meta["id_col"]).alias("neighbor_id"),
         "codes", "recon_n2", "cell")
+    res = bool(meta.get("residual"))
     if _use_pq_arrow(adc_engine, meta["m"], meta["ks"]):
         qluts = _pq_query_luts(queries, id_col, vec_col, books)
         cand = _adc_candidates_arrow(
             c, qluts, k, probe_cells=probes,
-            qid_dtype=queries.schema[id_col].dataType)
+            qid_dtype=queries.schema[id_col].dataType,
+            cents_np=cents if res else None)
         scored = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     else:
         m, dsub = meta["m"], meta["dsub"]
@@ -1567,12 +2172,26 @@ def knn_pq_indexed(
             f"_qi {queries.schema[id_col].dataType.simpleString()},"
             f" cell int",
         )
-        q = (
+        joined = (
             queries.select(F.col(id_col).alias("_qi"),
-                           lut.alias("lut"), qn.alias("qn"))
+                           lut.alias("lut"), qn.alias("qn"),
+                           F.col(vec_col).cast("array<double>")
+                           .alias("_qv"))
             .join(probe_rows, "_qi")
-            .select(F.col("_qi").alias("query_id"), "lut", "qn", "cell")
         )
+        extra = []
+        if res:
+            lit_cents = F.array(*[
+                F.array(*[F.lit(float(w)) for w in cc])
+                for cc in cents])
+            extra = [F.aggregate(
+                F.zip_with(F.col("_qv"),
+                           F.element_at(lit_cents, F.col("cell") + 1),
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda s, v: s + v,
+            ).alias("qc")]
+        q = joined.select(F.col("_qi").alias("query_id"), "lut", "qn",
+                          "cell", *extra)
         dot = F.aggregate(
             F.sequence(F.lit(0), F.lit(m - 1)),
             F.lit(0.0),
@@ -1580,6 +2199,7 @@ def knn_pq_indexed(
                 F.element_at(F.col("lut"), j + 1),
                 F.element_at(F.col("codes"), j + 1) + 1),
         )
+        num = (F.col("qc") + dot) if res else dot
         scored = (
             c.join(F.broadcast(q), "cell")
             .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1587,7 +2207,7 @@ def knn_pq_indexed(
                 "query_id", "neighbor_id",
                 F.when(
                     (F.col("recon_n2") > 0.0) & (F.col("qn") > 0.0),
-                    dot / (F.col("qn") * F.sqrt(F.col("recon_n2"))),
+                    num / (F.col("qn") * F.sqrt(F.col("recon_n2"))),
                 ).otherwise(F.lit(0.0)).alias("adc_cos"),
             )
             .dropDuplicates(["query_id", "neighbor_id"])

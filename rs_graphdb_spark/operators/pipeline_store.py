@@ -33,9 +33,11 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from rs_graphdb_spark.sources.partitioned_dml import (
+    ConcurrentWriteError,
     _commit,
     _manifest_dir,
     _write_manifest,
+    commit_with_rebase,
     read_manifest,
 )
 
@@ -53,6 +55,7 @@ def run_pipeline_versioned(
     path: str,
     source: DataFrame,
     stages: list[Stage],
+    multi_writer: bool = False,
 ) -> DataFrame:
     """Run ``stages`` (ordered ``(name, fn)``; each fn maps the previous
     stage's DataFrame to this stage's) with one manifest commit per
@@ -60,7 +63,19 @@ def run_pipeline_versioned(
     stage (reading its bytes from the pinned manifest) and recomputes
     from the first incomplete one. Returns the final stage's committed
     output as a DataFrame (read back from the store — the durable
-    artifact, not the in-memory plan)."""
+    artifact, not the in-memory plan).
+
+    ``multi_writer=True`` (r9 VERDICT item #7) lifts the single-writer
+    contract: stage outputs are staged under WRITER-UNIQUE dirs and
+    committed via :func:`commit_with_rebase` — a commit that loses the
+    CURRENT CAS to an unrelated writer (another pipeline sharing the
+    store, an operator registering a side table) rebases its one
+    manifest entry onto the winner's manifest and retries, so BOTH
+    commits land. If the racing writer committed the SAME stage first
+    (a scheduled retry racing a manual run), this writer ADOPTS the
+    winner's committed bytes — its own staged dir is abandoned
+    unreferenced (GC'd on a later commit) and the pipeline continues
+    from the winner's output, so every stage lands exactly once."""
     names = [n for n, _ in stages]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate stage names: {names}")
@@ -86,15 +101,43 @@ def run_pipeline_versioned(
             prev = spark.read.parquet(f"{path}/{rel}")
             continue
         out = fn(prev)
-        rel = f"stages/{name}/v{ver + 1}"
+        if multi_writer:
+            import uuid
+
+            rel = f"stages/{name}/v{ver + 1}-{uuid.uuid4().hex[:8]}"
+        else:
+            rel = f"stages/{name}/v{ver + 1}"
         # staged write: no manifest references this dir until the commit
         # below — a crash here leaves CURRENT untouched
         out.write.mode("overwrite").parquet(f"{path}/{rel}")
-        manifest_next = dict(manifest)
-        manifest_next["completed"] = completed + [name]
-        manifest_next["stage_names"] = names
-        _commit(path, ver, manifest_next, {f"stage/{name}": rel})
+        if multi_writer:
+            def _mut(m: dict, _name=name) -> dict:
+                # pure function of the FRESH manifest: the winner's
+                # completed list survives, ours appends
+                done = list(m.get("completed", []))
+                if _name not in done:
+                    done.append(_name)
+                m["completed"] = done
+                m["stage_names"] = names
+                return m
+
+            try:
+                commit_with_rebase(path, {f"stage/{name}": rel},
+                                   mutate=_mut)
+            except ConcurrentWriteError:
+                # same-stage conflict: a racing run of THIS pipeline
+                # committed the stage first — adopt its bytes (our
+                # staged dir stays unreferenced; GC sweeps it later)
+                _, fresh = read_manifest(path)
+                if f"stage/{name}" not in fresh.get("tables", {}):
+                    raise
+        else:
+            manifest_next = dict(manifest)
+            manifest_next["completed"] = completed + [name]
+            manifest_next["stage_names"] = names
+            _commit(path, ver, manifest_next, {f"stage/{name}": rel})
         ver, manifest = read_manifest(path)
         completed = list(manifest["completed"])
+        rel = manifest["tables"][f"stage/{name}"]  # ours or the winner's
         prev = spark.read.parquet(f"{path}/{rel}")
     return prev

@@ -156,6 +156,53 @@ def _commit(path: str, cur_ver: int, manifest: dict,
     _gc(path, cur_ver + 1)
 
 
+def commit_with_rebase(
+    path: str,
+    updates: dict[str, str],
+    mutate=None,
+    max_retries: int = 5,
+) -> int:
+    """Bounded retry-with-rebase commit for MULTI-writer stores (r9
+    VERDICT item #7). The plain :func:`_commit` CAS is correct but
+    pessimistic: the loser of a race aborts with
+    :class:`ConcurrentWriteError` even when the two commits touch
+    DISJOINT tables (two pipelines sharing one store — the shape a
+    100 TB deployment eventually runs). This helper re-reads CURRENT
+    after a lost race, re-derives the manifest from the WINNER's (so
+    the winner's tables survive), re-applies ``mutate`` (the caller's
+    manifest-level edit — e.g. appending its stage to ``completed`` —
+    called with the FRESH manifest each attempt, so it must be a pure
+    function of it) and retries the CAS, bounded by ``max_retries``.
+    The staged DATA directory is never rewritten — only the manifest
+    entry is rebased; staged dirs must therefore be writer-unique
+    (uuid-suffixed), not version-named, under multi-writer use.
+
+    Raises :class:`ConcurrentWriteError` when the fresh manifest
+    already binds one of ``updates``' keys to a DIFFERENT directory (a
+    true same-table conflict — rebasing would clobber the winner's
+    commit; the caller decides whether to adopt the winner's output or
+    fail) and when retries exhaust. Returns the committed version."""
+    last: Exception | None = None
+    for _ in range(max_retries + 1):
+        ver, manifest = read_manifest(path)
+        for key, rel in updates.items():
+            cur = manifest.get("tables", {}).get(key)
+            if cur is not None and cur != rel:
+                raise ConcurrentWriteError(
+                    f"table {key!r} already committed by another "
+                    f"writer (-> {cur}); refusing to rebase over it")
+        new = mutate(dict(manifest)) if mutate is not None \
+            else dict(manifest)
+        try:
+            _commit(path, ver, new, updates)
+            return ver + 1
+        except ConcurrentWriteError as e:
+            last = e  # lost another race — rebase on the fresh CURRENT
+    raise ConcurrentWriteError(
+        f"commit lost {max_retries + 1} CAS races on {path}; giving up"
+    ) from last
+
+
 def _gc(path: str, cur_ver: int) -> None:
     """Keep {current, previous} manifest versions and every table dir
     either of them references; delete older table version dirs and

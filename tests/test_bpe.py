@@ -486,3 +486,43 @@ def test_rounds_batch_training(corpus):
     assert out and all(r["tokens"] for r in out)
     with pytest.raises(ValueError, match="rounds_batch"):
         bpe_train(corpus, "text", num_merges=2, rounds_batch=0)
+
+
+def test_tokpack_kernel_path_equals_expr(corpus):
+    """Tokenize-and-pack at production vocab (r9 VERDICT item #6): a
+    32k-padded artifact routed through the Arrow encode kernel packs
+    the IDENTICAL (shard, bin → ids) layout as the 6-merge expr path —
+    padding merges never fire, and their ids are assigned AFTER the
+    real symbols, so every emitted id (and hence the packed contents)
+    is invariant."""
+    from rs_graphdb_spark.functions.bpe import bpe_artifact, bpe_encode_ids
+    from rs_graphdb_spark.functions.sampling import pack_greedy
+
+    m, v = bpe_train(corpus, "text", num_merges=6)
+    art = bpe_artifact(m, v)
+    big = dict(art)
+    big["merges"] = list(art["merges"]) + [
+        (f"z{i}x", f"q{i}y") for i in range(32_000)]
+
+    def packed(a, engine):
+        enc = bpe_encode_ids(corpus, "doc_id", "text", a,
+                             encode_engine=engine)
+        di = (
+            enc.groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("word_idx", "ids"))).alias("ws"))
+            .select("doc_id",
+                    F.flatten(F.transform("ws", lambda s: s["ids"]))
+                    .alias("ids"))
+            .select("doc_id", F.size("ids").alias("n_ids"),
+                    F.concat_ws(",", F.col("ids").cast("array<string>"))
+                    .alias("ids_str"))
+        )
+        pk = pack_greedy(di, "doc_id", "n_ids", budget=16, shards=4)
+        return {(r["shard"], r["bin"], r["doc_id"]): r["ids_str"]
+                for r in pk.collect()}
+
+    want = packed(art, "expr")
+    got = packed(big, "auto")  # auto routes to the Arrow kernel at 32k
+    assert got == want
+    assert len(want) == 2  # both docs land, each in one (shard, bin)

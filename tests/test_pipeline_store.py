@@ -233,3 +233,131 @@ def test_warc_pipeline_kill_between_stages_resume_byte_identical(
     assert sorted(r["doc_id"] for r in out2.collect()) == keepers
     assert _stage_md5s(crash_store, "dedup") == ref
     assert _stage_md5s(crash_store, "wet") == _stage_md5s(ref_store, "wet")
+
+
+# ---------------------------------------------------------------------------
+# r9 VERDICT item #7: multi-writer manifest arbitration
+# ---------------------------------------------------------------------------
+
+
+def test_commit_with_rebase_two_writer_interleave(spark, tmp_path):
+    """Writer A loses the CURRENT CAS to writer B mid-staging; the
+    rebase retry lands A's entry on top of B's manifest — BOTH commits
+    survive in the final manifest."""
+    from rs_graphdb_spark.sources.partitioned_dml import (
+        ConcurrentWriteError, _commit, _write_manifest,
+        commit_with_rebase, read_manifest)
+
+    store = str(tmp_path / "mw")
+    _write_manifest(store, 0, {"tables": {}})
+    ver, manifest = read_manifest(store)        # A reads v0
+    _commit(store, 0, {"tables": {}}, {"t/b": "b/v1"})  # B commits first
+    with pytest.raises(ConcurrentWriteError):
+        _commit(store, ver, dict(manifest), {"t/a": "a/v1"})  # plain CAS
+    got = commit_with_rebase(store, {"t/a": "a/v1"})
+    assert got == 2
+    _, final = read_manifest(store)
+    assert final["tables"] == {"t/a": "a/v1", "t/b": "b/v1"}
+
+
+def test_commit_with_rebase_same_table_conflict_refused(spark, tmp_path):
+    from rs_graphdb_spark.sources.partitioned_dml import (
+        ConcurrentWriteError, _commit, _write_manifest,
+        commit_with_rebase)
+
+    store = str(tmp_path / "mwc")
+    _write_manifest(store, 0, {"tables": {}})
+    _commit(store, 0, {"tables": {}}, {"t/x": "x/v1-winner"})
+    with pytest.raises(ConcurrentWriteError, match="already committed"):
+        commit_with_rebase(store, {"t/x": "x/v1-loser"})
+    # …but re-committing the SAME dir is idempotent, not a conflict
+    assert commit_with_rebase(store, {"t/x": "x/v1-winner"}) == 2
+
+
+def test_commit_with_rebase_retries_exhaust(spark, tmp_path, monkeypatch):
+    """Every retry losing its race surfaces as ConcurrentWriteError
+    after max_retries+1 attempts, chained from the last loss."""
+    from rs_graphdb_spark.sources import partitioned_dml as pdml
+
+    store = str(tmp_path / "mwx")
+    pdml._write_manifest(store, 0, {"tables": {}})
+    calls = {"n": 0}
+
+    def always_lose(path, cur_ver, manifest, updates):
+        # simulate a perpetual racer: every CAS attempt loses
+        calls["n"] += 1
+        raise pdml.ConcurrentWriteError("simulated race")
+
+    monkeypatch.setattr(pdml, "_commit", always_lose)
+    with pytest.raises(pdml.ConcurrentWriteError, match="giving up"):
+        pdml.commit_with_rebase(store, {"t/a": "a/v1"}, max_retries=2)
+    assert calls["n"] == 3  # 1 + 2 retries, bounded
+
+
+def test_pipeline_multi_writer_side_commit_both_land(spark, tmp_path):
+    """A second writer registers a side table between a stage's staging
+    and its commit; with multi_writer=True the stage commit rebases and
+    BOTH land (the single-writer path would abort)."""
+    from rs_graphdb_spark.sources.partitioned_dml import (
+        commit_with_rebase, read_manifest)
+
+    store = str(tmp_path / "mwp")
+    docs = _docs(spark)
+    fired = {"done": False}
+
+    def filter_stage(df):
+        out = (df.filter(F.length("text") > 30)
+               .repartition(2, "doc_id").sortWithinPartitions("doc_id"))
+        if not fired["done"]:
+            fired["done"] = True
+            # racing writer: lands BETWEEN this stage's manifest read
+            # and its commit
+            commit_with_rebase(store, {"side/stats": "side/v1"})
+        return out
+
+    out = run_pipeline_versioned(spark, store, docs,
+                                 [("filter", filter_stage)],
+                                 multi_writer=True)
+    assert out.count() == docs.filter(F.length("text") > 30).count()
+    _, final = read_manifest(store)
+    assert "side/stats" in final["tables"]
+    assert "stage/filter" in final["tables"]
+    assert final["completed"] == ["filter"]
+
+
+def test_pipeline_multi_writer_same_stage_adopts_winner(spark, tmp_path):
+    """Two runs of the SAME pipeline race one stage: the loser adopts
+    the winner's committed bytes instead of clobbering or crashing, so
+    the stage lands exactly once and both runs return the same rows."""
+    from rs_graphdb_spark.sources.partitioned_dml import read_manifest
+
+    store = str(tmp_path / "mws")
+    docs = _docs(spark)
+    fired = {"done": False}
+    winner_rel = {}
+
+    def filter_stage(df):
+        out = (df.filter(F.length("text") > 30)
+               .repartition(2, "doc_id").sortWithinPartitions("doc_id"))
+        if not fired["done"]:
+            fired["done"] = True
+            # the racing run commits this very stage first
+            run_pipeline_versioned(spark, store, docs,
+                                   [("filter", _plain_filter)],
+                                   multi_writer=True)
+            _, m = read_manifest(store)
+            winner_rel["rel"] = m["tables"]["stage/filter"]
+        return out
+
+    def _plain_filter(df):
+        return (df.filter(F.length("text") > 30)
+                .repartition(2, "doc_id").sortWithinPartitions("doc_id"))
+
+    out = run_pipeline_versioned(spark, store, docs,
+                                 [("filter", filter_stage)],
+                                 multi_writer=True)
+    _, final = read_manifest(store)
+    # the loser adopted: the winner's rel is still the bound one
+    assert final["tables"]["stage/filter"] == winner_rel["rel"]
+    assert final["completed"] == ["filter"]
+    assert out.count() == docs.filter(F.length("text") > 30).count()

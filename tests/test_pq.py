@@ -590,3 +590,300 @@ def test_rebuild_pq_index_recovers_from_crash(spark, tmp_path):
         "vec_id long, v array<double>")
     assert append_pq_index(spark, idx, nxt, "vec_id", "v",
                            batch_id="y") == "committed"
+
+
+# ---------------------------------------------------------------------------
+# r9 VERDICT item #2: batch-mode probing — no driver-side query collect
+# ---------------------------------------------------------------------------
+
+
+def _standing_index(spark, tmp_path, name, n_clusters=6):
+    from rs_graphdb_spark.functions.similarity import (
+        ivf_centroids, write_pq_index)
+    rows = _clustered_vectors(n=240, dim=32, n_clusters=8)
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    books = pq_train(corpus, "vec_id", "v", m=4, ks=8, iters=2)
+    cents = ivf_centroids(corpus, "vec_id", "v", n_clusters, 2)
+    idx = str(tmp_path / name)
+    write_pq_index(corpus, "vec_id", "v", idx,
+                   codebooks=books, centroids=cents)
+    return corpus, idx
+
+
+def test_batch_mode_equals_collected(spark, tmp_path):
+    """knn_pq_indexed(batch_mode=True) ≡ the collected serving path —
+    same neighbors, ranks, scores — on both engines and probe widths."""
+    from rs_graphdb_spark.functions.similarity import knn_pq_indexed
+    corpus, idx = _standing_index(spark, tmp_path, "bm")
+    qs = corpus.filter(F.col("vec_id") < 6)
+    for engine in ("expr", "arrow"):
+        for n_probe in (2, 6):
+            want = {(r["query_id"], r["rank"]): (r["neighbor_id"],
+                                                 round(r["adc_cos"], 9))
+                    for r in knn_pq_indexed(
+                        spark, idx, qs, "vec_id", "v", k=5,
+                        n_probe=n_probe, adc_engine=engine).collect()}
+            got = {(r["query_id"], r["rank"]): (r["neighbor_id"],
+                                                round(r["adc_cos"], 9))
+                   for r in knn_pq_indexed(
+                       spark, idx, qs, "vec_id", "v", k=5,
+                       n_probe=n_probe, adc_engine=engine,
+                       batch_mode=True).collect()}
+            assert want == got, (engine, n_probe)
+
+
+def test_batch_mode_never_collects_queries(spark, tmp_path, monkeypatch):
+    """The batch path must build its whole plan without a driver-side
+    query collect (the serving path's contract explicitly collects);
+    with parquet-backed queries the executed plan also carries no
+    LocalTableScan — nothing of the query set ever rode through the
+    driver."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    from rs_graphdb_spark.functions.similarity import knn_pq_indexed
+    corpus, idx = _standing_index(spark, tmp_path, "bmnc")
+    qpath = str(tmp_path / "queries.parquet")
+    corpus.filter(F.col("vec_id") < 4).write.parquet(qpath)
+    qs = spark.read.parquet(qpath)
+
+    def _boom(self):
+        raise AssertionError("driver-side collect in batch mode")
+
+    monkeypatch.setattr(SparkDF, "collect", _boom)
+    try:
+        out = knn_pq_indexed(spark, idx, qs, "vec_id", "v", k=5,
+                             n_probe=3, batch_mode=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        monkeypatch.undo()
+    assert "LocalTableScan" not in plan
+    assert out.count() == 4 * 5
+
+
+def test_batch_mode_arrow_blocked_candidates(spark, tmp_path):
+    """The cogroup kernel's candidate-axis blocking (tiny block size
+    forced via a big query fan) must not change results — fold-merge of
+    per-block top-(k+1) is exact."""
+    from rs_graphdb_spark.functions.similarity import knn_pq_indexed
+    corpus, idx = _standing_index(spark, tmp_path, "bmblk", n_clusters=2)
+    # n_clusters=2 → ~120 codes per cell, larger than one top-k fold
+    qs = corpus.filter(F.col("vec_id") < 8)
+    a = {(r["query_id"], r["rank"]): (r["neighbor_id"],
+                                      round(r["adc_cos"], 9))
+         for r in knn_pq_indexed(spark, idx, qs, "vec_id", "v", k=7,
+                                 n_probe=1, adc_engine="arrow",
+                                 batch_mode=True).collect()}
+    b = {(r["query_id"], r["rank"]): (r["neighbor_id"],
+                                      round(r["adc_cos"], 9))
+         for r in knn_pq_indexed(spark, idx, qs, "vec_id", "v", k=7,
+                                 n_probe=1, adc_engine="expr",
+                                 batch_mode=True).collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# r9 VERDICT item #3: residual IVF-PQ encoding
+# ---------------------------------------------------------------------------
+
+
+def _strong_clusters(n=200, dim=16, n_clusters=6, spread=5.0, noise=0.3):
+    """Coarse-dominated fixture: cluster centers far apart relative to
+    in-cluster noise — the regime where residual encoding visibly
+    beats raw-vector PQ at equal bytes (the coarse quantizer explains
+    most of the variance; raw codebooks waste their ks on it)."""
+    rng = random.Random(11)
+    centers = [[rng.gauss(0, spread) for _ in range(dim)]
+               for _ in range(n_clusters)]
+    return [(i, [x + rng.gauss(0, noise) for x in centers[i % n_clusters]])
+            for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def strong(spark):
+    return spark.createDataFrame(
+        _strong_clusters(), "vec_id long, v array<double>").cache()
+
+
+def _res_setup(strong):
+    from rs_graphdb_spark.functions.similarity import ivf_centroids
+
+    cents = ivf_centroids(strong, "vec_id", "v", 6, 2)
+    books = pq_train(strong, "vec_id", "v", m=4, ks=8, iters=2,
+                     residual_centroids=cents)
+    return cents, books
+
+
+def test_residual_encode_expr_arrow_parity(spark, strong):
+    """Residual pq_encode: expr ≡ arrow exactly — codes, cell, and
+    recon_n2 (to 1e-9) — including null / short / ragged vectors,
+    which are all-or-nothing (null cell + NULL codes array + null
+    recon, both engines)."""
+    cents, books = _res_setup(strong)
+    rows = strong.collect()
+    dirty = spark.createDataFrame(
+        [(r["vec_id"], r["v"]) for r in rows[:50]]
+        + [(900, None), (901, rows[0]["v"][:5]),
+           (902, [None] + rows[1]["v"][1:]),
+           (903, rows[2]["v"] + [7.0])],  # long: truncates to dim
+        "vec_id long, v array<double>")
+    e = pq_encode(dirty, "vec_id", "v", books, encode_engine="expr",
+                  residual_centroids=cents).orderBy("vec_id").collect()
+    a = pq_encode(dirty, "vec_id", "v", books, encode_engine="arrow",
+                  residual_centroids=cents).orderBy("vec_id").collect()
+    assert len(e) == len(a) == 54
+    for re_, ra in zip(e, a):
+        assert (re_["vec_id"], re_["cell"], re_["codes"]) == \
+               (ra["vec_id"], ra["cell"], ra["codes"])
+        if re_["recon_n2"] is None:
+            assert ra["recon_n2"] is None
+        else:
+            assert ra["recon_n2"] == pytest.approx(re_["recon_n2"],
+                                                   abs=1e-9)
+    by_id = {r["vec_id"]: r for r in e}
+    for bad in (900, 901, 902):
+        r = by_id[bad]
+        assert r["cell"] is None and r["codes"] is None \
+            and r["recon_n2"] is None
+    long_r = by_id[903]
+    assert long_r["cell"] == by_id[2]["cell"]
+    assert long_r["codes"] == by_id[2]["codes"]
+
+
+def test_residual_recon_n2_is_true_norm(strong):
+    """recon_n2 on the residual path = ‖c_cell + r̂‖² of the ACTUAL
+    reconstruction (coarse centroid + codebook picks) — the cross
+    terms are real, not the orthogonal-subspace shortcut."""
+    cents, books = _res_setup(strong)
+    for r in pq_encode(strong, "vec_id", "v", books,
+                       residual_centroids=cents).collect():
+        rec = list(cents[r["cell"]])
+        dsub = len(books[0][0])
+        for j, c in enumerate(r["codes"]):
+            for t in range(dsub):
+                rec[j * dsub + t] += books[j][c][t]
+        assert r["recon_n2"] == pytest.approx(
+            sum(w * w for w in rec), rel=1e-9)
+
+
+def test_residual_recall_beats_raw_at_equal_bytes(spark, strong):
+    """The point of the upgrade: same m·ks byte budget, planted
+    clusters → residual recall@5 (vs exact cosine) strictly above the
+    raw-vector path's."""
+    from rs_graphdb_spark.functions.similarity import knn_ivf_pq
+
+    cents, books_res = _res_setup(strong)
+    books_raw = pq_train(strong, "vec_id", "v", m=4, ks=8, iters=2)
+    qs = strong.filter(F.col("vec_id") < 20)
+    exact = {}
+    for r in knn_bruteforce(strong, qs, "vec_id", "v", k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(books, residual):
+        got = {}
+        for r in knn_ivf_pq(strong, qs, "vec_id", "v", books, k=5,
+                            n_clusters=6, n_probe=6,
+                            residual=residual, centroids=cents
+                            ).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(got.get(q, set()) & e) for q, e in exact.items()
+                   ) / sum(len(e) for e in exact.values())
+
+    r_raw = recall(books_raw, False)
+    r_res = recall(books_res, True)
+    assert r_res > r_raw, (r_res, r_raw)
+    assert r_res >= 0.4
+
+
+def test_residual_ivf_pq_expr_equals_arrow(strong):
+    from rs_graphdb_spark.functions.similarity import knn_ivf_pq
+
+    cents, books = _res_setup(strong)
+    qs = strong.filter(F.col("vec_id") < 6)
+    for n_probe in (2, 6):
+        out = {}
+        for eng in ("expr", "arrow"):
+            out[eng] = {
+                (r["query_id"], r["rank"]): (r["neighbor_id"],
+                                             round(r["adc_cos"], 9))
+                for r in knn_ivf_pq(strong, qs, "vec_id", "v", books,
+                                    k=5, n_clusters=6, n_probe=n_probe,
+                                    adc_engine=eng, residual=True,
+                                    centroids=cents).collect()}
+        assert out["expr"] == out["arrow"], n_probe
+
+
+def test_residual_standing_index_paths_agree(spark, tmp_path, strong):
+    """write_pq_index(residual=True) → every probe path (serving expr/
+    arrow, batch expr/arrow) returns the identical ranking; full probe
+    equals the ad-hoc knn_ivf_pq(residual=True) on the same
+    codebooks."""
+    from rs_graphdb_spark.functions.similarity import (
+        ivf_centroids, knn_ivf_pq, knn_pq_indexed, write_pq_index)
+
+    cents = ivf_centroids(strong, "vec_id", "v", 6, 2)
+    idx = str(tmp_path / "res_idx")
+    meta = write_pq_index(strong, "vec_id", "v", idx, m=4, ks=8,
+                          centroids=cents, residual=True)
+    assert meta["residual"] is True
+    books = meta["codebooks"]
+    qs = strong.filter(F.col("vec_id") < 6)
+    want = {(r["query_id"], r["rank"]): (r["neighbor_id"],
+                                         round(r["adc_cos"], 9))
+            for r in knn_ivf_pq(strong, qs, "vec_id", "v", books, k=5,
+                                n_clusters=6, n_probe=6, residual=True,
+                                centroids=cents).collect()}
+    for eng in ("expr", "arrow"):
+        for batch in (False, True):
+            got = {(r["query_id"], r["rank"]): (r["neighbor_id"],
+                                                round(r["adc_cos"], 9))
+                   for r in knn_pq_indexed(
+                       spark, idx, qs, "vec_id", "v", k=5, n_probe=6,
+                       adc_engine=eng, batch_mode=batch).collect()}
+            assert got == want, (eng, batch)
+    # partial probe: serving == batch on both engines
+    for eng in ("expr", "arrow"):
+        serve = {(r["query_id"], r["rank"]): (r["neighbor_id"],
+                                              round(r["adc_cos"], 9))
+                 for r in knn_pq_indexed(
+                     spark, idx, qs, "vec_id", "v", k=5, n_probe=2,
+                     adc_engine=eng).collect()}
+        batch = {(r["query_id"], r["rank"]): (r["neighbor_id"],
+                                              round(r["adc_cos"], 9))
+                 for r in knn_pq_indexed(
+                     spark, idx, qs, "vec_id", "v", k=5, n_probe=2,
+                     adc_engine=eng, batch_mode=True).collect()}
+        assert serve == batch, eng
+
+
+def test_residual_append_preserves_quantizer(spark, tmp_path, strong):
+    """append_pq_index on a residual index encodes new batches as
+    residuals against the STORED centroids/codebooks — write(A)+
+    append(B) probes exactly like write(A∪B) with the same books."""
+    from rs_graphdb_spark.functions.similarity import (
+        append_pq_index, ivf_centroids, knn_pq_indexed, pq_train,
+        write_pq_index)
+
+    a = strong.filter(F.col("vec_id") < 150)
+    b = strong.filter(F.col("vec_id") >= 150)
+    cents = ivf_centroids(a, "vec_id", "v", 6, 2)
+    books = pq_train(a, "vec_id", "v", m=4, ks=8, iters=2,
+                     residual_centroids=cents)
+    inc = str(tmp_path / "res_inc")
+    write_pq_index(a, "vec_id", "v", inc, codebooks=books,
+                   centroids=cents, residual=True)
+    assert append_pq_index(spark, inc, b, "vec_id", "v",
+                           batch_id="b1") == "committed"
+    full = str(tmp_path / "res_full")
+    write_pq_index(strong, "vec_id", "v", full, codebooks=books,
+                   centroids=cents, residual=True)
+    qs = strong.filter(F.col("vec_id") < 6)
+    for n_probe in (2, 6):
+        gi = {(r["query_id"], r["rank"]): (r["neighbor_id"],
+                                           round(r["adc_cos"], 9))
+              for r in knn_pq_indexed(spark, inc, qs, "vec_id", "v",
+                                      k=5, n_probe=n_probe).collect()}
+        gf = {(r["query_id"], r["rank"]): (r["neighbor_id"],
+                                           round(r["adc_cos"], 9))
+              for r in knn_pq_indexed(spark, full, qs, "vec_id", "v",
+                                      k=5, n_probe=n_probe).collect()}
+        assert gi == gf, n_probe
