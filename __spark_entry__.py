@@ -4122,6 +4122,34 @@ def q129_warc_stream(spark, sf_dir):
     return wet.select("warc_id", "url", F.md5("wet_text").alias("wm"))
 
 
+def q130_tokpack(spark, sf_dir):
+    """Tokenize-and-pack throughput (r10): trained BPE artifact →
+    bpe_encode_ids → per-doc id sequences → pack_greedy bins — the
+    tokenizer-serving shape end to end (q49:tokpack is the correctness
+    twin)."""
+    from rs_graphdb_spark.functions.bpe import (
+        bpe_artifact, bpe_encode_ids, bpe_train)
+    from rs_graphdb_spark.functions.sampling import pack_greedy
+
+    docs = _read(spark, sf_dir, "documents")
+    m, v = bpe_train(docs, "text", num_merges=6)
+    art = bpe_artifact(m, v)
+    doc_ids = (
+        bpe_encode_ids(docs, "doc_id", "text", art)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(
+            F.struct(F.col("word_idx"), F.col("ids")))).alias("ws"))
+        .select("doc_id",
+                F.size(F.flatten(F.transform("ws", lambda s: s["ids"])))
+                .cast("long").alias("n_ids"))
+    )
+    return (
+        pack_greedy(doc_ids, "doc_id", "n_ids", budget=2048, shards=16)
+        .groupBy("shard", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_ids").alias("n_ids"))
+    )
+
+
 def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Pre-fold per-operator registry (kept for bench.py and tests)."""
     return {
@@ -4249,6 +4277,7 @@ def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_pipeline": q127_pipeline,
         "q128_warc_wet": q128_warc_wet,
         "q129_warc_stream": q129_warc_stream,
+        "q130_tokpack": q130_tokpack,
     }
 
 

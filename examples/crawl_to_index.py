@@ -84,17 +84,16 @@ def main() -> None:
                          art, encode_engine="arrow")
     print("encoded token rows:", ids.count())
 
-    # 5. standing IVF-PQ index + append + probe
+    # 5. standing IVF-PQ index (RESIDUAL encoding — codes quantize
+    # v − c_cell(v), the FAISS IndexIVFPQ recipe) + append + probe
     from rs_graphdb_spark.functions.similarity import (
-        append_pq_index, ivf_centroids, knn_pq_indexed, pq_train,
-        write_pq_index)
+        append_pq_index, ivf_centroids, knn_pq_indexed, write_pq_index)
     old = emb.filter(F.col("vec_id") % 10 != 0)
     late = emb.filter(F.col("vec_id") % 10 == 0)
-    books = pq_train(old, "vec_id", "v", m=8, ks=16, iters=2)
     cents = ivf_centroids(old, "vec_id", "v", 8, 2)
     idx = os.path.join(work, "pqidx")
-    write_pq_index(old, "vec_id", "v", idx, codebooks=books,
-                   centroids=cents)
+    write_pq_index(old, "vec_id", "v", idx, m=8, ks=16,
+                   centroids=cents, residual=True)
     print("append:", append_pq_index(spark, idx, late, "vec_id", "v",
                                      batch_id="late-1"))
     hits = knn_pq_indexed(spark, idx, emb.filter(F.col("vec_id") < 3),
@@ -103,6 +102,13 @@ def main() -> None:
     for r in hits.orderBy("query_id", "rank").collect():
         print("  ", r["query_id"], "->", r["neighbor_id"],
               round(r["adc_cos"], 4))
+
+    # 6. batch-mode probing: the whole embedding table against the
+    # index with NO driver-side query collect — the index-join /
+    # self-join shape for corpus-scale dedup
+    near = knn_pq_indexed(spark, idx, emb, "vec_id", "v", k=1,
+                          n_probe=2, batch_mode=True)
+    print("batch-mode self-join rows:", near.count())
 
 
 if __name__ == "__main__":

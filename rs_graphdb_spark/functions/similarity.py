@@ -820,29 +820,41 @@ def _pq_codes_arrow(
     def _fn(batches):
         for batch in batches:
             ids = batch.column(0)
-            vecs = batch.column(1).to_pylist()
-            n = len(vecs)
+            arr = batch.column(1)
+            n = len(arr)
             if n == 0:
                 continue
-            clean = [
-                v is not None and len(v) >= width
-                and all(x is not None for x in v[:width])
-                for v in vecs
-            ]
-            if all(clean):
-                v = np.asarray(
-                    [x[:width] for x in vecs], dtype=np.float64)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            offs = arr.offsets.to_numpy(zero_copy_only=False)
+            avals = arr.values
+            # clean-batch fast path with NO python objects: offsets +
+            # vectorized gather in, codes out as a ListArray over a
+            # flat numpy buffer (the to_pylist round-trip measured ~2 s
+            # per 20k×1024 batch set — more than the GEMMs themselves)
+            if (arr.null_count == 0 and avals.null_count == 0
+                    and bool((np.diff(offs) >= width).all())):
+                vnp = avals.to_numpy(zero_copy_only=False)
+                v = vnp[offs[:-1, None] + np.arange(width)[None, :]]
                 codes, recon = _encode_clean(v)
                 yield pa.RecordBatch.from_arrays(
                     [
                         ids,
-                        pa.array(codes.tolist(),
-                                 type=pa.list_(pa.int32())),
+                        pa.ListArray.from_arrays(
+                            np.arange(0, (n + 1) * m, m,
+                                      dtype=np.int32),
+                            pa.array(codes.ravel(), type=pa.int32())),
                         pa.array(recon, type=pa.float64()),
                     ],
                     ["_pqid", "codes", "recon_n2"],
                 )
                 continue
+            vecs = arr.to_pylist()
+            clean = [
+                v is not None and len(v) >= width
+                and all(x is not None for x in v[:width])
+                for v in vecs
+            ]
             codes_out: list = [None] * n
             recon_out: list = [None] * n
             cidx = [i for i in range(n) if clean[i]]
@@ -1042,67 +1054,112 @@ _PQ_RESIDUAL_EXPR_MAX = 8192
 
 
 def _pq_codes_res_arrow(
-    res: DataFrame,
+    corpus: DataFrame,
     id_col: str,
+    vec_col: str,
     codebooks: list[list[list[float]]],
     cents: list[list[float]],
 ) -> DataFrame:
-    """mapInArrow RESIDUAL PQ encode over :func:`_pq_residuals` rows:
-    codes = per-sub-space argmin over the residual (GEMM per sub-space,
-    ties → lowest index), ``recon_n2`` = ‖c_cell + r̂‖² computed on the
-    actual reconstruction (the coarse centroid plus the gathered
-    codebook picks) — the cross terms the raw-vector path's orthogonal
-    sub-space shortcut cannot see. Null-residual rows (null cell) emit
-    null codes/recon_n2, matching the expression path."""
+    """mapInArrow RESIDUAL PQ encode, FUSED: coarse-cell assignment,
+    residual subtraction, per-sub-space argmin (ties → lowest index)
+    and ``recon_n2`` = ‖c_cell + r̂‖² — the actual reconstruction,
+    cross terms included — in ONE numpy pass over raw vectors. The
+    clean-batch path never touches python objects: list offsets plus a
+    vectorized gather slice each row's first ``dim`` values, and codes
+    leave as a ListArray built from a flat numpy buffer (an earlier
+    version materialized an intermediate residual column of
+    array<double> through two python stages — that serialization cost
+    ~10× the whole encode at 20k×1024). Null/short/ragged vectors
+    (all-or-nothing for residual encoding) take the per-row fallback
+    batch path and emit null cell/codes/recon_n2, matching the
+    expression path; long vectors truncate to dim like ``F.slice``."""
     import numpy as np
     import pyarrow as pa
 
     books = _pq_books_np(codebooks)
     m, ks, dsub = books.shape
-    C = np.asarray(cents, dtype=np.float64)
+    dim = m * dsub
+    C = np.ascontiguousarray(np.asarray(cents, dtype=np.float64))
+    c2 = (C * C).sum(axis=1)
+    b2 = [(books[j] * books[j]).sum(axis=1) for j in range(m)]
+
+    def _encode(V, out_codes, out_rec):
+        cl = np.argmin(c2[None, :] - 2.0 * (V @ C.T), axis=1)
+        R = V - C[cl]
+        rec = C[cl].copy()
+        for j in range(m):
+            s = R[:, j * dsub:(j + 1) * dsub]
+            d2 = ((s * s).sum(axis=1)[:, None]
+                  - 2.0 * (s @ books[j].T) + b2[j][None, :])
+            out_codes[:, j] = np.argmin(d2, axis=1)
+            rec[:, j * dsub:(j + 1) * dsub] += books[j][out_codes[:, j]]
+        out_rec[:] = (rec * rec).sum(axis=1)
+        return cl
 
     def _fn(batches):
         for batch in batches:
             ids = batch.column(0)
-            cells = batch.column(1).to_pylist()
-            rvs = batch.column(2).to_pylist()
-            n = len(rvs)
+            arr = batch.column(1)
+            n = len(arr)
             if n == 0:
                 continue
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            offs = arr.offsets.to_numpy(zero_copy_only=False)
+            lens = np.diff(offs)
+            vals = arr.values
+            clean_all = (arr.null_count == 0 and vals.null_count == 0
+                         and bool((lens >= dim).all()))
+            if clean_all:
+                vnp = vals.to_numpy(zero_copy_only=False)
+                V = vnp[offs[:-1, None] + np.arange(dim)[None, :]]
+                codes = np.empty((n, m), dtype=np.int32)
+                rec2 = np.empty(n, dtype=np.float64)
+                cl = _encode(V, codes, rec2)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array(cl.astype(np.int32)),
+                        pa.ListArray.from_arrays(
+                            np.arange(0, (n + 1) * m, m,
+                                      dtype=np.int32),
+                            pa.array(codes.ravel(), type=pa.int32())),
+                        pa.array(rec2, type=pa.float64()),
+                    ],
+                    ["_pqid", "cell", "codes", "recon_n2"],
+                )
+                continue
+            vecs = arr.to_pylist()
+            cell_out: list = [None] * n
             codes_out: list = [None] * n
             recon_out: list = [None] * n
-            cidx = [i for i in range(n) if rvs[i] is not None]
+            cidx = [i for i in range(n)
+                    if vecs[i] is not None and len(vecs[i]) >= dim
+                    and not any(x is None for x in vecs[i][:dim])]
             if cidx:
-                V = np.asarray([rvs[i] for i in cidx], dtype=np.float64)
-                cl = np.asarray([cells[i] for i in cidx], dtype=np.int64)
+                V = np.asarray([vecs[i][:dim] for i in cidx],
+                               dtype=np.float64)
                 codes = np.empty((len(cidx), m), dtype=np.int32)
-                rec = C[cl].copy()
-                for j in range(m):
-                    s = V[:, j * dsub:(j + 1) * dsub]
-                    d2 = (
-                        (s * s).sum(axis=1)[:, None]
-                        - 2.0 * (s @ books[j].T)
-                        + (books[j] * books[j]).sum(axis=1)[None, :]
-                    )
-                    codes[:, j] = np.argmin(d2, axis=1)
-                    rec[:, j * dsub:(j + 1) * dsub] += books[j][codes[:, j]]
-                r2 = (rec * rec).sum(axis=1)
+                rec2 = np.empty(len(cidx), dtype=np.float64)
+                cl = _encode(V, codes, rec2)
                 for p, i in enumerate(cidx):
+                    cell_out[i] = int(cl[p])
                     codes_out[i] = codes[p].tolist()
-                    recon_out[i] = float(r2[p])
+                    recon_out[i] = float(rec2[p])
             yield pa.RecordBatch.from_arrays(
                 [
                     ids,
-                    batch.column(1),
+                    pa.array(cell_out, type=pa.int32()),
                     pa.array(codes_out, type=pa.list_(pa.int32())),
                     pa.array(recon_out, type=pa.float64()),
                 ],
                 ["_pqid", "cell", "codes", "recon_n2"],
             )
 
-    id_type = res.schema[id_col].dataType.simpleString()
-    return res.select(
-        F.col(id_col).alias("_pqid"), "cell", "_rv"
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    return corpus.select(
+        F.col(id_col).alias("_pqid"),
+        F.col(vec_col).cast("array<double>"),
     ).mapInArrow(
         _fn,
         f"_pqid {id_type}, cell int, codes array<int>, recon_n2 double",
@@ -1159,13 +1216,13 @@ def pq_encode(
             raise ValueError(
                 f"centroid dim {len(residual_centroids[0])} != "
                 f"m*dsub {m * dsub}")
-        res = _pq_residuals(corpus, id_col, vec_col, residual_centroids)
         kc = len(residual_centroids)
         if (_use_pq_arrow(encode_engine, m, ks)
                 or (encode_engine == "auto"
                     and kc * m * ks >= _PQ_RESIDUAL_EXPR_MAX)):
-            return _pq_codes_res_arrow(res, id_col, codebooks,
-                                       residual_centroids)
+            return _pq_codes_res_arrow(corpus, id_col, vec_col,
+                                       codebooks, residual_centroids)
+        res = _pq_residuals(corpus, id_col, vec_col, residual_centroids)
         import numpy as np
 
         bk = _pq_books_np(codebooks)

@@ -5,10 +5,16 @@ budget, at the production shape dim=1024 / m=8 / ks=256 over a
 queries, recall@10 vs exact cosine (computed in numpy — the probe's
 ground truth, not a Spark job).
 
-Noise is sized so within-cluster neighbors are distinguishable (the
-regime where codes must carry fine structure — with near-zero noise
-every same-cluster vector quantizes identically and recall@k is
-degenerate for BOTH paths, see PLANS.md round-9 PQ note).
+Within-cluster variation is LOW-RANK (rank 16 per cluster) — the real
+embedding-table regime (text embeddings have low intrinsic dimension),
+and the one residual encoding targets: the coarse quantizer explains
+the cluster mean, leaving a low-dimensional residual the codebooks can
+actually capture. Full-rank isotropic noise at dim 1024 is
+unquantizable at any m·ks for BOTH paths (a first probe run measured
+residual 0.08 vs raw 0.15 recall there — ranking within a cluster was
+noise either way); with near-zero noise every same-cluster vector
+quantizes identically and recall@k is degenerate too (PLANS.md
+round-9 PQ note).
 
 Usage: python tools/pq_residual_probe.py
 Prints markdown rows for PLANS.md.
@@ -31,10 +37,15 @@ def main() -> None:
     from rs_graphdb_spark.session import get_spark
 
     n, dim, m, ks, cells, nq, k = 20_000, 1024, 8, 256, 32, 100, 10
+    rank = 16
     rs = np.random.RandomState(13)
     centers = rs.normal(0, 1.0, size=(cells, dim))
+    factors = rs.normal(0, 1.0, size=(cells, rank, dim))
     idx = np.arange(n) % cells
-    V = centers[idx] + rs.normal(0, 0.35, size=(n, dim))
+    coeff = rs.normal(0, 1.0, size=(n, rank))
+    # low-rank within-cluster structure, norm ≈ 1/3 of the center norm
+    V = centers[idx] + 0.09 * np.einsum(
+        "nr,nrd->nd", coeff, factors[idx])
 
     spark = get_spark("pq-residual-probe")
     spark.sparkContext.setLogLevel("ERROR")
