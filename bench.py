@@ -89,11 +89,23 @@ def _loadavg1() -> float:
         return -1.0
 
 
-#: a single calibration sample at/above this reads as a contaminated
-#: window on this box (idle ≈ 0.061-0.065; documented storms ≥ 0.075).
-#: r8 VERDICT item #2: endpoint-only sampling let bursts land BETWEEN
-#: calibrations — passes are now gated individually (see `measure`).
+#: FLOOR for the steal gate: a single calibration sample at/above
+#: max(this, _CALIB_REL × run-start floor) reads as a contaminated
+#: window. r8 VERDICT item #2: endpoint-only sampling let bursts land
+#: BETWEEN calibrations — passes are gated individually (see `measure`).
+#: r10 measurement fix: the r8/r9 box idled at 0.061-0.065 so 0.07 was a
+#: machine constant; the r10 box idles at 0.088-0.095 (40% slower
+#: single-thread), so EVERY pass of the r10 baseline run was rejected
+#: (276 rejections, all 46 queries "unquiet"). The threshold is now
+#: derived PER RUN from a startup floor sample (min of
+#: _CALIB_FLOOR_SAMPLES taken after the loadavg quiet wait — the min of
+#: that many samples is the best available estimate of this host's
+#: uncontaminated constant, since contamination only reads high), with
+#: the old absolute constants kept as hard floors so a contaminated
+#: startup can never LOOSEN the gate below r9 behavior on the r9 box.
 _CALIB_BAD = 0.07
+_CALIB_REL = 1.35  # idle spread on the r10 box: floor 0.088, quiet
+                   # cluster ≤ 1.1×, storm tail ≥ 1.6× — 1.35 splits them
 
 
 def _calib1(n: int = 2_000_000) -> float:
@@ -126,8 +138,17 @@ def _steal_calib() -> float:
 #: post-heavy-job GC tail brushes 0.074, and sustained streaming
 #: contention reads median 0.099 (two derivation runs; the
 #: antagonist's own spin-up can leak one low sample). Set above the
-#: quiet tail, below the contended median.
+#: quiet tail, below the contended median. r10: like _CALIB_BAD this is
+#: now a hard floor under a per-run derived threshold (_BW_REL × the
+#: startup floor) — the r10 box's bw floor is 0.048 with an idle tail
+#: brushing 0.073, so the absolute 0.08 still separates there, but the
+#: same host drift that broke the steal axis would break this one.
 _BW_BAD = 0.08
+_BW_REL = 1.6  # idle bw spread is wider than steal (page-cache /
+               # prefetch state): r10 idle 0.048-0.073 ≈ 1.5×; r9
+               # derivation put sustained contention at ≥ 2× idle floor
+
+_CALIB_FLOOR_SAMPLES = 12
 
 _BW_THREADS = 8
 _BW_WORDS = 4 * 1024 * 1024  # 32 MB per buffer (float64)
@@ -261,6 +282,18 @@ def main() -> None:
         time.sleep(10.0)
         quiet_waited += 10.0
         la_start = _loadavg1()
+    # Per-run gate thresholds (r10 measurement fix — see _CALIB_BAD):
+    # floor = min of N startup samples on each axis; threshold = REL ×
+    # floor, never below the r9 absolute constants. Contamination only
+    # reads high, so the min over a dozen samples converges on the
+    # host's true machine constant even through a moderately noisy
+    # startup window.
+    steal_samples = [_calib1() for _ in range(_CALIB_FLOOR_SAMPLES)]
+    bw_samples = [_bw_calib1() for _ in range(_CALIB_FLOOR_SAMPLES)]
+    steal_floor = min(steal_samples)
+    bw_floor = min(bw_samples)
+    calib_bad = max(_CALIB_BAD, round(_CALIB_REL * steal_floor, 4))
+    bw_bad = max(_BW_BAD, round(_BW_REL * bw_floor, 4))
     steal_calib_start = _steal_calib()
     bw_calib_start = _bw_calib()
     band = _prior_band(sf)
@@ -342,7 +375,7 @@ def main() -> None:
                 c = _calib1()
                 waited = time.time() - t0
                 b = _bw_calib1()
-                if ((c < _CALIB_BAD and b < _BW_BAD)
+                if ((c < calib_bad and b < bw_bad)
                         or waited > budget or wait_pool[0] <= 0):
                     wait_pool[0] -= waited
                     return c, b
@@ -355,8 +388,8 @@ def main() -> None:
             b1 = _bw_calib1()
             ts.append(t)
             calibs.append([c0, c1, b0, b1])
-            return t, (max(c0, c1) < _CALIB_BAD
-                       and max(b0, b1) < _BW_BAD)
+            return t, (max(c0, c1) < calib_bad
+                       and max(b0, b1) < bw_bad)
 
         while len(ts) < 6:
             t, ok = gated_pass()
@@ -463,6 +496,12 @@ def main() -> None:
         # stream calib at start/end — sustained outside-VM memory
         # pressure shows up here even when the busy loop reads clean.
         "bw_calib_sec": [bw_calib_start, bw_calib_end],
+        # r10 measurement fix: per-run gate thresholds (rel × startup
+        # floor, never below the r9 absolute constants) — the r9
+        # constants were machine constants of the r9 HOST and rejected
+        # every pass on the slower r10 host.
+        "calib_gate": {"steal_floor": steal_floor, "bw_floor": bw_floor,
+                       "steal_bad": calib_bad, "bw_bad": bw_bad},
     })
     print(compact)
     print(json.dumps({
@@ -470,7 +509,9 @@ def main() -> None:
         "extra_queries": extra,
         "runs_per_query": "until 2 calib-accepted passes agree in 25%"
                           " (cap 6); per-pass gates: steal"
-                          f" {_CALIB_BAD} / bandwidth {_BW_BAD};"
+                          f" {calib_bad} / bandwidth {bw_bad}"
+                          f" (= max(abs floor, rel x run floor"
+                          f" {steal_floor}/{bw_floor}));"
                           f" band flag at {_BAND_FACTOR}x cross-round"
                           " best (+<=4 extended passes);"
                           " pass_calib rows [steal0, steal1, bw0, bw1]",

@@ -55,23 +55,190 @@ def knn_bruteforce(
     vec_col: str,
     k: int = 10,
     query_id_col: str | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k most similar corpus
     vectors (self-matches excluded). Deterministic tie-break: similarity
-    desc, then neighbor id asc. The query side is broadcast — the corpus
-    never shuffles for the join."""
+    desc, then neighbor id asc. The query side is broadcast/collected (the
+    bounded side by contract) — the corpus never shuffles for the join.
+
+    ``engine``: 'expr' is the original JVM ``zip_with``/``aggregate``
+    form; 'arrow' scores each Arrow batch with a numpy kernel whose
+    summation ORDER is the expression path's exact left-to-right fold, so
+    the two engines are bit-identical (pytest-pinned) — the expr form
+    evaluates the fold via interpreted lambda steps (~1 µs/element: the
+    r10 bench measured 0.65 s for 10k dim-64 cosines, >100× the
+    arithmetic), and only per-batch top-k candidate rows leave Python.
+    'auto' = arrow."""
     qid = query_id_col or id_col
+    if engine not in ("auto", "expr", "arrow"):
+        raise ValueError(f"engine must be 'auto'|'expr'|'arrow', got {engine!r}")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    if engine in ("auto", "arrow"):
+        q_rows = [
+            (r["i"], r["v"])
+            for r in queries.select(
+                F.col(qid).alias("i"),
+                F.col(vec_col).cast("array<double>").alias("v")).collect()
+        ]
+        cand = _knn_bf_candidates_arrow(
+            corpus, id_col, vec_col, q_rows, k,
+            qid_dtype=queries.schema[qid].dataType)
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank")
+        )
     q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _knn_bf_candidates_arrow(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_rows: list[tuple],
+    k: int,
+    qid_dtype,
+) -> DataFrame:
+    """mapInArrow exact-cosine candidate scan: per batch, per query, the
+    dot/norm folds run vectorized across rows but element-by-element over
+    the dimension axis — ``acc += V[:, j] * q[j]`` — which is the SAME
+    IEEE-754 double operation sequence as the expression path's
+    ``aggregate(zip_with(...), 0.0, (s, v) -> s + v)``, so every cos is
+    bit-identical and the downstream window rank can never disagree with
+    the expr engine. Only the per-batch top-k rows per query leave Python
+    (global top-k ⊆ union of per-batch top-k under a total order), so
+    Arrow egress is O(batches · queries · k).
+
+    Expression-path null semantics, reproduced exactly: a corpus vector
+    whose length differs from the query's, is null, or contains a null
+    element gets a NULL cos (``zip_with`` pads mismatched lengths with
+    nulls → the fold is null); a zero norm gives NULL (``try_divide``);
+    NaN sorts FIRST on the descending rank (Spark NaN > +Inf) and nulls
+    LAST, ties break by neighbor id ascending (binary/UTF-8 order for
+    strings — identical to Python str order)."""
+    import numpy as np
+    import pyarrow as pa
+
+    nid_pa = _pa_type(corpus.schema[id_col].dataType)
+    qid_pa = _pa_type(qid_dtype)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    qid_type = qid_dtype.simpleString()
+
+    # per query: (qid, qvec np | None, norm | None, dim)
+    prepped = []
+    for qid_val, qv in q_rows:
+        if qv is None or any(x is None for x in qv):
+            prepped.append((qid_val, None, None, -1))
+            continue
+        qnp = np.asarray(qv, dtype=np.float64)
+        na2 = 0.0
+        for x in qnp:
+            na2 += x * x
+        prepped.append((qid_val, qnp, float(np.sqrt(na2)), len(qnp)))
+
+    def _topk_indices(key1, ids_np, idx_pool):
+        """Indices of the k candidate rows by (key1 asc, id asc)."""
+        if len(idx_pool) == 0:
+            return idx_pool
+        sub_key = key1[idx_pool]
+        # rank ids once (object-safe); lexsort on (id_rank, key1)
+        id_rank = np.empty(len(idx_pool), dtype=np.int64)
+        id_rank[np.argsort(ids_np[idx_pool], kind="stable")] = np.arange(
+            len(idx_pool))
+        order = np.lexsort((id_rank, sub_key))
+        return idx_pool[order[:k]]
+
+    def _fn(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            arr = batch.column(1)
+            n = len(arr)
+            if n == 0 or not prepped:
+                continue
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            ids_np = ids.to_numpy(zero_copy_only=False)
+            offs = arr.offsets.to_numpy(zero_copy_only=False)
+            avals = arr.values
+            lens = np.diff(offs)
+            fast = arr.null_count == 0 and avals.null_count == 0
+            if fast:
+                vnp = avals.to_numpy(zero_copy_only=False).astype(
+                    np.float64, copy=False)
+                row_ok = np.ones(n, dtype=bool)
+            else:
+                # element/row nulls present: per-row validity via pylist
+                vecs = arr.to_pylist()
+                row_ok = np.array(
+                    [v is not None and all(x is not None for x in v)
+                     for v in vecs], dtype=bool)
+            out_q, out_n, out_c = [], [], []
+            gathered: dict[int, tuple] = {}
+            for qid_val, qnp, na, dq in prepped:
+                key1 = np.full(n, np.inf)  # null cos sorts last
+                cos = np.full(n, np.nan)
+                valid = np.zeros(n, dtype=bool)
+                if qnp is not None:
+                    mask = row_ok & (lens == dq)
+                    midx = np.flatnonzero(mask)
+                    if len(midx):
+                        if dq not in gathered:
+                            if fast:
+                                v = vnp[offs[midx][:, None]
+                                        + np.arange(dq)[None, :]]
+                            else:
+                                v = np.asarray(
+                                    [vecs[i] for i in midx],
+                                    dtype=np.float64)
+                            nb2 = np.zeros(len(midx))
+                            for j in range(dq):
+                                col = v[:, j]
+                                nb2 += col * col
+                            gathered[dq] = (midx, v, np.sqrt(nb2))
+                        midx, v, nb = gathered[dq]
+                        dot = np.zeros(len(midx))
+                        for j in range(dq):
+                            dot += v[:, j] * qnp[j]
+                        denom = na * nb
+                        c = np.where(denom != 0.0, dot / np.where(
+                            denom != 0.0, denom, 1.0), np.nan)
+                        ok = denom != 0.0
+                        cos[midx] = c
+                        valid[midx] = ok
+                        key1[midx[ok]] = np.where(
+                            np.isnan(c[ok]), -np.inf, -c[ok])
+                # self-match exclusion
+                pool = np.flatnonzero(ids_np != qid_val)
+                top = _topk_indices(key1, ids_np, pool)
+                for i in top:
+                    out_q.append(qid_val)
+                    out_n.append(ids_np[i])
+                    out_c.append(float(cos[i]) if valid[i] else None)
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out_q, type=qid_pa),
+                     pa.array(out_n, type=nid_pa),
+                     pa.array(out_c, type=pa.float64())],
+                    ["query_id", "neighbor_id", "cos"],
+                )
+
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).mapInArrow(
+        _fn,
+        f"query_id {qid_type}, neighbor_id {id_type}, cos double",
     )
 
 

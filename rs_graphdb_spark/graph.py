@@ -143,6 +143,17 @@ class PropertyGraph:
 
     nodes: dict[str, DataFrame] = field(default_factory=dict)
     edges: dict[str, EdgeSet] = field(default_factory=dict)
+    #: True when every edge endpoint is guaranteed to exist in its label's
+    #: node table AND node ids are unique per label (the loader-built
+    #: graphs: edge sets are derived from the same source tables as the
+    #: nodes, with FK integrity). Lets Query skip the hop's target-node
+    #: attribute join when only the hop multiplicity is consumed (a
+    #: count() after out() — the join is then a 1:1 attach that changes
+    #: nothing). DML preserves closure (create adds nodes only; delete
+    #: cascades incident edges), so the flag survives dc_replace. Graphs
+    #: assembled ad hoc (Cypher CREATE paths) default to False and keep
+    #: the full join.
+    edge_integrity: bool = False
 
     # -- scans ------------------------------------------------------------
     def label_scan(self, label: str) -> DataFrame:

@@ -51,7 +51,10 @@ def _nid(label: str, key_col: str):
 def load_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     t = read_tables(spark, sf_dir)
 
-    g = PropertyGraph()
+    # edge_integrity: every edge set below is derived from the same raw
+    # tables as its endpoint node tables with TPC-H FK integrity — no
+    # dangling endpoints, unique ids (arithmetic label_base + unique key).
+    g = PropertyGraph(edge_integrity=True)
     g.nodes["Region"] = t["region"].select(_nid("Region", "r_regionkey"), "*")
     g.nodes["Nation"] = t["nation"].select(_nid("Nation", "n_nationkey"), "*")
     g.nodes["Customer"] = t["customer"].select(_nid("Customer", "c_custkey"), "*")

@@ -36,11 +36,22 @@ class Query:
     graph: PropertyGraph
     frontier: DataFrame | None = None
     label: str | None = None
+    #: Narrow twin of ``frontier`` after a hop: the hop output BEFORE the
+    #: target-node attribute join (columns: id + edge_cols + carry). Only
+    #: set when ``graph.edge_integrity`` holds — the skipped join is then
+    #: a 1:1 attribute attach (unique ids, no dangling endpoints), so any
+    #: consumer that needs none of the target's node columns (count after
+    #:  a hop chain, aggregates over edge/carry columns, the next hop's
+    #: src ids) can read this frame instead and drop the node-table scan
+    #: + broadcast from the plan entirely. Reset to None by every step
+    #: whose result depends on columns this frame may not carry.
+    hop_frontier: DataFrame | None = None
 
     # -- sources ---------------------------------------------------------
     def from_label(self, label: str) -> "Query":
         """Label scan (`src/query.rs:43-57`)."""
-        return replace(self, frontier=self.graph.nodes[label], label=label)
+        return replace(self, frontier=self.graph.nodes[label], label=label,
+                       hop_frontier=None)
 
     def from_label_and_prop_eq(self, label: str, key: str, value) -> "Query":
         """Point lookup (`src/query.rs:60-79`). The hash-index probe of the
@@ -49,7 +60,8 @@ class Query:
 
     # -- filters ---------------------------------------------------------
     def where(self, cond: Column) -> "Query":
-        return replace(self, frontier=self.frontier.filter(cond))
+        return replace(self, frontier=self.frontier.filter(cond),
+                       hop_frontier=None)
 
     def where_prop_eq(self, key: str, value) -> "Query":
         """`src/query.rs:82-111` (Text and Int variants, generalized)."""
@@ -92,9 +104,17 @@ class Query:
             F.col("src"), F.col("dst").alias("__dst"),
             *[F.col(c) for c in edge_cols],
         )
+        # A chained hop needs only (id, carry) from the previous step —
+        # when the narrow hop_frontier carries those, start from it and
+        # the intermediate node table never enters the plan.
+        src_frame = self.frontier
+        if self.hop_frontier is not None and all(
+            c in self.hop_frontier.columns for c in carry
+        ):
+            src_frame = self.hop_frontier
         hopped = (
-            self.frontier.select(F.col("id").alias("src"),
-                                 *[F.col(c) for c in carry])
+            src_frame.select(F.col("id").alias("src"),
+                             *[F.col(c) for c in carry])
             .join(edge, "src")
             .select(F.col("__dst").alias("id"), *edge_cols, *carry)
         )
@@ -102,7 +122,9 @@ class Query:
             hopped = hopped.dropDuplicates(["id"])
         target = self.graph.nodes[es.dst_label]
         out = hopped.join(target, "id")
-        return replace(self, frontier=out, label=es.dst_label)
+        return replace(self, frontier=out, label=es.dst_label,
+                       hop_frontier=hopped
+                       if self.graph.edge_integrity else None)
 
     def out(self, rel_type: str, dedup: bool = False,
             edge_cols: tuple[str, ...] = (),
@@ -126,16 +148,22 @@ class Query:
         semi-join analog of reference `has_path` (`src/algorithms/
         shortest_path.rs:314-323`) at hop depth 1."""
         es = self.graph.edges[rel_type]
-        return replace(self, frontier=self.frontier.join(
-            es.df.select(F.col("src").alias("id")), "id", "left_semi"))
+        keys = es.df.select(F.col("src").alias("id"))
+        return replace(
+            self, frontier=self.frontier.join(keys, "id", "left_semi"),
+            hop_frontier=self.hop_frontier.join(keys, "id", "left_semi")
+            if self.hop_frontier is not None else None)
 
     def anti_out(self, rel_type: str) -> "Query":
         """Keep frontier nodes with NO outgoing edge of the type (the
         MERGE "no match → create" branch, `src/cypher/executor.rs:962-1018`,
         as a standalone anti-join)."""
         es = self.graph.edges[rel_type]
-        return replace(self, frontier=self.frontier.join(
-            es.df.select(F.col("src").alias("id")), "id", "left_anti"))
+        keys = es.df.select(F.col("src").alias("id"))
+        return replace(
+            self, frontier=self.frontier.join(keys, "id", "left_anti"),
+            hop_frontier=self.hop_frontier.join(keys, "id", "left_anti")
+            if self.hop_frontier is not None else None)
 
     def optional_out(self, rel_type: str, edge_cols: tuple[str, ...] = ()
                      ) -> "Query":
@@ -149,7 +177,7 @@ class Query:
             *[F.col(c) for c in edge_cols],
         )
         out = self.frontier.join(edge, "id", "left_outer")
-        return replace(self, frontier=out)
+        return replace(self, frontier=out, hop_frontier=None)
 
     def out_variable_length(self, rel_type: str, min_hops: int,
                             max_hops: int | None) -> "Query":
@@ -166,9 +194,12 @@ class Query:
             min_hops=min_hops, max_hops=max_hops, direction="out",
         )
         if dst_label is None:
-            return replace(self, frontier=ids, label=None)
-        return replace(self, frontier=ids.join(self.graph.nodes[dst_label], "id"),
-                       label=dst_label)
+            return replace(self, frontier=ids, label=None,
+                           hop_frontier=None)
+        return replace(self,
+                       frontier=ids.join(self.graph.nodes[dst_label], "id"),
+                       label=dst_label, hop_frontier=ids
+                       if self.graph.edge_integrity else None)
 
     def _variable_length(self, rel_type: str, min_hops: int,
                          max_hops: int | None, direction: str) -> "Query":
@@ -179,9 +210,12 @@ class Query:
             min_hops=min_hops, max_hops=max_hops, direction=direction,
         )
         if dst_label is None:
-            return replace(self, frontier=ids, label=None)
-        return replace(self, frontier=ids.join(self.graph.nodes[dst_label], "id"),
-                       label=dst_label)
+            return replace(self, frontier=ids, label=None,
+                           hop_frontier=None)
+        return replace(self,
+                       frontier=ids.join(self.graph.nodes[dst_label], "id"),
+                       label=dst_label, hop_frontier=ids
+                       if self.graph.edge_integrity else None)
 
     def in_variable_length(self, rel_type: str, min_hops: int,
                            max_hops: int | None) -> "Query":
@@ -196,7 +230,10 @@ class Query:
     # -- dedup / sort / pagination (§2.6) --------------------------------
     def distinct(self) -> "Query":
         """Frontier dedup by node id (`src/query.rs:357-362`)."""
-        return replace(self, frontier=self.frontier.dropDuplicates(["id"]))
+        return replace(
+            self, frontier=self.frontier.dropDuplicates(["id"]),
+            hop_frontier=self.hop_frontier.dropDuplicates(["id"])
+            if self.hop_frontier is not None else None)
 
     def order_by(self, *keys, asc: bool = True) -> "Query":
         """Sort, missing-last in both directions (`src/query.rs:441-468`).
@@ -210,14 +247,17 @@ class Query:
             cols.append(
                 F.col(name).asc_nulls_last() if up else F.col(name).desc_nulls_last()
             )
-        return replace(self, frontier=self.frontier.orderBy(*cols))
+        return replace(self, frontier=self.frontier.orderBy(*cols),
+                       hop_frontier=None)
 
     def skip(self, n: int) -> "Query":
         """`src/query.rs:371-378` → native OFFSET."""
-        return replace(self, frontier=self.frontier.offset(n))
+        return replace(self, frontier=self.frontier.offset(n),
+                       hop_frontier=None)
 
     def limit(self, n: int) -> "Query":
-        return replace(self, frontier=self.frontier.limit(n))
+        return replace(self, frontier=self.frontier.limit(n),
+                       hop_frontier=None)
 
     def paginate(self, offset: int, count: int) -> "Query":
         """`src/query.rs:419-438`; identity paginate(o, c) == skip(o).limit(c)."""
@@ -226,7 +266,9 @@ class Query:
     # -- set ops (§2.7) ---------------------------------------------------
     def union_all(self, other: "Query") -> "Query":
         """UNION ALL (`src/cypher/executor.rs:1653-1668`)."""
-        return replace(self, frontier=self.frontier.unionByName(other.frontier))
+        return replace(self,
+                       frontier=self.frontier.unionByName(other.frontier),
+                       hop_frontier=None)
 
     def union(self, other: "Query") -> "Query":
         """UNION dedup-by-node-id (`src/cypher/executor.rs:1669-1682`)."""
@@ -242,20 +284,33 @@ class Query:
         return self.frontier
 
     # -- terminal aggregates (§2.4), generalized to all numeric types ----
+    def _agg_frame(self, *needed: str) -> DataFrame:
+        """The cheapest frame that can serve a terminal aggregate: the
+        narrow post-hop frame when it carries every referenced column
+        (dropping the target node scan+join from the plan), else the full
+        frontier. Resolution is by column name — hop columns (edge_cols /
+        carry) never shadow target-node columns because the attribute
+        join would have made such names ambiguous downstream already."""
+        if self.hop_frontier is not None and all(
+            c in self.hop_frontier.columns for c in needed
+        ):
+            return self.hop_frontier
+        return self.frontier
+
     def count(self, alias: str = "cnt") -> DataFrame:
-        return self.frontier.agg(F.count("*").alias(alias))
+        return self._agg_frame().agg(F.count("*").alias(alias))
 
     def sum_(self, key: str, alias: str = "sum_val") -> DataFrame:
-        return self.frontier.agg(F.sum(key).alias(alias))
+        return self._agg_frame(key).agg(F.sum(key).alias(alias))
 
     def avg_(self, key: str, alias: str = "avg_val") -> DataFrame:
-        return self.frontier.agg(F.avg(key).alias(alias))
+        return self._agg_frame(key).agg(F.avg(key).alias(alias))
 
     def min_(self, key: str, alias: str = "min_val") -> DataFrame:
-        return self.frontier.agg(F.min(key).alias(alias))
+        return self._agg_frame(key).agg(F.min(key).alias(alias))
 
     def max_(self, key: str, alias: str = "max_val") -> DataFrame:
-        return self.frontier.agg(F.max(key).alias(alias))
+        return self._agg_frame(key).agg(F.max(key).alias(alias))
 
     def stdev(self, key: str, alias: str = "stdev_val",
               population: bool = False) -> DataFrame:
@@ -263,22 +318,23 @@ class Query:
         σ for the Cypher path (`src/cypher/executor.rs:482-501`) — exposed
         as a flag instead of two mismatched entry points (quirk #8)."""
         fn = F.stddev_pop if population else F.stddev_samp
-        return self.frontier.agg(fn(key).alias(alias))
+        return self._agg_frame(key).agg(fn(key).alias(alias))
 
     def variance(self, key: str, alias: str = "var_val") -> DataFrame:
-        return self.frontier.agg(F.var_samp(key).alias(alias))
+        return self._agg_frame(key).agg(F.var_samp(key).alias(alias))
 
     def percentile_cont(self, key: str, q: float,
                         alias: str = "percentile_val") -> DataFrame:
         """Linear-interpolation percentile (`src/cypher/executor.rs:532-573`)."""
-        return self.frontier.agg(F.percentile(F.col(key), F.lit(q)).alias(alias))
+        return self._agg_frame(key).agg(
+            F.percentile(F.col(key), F.lit(q)).alias(alias))
 
     def percentile_disc(self, key: str, q: float,
                         alias: str = "percentile_val") -> DataFrame:
         """Discrete percentile (`src/cypher/executor.rs:574-579`): the
         reference floor-indexes the sorted values; SQL percentile_disc
         (inverse-CDF) matches that for q in (0,1]."""
-        return self.frontier.agg(
+        return self._agg_frame(key).agg(
             F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {key})")
             .cast("double").alias(alias)
         )
@@ -286,14 +342,23 @@ class Query:
     def group_by_agg(self, keys: list[str], aggs: dict[str, Column]) -> DataFrame:
         """Explicit GROUP BY (`src/cypher/parser.rs:589-613`): nulls group
         natively (the reference stringifies to a "NULL" bucket)."""
-        return self.frontier.groupBy(*keys).agg(
-            *[c.alias(a) for a, c in aggs.items()]
-        )
+        cols = [c.alias(a) for a, c in aggs.items()]
+        if self.hop_frontier is not None:
+            # The agg expressions are opaque Columns — probe by analysis:
+            # DataFrame construction analyzes eagerly, so a reference to a
+            # column only the full frontier carries raises here and falls
+            # through to the wide frame.
+            try:
+                return self.hop_frontier.groupBy(*keys).agg(*cols)
+            except Exception:
+                pass
+        return self.frontier.groupBy(*keys).agg(*cols)
 
     def collect_(self, key: str, alias: str = "collected") -> DataFrame:
         """COLLECT(prop) (`src/cypher/executor.rs:478-481`). Sorted for
         deterministic comparison — collect_list order is partition-dependent."""
-        return self.frontier.agg(F.sort_array(F.collect_list(key)).alias(alias))
+        return self._agg_frame(key).agg(
+            F.sort_array(F.collect_list(key)).alias(alias))
 
 
 @dataclass
