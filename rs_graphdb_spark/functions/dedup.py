@@ -1358,6 +1358,98 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot, na * nb)
 
 
+def cosine_pairs_arrow(df: DataFrame, a_col: str, b_col: str,
+                       alias: str = "cos") -> DataFrame:
+    """:func:`cosine` over per-row vector pairs as a fold-left Arrow
+    kernel: every other column passes through untouched; the two vector
+    columns are consumed and replaced by one ``alias`` double.
+
+    Bit-identical to the expression form — the dot/norm folds run
+    vectorized across ROWS but element-by-element over the dimension
+    axis (``acc += A[:, j] * B[:, j]``), the exact IEEE-754 sequence of
+    ``aggregate(zip_with(...), 0.0, (s, v) -> s + v)`` — because the
+    expression form pays ~1 µs per interpreted HOF element step (HOF
+    lambdas never reach codegen; the r10 bench measured 0.65 s for 10k
+    dim-64 cosines). Null semantics reproduced exactly: length-mismatch
+    pairs (``zip_with`` pads with nulls), null vectors, null elements
+    and zero norms (``try_divide``) all yield NULL."""
+    import numpy as np
+    import pyarrow as pa
+
+    other = [c for c in df.columns if c not in (a_col, b_col)]
+    in_df = df.select(
+        *other,
+        F.col(a_col).cast("array<double>").alias("_ca"),
+        F.col(b_col).cast("array<double>").alias("_cb"),
+    )
+    ddl = ", ".join(
+        f"`{c}` {in_df.schema[c].dataType.simpleString()}" for c in other
+    )
+    ddl = (ddl + ", " if ddl else "") + f"`{alias}` double"
+    ia, ib = len(other), len(other) + 1
+
+    def _row_clean(arr):
+        """(values_np | pylist, offsets, row-validity) for one list col."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        vals = arr.values
+        if arr.null_count == 0 and vals.null_count == 0:
+            return (vals.to_numpy(zero_copy_only=False), offs,
+                    np.ones(len(arr), dtype=bool), None)
+        lst = arr.to_pylist()
+        ok = np.array(
+            [v is not None and all(x is not None for x in v) for v in lst],
+            dtype=bool)
+        return None, offs, ok, lst
+
+    def _fn(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            va, offa, oka, lsta = _row_clean(batch.column(ia))
+            vb, offb, okb, lstb = _row_clean(batch.column(ib))
+            lens_a = np.diff(offa)
+            lens_b = np.diff(offb)
+            cos = np.full(n, np.nan)
+            valid = np.zeros(n, dtype=bool)
+            ok = oka & okb & (lens_a == lens_b)
+            for d in np.unique(lens_a[ok]):
+                idx = np.flatnonzero(ok & (lens_a == d))
+                if d == 0:
+                    continue  # zero-dim: norms 0 -> try_divide NULL
+                if va is not None:
+                    A = va[offa[idx][:, None] + np.arange(d)[None, :]]
+                else:
+                    A = np.asarray([lsta[i] for i in idx], dtype=np.float64)
+                if vb is not None:
+                    B = vb[offb[idx][:, None] + np.arange(d)[None, :]]
+                else:
+                    B = np.asarray([lstb[i] for i in idx], dtype=np.float64)
+                dot = np.zeros(len(idx))
+                na2 = np.zeros(len(idx))
+                nb2 = np.zeros(len(idx))
+                for j in range(d):
+                    ca, cb = A[:, j], B[:, j]
+                    dot += ca * cb
+                    na2 += ca * ca
+                    nb2 += cb * cb
+                denom = np.sqrt(na2) * np.sqrt(nb2)
+                good = denom != 0.0
+                cos[idx] = np.where(
+                    good, dot / np.where(good, denom, 1.0), np.nan)
+                valid[idx] = good
+            out = [None if not valid[i] else float(cos[i]) for i in range(n)]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(len(other))]
+                + [pa.array(out, type=pa.float64())],
+                other + [alias],
+            )
+
+    return in_df.mapInArrow(_fn, ddl)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:
@@ -1372,8 +1464,9 @@ def embedding_near_dup_pairs(
     x = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     y = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (
-        x.join(y, F.col("a") < F.col("b"))
-        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        cosine_pairs_arrow(
+            x.join(y, F.col("a") < F.col("b")).select("a", "b", "va", "vb"),
+            "va", "vb")
         .filter(F.col("cos") >= threshold)
     )
 

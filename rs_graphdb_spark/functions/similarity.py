@@ -24,7 +24,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from rs_graphdb_spark.functions.dedup import cosine
+from rs_graphdb_spark.functions.dedup import cosine, cosine_pairs_arrow
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 0x5EED) -> list[list[float]]:
@@ -292,11 +292,11 @@ def knn_lsh(
             F.col(vec_col).alias("qv"),
             qcode.alias("code"),
         )
-    scored = (
+    scored = cosine_pairs_arrow(
         c.join(F.broadcast(q), "code")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
-    )
+        .select("query_id", "neighbor_id", "qv", "cv"),
+        "qv", "cv")
     if multi_probe:  # a neighbor can collide on several probe codes
         scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -317,7 +317,7 @@ def knn_lsh_banded(
     planes_per_table: int = 4,
     dim: int = 64,
     seed: int = 0x5EED,
-    arrow_codes_above: int = 10_000,
+    arrow_codes_above: int = 0,
 ) -> DataFrame:
     """Amplified (multi-table) approximate top-k — the production ANN
     recall shape: ``tables`` independent hash tables of
@@ -336,18 +336,18 @@ def knn_lsh_banded(
     write them bucketed by (tbl, code) so probes prune partitions); the
     query side broadcasts; rerank touches only distinct candidates.
 
-    Code computation routes by corpus size: the expression form costs
-    T·p·dim interpreted HOF ops PER ROW (HOF dots never codegen —
-    measured 5.8 s for 50k rows at T=8, p=4, dim=64); above
-    ``arrow_codes_above`` rows BOTH sides' codes come from one
-    ``mapInArrow`` numpy GEMM (V @ planesᵀ, ~0.1 s for the same input).
-    Sides must agree bit-for-bit on bucket codes, so the route is
-    all-or-nothing; the driver-oracle fixture (500 rows) stays on the
-    expression path, whose left-fold dot matches the SQL twin exactly,
-    and expr≡arrow parity is pytest-pinned."""
-    # arrow_codes_above <= 0 forces the GEMM path WITHOUT the routing
-    # count action (parquet counts are footer-cheap; an arbitrary
-    # upstream plan's count may not be)
+    Code computation defaults to the Arrow kernel at EVERY size (r10):
+    the expression form costs T·p·dim interpreted HOF ops PER ROW (HOF
+    dots never codegen — measured 5.8 s for 50k rows at T=8, p=4,
+    dim=64, and 2.5 s of the 4.3 s r10 q123 bench at only 2k rows); the
+    ``mapInArrow`` kernel now accumulates with the expression fold's
+    exact left-to-right IEEE order, so codes are bit-identical to the
+    SQL twin at any size and the old ≥10k-row routing gate (plus its
+    corpus.count() action) is gone. ``arrow_codes_above > 0`` keeps the
+    legacy size-gated routing for the expr≡arrow parity pytest.
+
+    The rerank also dedups multi-table collisions AFTER the kernel cos,
+    so the exchange carries (id, id, cos), not the vector payloads."""
     use_arrow = (
         True if arrow_codes_above <= 0
         else corpus.count() > arrow_codes_above
@@ -378,13 +378,18 @@ def knn_lsh_banded(
     c = with_codes(corpus, "neighbor_id", "cv")
     q = with_codes(queries, "query_id", "qv")
     cand = (
-        c.join(F.broadcast(q), ["tbl", "code"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        # a pair colliding in several tables carries identical vectors —
-        # dedupe BEFORE the cosine so rerank touches each candidate once
+        cosine_pairs_arrow(
+            c.join(F.broadcast(q), ["tbl", "code"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "qv", "cv"),
+            "qv", "cv")
+        # a pair colliding in several tables scores identically — dedupe
+        # AFTER the (cheap, map-side) kernel so the exchange ships
+        # (id, id, cos) rows, not the two vectors (guide §2.3: shuffle
+        # keys + metadata, never payloads; the duplicate scoring is at
+        # most T× of a vectorized kernel, the old order shuffled ~1 KB of
+        # vector per candidate row to save it)
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id",
-                cosine(F.col("qv"), F.col("cv")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id"))
@@ -425,11 +430,33 @@ def _banded_codes_arrow(
             ids = batch.column(0).to_numpy(zero_copy_only=False)
             vecs = batch.column(1).to_pylist()
             n = len(ids)
-            v = np.asarray(vecs, dtype=np.float64).reshape(n, dim)
-            bits = (v @ planes.T) >= 0.0  # (n, T·p)
-            codes = (
-                bits.reshape(n, tables, planes_per_table) @ weights
-            ).astype(np.int64)  # (n, T)
+            # Fold-left accumulation over the dimension axis — the exact
+            # IEEE-754 op order of the expression form's
+            # aggregate(zip_with(...)) fold, so arrow and expr codes are
+            # bit-identical and the route no longer needs a size gate to
+            # protect twin parity (sign bits only disagree when the dot
+            # lands within summation-order noise of 0.0).
+            clean = np.array(
+                [v is not None and len(v) == dim
+                 and all(x is not None for x in v) for v in vecs],
+                dtype=bool)
+            codes = np.zeros((n, tables), dtype=np.int64)
+            cidx = np.flatnonzero(clean)
+            if len(cidx):
+                v = np.asarray([vecs[i] for i in cidx], dtype=np.float64)
+                acc = np.zeros((len(cidx), planes.shape[0]))
+                for j in range(dim):
+                    acc += v[:, j][:, None] * planes[None, :, j]
+                # Spark NaN semantics: NaN compares greater than any
+                # value, so `NaN >= 0` is TRUE there (numpy says False)
+                bits = (acc >= 0.0) | np.isnan(acc)  # (nc, T·p)
+                codes[cidx] = (
+                    bits.reshape(len(cidx), tables, planes_per_table)
+                    @ weights
+                ).astype(np.int64)
+            # dirty rows (null / ragged / null element): the expression
+            # path's fold is NULL, `when(NULL >= 0)` falls to the
+            # otherwise(0) branch for every bit — code 0 in every table.
             rep = np.repeat(np.arange(n), tables)
             yield pa.RecordBatch.from_arrays(
                 [
@@ -838,12 +865,12 @@ def knn_ivf(
             F.transform(F.slice(order, 1, n_probe), lambda s: s["i"].cast("int"))
         ).alias("cell"),
     )
-    scored = (
+    scored = cosine_pairs_arrow(
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+        .select("query_id", "neighbor_id", "qv", "cv"),
+        "qv", "cv",
+    ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

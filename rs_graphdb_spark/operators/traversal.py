@@ -24,6 +24,12 @@ from rs_graphdb_spark.graph import PropertyGraph
 
 CHECKPOINT_EVERY = 5
 
+#: bounded expansions at or below this depth compose one lazy plan (no
+#: per-level checkpoints / emptiness probes — see `expand`); deeper or
+#: unbounded expansions keep the eager loop whose checkpoints bound
+#: lineage and whose emptiness test terminates the fixpoint.
+_LAZY_MAX_HOPS = 3
+
 
 def _edges_for(graph: PropertyGraph, rel_type: str, direction: str):
     es = graph.edges[rel_type]
@@ -60,6 +66,38 @@ def expand(
     edges, dst_label = _edges_for(graph, rel_type, direction)
     es = graph.edges[rel_type]
     homogeneous = es.src_label == es.dst_label
+
+    # Shallow bounded expansions (*1..2 and friends): build ONE lazy plan
+    # instead of the eager per-level loop. The loop costs ~4 driver-
+    # synchronized jobs per level (edge materialization, level checkpoint,
+    # emptiness probe, visited union) — pure latency for depths the plan
+    # optimizer handles fine; lineage depth is bounded by the hop count so
+    # checkpointing buys nothing, and an empty level just unions an empty
+    # frame (the early break is an optimization, not a semantics change).
+    # The edge frame is referenced max_hops times (≤3 scans of the source
+    # parquet) instead of being materialized once — cheaper on both ends.
+    if max_hops is not None and max_hops <= _LAZY_MAX_HOPS:
+        start = frontier_ids.select("id").dropDuplicates(["id"])
+        visited = start
+        current = start
+        result = start if min_hops == 0 else None
+        for depth in range(1, max_hops + 1):
+            nxt = (
+                current.join(edges, current["id"] == edges["src"])
+                .select(F.col("dst").alias("id"))
+                .dropDuplicates(["id"])
+                .join(visited, "id", "left_anti")
+            )
+            visited = visited.unionByName(nxt)
+            if depth >= min_hops:
+                result = nxt if result is None else result.unionByName(nxt)
+            current = nxt
+            if not homogeneous:
+                break
+        if result is None:
+            result = start.limit(0)
+        out_label = dst_label if (min_hops > 0 or homogeneous) else None
+        return result.dropDuplicates(["id"]), out_label
 
     # Materialize the edge list once: derived edge sets (windows, joins)
     # must not be recomputed every BFS level. At cluster scale this is a

@@ -276,7 +276,18 @@ class Query:
 
     # -- projection -------------------------------------------------------
     def select(self, *cols) -> DataFrame:
-        """RETURN projection — terminal, yields the DataFrame."""
+        """RETURN projection — terminal, yields the DataFrame. Served from
+        the narrow post-hop frame when it can resolve every projected
+        column (analysis is eager, so a miss raises and falls through) —
+        an id-only RETURN after a traversal then never scans the target
+        node table. Star projections always use the full frontier (a
+        narrow "*" would succeed with the wrong column set)."""
+        star = any(isinstance(c, str) and "*" in c for c in cols)
+        if self.hop_frontier is not None and not star:
+            try:
+                return self.hop_frontier.select(*cols)
+            except Exception:
+                pass
         return self.frontier.select(*cols)
 
     @property
