@@ -4035,9 +4035,10 @@ def q128_warc_wet(spark, sf_dir):
     walk, WARC grammar, HTTP split, html_to_text — per-doc WET md5s."""
     from rs_graphdb_spark.sources.warc import documents_as_warc, warc_to_wet
 
-    docs = _read(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # no fan-out repartition: documents_as_warc hash-repartitions by
+    # warc_id itself now — a preceding round-robin shuffle of the text
+    # column was a second full exchange of the corpus for nothing
+    docs = _read(spark, sf_dir, "documents")
     wet = warc_to_wet(documents_as_warc(docs, corrupt_every=97))
     return wet.select(
         "warc_id", "url", F.md5("wet_text").alias("wm"))

@@ -37,12 +37,31 @@ def _sq_dist(vec, centroid: list[float]):
     )
 
 
-def _assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+#: `_assign` routes to the Arrow kernel at/above this k·dim: below it the
+#: per-task Python worker roundtrip outweighs the interpreted-HOF cost
+#: (the q50 oracle fixtures at k=4·dim=16 stay on the expression path,
+#: which is the twin-pinned configuration anyway — the kernel is
+#: bit-exact, so the route is a pure cost decision).
+_ASSIGN_ARROW_MIN_KDIM = 128
+
+
+def _assign(df: DataFrame, vec_col: str, centroids: list[list[float]],
+            engine: str = "auto") -> DataFrame:
     """Add a `cluster` column: argmin squared distance, ties → lowest index.
 
     `array_min` over `struct(dist, idx)` compares lexicographically, which
-    is exactly (min dist, then min index).
-    """
+    is exactly (min dist, then min index). Above `_ASSIGN_ARROW_MIN_KDIM`
+    the distances come from a fold-left Arrow kernel instead of k·dim
+    interpreted HOF steps per row — bit-identical (same IEEE op order,
+    dirty-row/NaN semantics pinned by test_clustering parity tests)."""
+    if engine not in ("auto", "expr", "arrow"):
+        raise ValueError(f"engine must be auto|expr|arrow, got {engine!r}")
+    k = len(centroids)
+    dim = len(centroids[0]) if k else 0
+    if engine == "arrow" or (
+        engine == "auto" and k * dim >= _ASSIGN_ARROW_MIN_KDIM
+    ):
+        return _assign_arrow(df, vec_col, centroids)
     pairs = F.array(
         *[
             F.struct(
@@ -53,6 +72,89 @@ def _assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFr
         ]
     )
     return df.withColumn("cluster", F.array_min(pairs)["c"])
+
+
+def _assign_arrow(df: DataFrame, vec_col: str,
+                  centroids: list[list[float]]) -> DataFrame:
+    """Fold-left Arrow twin of the `_assign` expression: per batch the
+    squared distances accumulate element-by-element over the dimension
+    axis (``t = V[:, j] − c[j]; d += t·t`` — the exact zip_with/aggregate
+    IEEE sequence), so the argmin can never disagree with the expression
+    path. Expression dirty-row semantics reproduced: a null / ragged /
+    null-element vector nulls EVERY distance (zip_with padding) and the
+    struct array_min then falls to the lowest index — cluster 0; NaN
+    distances sort ABOVE +Inf (Spark NaN ordering), all-NaN rows tie to
+    cluster 0. Every input column passes through untouched."""
+    import numpy as np
+    import pyarrow as pa
+
+    cents = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    k, dim = cents.shape
+    names = df.columns
+    vec_idx = names.index(vec_col)
+    in_df = df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+    ddl = ", ".join(
+        f"`{c}` {in_df.schema[c].dataType.simpleString()}" for c in names
+    ) + ", `cluster` int"
+
+    def _fn(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            arr = batch.column(vec_idx)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            offs = arr.offsets.to_numpy(zero_copy_only=False)
+            vals = arr.values
+            lens = np.diff(offs)
+            if arr.null_count == 0 and vals.null_count == 0:
+                clean = lens == dim
+            else:
+                lst = arr.to_pylist()
+                clean = np.array(
+                    [v is not None and len(v) == dim
+                     and all(x is not None for x in v) for v in lst],
+                    dtype=bool)
+            cluster = np.zeros(n, dtype=np.int32)  # dirty rows -> 0
+            cidx = np.flatnonzero(clean)
+            if len(cidx):
+                if arr.null_count == 0 and vals.null_count == 0:
+                    vnp = vals.to_numpy(zero_copy_only=False)
+                    V = vnp[offs[cidx][:, None] + np.arange(dim)[None, :]]
+                else:
+                    V = np.asarray([lst[i] for i in cidx], dtype=np.float64)
+                D = np.zeros((len(cidx), k))
+                for c in range(k):
+                    d = np.zeros(len(cidx))
+                    row = cents[c]
+                    for j in range(dim):
+                        t = V[:, j] - row[j]
+                        d += t * t
+                    D[:, c] = d
+                nan_mask = np.isnan(D)
+                Dm = np.where(nan_mask, np.inf, D)
+                cl = np.argmin(Dm, axis=1).astype(np.int32)
+                # rows mixing a true +Inf distance with a NaN one would
+                # tie under the masking; resolve those exactly (Spark:
+                # NaN > +Inf, ties to the lowest index)
+                odd = nan_mask.any(axis=1) & np.isinf(D).any(axis=1)
+                for p in np.flatnonzero(odd):
+                    best, bd = 0, None
+                    for c in range(k):
+                        dv = D[p, c]
+                        keyv = (1, 0.0) if np.isnan(dv) else (0, dv)
+                        if bd is None or keyv < bd:
+                            bd, best = keyv, c
+                    cl[p] = best
+                cluster[cidx] = cl
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(len(names))]
+                + [pa.array(cluster, type=pa.int32())],
+                names + ["cluster"],
+            )
+
+    return in_df.mapInArrow(_fn, ddl)
 
 
 def kmeans(
