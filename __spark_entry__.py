@@ -4135,14 +4135,13 @@ def q130_tokpack(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     m, v = bpe_train(docs, "text", num_merges=6)
     art = bpe_artifact(m, v)
+    # per-doc id count only — a plain partial-aggregated sum of sizes;
+    # the old collect_list + array_sort + flatten materialized every
+    # doc's full id sequence into one array to measure its length
     doc_ids = (
         bpe_encode_ids(docs, "doc_id", "text", art)
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(
-            F.struct(F.col("word_idx"), F.col("ids")))).alias("ws"))
-        .select("doc_id",
-                F.size(F.flatten(F.transform("ws", lambda s: s["ids"])))
-                .cast("long").alias("n_ids"))
+        .agg(F.sum(F.size("ids")).cast("long").alias("n_ids"))
     )
     return (
         pack_greedy(doc_ids, "doc_id", "n_ids", budget=2048, shards=16)
