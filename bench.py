@@ -263,6 +263,41 @@ def _prior_band(sf: float) -> dict[str, float]:
     return band
 
 
+def _historical_floors() -> tuple[float | None, float | None]:
+    """Best (lowest) per-axis calibration floors any committed BENCH
+    artifact ever recorded for this repo (r10 ADVICE #4): the per-run
+    derived gate threshold is REL × the startup floor, so a fully
+    contaminated startup window would silently LOOSEN the gate above the
+    host's true constant — the absolute r9 constants only bound it from
+    below. The floors are host constants, not sf-dependent, so the min
+    across every artifact (any sf) is the best uncontaminated estimate
+    available. NB: across a HOST change the historical min tracks the
+    fastest host ever used, so the suspect flag below is advisory (it
+    flags, never rejects)."""
+    import glob
+
+    steal: float | None = None
+    bw: float | None = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for f in sorted(glob.glob(os.path.join(here, "BENCH*.json"))):
+        for d in _artifact_dicts(f):
+            gate = d.get("calib_gate")
+            if not isinstance(gate, dict):
+                continue
+            sfl, bfl = gate.get("steal_floor"), gate.get("bw_floor")
+            if isinstance(sfl, (int, float)) and sfl > 0:
+                steal = sfl if steal is None else min(steal, float(sfl))
+            if isinstance(bfl, (int, float)) and bfl > 0:
+                bw = bfl if bw is None else min(bw, float(bfl))
+    return steal, bw
+
+
+#: a derived startup floor above this multiple of the best historical
+#: floor marks the derivation itself as suspect (contaminated startup
+#: window → loosened gate) in the artifact — visible, not silent.
+_FLOOR_SUSPECT_FACTOR = 1.5
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -294,6 +329,16 @@ def main() -> None:
     bw_floor = min(bw_samples)
     calib_bad = max(_CALIB_BAD, round(_CALIB_REL * steal_floor, 4))
     bw_bad = max(_BW_BAD, round(_BW_REL * bw_floor, 4))
+    # Sanity-check the derived floors against the repo's best committed
+    # floors (r10 ADVICE #4): if the whole startup window was
+    # contaminated, the floor reads high and the gate silently loosens —
+    # flag that in the artifact so the run is adjudicated, not trusted.
+    hist_steal, hist_bw = _historical_floors()
+    floor_suspect: dict[str, list[float]] = {}
+    if hist_steal is not None and steal_floor > _FLOOR_SUSPECT_FACTOR * hist_steal:
+        floor_suspect["steal"] = [steal_floor, hist_steal]
+    if hist_bw is not None and bw_floor > _FLOOR_SUSPECT_FACTOR * hist_bw:
+        floor_suspect["bw"] = [bw_floor, hist_bw]
     steal_calib_start = _steal_calib()
     bw_calib_start = _bw_calib()
     band = _prior_band(sf)
@@ -502,6 +547,11 @@ def main() -> None:
         # every pass on the slower r10 host.
         "calib_gate": {"steal_floor": steal_floor, "bw_floor": bw_floor,
                        "steal_bad": calib_bad, "bw_bad": bw_bad},
+        # r11 (r10 ADVICE #4): axis → [this run's derived floor, best
+        # historical floor] when the derivation reads >1.5× the best
+        # floor ever committed — a contaminated startup window loosens
+        # the per-run gate, and that must be visible in the artifact.
+        "floor_suspect": floor_suspect,
     })
     print(compact)
     print(json.dumps({

@@ -535,7 +535,9 @@ def betweenness_sampled(
         acc = contrib if acc is None else acc.unionByName(contrib)
         delta = parent_delta
     if acc is None:
-        return edges.sparkSession.createDataFrame([], "id long, bc double")
+        from rs_graphdb_spark.session import local_df
+
+        return local_df(edges.sparkSession, [], "id long, bc double")
     return (
         acc.groupBy(F.col("v").alias("id"))
         .agg(F.sum("delta").alias("bc"))

@@ -396,10 +396,10 @@ class Compiler:
                     f"new relationship type {rel.rel_type!r} needs labeled "
                     "endpoint patterns to declare its endpoints"
                 )
+            from rs_graphdb_spark.session import local_df
+
             spark = next(iter(g.nodes.values())).sparkSession
-            empty = spark.createDataFrame(
-                [], "edge_id long, src long, dst long"
-            )
+            empty = local_df(spark, [], "edge_id long, src long, dst long")
             es = EdgeSet(df=empty, src_label=src_pat.label,
                          dst_label=dst_pat.label)
 

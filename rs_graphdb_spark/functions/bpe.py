@@ -252,6 +252,14 @@ def word_counts(df: DataFrame, text_col: str,
     )
 
 
+#: merge-count ceiling for the strict (rounds_batch=1) path — above it,
+#: bpe_train auto-delegates to the batched path (see its docstring;
+#: r10 VERDICT #6). 64 strict rounds ≈ 64 sequential jobs, a bounded
+#: interactive cost; beyond that the per-merge driver roundtrip is the
+#: dominant term at any corpus size.
+BPE_STRICT_MAX_MERGES = 64
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
@@ -259,6 +267,7 @@ def bpe_train(
     mode: str = "ascii",
     byte_level: bool = False,
     rounds_batch: int = 1,
+    strict_unbounded: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``num_merges`` BPE merges over the corpus.
 
@@ -293,9 +302,25 @@ def bpe_train(
     an earlier merge in the same batch before the batch's later picks.
     Default ``1`` = strict order (the oracle-twinned configuration).
     Candidate selection collects the top ``4·B`` pair rows — bounded
-    tokenizer metadata, the centroid-table discipline."""
+    tokenizer metadata, the centroid-table discipline.
+
+    Production merge-count guard (r10 VERDICT #6): strict order is ONE
+    driver-synchronized job per merge by construction (each argmax
+    depends on the previous rewrite), so a production tokenizer
+    (10k-32k merges) on the strict path is tens of thousands of
+    sequential jobs — scheduler latency alone is hours before any data
+    cost. Above :data:`BPE_STRICT_MAX_MERGES` merges the strict path
+    AUTO-DELEGATES to the batched path (``rounds_batch=256``), keeping
+    Sennrich count ordering within each batch under the documented
+    symbol-disjointness rule; jobs drop from O(num_merges) to
+    O(num_merges/256). Callers that truly need strict order beyond the
+    guard must opt in explicitly via ``strict_unbounded=True`` and own
+    the job count."""
     if rounds_batch < 1:
         raise ValueError(f"rounds_batch must be >= 1, got {rounds_batch}")
+    if (rounds_batch == 1 and not strict_unbounded
+            and num_merges > BPE_STRICT_MAX_MERGES):
+        rounds_batch = 256
     from rs_graphdb_spark.session import local_df
 
     init = _byte_seq_init if byte_level else _seq_init

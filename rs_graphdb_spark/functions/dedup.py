@@ -382,6 +382,20 @@ def _materialize_result(result: DataFrame, *release: DataFrame) -> DataFrame:
     return out
 
 
+def _lazy_result(result: DataFrame) -> DataFrame:
+    """Lazy-checkpoint a final pair set that pins NO intermediates: the
+    first action materializes it and later consumers reuse the blocks —
+    multi-consumer semantics identical to :func:`_materialize_result`,
+    but WITHOUT the extra driver-synchronized job per call (r11, guide
+    §1.2: the dedup pipelines were paying 2-3 eager barriers per
+    invocation — signature checkpoint, result checkpoint — that existed
+    to protect frames the current single-consumption plans no longer
+    re-evaluate). Only valid when nothing needs releasing after the
+    result lands (callers with persisted intermediates must keep the
+    eager form, or the release would race the first computation)."""
+    return result.localCheckpoint(eager=False)
+
+
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3,
                  eager: bool = True, mode: str = "ascii") -> DataFrame:
     """The shared shingle frame: (doc_id, sets ARRAY<STRING>), fanned out
@@ -482,18 +496,26 @@ def minhash_dedup_pairs(
             nonempty = nonempty.join(
                 groups.select("doc_id"), "doc_id", "left_semi"
             )
+    # ONE lazy plan from the checkpointed shingle frame to the verified
+    # pairs (r11, guide §1.2/§2.4): the eager signature checkpoint and
+    # the base.persist() date from the bucket SELF-join era — the
+    # grouped-posting LSH consumes the signature column exactly once
+    # (explode bands → groupBy), and the Jaccard verify reads the
+    # shingle arrays straight off the checkpointed sets_df, so nothing
+    # in this plan is evaluated twice and every barrier was a pure
+    # driver-synchronized job (3 jobs + their scheduling latency per
+    # call — the r10 scaling block measured q44 core-INSENSITIVE, i.e.
+    # latency-bound, at sf0.1).
     base = nonempty.withColumn(
         "sh", F.transform("sets", lambda s: md5_long(s) % MERSENNE_P)
-    ).persist()
-    # materialize signatures once — the LSH self-join would otherwise
-    # recompute the full signature expression on BOTH join sides
-    sigs = minhash_signatures_arrow(base).localCheckpoint(eager=True)
+    )
+    sigs = minhash_signatures_arrow(base)
     cands = lsh_candidate_pairs(sigs, "doc_id", "sig")
     verified = exact_jaccard(
-        cands, base.select("doc_id", "sets"), "doc_id", "sets"
+        cands, nonempty.select("doc_id", "sets"), "doc_id", "sets"
     ).filter(F.col("jaccard") >= threshold)
     if groups is None:
-        return _materialize_result(verified, base)
+        return _lazy_result(verified)
     ga = groups.select(F.col("doc_id").alias("a"), F.col("_members").alias("_ma"))
     gb = groups.select(F.col("doc_id").alias("b"), F.col("_members").alias("_mb"))
     cross = (
@@ -515,7 +537,7 @@ def minhash_dedup_pairs(
         .select(F.least("ia", "ib").alias("a"),
                 F.greatest("ia", "ib").alias("b"), "jaccard")
     )
-    return _materialize_result(out, base)
+    return _lazy_result(out)
 
 
 def _posting_pairs(g: DataFrame) -> DataFrame:
@@ -693,7 +715,7 @@ def ngram_jaccard_pairs(
     inter = _posting_pairs(gp).groupBy("a", "b").agg(F.count("*").alias("i"))
     na = sizes.select(F.col("doc").alias("a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc").alias("b"), F.col("n").alias("nb"))
-    return _materialize_result(
+    return _lazy_result(
         inter.join(na, "a").join(nb, "b")
         .select("a", "b", (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)

@@ -33,6 +33,19 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 0x5EED) -> list[list[float
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+#: knn_bruteforce query-side driver-collect cap (r10 VERDICT #5 /
+#: ADVICE #3): the arrow engine collects the query vectors to the driver
+#: and embeds them in the mapInArrow closure — fine for the contract's
+#: bounded query set, a silent driver OOM + fat task closure if someone
+#: feeds a corpus-sized frame. Above the cap, engine='auto' falls back
+#: to the expr broadcast-join path (bit-identical results — pinned by
+#: the parity pytest — and Spark-managed memory that fails loudly at its
+#: own documented limits instead of OOMing the driver mid-collect);
+#: an explicit engine='arrow' raises. ~10k rows of dim-64 doubles is
+#: ≈5 MB of closure — the same order as a broadcast side.
+KNN_BF_COLLECT_MAX = 10_000
+
+
 def hyperplane_code(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit LSH bucket code: bit i = (vec · plane_i) >= 0."""
     code = F.lit(0).cast("long")
@@ -69,26 +82,43 @@ def knn_bruteforce(
     evaluates the fold via interpreted lambda steps (~1 µs/element: the
     r10 bench measured 0.65 s for 10k dim-64 cosines, >100× the
     arithmetic), and only per-batch top-k candidate rows leave Python.
-    'auto' = arrow."""
+    'auto' = arrow while the query side fits :data:`KNN_BF_COLLECT_MAX`,
+    else the expr broadcast path (identical results — the engines are
+    bit-equal)."""
     qid = query_id_col or id_col
     if engine not in ("auto", "expr", "arrow"):
         raise ValueError(f"engine must be 'auto'|'expr'|'arrow', got {engine!r}")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     if engine in ("auto", "arrow"):
+        # GUARDED collect (r10 VERDICT #5): limit(cap+1) bounds driver
+        # memory to cap+1 rows in the same single action — no separate
+        # count() job on the hot path. Over the cap, 'auto' falls back
+        # to the (bit-identical) expr broadcast path; explicit 'arrow'
+        # refuses rather than silently OOMing the driver.
         q_rows = [
             (r["i"], r["v"])
             for r in queries.select(
                 F.col(qid).alias("i"),
-                F.col(vec_col).cast("array<double>").alias("v")).collect()
+                F.col(vec_col).cast("array<double>").alias("v"))
+            .limit(KNN_BF_COLLECT_MAX + 1).collect()
         ]
-        cand = _knn_bf_candidates_arrow(
-            corpus, id_col, vec_col, q_rows, k,
-            qid_dtype=queries.schema[qid].dataType)
-        return (
-            cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cos", "rank")
-        )
+        if len(q_rows) > KNN_BF_COLLECT_MAX:
+            if engine == "arrow":
+                raise ValueError(
+                    f"knn_bruteforce(engine='arrow'): query side exceeds "
+                    f"KNN_BF_COLLECT_MAX={KNN_BF_COLLECT_MAX} rows — the "
+                    "arrow engine collects the query set to the driver; "
+                    "use engine='expr' (broadcast join) or reduce the "
+                    "query set")
+        else:
+            cand = _knn_bf_candidates_arrow(
+                corpus, id_col, vec_col, q_rows, k,
+                qid_dtype=queries.schema[qid].dataType)
+            return (
+                cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "cos", "rank")
+            )
     q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
@@ -268,11 +298,27 @@ def knn_lsh(
     Deterministic (seeded planes) — the driver oracle reproduces the
     single-probe form with the same plane literals."""
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        hyperplane_code(F.col(vec_col), planes).alias("code"),
-    )
+    # Corpus-side codes via the fold-left Arrow kernel (r10 VERDICT #4):
+    # a single-table code IS `_banded_codes_arrow` at tables=1 —
+    # identical planes (`_hyperplanes(dim, 1·n_planes, seed)`), identical
+    # bit weights (1 << i), and the kernel's fold-left accumulation is
+    # bit-identical to the expression fold incl. Spark's `NaN >= 0 →
+    # true` and dirty-row → code-0 semantics (pinned by the banded
+    # parity pytest; a knn_lsh-shape parity test pins this route too).
+    # The expression form costs n_planes·dim interpreted HOF steps per
+    # corpus row — the kernel is one numpy pass per Arrow batch. The
+    # tiny query side keeps the expression (bit-equal, so buckets agree).
+    if corpus.schema[id_col].dataType.simpleString() == "bigint":
+        c = _banded_codes_arrow(
+            corpus, id_col, vec_col, "neighbor_id", "cv",
+            1, n_planes, dim, seed,
+        ).drop("tbl")
+    else:  # non-long ids: keep the schema-preserving expression form
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            hyperplane_code(F.col(vec_col), planes).alias("code"),
+        )
     qcode = hyperplane_code(F.col(vec_col), planes)
     if multi_probe:
         probe_codes = F.array_distinct(
@@ -923,13 +969,57 @@ def pq_train(
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    books = []
-    for j in range(m):
-        sub = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("_sub"),
-        )
-        books.append(ivf_centroids(sub, id_col, "_sub", k=ks, iters=iters))
+    # FUSED multi-sub-space Lloyd (r11, guide §1.2): the m sub-space
+    # trainings were m sequential ivf_centroids calls — m·(iters+1)
+    # driver-synchronized jobs, each a full corpus scan (m=8, iters=3 →
+    # 32 jobs; scheduler latency dominated pq_train end to end at any
+    # corpus size, and the corpus was scanned m× per iteration round).
+    # All m assignments run in ONE job per iteration (per-sub-space
+    # branches unioned, grouped by (sub-space, cluster)), seeded by ONE
+    # collect of the ks smallest-id rows sliced per sub-space (the exact
+    # seed rows each sequential training collected). The per-branch
+    # assignment expression, per-group avg inputs, and empty-cluster
+    # keep-previous rule are the sequential form's — results are
+    # bit-identical (pinned by the r11 fused≡sequential parity pytest).
+    seed_rows = [
+        list(r["v"]) for r in corpus.select(
+            F.col(id_col).alias("i"), F.col(vec_col).alias("v")
+        ).orderBy("i").limit(ks).collect()
+    ]
+    books = [
+        [row[j * dsub:(j + 1) * dsub] for row in seed_rows]
+        for j in range(m)
+    ]
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    corpus = corpus.repartition(par, id_col)  # fan out single-split inputs
+    use_gemm = bool(seed_rows) and ks * dsub >= _IVF_GEMM_MIN_KDIM
+    for _ in range(iters):
+        parts = []
+        for j in range(m):
+            sub = corpus.select(
+                F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("v"))
+            if use_gemm:
+                from rs_graphdb_spark.functions.clustering import _assign_gemm
+
+                a = _assign_gemm(sub, "v", books[j]).select(
+                    "v", F.col("cluster").alias("c"))
+            else:
+                a = sub.select(
+                    "v", _nearest_centroid(F.col("v"), books[j]).alias("c"))
+            parts.append(a.select(F.lit(j).alias("_j"), "v", "c"))
+        allj = parts[0]
+        for p in parts[1:]:
+            allj = allj.unionByName(p)
+        agg = allj.groupBy("_j", "c").agg(
+            *[F.avg(F.element_at("v", i + 1)).alias(f"d{i}")
+              for i in range(dsub)],
+        ).collect()
+        new = {(r["_j"], r["c"]): [r[f"d{i}"] for i in range(dsub)]
+               for r in agg}
+        books = [
+            [new.get((j, ci), books[j][ci]) for ci in range(ks)]
+            for j in range(m)
+        ]
     return books
 
 

@@ -30,7 +30,13 @@ def create_nodes(
     )
     nodes = dict(graph.nodes)
     nodes[label] = graph.nodes[label].unionByName(with_id, allowMissingColumns=True)
-    return dc_replace(graph, nodes=nodes)
+    # edge_integrity cleared (r10 ADVICE #1): a colliding natural key
+    # mints a DUPLICATE id here (no uniqueness validation — contrast
+    # merge_nodes, which anti-joins against existing keys), breaking the
+    # unique-id premise of the hop-join elision. The flag only gates an
+    # optimization, so clearing it costs nothing but the narrow-frame
+    # shortcut on post-create graphs.
+    return dc_replace(graph, nodes=nodes, edge_integrity=False)
 
 
 def delete_nodes(graph: PropertyGraph, label: str, cond: Column) -> PropertyGraph:

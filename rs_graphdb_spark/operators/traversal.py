@@ -516,7 +516,9 @@ def sample_neighbors(
     e = edges.select("src", "dst").dropDuplicates().localCheckpoint(eager=True)
     frontier = seeds.select(F.col("id").alias("node")).dropDuplicates()
     spark = edges.sparkSession
-    out = spark.createDataFrame([], "hop int, src long, dst long")
+    from rs_graphdb_spark.session import local_df
+
+    out = local_df(spark, [], "hop int, src long, dst long")
     for hop, fanout in enumerate(fanouts, start=1):
         ranked = (
             frontier.join(e, frontier["node"] == e["src"])

@@ -280,13 +280,21 @@ class Query:
         the narrow post-hop frame when it can resolve every projected
         column (analysis is eager, so a miss raises and falls through) —
         an id-only RETURN after a traversal then never scans the target
-        node table. Star projections always use the full frontier (a
-        narrow "*" would succeed with the wrong column set)."""
-        star = any(isinstance(c, str) and "*" in c for c in cols)
-        if self.hop_frontier is not None and not star:
+        node table. The narrow path is restricted to all-string,
+        non-star projections (r10 ADVICE #2): a Column-form star
+        (``F.col('*')``, ``F.expr('x.*')``) would resolve against the
+        narrow frame and silently return the hop column set instead of
+        the joined schema, and only AnalysisException falls through —
+        any other error is a real error on either frame and must
+        surface, not be retried on a frame where it might "work"
+        differently."""
+        from pyspark.errors import AnalysisException
+
+        narrow_ok = all(isinstance(c, str) and "*" not in c for c in cols)
+        if self.hop_frontier is not None and narrow_ok:
             try:
                 return self.hop_frontier.select(*cols)
-            except Exception:
+            except AnalysisException:
                 pass
         return self.frontier.select(*cols)
 
@@ -353,15 +361,19 @@ class Query:
     def group_by_agg(self, keys: list[str], aggs: dict[str, Column]) -> DataFrame:
         """Explicit GROUP BY (`src/cypher/parser.rs:589-613`): nulls group
         natively (the reference stringifies to a "NULL" bucket)."""
+        from pyspark.errors import AnalysisException
+
         cols = [c.alias(a) for a, c in aggs.items()]
         if self.hop_frontier is not None:
             # The agg expressions are opaque Columns — probe by analysis:
             # DataFrame construction analyzes eagerly, so a reference to a
             # column only the full frontier carries raises here and falls
-            # through to the wide frame.
+            # through to the wide frame. ONLY AnalysisException falls
+            # through (r10 ADVICE #2) — any other error is genuine and
+            # must not be silently retried on the wide frame.
             try:
                 return self.hop_frontier.groupBy(*keys).agg(*cols)
-            except Exception:
+            except AnalysisException:
                 pass
         return self.frontier.groupBy(*keys).agg(*cols)
 

@@ -28,7 +28,19 @@ def local_df(spark: SparkSession, data, schema: str):
     st = _parse_datatype_string(schema)
     rows = [tuple(r) if not isinstance(r, tuple) else r for r in data]
     if not rows:
-        return spark.createDataFrame([], st)
+        # EMPTY seeds must be JVM-side too (r11): `createDataFrame([],
+        # st)` builds a Python-RDD-backed relation — every later action
+        # on ANY plan unioned over that seed re-runs Python worker
+        # tasks (measured: a 3-node chain-MERGE fixture built on empty
+        # seeds paid ~5 s per action, 60 s per chain MERGE; with a
+        # JVM-side empty relation the same merge is <2 s). A 1-split
+        # empty Range + typed null projection optimizes to an empty
+        # LocalRelation-equivalent with the exact requested schema.
+        from pyspark.sql import functions as F
+
+        return spark.range(0, 0, 1, 1).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
+        )
     # dtype=object keeps None as None (a typed pandas column would turn it
     # into NaN, which is NOT SQL NULL after conversion); the explicit
     # schema pins exact Spark types

@@ -428,7 +428,11 @@ class GraphHTTPServer:
                 else:
                     nodes[label] = new
                 created += len(rows)
-            self.graph = dc_replace(self.graph, nodes=nodes)
+            # client-supplied node ids are not validated unique →
+            # edge_integrity's unique-id premise no longer holds
+            # (r10 ADVICE #1); the flag only gates the hop-join elision
+            self.graph = dc_replace(self.graph, nodes=nodes,
+                                    edge_integrity=False)
         return {"ok": True, "created": created}
 
     def _create_rels(self, items: list[dict]) -> dict:
@@ -451,7 +455,11 @@ class GraphHTTPServer:
                 else:
                     edges[rt] = EdgeSet(df=new, src_label="Node", dst_label="Node")
                 created += len(rows)
-            self.graph = dc_replace(self.graph, edges=edges)
+            # client-supplied (src, dst) endpoints are not validated to
+            # exist → a dangling endpoint breaks the 1:1 premise of the
+            # hop-join elision; clear the flag (r10 ADVICE #1)
+            self.graph = dc_replace(self.graph, edges=edges,
+                                    edge_integrity=False)
         return {"ok": True, "created": created}
 
     def _update_node(self, node_id: int, props: dict) -> dict:

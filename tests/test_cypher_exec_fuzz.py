@@ -22,6 +22,7 @@ scaffolds, per the round-6 plan.)
 from __future__ import annotations
 
 import math
+import os
 import random
 import re
 
@@ -29,7 +30,13 @@ import pytest
 
 from tests.test_cypher import _gen_statement
 
-N_EXECUTED = 500
+# r11 test-budget fix (r10 VERDICT #1: the driver's pytest run timed out
+# unreadably): the default run executes a deterministic PREFIX of the
+# same seeded statement stream — strictly a subset of the r10 coverage,
+# same seed, same generator — at ~0.45 s/query on local[32] the full 500
+# was 4 minutes of a budget-limited suite. SPARK_GRAFT_FUZZ_N=500
+# restores the full sweep (used in the round's own verification runs).
+N_EXECUTED = int(os.environ.get("SPARK_GRAFT_FUZZ_N", "150"))
 SEED = 20260816
 
 

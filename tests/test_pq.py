@@ -10,8 +10,41 @@ from rs_graphdb_spark.functions.similarity import (
     knn_bruteforce,
     knn_pq_adc,
     pq_encode,
-    pq_train,
 )
+from rs_graphdb_spark.functions.similarity import pq_train as _pq_train_raw
+
+
+#: r11 test budget (r10 VERDICT #1: the driver's pytest run timed out):
+#: a dozen tests here rebuilt byte-identical codebooks from the same
+#: module-scoped fixture — pq_train is deterministic by contract
+#: (pinned by test_pq_train_shapes_and_determinism, which still calls
+#: the RAW trainer for its second build), so identical (frame, args)
+#: yield identical books and one distributed training per distinct
+#: configuration serves the whole module.
+_books_memo: dict = {}
+
+
+def pq_train(df, id_col, vec_col, **kw):
+    # repr-keyed: kwargs may carry (deterministic) nested float lists
+    # (residual_centroids), which are unhashable but repr-stable
+    key = (id(df), id_col, vec_col, repr(sorted(kw.items())))
+    if key not in _books_memo:
+        _books_memo[key] = _pq_train_raw(df, id_col, vec_col, **kw)
+    return _books_memo[key]
+
+
+_cents_memo: dict = {}
+
+
+def _cents(df, id_col, vec_col, k, iters):
+    """Module-memoized ivf_centroids over the shared fixtures (same
+    budget rationale as the pq_train wrapper; Lloyd is deterministic)."""
+    from rs_graphdb_spark.functions.similarity import ivf_centroids
+
+    key = (id(df), id_col, vec_col, k, iters)
+    if key not in _cents_memo:
+        _cents_memo[key] = ivf_centroids(df, id_col, vec_col, k, iters)
+    return _cents_memo[key]
 
 
 def _clustered_vectors(n=240, dim=32, n_clusters=12, noise=0.05):
@@ -40,7 +73,7 @@ def test_pq_train_shapes_and_determinism(clustered):
     assert len(books) == 4
     assert all(len(b) == 8 for b in books)
     assert all(len(c) == 8 for b in books for c in b)  # dim 32 / m 4
-    books2 = pq_train(clustered, "vec_id", "v", m=4, ks=8, iters=2)
+    books2 = _pq_train_raw(clustered, "vec_id", "v", m=4, ks=8, iters=2)
     assert books == books2  # no randomness — reproducible builds
 
 
@@ -270,7 +303,7 @@ def test_standing_index_equals_direct(spark, clustered, tmp_path):
     from rs_graphdb_spark.functions.similarity import (
         ivf_centroids, knn_ivf_pq, knn_pq_indexed, write_pq_index)
     books = pq_train(clustered, "vec_id", "v", m=4, ks=8, iters=2)
-    cents = ivf_centroids(clustered, "vec_id", "v", 6, 2)
+    cents = _cents(clustered, "vec_id", "v", 6, 2)
     idx = str(tmp_path / "pqidx")
     meta = write_pq_index(clustered, "vec_id", "v", idx,
                           codebooks=books, centroids=cents)
@@ -301,7 +334,7 @@ def test_standing_index_probe_is_partition_pruned(spark, clustered,
     from rs_graphdb_spark.functions.similarity import (
         ivf_centroids, knn_pq_indexed, write_pq_index)
     books = pq_train(clustered, "vec_id", "v", m=4, ks=8, iters=2)
-    cents = ivf_centroids(clustered, "vec_id", "v", 6, 2)
+    cents = _cents(clustered, "vec_id", "v", 6, 2)
     idx = str(tmp_path / "pqidx2")
     write_pq_index(clustered, "vec_id", "v", idx,
                    codebooks=books, centroids=cents)
@@ -320,7 +353,7 @@ def test_standing_index_arrow_engine_same_neighbors(spark, clustered,
     from rs_graphdb_spark.functions.similarity import (
         ivf_centroids, knn_pq_indexed, write_pq_index)
     books = pq_train(clustered, "vec_id", "v", m=4, ks=8, iters=2)
-    cents = ivf_centroids(clustered, "vec_id", "v", 6, 2)
+    cents = _cents(clustered, "vec_id", "v", 6, 2)
     idx = str(tmp_path / "pqidx3")
     write_pq_index(clustered, "vec_id", "v", idx,
                    codebooks=books, centroids=cents)
@@ -707,7 +740,7 @@ def strong(spark):
 def _res_setup(strong):
     from rs_graphdb_spark.functions.similarity import ivf_centroids
 
-    cents = ivf_centroids(strong, "vec_id", "v", 6, 2)
+    cents = _cents(strong, "vec_id", "v", 6, 2)
     books = pq_train(strong, "vec_id", "v", m=4, ks=8, iters=2,
                      residual_centroids=cents)
     return cents, books
@@ -820,7 +853,7 @@ def test_residual_standing_index_paths_agree(spark, tmp_path, strong):
     from rs_graphdb_spark.functions.similarity import (
         ivf_centroids, knn_ivf_pq, knn_pq_indexed, write_pq_index)
 
-    cents = ivf_centroids(strong, "vec_id", "v", 6, 2)
+    cents = _cents(strong, "vec_id", "v", 6, 2)
     idx = str(tmp_path / "res_idx")
     meta = write_pq_index(strong, "vec_id", "v", idx, m=4, ks=8,
                           centroids=cents, residual=True)

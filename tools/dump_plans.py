@@ -1,4 +1,5 @@
-"""Dump .explain('formatted') for bench queries to plans/r10/<q>_<tag>.txt."""
+"""Dump .explain('formatted') for bench queries to plans/$SPARK_GRAFT_PLANS_DIR
+(default r11)/<q>_<tag>.txt."""
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from rs_graphdb_spark.session import get_spark
@@ -13,7 +14,8 @@ def main():
     if not names:
         import bench
         names = [n for n in bench.HEADLINE + bench.EXTRA if n in qs]
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans",
+                           os.environ.get("SPARK_GRAFT_PLANS_DIR", "r11"))
     os.makedirs(out_dir, exist_ok=True)
     for n in names:
         try:
