@@ -588,6 +588,93 @@ def _prefix_postings(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+#: auto-route floor for the packed exchange (total shingle postings):
+#: below it the pair exchange is too small to repay the packed build's
+#: extra stages (see the routing comment in ngram_jaccard_pairs).
+_NGRAM_PACKED_MIN_POSTINGS = 1_000_000
+
+#: packed-posting layout: doc id in the high bits, the doc's non-stop
+#: shingle-set size in the low _PACK_N_BITS. Sorting packed longs sorts
+#: by doc id (size is a function of the doc), so pair emission order —
+#: hence the emitted pair set — matches the legacy sorted-doc-array form.
+_PACK_N_BITS = 21
+_PACK_N_MASK = (1 << _PACK_N_BITS) - 1
+
+
+def _ngram_pairs_packed(sh: DataFrame, cap: int | None,
+                        threshold: float) -> DataFrame:
+    """Narrow-exchange exact n-gram Jaccard (r11, guide §2.2/§2.3).
+
+    The legacy form shuffled one (a BIGINT, b BIGINT) row per co-posting
+    pair into groupBy(a, b) — 142M 16-byte keys at the sf1 stress corpus
+    — then probed the aggregated ~116M pair groups through TWO size
+    joins to compute jaccard. Here:
+
+    - document frequencies come from a partial-aggregated count (tiny
+      reduce side), the stop set — AT MOST Σpostings/cap shingles, i.e.
+      ~(1/frac)·avg_doc_size rows under the relative cap, corpus-size
+      INDEPENDENT — broadcasts into an anti-join (no corpus reshuffle);
+    - per-doc non-stop sizes join into the postings BEFORE grouping, so
+      every posting-list entry is ONE packed long (doc << 21 | n);
+    - pair emission prunes provably-non-qualifying pairs (min(n) <
+      t·max(n) − 1 ⟹ jaccard ≤ min/max < t under any double rounding,
+      because i ≤ min(n), union ≥ max(n), and 1/max ≫ ulp) — ~19%
+      of the sf1 stress mass — and emits ONE long key
+      (a << 32 | b) plus the na+nb sum, so the big exchange carries 8+8
+      bytes and the aggregate's group key is a single long;
+    - jaccard = i / (nsum − i) on the aggregated row — the SAME long
+      operands the legacy division saw, hence bit-identical doubles and
+      an identical ≥ threshold pair set (pinned by the engine-parity
+      pytest and the q42/q46 oracle twins)."""
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df_"))
+    if cap is not None:
+        stop = dfreq.filter(F.col("df_") > cap).select("s")
+        sh = sh.join(F.broadcast(stop), "s", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
+    packed = (
+        sh.join(sizes, "doc")
+        .select(
+            "s",
+            (F.shiftleft(F.col("doc").cast("long"), _PACK_N_BITS)
+             + F.col("n")).alias("pn"),
+        )
+    )
+    g = (
+        packed.groupBy("s")
+        .agg(F.sort_array(F.collect_list("pn")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select("ds")
+    )
+    nmask = F.lit(_PACK_N_MASK).cast("long")
+    pairs = (
+        g.select(F.col("ds"), F.posexplode("ds").alias("i", "pa"))
+        .select(
+            "pa",
+            F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("pb"),
+        )
+        .select(
+            F.col("pa").bitwiseAND(nmask).alias("na"),
+            F.col("pb").bitwiseAND(nmask).alias("nb"),
+            (F.shiftleft(F.shiftright("pa", _PACK_N_BITS), 32)
+             + F.shiftright("pb", _PACK_N_BITS)).alias("ab"),
+        )
+        .filter(
+            F.least("na", "nb")
+            >= F.lit(float(threshold)) * F.greatest("na", "nb") - F.lit(1.0)
+        )
+        .select("ab", (F.col("na") + F.col("nb")).alias("nsum"))
+    )
+    agg = pairs.groupBy("ab").agg(
+        F.count("*").alias("i"), F.first("nsum").alias("nsum"))
+    return _lazy_result(
+        agg.select(
+            F.shiftright("ab", 32).alias("a"),
+            F.col("ab").bitwiseAND(F.lit((1 << 32) - 1).cast("long")).alias("b"),
+            (F.col("i") / (F.col("nsum") - F.col("i"))).alias("jaccard"),
+        ).filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -599,6 +686,7 @@ def ngram_jaccard_pairs(
     sets_df: DataFrame | None = None,
     prefix_filter: bool | None = None,
     mode: str = "ascii",
+    engine: str = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via the sparse explode-join.
 
@@ -633,28 +721,83 @@ def ngram_jaccard_pairs(
       path's Σdf² genuinely explodes.
 
     Pass a precomputed ``sets_df`` (from :func:`shingle_sets`) to share the
-    shingle frame across dedup passes."""
+    shingle frame across dedup passes.
+
+    ``engine``: ``"auto"`` routes integer-id corpora (ids in [0, 2³¹),
+    per-doc shingle sets under 2²¹) through :func:`_ngram_pairs_packed`
+    — the r11 narrow-exchange form of the SAME computation (guide §2.3):
+    sizes ride the postings as packed longs, provably-non-qualifying
+    pairs are pruned at emission, the pair exchange carries ONE long key
+    instead of two, and jaccard is computed inline (no post-aggregation
+    size joins). Pair set and jaccard doubles are bit-identical to the
+    legacy form (division operands are the same longs; the emission
+    prune only drops pairs with min(n) < t·max(n) − 1, which the final
+    filter provably rejects under any rounding since i ≤ min(n) and
+    union ≥ max(n)). ``"legacy"`` forces the r10 form (the parity twin);
+    ``"packed"`` asserts the fast route."""
+    if engine not in ("auto", "packed", "legacy"):
+        raise ValueError(
+            f"engine must be 'auto'|'packed'|'legacy', got {engine!r}")
     if sets_df is None:
         sets_df = shingle_sets(df, id_col, text_col, k, mode=mode)
     sh = sets_df.select(
         F.col("doc_id").alias("doc"), F.explode("sets").alias("s")
     )
+    caps = []
+    if max_shingle_df is not None:
+        caps.append(max_shingle_df)
+    stats = None
+    if max_shingle_df_frac is not None or engine in ("auto", "packed"):
+        # one bounded-metadata action serves both the relative cap and
+        # the packed-route decision (the old path paid the same single
+        # count() action for the cap)
+        stats = sets_df.agg(
+            F.count("*").alias("n"),
+            F.count("doc_id").alias("nn"),  # null ids force the legacy path
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.max(F.size("sets")).alias("mx"),
+            F.sum(F.size("sets")).alias("postings"),
+        ).first()
+    if max_shingle_df_frac is not None:
+        import math
+
+        caps.append(max(100, math.ceil(max_shingle_df_frac * stats["n"])))
+    cap = min(caps) if caps else None
+    packable = (
+        engine != "legacy"
+        and not prefix_filter
+        and stats is not None
+        and stats["lo"] is not None
+        and stats["nn"] == stats["n"]
+        and int(stats["lo"]) >= 0
+        and int(stats["hi"]) < (1 << 31)
+        and int(stats["mx"] or 0) < (1 << 21)
+        and dict(sets_df.dtypes).get("doc_id", "").startswith(
+            ("bigint", "int", "smallint", "tinyint"))
+    )
+    if engine == "auto" and packable and (
+            int(stats["postings"] or 0) < _NGRAM_PACKED_MIN_POSTINGS):
+        # small corpora: the packed route's extra build-side stages
+        # (df count, stop anti-join, size join, regroup) are fixed
+        # scheduling latency that the tiny pair exchange never repays —
+        # measured 1.25 s legacy vs 2.07 s packed at 270k postings, and
+        # 10.7 s legacy vs 6.9 s packed at 2.7M (pair mass grows
+        # superlinearly in postings for a fixed vocabulary, so the
+        # routing is scale-monotone; any 100 TB corpus is far above it)
+        packable = False
+    if engine == "packed" and not packable:
+        raise ValueError("corpus does not satisfy the packed-route bounds")
+    if packable:
+        return _ngram_pairs_packed(sh, cap, threshold)
     # ONE shuffle on the shingle builds the grouped posting lists; the
     # stop-shingle cap is a filter on the same frame (no separate
     # df-count job + anti-join pass). (doc, s) rows are unique by
     # construction (sets are array_distinct), so size(ds) = document
     # frequency.
     g = sh.groupBy("s").agg(F.collect_list("doc").alias("ds"))
-    caps = []
-    if max_shingle_df is not None:
-        caps.append(max_shingle_df)
-    if max_shingle_df_frac is not None:
-        import math
-
-        n_docs = sets_df.count()
-        caps.append(max(100, math.ceil(max_shingle_df_frac * n_docs)))
-    if caps:
-        g = g.filter(F.size("ds") <= min(caps))
+    if cap is not None:
+        g = g.filter(F.size("ds") <= cap)
     g = g.localCheckpoint(eager=True)
     # per-doc non-stop set size — BEFORE the df≥2 cut below: doc-unique
     # shingles never form pairs but absolutely count in the union size
