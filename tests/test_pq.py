@@ -6,6 +6,8 @@ import random
 import pyspark.sql.functions as F
 import pytest
 
+from rs_graphdb_spark.session import local_df
+
 from rs_graphdb_spark.functions.similarity import (
     knn_bruteforce,
     knn_pq_adc,
@@ -63,7 +65,7 @@ def _clustered_vectors(n=240, dim=32, n_clusters=12, noise=0.05):
 
 @pytest.fixture(scope="module")
 def clustered(spark):
-    return spark.createDataFrame(
+    return local_df(spark, 
         _clustered_vectors(), "vec_id long, v array<double>"
     ).cache()
 
@@ -246,7 +248,7 @@ def test_production_ks256_adc_runs_via_arrow(spark):
     import numpy as np
 
     rows = _clustered_vectors(n=300, dim=64, n_clusters=20)
-    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    df = local_df(spark, rows, "vec_id long, v array<double>")
     books = pq_train(df, "vec_id", "v", m=8, ks=256, iters=1)
     qs = df.filter(F.col("vec_id") < 3)
     got = knn_pq_adc(df, qs, "vec_id", "v", books, k=5).collect()
@@ -377,7 +379,7 @@ def test_append_pq_index_equals_full_rebuild(spark, tmp_path):
     from rs_graphdb_spark.functions.similarity import (
         append_pq_index, ivf_centroids, knn_pq_indexed, write_pq_index)
     rows = _clustered_vectors(n=300, dim=32, n_clusters=10)
-    full = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    full = local_df(spark, rows, "vec_id long, v array<double>")
     a = full.filter(F.col("vec_id") < 200)
     b = full.filter(F.col("vec_id") >= 200)
     books = pq_train(a, "vec_id", "v", m=4, ks=8, iters=2)
@@ -425,8 +427,8 @@ def test_append_pq_index_idempotency_and_crash_guard(spark, tmp_path):
     from rs_graphdb_spark.functions.similarity import (
         append_pq_index, ivf_centroids, write_pq_index)
     rows = _clustered_vectors(n=120, dim=32, n_clusters=6)
-    a = spark.createDataFrame(rows[:80], "vec_id long, v array<double>")
-    b = spark.createDataFrame(rows[80:], "vec_id long, v array<double>")
+    a = local_df(spark, rows[:80], "vec_id long, v array<double>")
+    b = local_df(spark, rows[80:], "vec_id long, v array<double>")
     books = pq_train(a, "vec_id", "v", m=4, ks=8, iters=1)
     cents = ivf_centroids(a, "vec_id", "v", 4, 1)
     idx = str(tmp_path / "pq")
@@ -485,7 +487,7 @@ def test_pq_encode_null_ragged_expr_arrow_parity(spark):
     Both engines must now agree per-subspace: a complete sub-slice
     still encodes, anything else yields a NULL code, and recon_n2 is
     NULL whenever any code is."""
-    df = spark.createDataFrame(_DIRTY_ROWS, "vec_id long, v array<double>")
+    df = local_df(spark, _DIRTY_ROWS, "vec_id long, v array<double>")
     expr = {r["vec_id"]: (r["codes"], r["recon_n2"])
             for r in pq_encode(df, "vec_id", "v", _DIRTY_BOOKS,
                                encode_engine="expr").collect()}
@@ -515,7 +517,7 @@ def test_adc_arrow_null_vector_rows_match_expr(spark, clustered):
     crashing on the null codes."""
     from pyspark.sql import functions as F2
     dirty = clustered.limit(20).unionByName(
-        spark.createDataFrame([(999, None), (998, [1.0, None])],
+        local_df(spark, [(999, None), (998, [1.0, None])],
                               "vec_id long, v array<double>"))
     books = pq_train(clustered, "vec_id", "v", m=4, ks=8, iters=1)
     qs = clustered.filter(F2.col("vec_id") < 2)
@@ -560,10 +562,10 @@ def test_pq_committed_pending_marker_autoclears(spark, tmp_path):
     from rs_graphdb_spark.functions.similarity import (
         append_pq_index, ivf_centroids, write_pq_index)
     rows = _clustered_vectors(n=120, dim=32, n_clusters=6)
-    a = spark.createDataFrame(rows[:80], "vec_id long, v array<double>")
-    b = spark.createDataFrame(rows[80:100],
+    a = local_df(spark, rows[:80], "vec_id long, v array<double>")
+    b = local_df(spark, rows[80:100],
                               "vec_id long, v array<double>")
-    c = spark.createDataFrame(rows[100:],
+    c = local_df(spark, rows[100:],
                               "vec_id long, v array<double>")
     books = pq_train(a, "vec_id", "v", m=4, ks=8, iters=1)
     cents = ivf_centroids(a, "vec_id", "v", 4, 1)
@@ -588,7 +590,7 @@ def test_rebuild_pq_index_recovers_from_crash(spark, tmp_path):
         append_pq_index, ivf_centroids, knn_pq_indexed, rebuild_pq_index,
         write_pq_index)
     rows = _clustered_vectors(n=240, dim=32, n_clusters=8)
-    full = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    full = local_df(spark, rows, "vec_id long, v array<double>")
     a = full.filter(F.col("vec_id") < 160)
     b = full.filter(F.col("vec_id") >= 160)
     books = pq_train(a, "vec_id", "v", m=4, ks=8, iters=2)
@@ -618,7 +620,7 @@ def test_rebuild_pq_index_recovers_from_crash(spark, tmp_path):
                                        k=5, n_probe=n_probe).collect()}
         assert want == got, n_probe
     # ingest proceeds after recovery
-    nxt = spark.createDataFrame(
+    nxt = local_df(spark, 
         _clustered_vectors(n=250, dim=32, n_clusters=8)[240:],
         "vec_id long, v array<double>")
     assert append_pq_index(spark, idx, nxt, "vec_id", "v",
@@ -634,7 +636,7 @@ def _standing_index(spark, tmp_path, name, n_clusters=6):
     from rs_graphdb_spark.functions.similarity import (
         ivf_centroids, write_pq_index)
     rows = _clustered_vectors(n=240, dim=32, n_clusters=8)
-    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    corpus = local_df(spark, rows, "vec_id long, v array<double>")
     books = pq_train(corpus, "vec_id", "v", m=4, ks=8, iters=2)
     cents = ivf_centroids(corpus, "vec_id", "v", n_clusters, 2)
     idx = str(tmp_path / name)
@@ -733,7 +735,7 @@ def _strong_clusters(n=200, dim=16, n_clusters=6, spread=5.0, noise=0.3):
 
 @pytest.fixture(scope="module")
 def strong(spark):
-    return spark.createDataFrame(
+    return local_df(spark, 
         _strong_clusters(), "vec_id long, v array<double>").cache()
 
 
@@ -753,7 +755,7 @@ def test_residual_encode_expr_arrow_parity(spark, strong):
     recon, both engines)."""
     cents, books = _res_setup(strong)
     rows = strong.collect()
-    dirty = spark.createDataFrame(
+    dirty = local_df(spark, 
         [(r["vec_id"], r["v"]) for r in rows[:50]]
         + [(900, None), (901, rows[0]["v"][:5]),
            (902, [None] + rows[1]["v"][1:]),
