@@ -74,6 +74,32 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _docs_fanned(spark: SparkSession, sf_dir: str,
+                 min_bytes: int = 0) -> DataFrame:
+    """The documents table, fanned out when the scan is under-split
+    (r11, guide §6): the fixture parquet is ONE row group, so every
+    expensive per-doc scan-stage projection (regex scrub, quality
+    features, HTML strip, PSL parse) otherwise runs on 1-2 cores —
+    measured 3.23 s → 0.36 s for the PII scrub at the 10× corpus. The
+    hash repartition (deterministic under retry, guide §2.5) only fires
+    when partitions < cores; a production table with real splits reads
+    exactly as before. Per-doc projections and integer aggregates are
+    partitioning-invariant, so results are unchanged (oracle-pinned)."""
+    docs = _read(spark, sf_dir, "documents")
+    if min_bytes:
+        import os
+
+        try:
+            if os.path.getsize(f"{sf_dir}/documents.parquet") < min_bytes:
+                return docs
+        except OSError:  # non-local path: size unknown, fan by splits
+            pass
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
+    return docs
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship query (driver smoke check at sf0.001)
 # ---------------------------------------------------------------------------
@@ -685,7 +711,7 @@ def q49_ann_lsh(spark, sf_dir):
 def q50_lang_id(spark, sf_dir):
     """Language-ID heuristic (stopword-marker argmax) → per-language doc
     counts."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_fanned(spark, sf_dir)
     return docs.select(TX.lang_id("text").alias("lang_guess")).groupBy(
         "lang_guess"
     ).agg(F.count("*").alias("cnt"))
@@ -696,7 +722,7 @@ def q51_quality_scores(spark, sf_dir):
     length, punctuation ratio, stopword ratio — computed through the
     single-evaluation struct form (tokenizer runs once per row, r2
     verdict hardening #9)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_fanned(spark, sf_dir)
     return docs.select(
         "doc_id", TX.quality_features_struct("text").alias("qf")
     ).select(
@@ -707,7 +733,7 @@ def q51_quality_scores(spark, sf_dir):
 
 def q52_token_stats(spark, sf_dir):
     """Token counting: lowercase-alnum tokens + BPE-ish regex pieces."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_fanned(spark, sf_dir)
     bpe_re = r"[a-z]+|[0-9]|[^a-z0-9\s]"
     return docs.select(
         "doc_id",
@@ -2162,7 +2188,7 @@ def q102_pii_scrub(spark, sf_dir):
     """Lean bench form: PII scrub + audit counts over the corpus."""
     from rs_graphdb_spark.functions.cleaning import pii_counts, scrub_pii
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_fanned(spark, sf_dir)
     return docs.select(
         "doc_id", scrub_pii("text").alias("clean"), pii_counts("text").alias("pii")
     )
@@ -2172,7 +2198,7 @@ def q103_line_dedup(spark, sf_dir):
     """Lean bench form: cross-doc line dedup (word-chunk lines)."""
     from rs_graphdb_spark.functions.cleaning import dedup_lines
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_fanned(spark, sf_dir)
     return dedup_lines(docs, "doc_id", "text", delim=" a ", max_line_df=1)
 
 
@@ -2206,7 +2232,7 @@ def q106_token_mixture(spark, sf_dir):
         mixture_plan,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_fanned(spark, sf_dir)
     ntok = docs.select(
         "doc_id", "source", TX.token_count("text").cast("long").alias("n_tok")
     )
@@ -2242,6 +2268,11 @@ def q108_normalize_text(spark, sf_dir):
         strip_control_chars,
     )
 
+    # deliberately NOT fanned (r11): the normalize is an Arrow pandas
+    # UDF — at fixture scale the exchange + 32 tiny Python batches cost
+    # more than the 1-2-way run saves (A/B: 0.30 plain vs 0.62 fanned
+    # at sf0.1; at the 10x corpus fanned wins 0.94 -> 0.59, and a real
+    # production table arrives already split)
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", normalize_text(strip_control_chars(F.col("text"))).alias("t")
@@ -3803,7 +3834,7 @@ def q113_url_psl(spark, sf_dir):
     hosts (pure codegen CASE)."""
     from rs_graphdb_spark.functions.cleaning import extract_domain
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_fanned(spark, sf_dir)
     d = F.col("doc_id").cast("string")
     host = F.concat(F.lit("sub"), d, F.lit(".shop"),
                     (F.col("doc_id") % 50).cast("string"), F.lit(".co.uk"))
@@ -3873,7 +3904,7 @@ def q117_html_extract(spark, sf_dir):
     """WET-style HTML→text over the per-doc page wrapper."""
     from rs_graphdb_spark.functions.cleaning import html_to_text
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_fanned(spark, sf_dir)
     ds = F.col("doc_id").cast("string")
     page = F.concat(
         F.lit('<html><head><style>p{c:1}</style><script>var x = 1 < 2;'
@@ -3975,7 +4006,7 @@ def q125_bm25(spark, sf_dir):
     100 TB query is a term-pruned lookup, not a corpus scan."""
     from rs_graphdb_spark.functions.text import bm25
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _docs_fanned(spark, sf_dir, min_bytes=4 << 20)
     return (
         bm25(docs, "doc_id", "text")
         .orderBy(F.col("score").desc(), "term", "doc_id")

@@ -631,6 +631,16 @@ def hashed_feature_rows(
     from rs_graphdb_spark.functions.dedup import md5_long
     from rs_graphdb_spark.functions.text import tokenize
 
+    # Fan out under-split inputs (r11, guide §6): a small-but-dense
+    # parquet file scans as 1-2 splits, so the expensive projection
+    # (regex tokenize + gram explode + md5 per gram) ran on 2 cores —
+    # measured 6.1 s for 5.5M gram rows at the 10× corpus, with 30
+    # cores idle. One cheap exchange of the raw text (hash by id —
+    # deterministic under task retry, guide §2.5) buys full-width
+    # compute; already-parallel inputs (a real 100 TB table) skip it.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, id_col)
     staged = df.select(F.col(id_col), tokenize(text_col).alias("_tk"))
     return (
         staged.select(F.col(id_col), F.explode(_grams(F.col("_tk"))).alias("_g"))

@@ -1198,6 +1198,15 @@ def duplicate_spans(
     overlapping spans too; the k-gram grid here is the standard
     distributed approximation (a duplicated run of length L ≥ k shares
     ⌈L−k+1⌉ grid spans, so any duplication ≥ k tokens is caught)."""
+    # Fan out under-split inputs (r11, guide §6 — the q104 lesson): the
+    # k=50 shingle walk + per-span md5 is the expensive projection and a
+    # small dense parquet file scans as 1-2 splits; hash-repartition by
+    # id when the source is under-parallel (cheap text exchange, full-
+    # width compute; already-split production tables skip it). Counts
+    # downstream are integers — order-free, results unchanged.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, id_col)
     # 60-bit span hash (15 md5 hex chars — the 32-bit md5_long used for
     # minhash seeds birthday-collides already at ~20k distinct spans;
     # found as a false pair in the driver diff). At 60 bits a collision
@@ -1218,7 +1227,7 @@ def duplicate_spans(
     if max_span_df is not None:
         g = g.filter(F.size("ds") <= max_span_df)
     pairs = _posting_pairs(g.select("ds"))
-    return _materialize_result(
+    return _lazy_result(
         pairs.groupBy("a", "b").agg(F.count("*").alias("n_spans"))
     )
 
